@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline on sf0.001; ``queries()`` exposes
+one callable per implemented operator/pipeline (SURVEY.md §2 + the
+training-data additions); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for every SQL-expressible query (same column names, aggregates
+rounded identically on both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,444 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+import no_fasel_scrapers_ray
+
+# Workers must run this package's closures even though the driver
+# ray.init()s before /root/repo is on any worker's import path.
+no_fasel_scrapers_ray.enable_portable_pickling()
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# Relational operator queries (SURVEY.md §2.6-§2.9 families)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """A1/A7-family partial-aggregate groupby over the big table."""
+    from no_fasel_scrapers_ray.ops.relational import preagg_sum_count, round_columns
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    out = preagg_sum_count(
+        li, ["l_returnflag", "l_linestatus"],
+        {"l_quantity": "sum_qty", "l_extendedprice": "sum_base_price"},
+        count_alias="count_order")
+    return round_columns(out, {"sum_qty": 2, "sum_base_price": 2})
+
+
+def q_region_rollup(sf_dir: str):
+    """J1-family broadcast (map-side) join chain: orders ⋈ customer ⋈
+    nation ⋈ region, then a pre-aggregated rollup."""
+    from no_fasel_scrapers_ray.ops.relational import (
+        broadcast_join, preagg_sum_count, round_columns)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = (cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+               .merge(region, left_on="n_regionkey", right_on="r_regionkey"))
+    dim = dim[["c_custkey", "n_name", "r_name"]].rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(orders, dim, on="o_custkey")
+    out = preagg_sum_count(joined, ["r_name", "n_name"],
+                           {"o_totalprice": "total_price"}, count_alias="order_count")
+    return round_columns(out, {"total_price": 2})
+
+
+def q_semi_join_customers(sf_dir: str):
+    """J4/J6-family semi-join: customers having at least one order."""
+    from no_fasel_scrapers_ray.ops.relational import semi_join
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    okeys = _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    return semi_join(cust, np.asarray(okeys), "c_custkey")
+
+
+def q_anti_join_customers(sf_dir: str):
+    """D1-family anti-join (the pre-fetch seen-set probe shape):
+    customers with no URGENT order."""
+    import pyarrow.compute as pc
+    from no_fasel_scrapers_ray.ops.relational import anti_join
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow")
+    okeys = urgent.unique("o_custkey")
+    return anti_join(cust, np.asarray(okeys), "c_custkey")
+
+
+def q_merge_old_wins(sf_dir: str):
+    """A5 keyed merge, old-wins precedence (FaselSeriesScraper.py:217)."""
+    return _merge_query(sf_dir, old_wins=True)
+
+
+def q_merge_new_wins(sf_dir: str):
+    """A5 keyed merge, new-wins precedence (FaselMoviesScraper.py:100-101)."""
+    return _merge_query(sf_dir, old_wins=False)
+
+
+def _merge_query(sf_dir: str, old_wins: bool):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from no_fasel_scrapers_ray.ops.relational import merge_with_precedence
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def tag(label, keep_mod, mod):
+        def _f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(pc.bit_wise_and(t["o_orderkey"], mod), keep_mod))
+            return t.append_column("src", pa.array([label] * len(t)))
+        return _f
+
+    old = orders.map_batches(tag("old", 0, 1), batch_format="pyarrow")  # even keys
+    new = orders.map_batches(tag("new", 0, 3), batch_format="pyarrow")  # keys % 4 == 0
+    return merge_with_precedence(new, old, "o_orderkey", old_wins=old_wins)
+
+
+def q_nested_rollup(sf_dir: str):
+    """A1/A2-family two-level nesting aggregate via a bucketed big-big
+    join: lineitem→order item counts, then order→customer rollup."""
+    from no_fasel_scrapers_ray.ops.relational import (
+        bucketed_join, preagg_sum_count, round_columns)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    per_order = preagg_sum_count(li, ["l_orderkey"], {"l_quantity": "order_qty"},
+                                 count_alias="n_items")
+    per_order = per_order.map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = bucketed_join(orders, per_order, on="o_orderkey", n_buckets=16)
+    out = preagg_sum_count(joined, ["o_custkey"],
+                           {"n_items": "n_items", "order_qty": "total_qty"},
+                           count_alias="n_orders")
+    return round_columns(out, {"total_qty": 2})
+
+
+def q_union_index(sf_dir: str):
+    """A6-family union-all indexer with field defaulting."""
+    import pyarrow as pa
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+
+    def project(kind, key_col, name_col):
+        def _p(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": t[key_col],
+                "name": t[name_col],
+                "kind": pa.array([kind] * len(t)),
+            })
+        return _p
+
+    return cust.map_batches(project("customer", "c_custkey", "c_name"),
+                            batch_format="pyarrow").union(
+        supp.map_batches(project("supplier", "s_suppkey", "s_name"),
+                         batch_format="pyarrow"))
+
+
+def q_top10_customers(sf_dir: str):
+    """§2.9 top-k: revenue per customer, sort desc, limit 10."""
+    from no_fasel_scrapers_ray.ops.relational import (
+        broadcast_join, preagg_sum_count, round_columns)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    per_cust = preagg_sum_count(orders, ["o_custkey"], {"o_totalprice": "spend"},
+                                count_alias="n_orders")
+    per_cust = round_columns(per_cust, {"spend": 2})
+    top = per_cust.sort(["spend", "o_custkey"], descending=[True, False]).limit(10)
+    names = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    names = names.rename(columns={"c_custkey": "o_custkey"})
+    return broadcast_join(top, names, on="o_custkey", concurrency=2)
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the events stream table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from no_fasel_scrapers_ray.ops.relational import preagg_sum_count, round_columns
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    ev = ev.map_batches(
+        lambda t: t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour")),
+        batch_format="pyarrow").drop_columns(["ts"])
+    out = preagg_sum_count(ev, ["event_type", "hour"], {"value": "total_value"},
+                           count_alias="n_events")
+    return round_columns(out, {"total_value": 2})
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows (30-min gap) per user — groupby.map_groups."""
+    from no_fasel_scrapers_ray.ops.relational import sessionize_events
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return sessionize_events(ev, gap_minutes=30)
+
+
+def q_distinct_suppliers(sf_dir: str):
+    """A3-family count-distinct per key (two-stage groupby)."""
+    from ray.data.aggregate import Count
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    pairs = li.groupby(["l_partkey", "l_suppkey"]).aggregate(Count(alias_name="_n"))
+    return pairs.drop_columns(["_n"]).groupby("l_partkey").aggregate(
+        Count(alias_name="n_suppliers"))
+
+
+# --------------------------------------------------------------------------
+# Text-analysis / dedup / similarity queries (training-data additions)
+# --------------------------------------------------------------------------
+
+def q_doc_stats(sf_dir: str):
+    from no_fasel_scrapers_ray.ops.textops import doc_stats
+    return doc_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_lang_signal(sf_dir: str):
+    from no_fasel_scrapers_ray.ops.textops import lang_score
+    return lang_score(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_token_count(sf_dir: str):
+    from no_fasel_scrapers_ray.ops.textops import token_counts
+    return token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_fingerprint(sf_dir: str):
+    from no_fasel_scrapers_ray.ops.textops import fingerprint
+    return fingerprint(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_dedup_exact(sf_dir: str):
+    from no_fasel_scrapers_ray.ops.dedup import exact_dedup_key
+    return exact_dedup_key(_read(sf_dir, "documents", ["doc_id", "text"]), "full")
+
+
+def q_dedup_prefix(sf_dir: str):
+    from no_fasel_scrapers_ray.ops.dedup import exact_dedup_key
+    return exact_dedup_key(_read(sf_dir, "documents", ["doc_id", "text"]), "prefix20")
+
+
+def q_knn_bruteforce(sf_dir: str):
+    from no_fasel_scrapers_ray.ops.ann import knn_bruteforce
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_bruteforce(emb, query_ids=[0, 1, 2], k=5)
+
+
+def q_knn_ivf(sf_dir: str):
+    from no_fasel_scrapers_ray.ops.ann import knn_ivf
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_ivf(emb, query_ids=[0, 1, 2], k=5)
+
+
+def q_minhash_lsh(sf_dir: str):
+    from no_fasel_scrapers_ray.ops.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                             jaccard_threshold=0.4)
+
+
+def q_simhash(sf_dir: str):
+    from no_fasel_scrapers_ray.ops.dedup import simhash_candidates
+    return simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"]),
+                              max_hamming=10)
+
+
+def q_cosine_near_dup(sf_dir: str):
+    from no_fasel_scrapers_ray.ops.ann import cosine_near_dup
+    return cosine_near_dup(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                           threshold=0.35)
+
+
+# --------------------------------------------------------------------------
+# Driver contract
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: the region rollup over sf0.001 (crawl flagship is added
+    to queries() as the corpus pipelines land)."""
+    return q_region_rollup("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "region_rollup": q_region_rollup,
+        "semi_join_customers": q_semi_join_customers,
+        "anti_join_customers": q_anti_join_customers,
+        "merge_old_wins": q_merge_old_wins,
+        "merge_new_wins": q_merge_new_wins,
+        "nested_rollup": q_nested_rollup,
+        "union_index": q_union_index,
+        "top10_customers": q_top10_customers,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "distinct_suppliers": q_distinct_suppliers,
+        "doc_stats": q_doc_stats,
+        "lang_signal": q_lang_signal,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_prefix": q_dedup_prefix,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_ivf": q_knn_ivf,
+        "dedup_minhash_lsh": q_minhash_lsh,
+        "dedup_simhash": q_simhash,
+        "cosine_near_dup": q_cosine_near_dup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "region_rollup": """
+            SELECT r_name, n_name,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   count(*) AS order_count
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "semi_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """,
+        "merge_old_wins": """
+            WITH old AS (SELECT o_orderkey, o_totalprice, 'old' AS src
+                         FROM orders WHERE o_orderkey % 2 = 0),
+                 new AS (SELECT o_orderkey, o_totalprice, 'new' AS src
+                         FROM orders WHERE o_orderkey % 4 = 0)
+            SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+                   coalesce(old.o_totalprice, new.o_totalprice) AS o_totalprice,
+                   coalesce(old.src, new.src) AS src
+            FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+        """,
+        "merge_new_wins": """
+            WITH old AS (SELECT o_orderkey, o_totalprice, 'old' AS src
+                         FROM orders WHERE o_orderkey % 2 = 0),
+                 new AS (SELECT o_orderkey, o_totalprice, 'new' AS src
+                         FROM orders WHERE o_orderkey % 4 = 0)
+            SELECT coalesce(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+                   coalesce(new.o_totalprice, old.o_totalprice) AS o_totalprice,
+                   coalesce(new.src, old.src) AS src
+            FROM new FULL OUTER JOIN old ON old.o_orderkey = new.o_orderkey
+        """,
+        "nested_rollup": """
+            WITH per_order AS (
+                SELECT l_orderkey AS o_orderkey, count(*) AS n_items,
+                       sum(l_quantity) AS order_qty
+                FROM lineitem GROUP BY l_orderkey)
+            SELECT o_custkey,
+                   sum(n_items) AS n_items,
+                   round(sum(order_qty), 2) AS total_qty,
+                   count(*) AS n_orders
+            FROM orders JOIN per_order USING (o_orderkey)
+            GROUP BY o_custkey
+        """,
+        "union_index": """
+            SELECT c_custkey AS key, c_name AS name, 'customer' AS kind FROM customer
+            UNION ALL
+            SELECT s_suppkey AS key, s_name AS name, 'supplier' AS kind FROM supplier
+        """,
+        "top10_customers": """
+            WITH per_cust AS (
+                SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+                       count(*) AS n_orders
+                FROM orders GROUP BY o_custkey)
+            SELECT o_custkey, spend, n_orders, c_name
+            FROM per_cust JOIN customer ON o_custkey = c_custkey
+            ORDER BY spend DESC, o_custkey LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   round(sum(value), 2) AS total_value,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type, hour
+        """,
+        "sessionize": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+                FROM events)
+            SELECT user_id, count(*) AS n_events,
+                   1 + sum(new_session) AS n_sessions
+            FROM gaps GROUP BY user_id
+        """,
+        "distinct_suppliers": """
+            SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers
+            FROM lineitem GROUP BY l_partkey
+        """,
+        "doc_stats": """
+            SELECT doc_id,
+                   array_length(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars,
+                   round(len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the', 'a', 'value', 'table')))
+                         * 1.0 / array_length(string_split(text, ' ')), 6)
+                       AS stopword_ratio
+            FROM documents
+        """,
+        "lang_signal": """
+            WITH hits AS (
+                SELECT doc_id,
+                       CAST((length(' ' || text || ' ')
+                             - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+                            AS BIGINT) AS the_hits,
+                       CAST((length(' ' || text || ' ')
+                             - length(replace(' ' || text || ' ', ' data ', ''))) / 6
+                            AS BIGINT) AS data_hits
+                FROM documents)
+            SELECT doc_id, the_hits, data_hits,
+                   CASE WHEN the_hits > data_hits THEN 'en-like'
+                        ELSE 'other' END AS lang_pred
+            FROM hits
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS n_regex_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split(text, ' '))), ' ')) AS fingerprint
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS rep_doc_id,
+                   count(*) AS n_docs
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_prefix": """
+            SELECT md5(substr(text, 1, 20)) AS content_hash,
+                   min(doc_id) AS rep_doc_id, count(*) AS n_docs
+            FROM documents GROUP BY md5(substr(text, 1, 20))
+        """,
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2)),
+                 sims AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.qe AS DOUBLE[])), 4) AS cosine
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id),
+                 ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rk
+                FROM sims)
+            SELECT query_id, neighbor_id, cosine FROM ranked WHERE rk <= 5
+        """,
+    }

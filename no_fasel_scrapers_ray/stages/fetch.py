@@ -1,0 +1,70 @@
+"""Fetch stage: the actor-pool map_batches stage that turns frontier
+rows into (frontier row + spans).
+
+In this sandbox a "fetch" is a hash lookup of the URL against the
+interleaved-document corpus (BASELINE.json: "in-sandbox fetch = join of
+frontier URLs against the Lance corpus") — the I/O-free proxy for the
+HTTP GET in ``get_website_safe`` (Common.py:107-138). The actor-pool
+shape is the production one: per-actor session state (the cookie-jar /
+Cloudflare-challenge analogue, Common.py:82-104) lives in ``__init__``
+and per-host challenge bookkeeping in ``__call__``; a real deployment
+swaps the lookup body for an HTTP client without touching the pipeline.
+
+The corpus index is broadcast once (``ray.put`` on the driver) and
+materialized once per actor — zero-copy Arrow from the local object
+store, never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+# hosts whose reference scrapers go through the Cloudflare cookie dance
+CHALLENGED_HOSTS = {"fasel.test", "cimanow.test", "hdw.test"}
+
+
+class Fetcher:
+    """map_batches(Fetcher, concurrency=N, batch_format="pyarrow")."""
+
+    def __init__(self, corpus_ref, challenge_every: int = 0):
+        table: pa.Table = ray.get(corpus_ref)
+        self.spans_col = table.column("spans")
+        # url → row index; built once per actor
+        self.index = {u: i for i, u in
+                      enumerate(table.column("doc_id").to_pylist())}
+        self.table = table
+        # per-host session state (the module-globals cookie jar analogue,
+        # Common.py:82-104): sessions re-established on first contact and
+        # every `challenge_every` fetches when simulating challenges
+        self.sessions: dict[str, int] = {}
+        self.challenge_every = challenge_every
+        self.n_challenges = 0
+        self.n_fetched = 0
+        self.n_missing = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        indices, hit_rows = [], []
+        for i, (u, h) in enumerate(zip(urls, hosts)):
+            count = self.sessions.get(h)
+            if count is None:
+                # session init == one challenge round-trip
+                self.n_challenges += h in CHALLENGED_HOSTS
+                count = 0
+            count += 1
+            if (self.challenge_every and h in CHALLENGED_HOSTS
+                    and count % self.challenge_every == 0):
+                self.n_challenges += 1
+            self.sessions[h] = count
+            idx = self.index.get(u)
+            if idx is None:
+                self.n_missing += 1
+                continue
+            indices.append(idx)
+            hit_rows.append(i)
+        self.n_fetched += len(hit_rows)
+        sub = batch.take(pa.array(hit_rows, type=pa.int64()))
+        spans = self.spans_col.take(pa.array(indices, type=pa.int64()))
+        return sub.append_column("spans", spans)
