@@ -1,0 +1,173 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS,
+default 32) and prints ONE JSON line:
+
+  {"metric": "e2e_bench_sec", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "crawl_pages_per_sec": X}
+
+The headline crawl runs over a cached synthetic bench corpus (generated
+once under /tmp, reused across runs — generation is NOT timed).
+
+--scaling: runs the crawl headline twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same corpus and reports both
+throughputs + scaling efficiency (BASELINE.md's N→4N gate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_QUERIES = [
+    "pricing_summary", "region_rollup", "semi_join_customers",
+    "anti_join_customers", "merge_new_wins", "nested_rollup",
+    "union_index", "top10_customers", "events_hourly", "sessionize",
+    "distinct_suppliers", "doc_stats", "lang_signal", "token_count",
+    "doc_fingerprint", "dedup_exact", "knn_bruteforce", "knn_ivf",
+    "dedup_minhash_lsh", "dedup_simhash", "cosine_near_dup",
+]
+
+
+def _corpus_cache_dir(scale: str) -> str:
+    return f"/tmp/nofasel_bench_corpus_{scale}_v2"
+
+
+def load_bench_corpus(scale: str):
+    """Generate-once-and-cache the bench web (untimed)."""
+    import pyarrow.parquet as pq
+    from no_fasel_scrapers_ray.corpus import synth
+    cache = _corpus_cache_dir(scale)
+    cpath = os.path.join(cache, "corpus.parquet")
+    spath = os.path.join(cache, "seeds.parquet")
+    if os.path.exists(cpath) and os.path.exists(spath):
+        return pq.read_table(cpath), pq.read_table(spath)
+    cfg = {"small": synth.small_config,
+           "bench": synth.bench_config}[scale]()
+    corpus, seeds = synth.generate(cfg)
+    os.makedirs(cache, exist_ok=True)
+    pq.write_table(corpus, cpath + ".tmp")
+    os.rename(cpath + ".tmp", cpath)
+    pq.write_table(seeds, spath)
+    return corpus, seeds
+
+
+def run_crawl(corpus, seeds, num_cpus: int, run_dir: str) -> dict:
+    from no_fasel_scrapers_ray.pipelines.assemble import (
+        assemble_records, build_catalogs)
+    from no_fasel_scrapers_ray.pipelines.crawl import CrawlEngine
+    t0 = time.perf_counter()
+    eng = CrawlEngine(corpus, seeds.to_pylist(), run_dir,
+                      n_shards=max(2, num_cpus // 8),
+                      fetch_concurrency=max(2, num_cpus - 2))
+    metrics = eng.run()
+    crawl_sec = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    entries = assemble_records(eng.records_dataset())
+    catalogs = build_catalogs(entries)
+    assemble_sec = time.perf_counter() - t1
+    return {
+        "crawl_sec": round(crawl_sec, 3),
+        "assemble_sec": round(assemble_sec, 3),
+        "pages": metrics["popped"],
+        "records": metrics["records"],
+        "pages_per_sec": round(metrics["popped"] / crawl_sec, 1),
+        "catalog_entries": sum(len(v) for v in catalogs.values()),
+        "rounds": metrics["rounds"],
+    }
+
+
+def main() -> None:
+    import ray
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    crawl_only = os.environ.get("BENCH_CRAWL_ONLY") == "1"
+    scale = os.environ.get("BENCH_CORPUS", "bench")
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import no_fasel_scrapers_ray
+    no_fasel_scrapers_ray.enable_portable_pickling()
+
+    corpus, seeds = load_bench_corpus(scale)
+    import tempfile
+    run_dir = tempfile.mkdtemp(prefix="bench_crawl_")
+    crawl = run_crawl(corpus, seeds, num_cpus, run_dir)
+
+    queries: dict[str, float] = {"crawl": crawl["crawl_sec"],
+                                 "crawl_assemble": crawl["assemble_sec"]}
+    total = crawl["crawl_sec"] + crawl["assemble_sec"]
+    if not crawl_only:
+        import __ray_entry__ as entrymod
+        qmap = entrymod.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            res = qmap[name](sf_dir)
+            if hasattr(res, "to_pandas"):
+                res = res.to_pandas()
+            dt = round(time.perf_counter() - t0, 3)
+            queries[name] = dt
+            total += dt
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "e2e_bench_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": num_cpus,
+        "crawl_pages_per_sec": crawl["pages_per_sec"],
+        "crawl_pages": crawl["pages"],
+        "crawl_rounds": crawl["rounds"],
+        "catalog_entries": crawl["catalog_entries"],
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    """Same crawl at num_cpus=8 vs 32 in fresh processes → efficiency."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_CRAWL_ONLY="1")
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    thr8 = results[8]["crawl_pages_per_sec"]
+    thr32 = results[32]["crawl_pages_per_sec"]
+    eff = (thr32 / thr8) / (32 / 8)
+    report = {
+        "pages_per_sec_8cpu": thr8,
+        "pages_per_sec_32cpu": thr32,
+        "speedup": round(thr32 / thr8, 3),
+        "scaling_efficiency": round(eff, 3),
+        "pages": results[32]["crawl_pages"],
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as fp:
+        json.dump(report, fp, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

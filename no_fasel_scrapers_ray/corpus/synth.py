@@ -669,9 +669,10 @@ class SynthWeb:
         self.truth = {
             "fasel_movies": self.gen_fasel_movies(),
             "fasel_series": {
+                # disjoint id spaces per path (up to 30k series each)
                 path: self.gen_fasel_series_path(path, base)
-                for path, base in [("series", 3000), ("tvshows", 3300),
-                                   ("asian-series", 3600)]
+                for path, base in [("series", 30000), ("tvshows", 60000),
+                                   ("asian-series", 90000)]
             },
             "fasel_anime": self.gen_fasel_anime(),
             "akwam_movies": self.gen_akwam_movies(),

@@ -156,32 +156,30 @@ class CrawlEngine:
         return self.metrics
 
     def _execute_round(self, ready: pa.Table) -> int:
+        """One round = one Dataset execution of the fused
+        fetch+extract task stage over the host-partitioned ready set.
+        Fetch state (corpus index, per-host sessions) is cached per
+        worker process (stages/fetch.py:get_fetcher) so warm workers
+        carry it across rounds with no pool spin-up; link pushes go to
+        the frontier shards from inside the tasks."""
         shards = self.shards
         n_shards = self.n_shards
         state_ref = self.state_ref
-        depth = int(pa.compute.max(ready.column("depth")).as_py() or 0)
+        corpus_ref = self.corpus_ref
+        challenge_every = self.challenge_every
 
-        blocks = partition_by_host(ready, n_salts=self.fetch_concurrency)
-        ds = rd.from_arrow(blocks)
-
-        fetched = ds.map_batches(
-            Fetcher,
-            fn_constructor_args=(self.corpus_ref, self.challenge_every),
-            batch_format="pyarrow",
-            concurrency=self.fetch_concurrency,
-            num_cpus=0.5,
-        )
-
-        def extract_batch(batch: pa.Table) -> pa.Table:
+        def fetch_extract(batch: pa.Table) -> pa.Table:
+            from ..stages.fetch import get_fetcher
+            fetcher = get_fetcher(corpus_ref, challenge_every)
+            fetched = fetcher(batch)
             state = _bget(state_ref)
-            frontier_cols = {c: batch.column(c).to_pylist()
+            frontier_cols = {c: fetched.column(c).to_pylist()
                              for c in FRONTIER_SCHEMA.names
-                             if c in batch.column_names}
-            spans = batch.column("spans").to_pylist()
+                             if c in fetched.column_names}
+            spans = fetched.column("spans").to_pylist()
             records: list[dict] = []
             links: list[dict] = []
-            n = batch.num_rows
-            for i in range(n):
+            for i in range(fetched.num_rows):
                 row = {c: frontier_cols[c][i] for c in frontier_cols}
                 recs, lks = extract_page(row, PageView(spans[i]), state)
                 records.extend(recs)
@@ -199,8 +197,17 @@ class CrawlEngine:
 
         out_dir = os.path.join(self.run_dir, "records",
                                f"round={self.round_idx:04d}")
-        records_ds = fetched.map_batches(extract_batch,
-                                         batch_format="pyarrow")
+        if ready.num_rows <= 64:
+            # driver fast path: a Dataset execution costs seconds of
+            # fixed overhead — pointless for seed-sized rounds
+            os.makedirs(out_dir, exist_ok=True)
+            table = fetch_extract(ready)
+            pq.write_table(table, os.path.join(out_dir, "part-0.parquet"))
+            return table.num_rows
+        blocks = partition_by_host(ready, n_salts=self.fetch_concurrency)
+        ds = rd.from_arrow(blocks)
+        records_ds = ds.map_batches(fetch_extract, batch_format="pyarrow",
+                                    batch_size=256)
         records_ds.write_parquet(out_dir)
         n = sum(pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
                 for f in os.listdir(out_dir)) if os.path.isdir(out_dir) else 0

@@ -68,3 +68,23 @@ class Fetcher:
         sub = batch.take(pa.array(hit_rows, type=pa.int64()))
         spans = self.spans_col.take(pa.array(indices, type=pa.int64()))
         return sub.append_column("spans", spans)
+
+
+# Per-worker-process Fetcher cache. The Fetcher is logically an
+# actor-pool stage (stateful: corpus index + per-host sessions, built
+# once, used per batch). Because the crawl is a short LOOP of Dataset
+# executions (one per round), a literal map_batches(Fetcher,
+# concurrency=N) pool would be torn down and re-created every round —
+# measured at 30-40 s of pure actor start-up per round at 32 CPUs. Ray
+# worker PROCESSES persist across executions, so caching the instance
+# in the worker process gives identical once-per-worker state semantics
+# with zero per-round spin-up. (ops/ stages that run inside a single
+# long execution use literal actor pools.)
+_FETCHERS: dict = {}
+
+
+def get_fetcher(corpus_ref, challenge_every: int = 0) -> Fetcher:
+    key = (corpus_ref.hex(), challenge_every)
+    if key not in _FETCHERS:
+        _FETCHERS[key] = Fetcher(corpus_ref, challenge_every)
+    return _FETCHERS[key]

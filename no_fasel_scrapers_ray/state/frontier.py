@@ -94,7 +94,8 @@ class FrontierShard:
         fields). Returns number accepted. Arrival order does not matter:
         the heap orders by the deterministic (site, depth, order_key)."""
         accepted = 0
-        new_hashes = []
+        new_hashes: list[int] = []
+        new_in_batch: set[int] = set()
         for row in rows:
             url = canonicalize_url(row["url"])
             h = stable_hash64(url)
@@ -104,10 +105,16 @@ class FrontierShard:
                 self.robots_blocked += 1
                 continue
             # cuckoo fast path: a miss is definitely new; a hit is
-            # verified against the exact set (FP → actually new)
-            if self.filter.contains_many(np.array([h], dtype=np.uint64))[0] \
-                    and h in self.exact:
+            # verified against the exact set (FP → actually new). The
+            # filter is bulk-updated at batch end, so batch-local
+            # inserts are tracked separately (same URL twice in one
+            # push must dedup too).
+            if h in new_in_batch or (
+                    self.filter.contains_many(
+                        np.array([h], dtype=np.uint64))[0]
+                    and h in self.exact):
                 continue
+            new_in_batch.add(h)
             self.exact.add(h)
             new_hashes.append(h)
             heapq.heappush(self.heap, (
