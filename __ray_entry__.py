@@ -261,13 +261,90 @@ def q_cosine_near_dup(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Crawl-engine queries (rows-only: the reference-semantics oracle — not
+# SQL — is their correctness authority; covered by tests/test_crawl_e2e
+# and tests/test_pipelines_e2e)
+# --------------------------------------------------------------------------
+
+_CRAWL_MEMO: dict = {}
+
+
+def _crawl_run():
+    """One tiny-corpus crawl shared by the crawl_* queries (memoized
+    per process; deterministic: seeded generator, structural ordering)."""
+    if "run" in _CRAWL_MEMO:
+        return _CRAWL_MEMO["run"]
+    import tempfile
+    from no_fasel_scrapers_ray.corpus.synth import generate, tiny_config
+    from no_fasel_scrapers_ray.pipelines.assemble import (
+        assemble_records, build_catalogs)
+    from no_fasel_scrapers_ray.pipelines.crawl import CrawlEngine
+    corpus, seeds = generate(tiny_config())
+    run_dir = tempfile.mkdtemp(prefix="entry_crawl_")
+    eng = CrawlEngine(corpus, seeds.to_pylist(), run_dir, n_shards=2)
+    eng.run()
+    catalogs = build_catalogs(assemble_records(eng.records_dataset()))
+    _CRAWL_MEMO["run"] = (corpus, catalogs, eng.frontier_log_table())
+    return _CRAWL_MEMO["run"]
+
+
+def q_crawl_catalogs(sf_dir: str):
+    """Full multi-site crawl → flattened catalog entries."""
+    import json
+    _, catalogs, _ = _crawl_run()
+    rows = [
+        {"catalog": cat, "key": k, "title": str(rec.get("Title", "")),
+         "category": str(rec.get("Category", "")),
+         "n_episodes": int(rec.get("Number Of Episodes", 0)),
+         "payload": json.dumps(rec, ensure_ascii=False, sort_keys=True)}
+        for cat, data in sorted(catalogs.items())
+        for k, rec in data.items()
+    ]
+    return pd.DataFrame(rows)
+
+
+def q_crawl_frontier_log(sf_dir: str):
+    """The frontier pop log — (site, depth, order_key)-priority order."""
+    _, _, log = _crawl_run()
+    return log.select(["url", "site", "category", "depth", "order_key"])
+
+
+def q_crawl_all_content(sf_dir: str):
+    """Postprocess (genre cleanup U8, TMDb fill J2, drops D4) + the
+    union-all indexer A6."""
+    from no_fasel_scrapers_ray.pipelines.postprocess import (
+        all_content_index, postprocess_catalogs)
+    _, catalogs, _ = _crawl_run()
+    post, _ = postprocess_catalogs(catalogs)
+    rows = all_content_index(post)["content"]
+    return pd.DataFrame([
+        {"key": r["key"], "title": r["Title"], "category": r["Category"],
+         "rating": str(r["Rating"]), "n_genres": len(r["Genres"])}
+        for r in rows])
+
+
+def q_crawl_trending(sf_dir: str):
+    """Trending joins (J3 first-match title join, J4 id semi-joins, J5
+    featured projection)."""
+    from no_fasel_scrapers_ray.pipelines.trending import run_trending
+    corpus, catalogs, _ = _crawl_run()
+    content, featured, _ = run_trending(corpus, catalogs)
+    rows = [{"section": cat, "key": k, "title": rec["Title"]}
+            for cat, data in content.items() for k, rec in data.items()]
+    rows += [{"section": "featured", "key": r["key"], "title": r["Title"]}
+             for r in featured["content"]]
+    return pd.DataFrame(rows)
+
+
+# --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship: the region rollup over sf0.001 (crawl flagship is added
-    to queries() as the corpus pipelines land)."""
-    return q_region_rollup("/root/testdata/sf0.001")
+    """Flagship: the full multi-site crawl over the tiny synthetic web
+    (read → frontier rounds → fetch/extract → nesting → catalogs),
+    returned as flattened catalog entries."""
+    return q_crawl_catalogs("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -295,6 +372,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_simhash": q_simhash,
         "cosine_near_dup": q_cosine_near_dup,
+        "crawl_catalogs": q_crawl_catalogs,
+        "crawl_frontier_log": q_crawl_frontier_log,
+        "crawl_all_content": q_crawl_all_content,
+        "crawl_trending": q_crawl_trending,
     }
 
 

@@ -663,6 +663,62 @@ class SynthWeb:
                                    episode_cards(se["eps"]))
         return series
 
+    # -- trending / home pages (TrendingScraper.py fixtures) ---------------
+
+    def gen_trending(self):
+        """fasel home (trending divs + featured divs) and akwam home
+        (/one): trending links classify by URL substring
+        (TrendingScraper.py:74-81); content pages carry an 'h1 title'
+        text whose 2nd line is the title (TrendingScraper.py:71-72)."""
+        rng = random.Random(f"{self.cfg.seed}-trending")
+        spans = []
+        t_movies = self.truth["fasel_movies"]
+        t_series = self.truth["fasel_series"]["series"]
+        t_asian = self.truth["fasel_series"]["asian-series"]
+        t_anime = self.truth["fasel_anime"]
+
+        picks = []
+        for kind, pool, url_part in [
+            ("movies", t_movies, "%d9%81%d9%8a%d9%84%d9%85"),
+            ("asian-series", t_asian, "asian-episodes"),
+            ("anime", [a for a in t_anime
+                       if not a["title"][-4:].isdigit()], "anime-episodes"),
+            ("series", t_series, "shows"),
+        ]:
+            for it in pool[: min(3, len(pool))]:
+                picks.append((kind, it, url_part))
+        rng.shuffle(picks)
+        for n, (kind, it, url_part) in enumerate(picks):
+            page_url = f"{FASEL}/{url_part}-tr{n}"
+            spans.append(_txt("blockMovie-mark", ""))
+            spans.append(_link(page_url))
+            # the trending content page: title on line 2 of 'h1 title'
+            self.sink.page(page_url, "fasel.test", [
+                _txt("h1-title", f"عنوان\n{it['raw_title']}\nمشاهدة")])
+        # featured: h1 mb-1 divs linking to movie detail pages; must be
+        # catalogued movies (the reference indexes movies[movie_id]
+        # outside the try — a miss would crash it,
+        # TrendingScraper.py:125-138)
+        featured = [it for it in t_movies
+                    if it["has_id"] and it["has_iframe"]][:3]
+        for it in featured:
+            spans.append(_txt("h1mb1-mark", ""))
+            spans.append(_link(f"{FASEL}/movies/{it['slug']}"))
+        self.sink.page(f"{FASEL}/", "fasel.test", spans)
+
+        ak_spans = []
+        for sr in self.truth["akwam_series"][:2]:
+            ak_spans.append(_txt("icn-play-mark", ""))
+            ak_spans.append(_link(sr["url"]))
+        for mv in self.truth["akwam_movies"][:2]:
+            ak_spans.append(_txt("icn-play-mark", ""))
+            ak_spans.append(_link(mv["url"]))
+        # one dangling link neither 'series' nor 'movie' (skipped,
+        # TrendingScraper.py:49-50)
+        ak_spans.append(_txt("icn-play-mark", ""))
+        ak_spans.append(_link(f"{AKWAM}/games/1/x"))
+        self.sink.page(f"{AKWAM}/one", "akwam.test", ak_spans)
+
     # -- build --------------------------------------------------------------
 
     def build(self):
@@ -682,6 +738,7 @@ class SynthWeb:
             "hdw_movies": self.gen_hdw_movies(),
             "hdw_series": self.gen_hdw_series(),
         }
+        self.gen_trending()
         return self.sink.table(), pa.table({
             "url": [s["url"] for s in self.seeds],
             "site": [s["site"] for s in self.seeds],

@@ -77,7 +77,7 @@ def knn_bruteforce(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
 
     partials = embeddings.map_batches(
         BruteForceTopK, fn_constructor_args=(queries_ref, k + 1),
-        batch_format="pandas", concurrency=pool_size(concurrency)).to_pandas()
+        batch_format="pandas", concurrency=pool_size(concurrency), num_cpus=0.5).to_pandas()
 
     if exclude_self:
         partials = partials[partials["query_id"] != partials["neighbor_id"]]
@@ -147,7 +147,7 @@ def knn_ivf(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
 
     partials = embeddings.map_batches(
         IVFTopK, fn_constructor_args=(queries_ref, centroids_ref, k + 1, nprobe),
-        batch_format="pandas", concurrency=pool_size(concurrency)).to_pandas()
+        batch_format="pandas", concurrency=pool_size(concurrency), num_cpus=0.5).to_pandas()
     partials = partials[partials["query_id"] != partials["neighbor_id"]]
     partials["cosine"] = partials["cosine"].round(4)
     partials = partials.sort_values(
@@ -180,7 +180,7 @@ def cosine_near_dup(embeddings: rd.Dataset, threshold: float = 0.95,
     bucket is total.
     """
     bucketed = embeddings.map_batches(HyperplaneLSH, batch_format="pandas",
-                                      concurrency=pool_size(concurrency))
+                                      concurrency=pool_size(concurrency), num_cpus=0.5)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["vec_id"].to_numpy()

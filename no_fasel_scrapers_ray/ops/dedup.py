@@ -129,7 +129,7 @@ def minhash_lsh_pairs(docs: rd.Dataset, shingle: int = 3,
     text_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
 
     bands = docs.map_batches(MinHasher, fn_constructor_args=(shingle,),
-                             batch_format="pandas", concurrency=pool_size(concurrency))
+                             batch_format="pandas", concurrency=pool_size(concurrency), num_cpus=0.5)
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
@@ -144,25 +144,25 @@ def minhash_lsh_pairs(docs: rd.Dataset, shingle: int = 3,
     from ray.data.aggregate import Count
     uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
-    class Verify:
-        def __init__(self, ref, shingle_, thresh):
-            self.texts = ray.get(ref)
-            self.shingle = shingle_
-            self.thresh = thresh
+    from .relational import broadcast_get
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            jac = np.empty(len(batch), dtype=np.float64)
-            for i, (da, db) in enumerate(zip(batch["doc_a"], batch["doc_b"])):
-                sa = set(_token_hashes(self.texts[da], self.shingle).tolist())
-                sb = set(_token_hashes(self.texts[db], self.shingle).tolist())
-                union = len(sa | sb)
-                jac[i] = (len(sa & sb) / union) if union else 0.0
-            batch = batch.copy()
-            batch["jaccard"] = np.round(jac, 6)
-            return batch[batch["jaccard"] >= self.thresh][["doc_a", "doc_b", "jaccard"]]
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        # task-based (broadcast texts fetched once per worker): a second
+        # actor pool here could, with the MinHasher pool, reserve every
+        # CPU and starve the read stage
+        texts_map = broadcast_get(text_ref)
+        jac = np.empty(len(batch), dtype=np.float64)
+        for i, (da, db) in enumerate(zip(batch["doc_a"], batch["doc_b"])):
+            sa = set(_token_hashes(texts_map[da], shingle).tolist())
+            sb = set(_token_hashes(texts_map[db], shingle).tolist())
+            union = len(sa | sb)
+            jac[i] = (len(sa & sb) / union) if union else 0.0
+        batch = batch.copy()
+        batch["jaccard"] = np.round(jac, 6)
+        return batch[batch["jaccard"] >= jaccard_threshold][
+            ["doc_a", "doc_b", "jaccard"]]
 
-    return uniq.map_batches(Verify, fn_constructor_args=(text_ref, shingle, jaccard_threshold),
-                            batch_format="pandas", concurrency=pool_size(concurrency))
+    return uniq.map_batches(verify, batch_format="pandas")
 
 
 class SimHasher:
@@ -194,7 +194,7 @@ def simhash_candidates(docs: rd.Dataset, max_hamming: int = 8,
     """SimHash near-dup pairs: bucket on the top 16 bits, Hamming-verify
     within each bucket (vectorized popcount via uint8 bit tricks)."""
     sigs = docs.map_batches(SimHasher, batch_format="pandas",
-                            concurrency=pool_size(concurrency))
+                            concurrency=pool_size(concurrency), num_cpus=0.5)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["doc_id"].to_numpy()

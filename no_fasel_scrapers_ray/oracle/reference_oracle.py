@@ -72,9 +72,12 @@ class Oracle:
         doc_ids = corpus_table["doc_id"].to_pylist()
         spans = corpus_table["spans"].to_pylist()
         self.pages = {d: PageView(s) for d, s in zip(doc_ids, spans)}
+        import json as _json
         self.image_sources = dict(image_sources or {})
-        self.old = {k: {kk: dict(vv) for kk, vv in v.items()}
-                    for k, v in (old_catalogs or {}).items()}
+        # deep copy: the delta logic mutates nested season/episode dicts
+        # in place (as the reference mutates old_series_dict) — the
+        # caller's dict must stay pristine
+        self.old = _json.loads(_json.dumps(old_catalogs or {}))
         self.visits: list[tuple[str, str, str, int]] = []  # url site cat depth
         self.catalogs: dict[str, dict] = {}
 
@@ -565,6 +568,153 @@ class Oracle:
             eps[episode_id] = {"Episode Number": int(episode_number),
                                "Source": f"{HDW}{href}"}
         return eps
+
+    # -- trending (TrendingScraper.py) -------------------------------------
+
+    def crawl_trending(self) -> tuple[dict, dict]:
+        """main() = scrape_fasel() then scrape_akwam()
+        (TrendingScraper.py:158-163). Reads the catalogs as written by
+        the crawl (pre-postprocess — the reference races Trending
+        against Postprocessing, SURVEY.md §3.1; we pin the
+        deterministic pre-postprocess read)."""
+        from ..functions.text import normalize_title
+        content_dict = {"movies": {}, "asian-series": {}, "anime": {},
+                        "series": {}, "arabic-series": {},
+                        "arabic-movies": {}}
+        featured = {"content": []}
+        # ---- scrape_fasel (TrendingScraper.py:53-155)
+        home = self.fetch(f"{FASEL}/", "fasel", "trending", 0)
+        seen: list[str] = []
+        for _, link in home.marked_links("blockMovie-mark"):
+            page = self.fetch(link, "fasel", "trending", 1)
+            raw = page.first_text("h1-title")
+            content_title = remove_year(remove_arabic_chars(
+                raw.split("\n")[1].strip()))
+            if "%d9%81%d9%8a%d9%84%d9%85" in link:
+                category = "movies"
+            elif "asian-episodes" in link:
+                category = "asian-series"
+            elif "anime-episodes" in link:
+                category = "anime"
+            else:
+                category = "series"
+            content_file = self.catalogs.get(category, {})
+            for key in content_file:
+                current = normalize_title(content_file[key]["Title"])
+                clean = normalize_title(content_title)
+                if current == clean and key not in seen:
+                    seen.append(key)
+                    rec = content_file[key]
+                    content_dict[category][key] = {
+                        "Title": rec["Title"],
+                        "Image Source": rec["Image Source"],
+                        "Category": category,
+                        # .get: the reference indexes ["Genres"] and
+                        # relies on the concurrent postprocess having
+                        # already defaulted it (race, SURVEY.md §3.1);
+                        # pinned to the deterministic common case
+                        "Genres": rec.get("Genres", []),
+                        "Rating": rec.get("Rating", "N/A"),
+                        "TMDb ID": rec.get("TMDb ID", None),
+                    }
+                    break
+        movies = self.catalogs.get("movies", {})
+        for _, link in home.marked_links("h1mb1-mark"):
+            page = self.fetch(link, "fasel", "trending", 1)
+            movie_id = self.get_content_id(page)
+            rec = movies[movie_id]
+            featured["content"].append({
+                "key": movie_id,
+                "Title": rec["Title"],
+                "Image Source": rec["Image Source"],
+                "Category": rec["Category"],
+                "Genres": rec.get("Genres", []),
+                "Rating": rec.get("Rating", "N/A"),
+                "TMDb ID": rec.get("TMDb ID", "N/A"),
+            })
+        # ---- scrape_akwam (TrendingScraper.py:15-50)
+        one = self.fetch(f"{AKWAM}/one", "akwam", "trending", 0)
+        arabic_series = self.catalogs.get("arabic-series", {})
+        arabic_movies = self.catalogs.get("arabic-movies", {})
+        for _, link in one.marked_links("icn-play-mark"):
+            if "series" in link:
+                sid = link.split("/")[-2]
+                if sid in arabic_series:
+                    content_dict["arabic-series"][sid] = {
+                        "Title": arabic_series[sid]["Title"],
+                        "Image Source": arabic_series[sid]["Image Source"],
+                        "Category": "arabic-series"}
+            elif "movie" in link:
+                mid = link.split("/")[-2]
+                if mid in arabic_movies:
+                    content_dict["arabic-movies"][mid] = {
+                        "Title": arabic_movies[mid]["Title"],
+                        "Image Source": arabic_movies[mid]["Image Source"],
+                        "Category": "arabic-movies"}
+        self.catalogs["trending-content"] = content_dict
+        self.catalogs["featured-content"] = featured
+        return content_dict, featured
+
+    # -- postprocess (Postprocessing.py) -----------------------------------
+
+    def postprocess(self, image_indices: dict | None = None) -> dict:
+        """Postprocessing.py:23-96 over the crawled catalogs: genre
+        cleanup, TMDb fill, index-ranged drops, image-index rebuild."""
+        from ..functions.text import clean_genres
+        image_indices = dict(image_indices or {})
+        file_names = ["movies", "anime", "asian-series", "series",
+                      "tvshows", "arabic-series", "arabic-movies"]
+        for index, file in enumerate(file_names):
+            content = self.catalogs.get(file, {})
+            for key in content:
+                if "arabic" in file:
+                    image_indices[key + "-akwam-" + file.split("-")[-1]] = \
+                        content[key]["Image Source"]
+                elif "hdw" in file:
+                    image_indices[key + "-hdw"] = content[key]["Image Source"]
+                else:
+                    image_indices[key + "-fasel"] = \
+                        content[key]["Image Source"]
+                if "Genres" in content[key]:
+                    content[key]["Genres"] = clean_genres(
+                        content[key]["Genres"])
+                else:
+                    content[key]["Genres"] = []
+                if "TMDb ID" in content[key] and \
+                        content[key]["TMDb ID"] is not None:
+                    pass
+                else:
+                    kind = "movies" if "movies" in file else "tv"
+                    content[key]["TMDb ID"] = mock_tmdb_id(
+                        content[key]["Title"], kind)
+            if index in range(2, 5):
+                for key in list(content.keys()):
+                    if len(content[key]["Seasons"]) == 0:
+                        del content[key]
+            elif index == 0:
+                for key in list(content.keys()):
+                    if content[key]["Source"] == "":
+                        del content[key]
+        self.image_indices = image_indices
+        return image_indices
+
+    def all_content(self) -> dict:
+        """AllContentIndexer.py:5-33."""
+        file_names = ["movies", "anime", "asian-series", "series",
+                      "tvshows", "arabic-series", "arabic-movies"]
+        out = []
+        for name in file_names:
+            data = self.catalogs.get(name, {})
+            for key in data:
+                out.append({
+                    "key": key,
+                    "Title": data[key]["Title"],
+                    "Image Source": data[key]["Image Source"],
+                    "Category": data[key]["Category"],
+                    "Rating": data[key].get("Rating", "N/A"),
+                    "Genres": data[key].get("Genres", []),
+                })
+        return {"content": out}
 
     # -- full run ----------------------------------------------------------
 

@@ -136,9 +136,14 @@ class CrawlEngine:
 
     # -- the round ---------------------------------------------------------
 
-    def run(self, start_round: int = 0) -> dict:
+    def run(self, start_round: int = 0, max_rounds: int | None = None) -> dict:
+        """Drive rounds until the frontier drains (or ``max_rounds`` —
+        used by the kill-and-resume test to simulate a crash)."""
         self.round_idx = start_round
         while True:
+            if max_rounds is not None and \
+                    self.round_idx - start_round >= max_rounds:
+                return self.metrics  # simulated crash: no finalize
             t0 = time.perf_counter()
             ready = self._pop_round()
             if ready is None:
