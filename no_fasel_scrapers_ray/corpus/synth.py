@@ -99,9 +99,10 @@ def small_config(**kw) -> SynthConfig:
 
 
 def bench_config(**kw) -> SynthConfig:
-    base = dict(n_fasel_movies=20000, n_fasel_series=1200, n_fasel_anime=800,
-                n_akwam_movies=3000, n_akwam_series=800, n_wecima=4000,
-                n_cimanow=1200, n_hdw_movies=3000, n_hdw_series=500,
+    base = dict(n_fasel_movies=400000, n_fasel_series=25000,
+                n_fasel_anime=15000, n_akwam_movies=60000,
+                n_akwam_series=15000, n_wecima=80000, n_cimanow=25000,
+                n_hdw_movies=60000, n_hdw_series=10000,
                 max_seasons=4, max_episodes=10, big_series_episodes=1000)
     base.update(kw)
     return SynthConfig(**base)
@@ -226,9 +227,11 @@ class SynthWeb:
             if pagination == "arrow":
                 spans.append(_txt("paginate-last", "»"))
                 spans.append(_link(f"{FASEL}/{cat}/page/{n_pages}"))
-            else:  # li.page-item fallback (Common.py:177-179)
-                for k in list(range(1, n_pages + 1)):
+            else:  # li.page-item fallback (Common.py:177-179): window,
+                # [-1] = N
+                for k in list(range(1, min(3, n_pages) + 1)):
                     spans.append(_txt("page-item", str(k)))
+                spans.append(_txt("page-item", str(n_pages)))
             for it in items[(p - 1) * cpp: p * cpp]:
                 spans.append(_txt("h1", it["raw_title"]))
                 spans.append(_link(f"{FASEL}/{cat}/{it['slug']}"))
@@ -353,12 +356,15 @@ class SynthWeb:
         base = (f"{AKWAM}/{kind}?section=0&category=0&rating=0&year=0"
                 f"&language=1&formats=0&quality=0")
         for p in range(1, n_pages + 1):
+            # pagination WINDOW (real sites show 1 2 3 … N, not every
+            # page); akwam_get_last_page_number reads page-link[-3]
+            # (Common.py:302-307) — [-3] = N below
             spans = []
-            for k in range(1, n_pages + 1):
+            for k in range(1, min(3, n_pages) + 1):
                 spans.append(_txt("page-link", str(k)))
+            spans.append(_txt("page-link", str(n_pages)))
             spans.append(_txt("page-link", "next"))
             spans.append(_txt("page-link", "last"))
-            # akwam_get_last_page_number: page-link[-3].text (Common.py:302-307)
             for it in items[(p - 1) * cpp: p * cpp]:
                 spans.append(_txt("icn-play-mark", ""))
                 spans.append(_link(it["url"]))
@@ -460,11 +466,13 @@ class SynthWeb:
         cpp = cfg.cards_per_page
         n_pages = max(1, -(-len(items) // cpp))
         for p in range(1, n_pages + 1):
+            # window; get_number_of_pages reads page-numbers li[-2]
+            # (WeCimaScraper.py:10-14) — [-2] = N below
             spans = []
-            for k in range(1, n_pages + 1):
+            for k in range(1, min(3, n_pages) + 1):
                 spans.append(_txt("page-num", str(k)))
+            spans.append(_txt("page-num", str(n_pages)))
             spans.append(_txt("page-num", "next"))
-            # get_number_of_pages: page-numbers li[-2] (WeCimaScraper.py:10-14)
             for it in items[(p - 1) * cpp: p * cpp]:
                 spans.append(_txt("grid-id", it["cpd"]))
                 spans.append(_txt("hasyear", f"{it['title']} - {it['year']}"))
@@ -504,10 +512,12 @@ class SynthWeb:
             cpp = cfg.cards_per_page
             n_pages = max(1, -(-len(items) // cpp))
             for p in range(1, n_pages + 1):
+                # window; cima_now_get_last_page reads the last li
+                # (Common.py:388-389) — [-1] = N below
                 spans = []
-                for k in range(1, n_pages + 1):
+                for k in range(1, min(3, n_pages) + 1):
                     spans.append(_txt("pg-li", str(k)))
-                # cima_now_get_last_page: last li of last ul (Common.py:388-389)
+                spans.append(_txt("pg-li", str(n_pages)))
                 for it in items[(p - 1) * cpp: p * cpp]:
                     spans.append(_txt("card-em", it["raw_genres"]))
                     spans.append(_txt("card-li", f"{it['title']} {it['raw_genres']}"))
@@ -537,11 +547,14 @@ class SynthWeb:
         n_pages = max(1, -(-len(items) // cpp))
         page1_spans = None
         for p in range(1, n_pages + 1):
+            # window; hdw_get_last_page_number reads page-link[-2]
+            # (Common.py:335-339) — [-2] = N below
             spans = []
-            for k in range(1, n_pages + 1):
+            for k in range(1, min(3, n_pages) + 1):
                 spans.append(_txt("page-link", str(k)))
+            spans.append(_txt("page-link", str(n_pages)))
             spans.append(_txt("page-link", "next"))
-            # hdw_get_last_page_number: page-link[-2].text (Common.py:335-339);
+            #
             # call sites add +2 (HDWMoviesScraper.py:60) so pages up to N+2
             # must exist (possibly-empty listing pages)
             for it in items[(p - 1) * cpp: p * cpp]:
@@ -550,7 +563,9 @@ class SynthWeb:
             if p == 1:
                 page1_spans = spans
         for extra in (n_pages + 1, n_pages + 2):
-            spans = [_txt("page-link", str(k)) for k in range(1, n_pages + 1)]
+            spans = [_txt("page-link", str(k))
+                     for k in range(1, min(3, n_pages) + 1)]
+            spans.append(_txt("page-link", str(n_pages)))
             spans.append(_txt("page-link", "next"))
             self.sink.page(f"{HDW}/{kind}?page={extra}", "hdw.test", spans)
         # the bare listing URL (used for last-page sizing) aliases page 1

@@ -35,6 +35,11 @@ def assemble_records(records: rd.Dataset) -> pd.DataFrame:
     entry rows — nested entries built per series group, flat entries
     passed through. Delta rows come back tagged for the writer."""
 
+    import pyarrow.compute as pc
+    records = records.map_batches(
+        lambda t: t.filter(pc.not_equal(t["catalog"], "__pages__")),
+        batch_format="pyarrow")
+
     def per_series(g: pd.DataFrame) -> pd.DataFrame:
         catalog = g["catalog"].iloc[0]
         series_key = g["series_key"].iloc[0]

@@ -62,26 +62,41 @@ class CuckooFilter:
 
     def add_many(self, hashes: np.ndarray) -> int:
         """Insert hashes (no pre-dedup needed); returns number inserted.
-        Raises RuntimeError when the filter is critically full."""
+        Raises RuntimeError when the filter is critically full.
+
+        Hot path is a tight python loop over plain int lists (faster
+        per-op than numpy slot scans at single-insert granularity — the
+        shard actors serialize inserts, so per-insert cost is the
+        frontier's throughput ceiling)."""
         n = 0
         h = np.asarray(hashes, dtype=np.uint64)
-        fp_all = self._fingerprint(h)
-        i1_all = self._index1(h)
-        i2_all = self._index2(i1_all, fp_all)
+        fp_arr = self._fingerprint(h)
+        i1_arr = self._index1(h)
+        fp_all = fp_arr.tolist()
+        i1_all = i1_arr.tolist()
+        i2_all = self._index2(i1_arr, fp_arr).tolist()
+        buckets = self.buckets
+        bs = self.bucket_size
         for fp, i1, i2 in zip(fp_all, i1_all, i2_all):
-            if self._insert_one(int(fp), int(i1), int(i2)):
+            placed = False
+            for idx in (i1, i2):
+                row = buckets[idx]
+                for j in range(bs):
+                    if row[j] == 0:
+                        row[j] = fp
+                        self.size += 1
+                        placed = True
+                        break
+                if placed:
+                    break
+            if placed:
+                n += 1
+                continue
+            if self._insert_kick(fp, i1, i2):
                 n += 1
         return n
 
-    def _insert_one(self, fp: int, i1: int, i2: int) -> bool:
-        for idx in (i1, i2):
-            row = self.buckets[idx]
-            empty = np.flatnonzero(row == _EMPTY)
-            if len(empty):
-                row[empty[0]] = fp
-                self.size += 1
-                return True
-        # kick loop
+    def _insert_kick(self, fp: int, i1: int, i2: int) -> bool:
         idx = i1 if self._rng.rand() < 0.5 else i2
         for _ in range(MAX_KICKS):
             slot = self._rng.randint(self.bucket_size)

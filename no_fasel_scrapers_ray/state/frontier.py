@@ -1,42 +1,52 @@
-"""Sharded URL frontier: priority heap + cuckoo/exact seen-set +
+"""Sharded URL frontier: priority ordering + cuckoo/exact seen-set +
 per-host politeness token buckets + robots gating (north_rule).
 
 One ``FrontierShard`` actor owns the slice of URL-hash space
 ``url_hash64(url) % n_shards == shard_id``. State per shard:
 
-- **seen**: a CuckooFilter (fast path) + the exact uint64 key set (the
-  truth — a cuckoo positive is verified against it, so membership
-  answers are exact; the filter only short-circuits the common miss);
-- **heap**: pending frontier rows ordered by the priority
-  ``(site, depth, order_key)`` where ``order_key`` is the
-  deterministic structural discovery clock (shard-rank.page.card...,
-  lexicographic) — this reproduces the reference scrapers' crawl order
+- **seen**: a CuckooFilter (vectorized fast path — one
+  ``contains_many`` per push batch) + the exact uint64 key set (the
+  truth: the rare cuckoo positives are verified against it, so
+  membership answers are exact);
+- **pending**: Arrow tables of frontier rows; priority
+  ``(site, depth, order_key)`` is applied with one vectorized
+  ``sort_by`` per pop — ``order_key`` is the deterministic structural
+  discovery clock ("{category_rank}.{shard_rank}.{page}.{card}...",
+  lexicographic), which reproduces the reference scrapers' crawl order
   (SURVEY.md §1.3/§7.3) regardless of the nondeterministic arrival
   order of pushes from parallel extract tasks;
-- **politeness**: per-host token bucket refilled per pop round
-  (logical time), plus robots.txt-style disallow prefixes per host.
+- **politeness**: per-host fetch budget per pop round (one pop = one
+  logical tick; vectorized per-host cumcount), plus robots.txt-style
+  disallow prefixes.
 
-The driver merges ``pop_ready`` results from all shards per round, so a
-round = one politeness tick. Checkpoint/restore dump the heap + exact
-seen set to parquet for exact resume.
+Everything is Arrow/numpy-vectorized — no per-row Python in push/pop
+hot paths (per-row loops at 100k links/round serialized through the
+shard actors measured as the crawl bottleneck). Pushes arrive with a
+precomputed canonical-URL hash column ``h`` (computed in the parallel
+extract tasks). Checkpoint/restore dump pending + exact seen set to
+parquet for exact resume.
 """
 
 from __future__ import annotations
 
-import heapq
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
 from ..corpus.schema import FRONTIER_SCHEMA
-from ..functions.urls import canonicalize_url, url_host
-from ..functions.hashing import stable_hash64
 from .cuckoo import CuckooFilter
 
 FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA]
+
+# push/pop table schema = frontier rows + the canonical-URL hash
+PUSH_SCHEMA = pa.schema(list(FRONTIER_SCHEMA) + [("h", pa.uint64())])
+
+_SORT_KEYS = [("site", "ascending"), ("depth", "ascending"),
+              ("order_key", "ascending"), ("url", "ascending")]
 
 
 def frontier_table(rows: list[dict]) -> pa.Table:
@@ -44,12 +54,17 @@ def frontier_table(rows: list[dict]) -> pa.Table:
     return pa.table(arrays, schema=FRONTIER_SCHEMA)
 
 
+def push_table(rows: list[dict], hashes: np.ndarray) -> pa.Table:
+    t = frontier_table(rows)
+    return t.append_column("h", pa.array(hashes, type=pa.uint64()))
+
+
 class PolitenessConfig:
     """Per-host fetches allowed per round + robots disallow prefixes.
 
     The reference has NO rate limiting (SURVEY.md §4.1) — politeness is
-    a north_rule engine addition; tests of crawl-order equivalence use
-    the permissive default (rate=None → unlimited)."""
+    a north_rule engine addition; crawl-order equivalence tests use the
+    permissive default (rate=None → unlimited)."""
 
     def __init__(self, default_rate: int | None = None,
                  host_rates: dict[str, int] | None = None,
@@ -57,6 +72,9 @@ class PolitenessConfig:
         self.default_rate = default_rate
         self.host_rates = host_rates or {}
         self.disallow = disallow or {}
+
+    def unlimited(self) -> bool:
+        return self.default_rate is None and not self.host_rates
 
     def rate(self, host: str) -> int | None:
         return self.host_rates.get(host, self.default_rate)
@@ -71,89 +89,94 @@ class PolitenessConfig:
 
 @ray.remote(num_cpus=0.25)
 class FrontierShard:
-    """One shard of the frontier (see module docstring)."""
-
     def __init__(self, shard_id: int, n_shards: int,
                  politeness: PolitenessConfig | None = None,
-                 capacity: int = 1 << 20):
+                 capacity: int = 1 << 23):
         self.shard_id = shard_id
         self.n_shards = n_shards
         self.politeness = politeness or PolitenessConfig()
         self.filter = CuckooFilter(capacity=capacity)
         self.exact: set[int] = set()
-        self.heap: list[tuple] = []   # (site, depth, order_key, counter, row)
-        self._counter = 0
+        self.pending: list[pa.Table] = []
+        self.n_pending = 0
         self.robots_blocked = 0
         self.stats_pushed = 0
         self.stats_popped = 0
 
     # -- ingest ------------------------------------------------------------
 
-    def push(self, rows: list[dict]) -> int:
-        """Dedup + enqueue frontier rows (dicts with FRONTIER_SCHEMA
-        fields). Returns number accepted. Arrival order does not matter:
-        the heap orders by the deterministic (site, depth, order_key)."""
-        accepted = 0
-        new_hashes: list[int] = []
-        new_in_batch: set[int] = set()
-        for row in rows:
-            url = canonicalize_url(row["url"])
-            h = stable_hash64(url)
-            if h % self.n_shards != self.shard_id:
-                continue  # misrouted — defensive, caller routes by hash
-            if not self.politeness.allowed(row["url"], row["host"]):
-                self.robots_blocked += 1
-                continue
-            # cuckoo fast path: a miss is definitely new; a hit is
-            # verified against the exact set (FP → actually new). The
-            # filter is bulk-updated at batch end, so batch-local
-            # inserts are tracked separately (same URL twice in one
-            # push must dedup too).
-            if h in new_in_batch or (
-                    self.filter.contains_many(
-                        np.array([h], dtype=np.uint64))[0]
-                    and h in self.exact):
-                continue
-            new_in_batch.add(h)
-            self.exact.add(h)
-            new_hashes.append(h)
-            heapq.heappush(self.heap, (
-                row["site"], row["depth"], row["order_key"],
-                self._counter, row))
-            self._counter += 1
-            accepted += 1
-        if new_hashes:
-            self.filter.add_many(np.array(new_hashes, dtype=np.uint64))
-        self.stats_pushed += accepted
-        return accepted
+    def push(self, table: pa.Table) -> int:
+        """Dedup + enqueue a PUSH_SCHEMA table. Vectorized: one cuckoo
+        probe for the batch; exact-set verification only for the rare
+        filter positives; first-occurrence-wins for within-batch dups."""
+        if table.num_rows == 0:
+            return 0
+        h = table.column("h").to_numpy()
+        # robots gate (python loop only when configured)
+        if self.politeness.disallow:
+            urls = table.column("url").to_pylist()
+            hosts = table.column("host").to_pylist()
+            ok = np.fromiter(
+                (self.politeness.allowed(u, ho)
+                 for u, ho in zip(urls, hosts)),
+                dtype=bool, count=len(urls))
+            self.robots_blocked += int((~ok).sum())
+            if not ok.all():
+                table = table.filter(pa.array(ok))
+                h = h[ok]
+            if table.num_rows == 0:
+                return 0
+        contains = self.filter.contains_many(h)
+        new_mask = ~contains
+        for i in np.flatnonzero(contains):
+            if int(h[i]) not in self.exact:  # cuckoo false positive
+                new_mask[i] = True
+        # within-batch dedup: first occurrence of each hash wins
+        idx_new = np.flatnonzero(new_mask)
+        if len(idx_new) == 0:
+            return 0
+        _, first = np.unique(h[idx_new], return_index=True)
+        keep = idx_new[np.sort(first)]
+        accepted = table.take(pa.array(keep))
+        h_kept = h[keep]
+        self.exact.update(h_kept.tolist())
+        self.filter.add_many(h_kept)
+        self.pending.append(accepted)
+        self.n_pending += accepted.num_rows
+        self.stats_pushed += accepted.num_rows
+        return accepted.num_rows
 
     # -- scheduling --------------------------------------------------------
 
-    def pop_ready(self, max_rows: int = 1 << 30) -> list[dict]:
-        """Pop up to max_rows respecting per-host budgets for this round
-        (one call = one politeness tick). Rows over budget stay queued."""
-        budget: dict[str, int] = {}
-        ready: list[dict] = []
-        deferred: list[tuple] = []
-        while self.heap and len(ready) < max_rows:
-            item = heapq.heappop(self.heap)
-            row = item[4]
-            host = row["host"]
-            rate = self.politeness.rate(host)
-            if rate is not None:
-                used = budget.get(host, 0)
-                if used >= rate:
-                    deferred.append(item)
-                    continue
-                budget[host] = used + 1
-            ready.append(row)
-        for item in deferred:
-            heapq.heappush(self.heap, item)
-        self.stats_popped += len(ready)
+    def pop_ready(self, max_rows: int = 1 << 30) -> pa.Table:
+        """Pop ready rows in (site, depth, order_key) order, respecting
+        per-host budgets for this round (one call = one politeness
+        tick). Over-budget rows stay queued."""
+        if self.n_pending == 0:
+            return PUSH_SCHEMA.empty_table()
+        t = pa.concat_tables(self.pending).sort_by(_SORT_KEYS)
+        self.pending, self.n_pending = [], 0
+        if self.politeness.unlimited() and t.num_rows <= max_rows:
+            ready = t
+        else:
+            hosts = t.column("host").to_pandas()
+            seq_in_host = hosts.groupby(hosts, sort=False).cumcount().values
+            budgets = np.array(
+                [r if (r := self.politeness.rate(hv)) is not None else 1 << 31
+                 for hv in hosts], dtype=np.int64)
+            ok = seq_in_host < budgets
+            # global cap
+            ok &= np.cumsum(ok) <= max_rows
+            ready = t.filter(pa.array(ok))
+            deferred = t.filter(pa.array(~ok))
+            if deferred.num_rows:
+                self.pending.append(deferred)
+                self.n_pending = deferred.num_rows
+        self.stats_popped += ready.num_rows
         return ready
 
-    def pending(self) -> int:
-        return len(self.heap)
+    def pending_count(self) -> int:
+        return self.n_pending
 
     def seen_hashes(self) -> np.ndarray:
         return np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
@@ -163,7 +186,7 @@ class FrontierShard:
             "shard": self.shard_id,
             "pushed": self.stats_pushed,
             "popped": self.stats_popped,
-            "pending": len(self.heap),
+            "pending": self.n_pending,
             "seen": len(self.exact),
             "robots_blocked": self.robots_blocked,
             "cuckoo_size": self.filter.size,
@@ -173,9 +196,10 @@ class FrontierShard:
 
     def checkpoint(self, ckpt_dir: str) -> str:
         os.makedirs(ckpt_dir, exist_ok=True)
-        pending_rows = [item[4] for item in sorted(self.heap)]
-        pq.write_table(frontier_table(pending_rows),
-                       os.path.join(ckpt_dir, f"heap-{self.shard_id}.parquet"))
+        t = (pa.concat_tables(self.pending).sort_by(_SORT_KEYS)
+             if self.pending else PUSH_SCHEMA.empty_table())
+        pq.write_table(t, os.path.join(
+            ckpt_dir, f"heap-{self.shard_id}.parquet"))
         pq.write_table(
             pa.table({"h": pa.array(self.seen_hashes(), type=pa.uint64())}),
             os.path.join(ckpt_dir, f"seen-{self.shard_id}.parquet"))
@@ -188,13 +212,10 @@ class FrontierShard:
             ckpt_dir, f"seen-{self.shard_id}.parquet"))
         self.exact = set(seen_t["h"].to_numpy().tolist())
         if self.exact:
+            self.filter = CuckooFilter(capacity=max(1 << 21,
+                                                    2 * len(self.exact)))
             self.filter.add_many(np.fromiter(
                 self.exact, dtype=np.uint64, count=len(self.exact)))
-        self.heap = []
-        self._counter = 0
-        for row in heap_t.to_pylist():
-            heapq.heappush(self.heap, (
-                row["site"], row["depth"], row["order_key"],
-                self._counter, row))
-            self._counter += 1
-        return len(self.heap)
+        self.pending = [heap_t] if heap_t.num_rows else []
+        self.n_pending = heap_t.num_rows
+        return self.n_pending

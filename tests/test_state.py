@@ -8,7 +8,16 @@ import ray
 
 from no_fasel_scrapers_ray.state.cuckoo import CuckooFilter
 from no_fasel_scrapers_ray.state.frontier import (
-    FrontierShard, PolitenessConfig)
+    FrontierShard, PolitenessConfig, push_table)
+from no_fasel_scrapers_ray.pipelines.crawl import link_hashes
+
+
+def _push(shard, rows):
+    return ray.get(shard.push.remote(push_table(rows, link_hashes(rows))))
+
+
+def _pop(shard, **kw):
+    return ray.get(shard.pop_ready.remote(**kw)).to_pylist()
 
 
 def _row(url, host="h.test", site="s", depth=0, ok="00", cat="c"):
@@ -70,24 +79,24 @@ def test_politeness_budget_enforced():
             for i in range(7)]
     rows += [_row(f"https://fast.test/p{i}", "fast.test", ok=f"{i:03d}")
              for i in range(3)]
-    assert ray.get(s.push.remote(rows)) == 10
-    r1 = ray.get(s.pop_ready.remote())
+    assert _push(s, rows) == 10
+    r1 = _pop(s)
     # 2 slow + all 3 fast in the first round-tick
     assert sum(r["host"] == "slow.test" for r in r1) == 2
     assert sum(r["host"] == "fast.test" for r in r1) == 3
-    r2 = ray.get(s.pop_ready.remote())
+    r2 = _pop(s)
     assert sum(r["host"] == "slow.test" for r in r2) == 2
-    r3 = ray.get(s.pop_ready.remote())
-    r4 = ray.get(s.pop_ready.remote())
+    r3 = _pop(s)
+    r4 = _pop(s)
     assert len(r3) == 2 and len(r4) == 1
-    assert ray.get(s.pending.remote()) == 0
+    assert ray.get(s.pending_count.remote()) == 0
 
 
 def test_robots_disallow():
     pol = PolitenessConfig(disallow={"h.test": ["/private"]})
     s = FrontierShard.remote(0, 1, pol)
     rows = [_row("https://h.test/private/x"), _row("https://h.test/public/y")]
-    assert ray.get(s.push.remote(rows)) == 1
+    assert _push(s, rows) == 1
     stats = ray.get(s.stats.remote())
     assert stats["robots_blocked"] == 1
 
@@ -100,8 +109,8 @@ def test_priority_order_site_depth_orderkey():
         _row("https://a.test/1", site="asite", depth=0, ok="01"),
         _row("https://a.test/0", site="asite", depth=0, ok="00"),
     ]
-    ray.get(s.push.remote(rows))
-    popped = ray.get(s.pop_ready.remote())
+    _push(s, rows)
+    popped = _pop(s)
     assert [r["url"] for r in popped] == [
         "https://a.test/0", "https://a.test/1", "https://a.test/2",
         "https://b.test/1"]
@@ -110,16 +119,16 @@ def test_priority_order_site_depth_orderkey():
 def test_checkpoint_restore_roundtrip(tmp_path):
     s = FrontierShard.remote(0, 1)
     rows = [_row(f"https://h.test/{i}", ok=f"{i:03d}") for i in range(10)]
-    ray.get(s.push.remote(rows))
-    ray.get(s.pop_ready.remote(max_rows=4))
+    _push(s, rows)
+    _pop(s, max_rows=4)
     ray.get(s.checkpoint.remote(str(tmp_path)))
 
     s2 = FrontierShard.remote(0, 1)
     restored = ray.get(s2.restore.remote(str(tmp_path)))
     assert restored == 6
     # seen set survives: re-pushing the same URLs is a no-op
-    assert ray.get(s2.push.remote(rows)) == 0
-    popped = ray.get(s2.pop_ready.remote())
+    assert _push(s2, rows) == 0
+    popped = _pop(s2)
     assert [r["url"] for r in popped] == \
         [f"https://h.test/{i}" for i in range(4, 10)]
 
@@ -127,4 +136,4 @@ def test_checkpoint_restore_roundtrip(tmp_path):
 def test_duplicate_within_one_push_batch():
     s = FrontierShard.remote(0, 1)
     rows = [_row("https://h.test/same"), _row("https://h.test/same")]
-    assert ray.get(s.push.remote(rows)) == 1
+    assert _push(s, rows) == 1
