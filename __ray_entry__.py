@@ -188,12 +188,25 @@ def q_sessionize(sf_dir: str):
 
 
 def q_distinct_suppliers(sf_dir: str):
-    """A3-family count-distinct per key (two-stage groupby)."""
-    from ray.data.aggregate import Count
+    """A3-family count-distinct per key: per-batch distinct pairs →
+    bucket shuffle on the key → per-bucket distinct + count (the
+    high-cardinality-safe groupby shape, see ops.relational)."""
+    import pyarrow as pa
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-    pairs = li.groupby(["l_partkey", "l_suppkey"]).aggregate(Count(alias_name="_n"))
-    return pairs.drop_columns(["_n"]).groupby("l_partkey").aggregate(
-        Count(alias_name="n_suppliers"))
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        d = batch.drop_duplicates(["l_partkey", "l_suppkey"]).copy()
+        d["__bucket"] = (d["l_partkey"] % 64).astype("int64")
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["l_partkey", "l_suppkey"])
+        r = d.groupby("l_partkey", as_index=False).size().rename(
+            columns={"size": "n_suppliers"})
+        return pa.Table.from_pandas(r, preserve_index=False)
+
+    return (li.map_batches(partial, batch_format="pandas")
+            .groupby("__bucket").map_groups(final, batch_format="pandas"))
 
 
 # --------------------------------------------------------------------------

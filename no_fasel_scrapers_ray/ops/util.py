@@ -5,6 +5,28 @@ from __future__ import annotations
 import ray
 
 
+def stable_bucket(series, n_buckets: int):
+    """Content-only bucket hash for a pandas Series.
+
+    NOT ``pd.util.hash_pandas_object``: its row hashes depend on row
+    POSITION within the series (measured: the same key string hashed to
+    bucket 48 in one batch slice and 60 in another), which silently
+    splits one key across shuffle buckets. Integer keys use a plain
+    modulo; everything else CRC32s the string content.
+    """
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    if pd.api.types.is_integer_dtype(series.dtype):
+        return (series.to_numpy(dtype=np.int64) % n_buckets).astype(np.int64)
+    vals = series.astype(str)
+    return np.fromiter((zlib.crc32(s.encode("utf-8")) % n_buckets
+                        for s in vals),
+                       dtype=np.int64, count=len(vals))
+
+
 def pool_size(requested: int) -> int:
     """Clamp an actor-pool size so the pool can never reserve every CPU
     (a pool holding all CPUs starves the read/write stages and the

@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
 
@@ -30,76 +31,115 @@ OLD_WINS = {"series", "tvshows", "asian-series"}      # FaselSeriesScraper.py:21
 NO_MERGE = {"arabic-movies", "hdwseries"}             # master_dict only
 
 
-def assemble_records(records: rd.Dataset) -> pd.DataFrame:
+def assemble_records(records: rd.Dataset, n_buckets: int = 64) -> pd.DataFrame:
     """Distributed nesting: returns (catalog, key, order_key, payload)
-    entry rows — nested entries built per series group, flat entries
-    passed through. Delta rows come back tagged for the writer."""
+    entry rows — nested entries built per series, flat entries passed
+    through, delta rows tagged for the writer.
+
+    Shuffle shape: series are hash-bucketed (series co-location is the
+    only requirement) and each bucket assembles ALL its series in one
+    sorted pass — a per-series map_groups measured 180 s at 300k series
+    from per-group overhead alone; 64 buckets assemble the same rows in
+    seconds. A 1000-episode outlier series is still one in-memory
+    group within its bucket."""
 
     import pyarrow.compute as pc
     records = records.map_batches(
         lambda t: t.filter(pc.not_equal(t["catalog"], "__pages__")),
         batch_format="pyarrow")
 
-    def per_series(g: pd.DataFrame) -> pd.DataFrame:
-        catalog = g["catalog"].iloc[0]
-        series_key = g["series_key"].iloc[0]
-        if series_key == "":
-            # flat records and deltas pass through untouched
-            return g[["catalog", "record_type", "key", "season_key",
-                      "order_key", "payload"]]
-        g = g.sort_values("order_key", kind="stable")
-        heads = g[g["record_type"] == "series_head"]
-        deltas = g[g["record_type"].isin(
-            ["season_delta", "episode_delta", "anime_delta"])]
-        out_rows = [deltas[["catalog", "record_type", "key", "season_key",
-                            "order_key", "payload"]]]
-        if len(heads):
-            head_row = heads.iloc[0]
-            head = json.loads(head_row["payload"])
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from ..ops.util import stable_bucket
+        key = df["catalog"] + "\x00" + df["series_key"]
+        df["bucket"] = stable_bucket(key, n_buckets)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["catalog", "series_key", "order_key"],
+                          kind="stable")
+        is_nest = (g["series_key"] != "") & g["record_type"].isin(
+            ["series_head", "season", "episode"])
+        passthrough = g[~is_nest][["catalog", "record_type", "key",
+                                   "season_key", "order_key", "payload"]]
+        nest = g[is_nest]
+        out = {"catalog": [], "record_type": [], "key": [],
+               "season_key": [], "order_key": [], "payload": []}
+
+        def emit_series(catalog, rows):
+            # rows: list of (record_type, key, season_key, order_key,
+            # payload) in order_key order
+            head = None
+            head_key = head_ok = None
+            seasons: list[tuple[str, dict]] = []
+            eps_by_season: dict[str, dict] = {}
+            flat_eps: dict[str, dict] = {}
+            for rt, key, season_key, ok, payload in rows:
+                if rt == "series_head" and head is None:
+                    head = json.loads(payload)
+                    head_key, head_ok = key, ok
+                elif rt == "season":
+                    sp = json.loads(payload)
+                    sp.pop("orphan", None)
+                    seasons.append((key, sp))
+                elif rt == "episode":
+                    if catalog in NESTED_SEASONS:
+                        eps_by_season.setdefault(season_key, {})[key] = \
+                            json.loads(payload)
+                    else:
+                        flat_eps[key] = json.loads(payload)
+            if head is None:
+                return
             if catalog in NESTED_SEASONS:
                 total = 0
-                seasons = {}
-                for _, srow in g[g["record_type"] == "season"].iterrows():
-                    sp = json.loads(srow["payload"])
-                    sp.pop("orphan", None)
-                    eps = {}
-                    ep_rows = g[(g["record_type"] == "episode")
-                                & (g["season_key"] == srow["key"])]
-                    for _, erow in ep_rows.iterrows():
-                        eps[erow["key"]] = json.loads(erow["payload"])
+                season_map = {}
+                for skey, sp in seasons:
+                    eps = eps_by_season.get(skey, {})
                     # fasel: count = link count (set at season extract);
                     # hdw: count = card count — both already in payload
-                    sp["Episodes"] = eps
-                    seasons[srow["key"]] = {
+                    season_map[skey] = {
                         "Season Number": sp["Season Number"],
                         "Number Of Episodes": sp["Number Of Episodes"],
                         "Episodes": eps,
                     }
                     total += sp["Number Of Episodes"]
-                head["Seasons"] = seasons
+                head["Seasons"] = season_map
                 if "Number Of Episodes" in head:
                     head["Number Of Episodes"] = total
             else:  # anime / arabic-series: flat Episodes
-                eps = {}
-                for _, erow in g[g["record_type"] == "episode"].iterrows():
-                    eps[erow["key"]] = json.loads(erow["payload"])
-                head["Episodes"] = eps
+                head["Episodes"] = flat_eps
                 if catalog == "arabic-series":
                     # A3 fix-up: count = scraped episodes
                     # (AkwamSeriesScraper.py:109-110)
-                    head["Number Of Episodes"] = len(eps)
-            out_rows.append(pd.DataFrame({
-                "catalog": [catalog], "record_type": ["record"],
-                "key": [head_row["key"]], "season_key": [""],
-                "order_key": [head_row["order_key"]],
-                "payload": [json.dumps(head, ensure_ascii=False)],
-            }))
-        return pd.concat(out_rows, ignore_index=True) if len(out_rows) > 1 \
-            else out_rows[0]
+                    head["Number Of Episodes"] = len(flat_eps)
+            out["catalog"].append(catalog)
+            out["record_type"].append("record")
+            out["key"].append(head_key)
+            out["season_key"].append("")
+            out["order_key"].append(head_ok)
+            out["payload"].append(json.dumps(head, ensure_ascii=False))
+
+        current = None
+        buf: list = []
+        cols = (nest["catalog"].tolist(), nest["series_key"].tolist(),
+                nest["record_type"].tolist(), nest["key"].tolist(),
+                nest["season_key"].tolist(), nest["order_key"].tolist(),
+                nest["payload"].tolist())
+        for cat, skey, rt, key, season_key, ok, payload in zip(*cols):
+            ident = (cat, skey)
+            if ident != current:
+                if current is not None:
+                    emit_series(current[0], buf)
+                current, buf = ident, []
+            buf.append((rt, key, season_key, ok, payload))
+        if current is not None:
+            emit_series(current[0], buf)
+        return pd.concat([passthrough, pd.DataFrame(out)],
+                         ignore_index=True)
 
     return (records
-            .groupby(["catalog", "series_key"])
-            .map_groups(per_series, batch_format="pandas")
+            .map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pandas")
             .to_pandas())
 
 
@@ -116,8 +156,10 @@ def build_catalogs(entries: pd.DataFrame,
     for catalog, g in entries.groupby("catalog", sort=True):
         old = old_catalogs.get(catalog, {})
         new: dict = {}
-        for _, row in g[g["record_type"] == "record"].iterrows():
-            new[row["key"]] = json.loads(row["payload"])
+        recs = g[g["record_type"] == "record"]
+        for k, payload in zip(recs["key"].tolist(),
+                              recs["payload"].tolist()):
+            new[k] = json.loads(payload)
 
         # D2 delta application into the OLD catalog
         if catalog in ("series", "tvshows", "asian-series"):
