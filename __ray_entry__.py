@@ -446,7 +446,7 @@ def oracle_sql() -> dict[str, str]:
                        sum(l_quantity) AS order_qty
                 FROM lineitem GROUP BY l_orderkey)
             SELECT o_custkey,
-                   sum(n_items) AS n_items,
+                   CAST(sum(n_items) AS BIGINT) AS n_items,
                    round(sum(order_qty), 2) AS total_qty,
                    count(*) AS n_orders
             FROM orders JOIN per_order USING (o_orderkey)
@@ -479,7 +479,7 @@ def oracle_sql() -> dict[str, str]:
                                  > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
                 FROM events)
             SELECT user_id, count(*) AS n_events,
-                   1 + sum(new_session) AS n_sessions
+                   CAST(1 + sum(new_session) AS BIGINT) AS n_sessions
             FROM gaps GROUP BY user_id
         """,
         "distinct_suppliers": """

@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from .relational import broadcast_get
 from .util import pool_size
 
 # MinHash parameters: 64 permutations in 8 bands of 8 rows.
@@ -143,8 +144,6 @@ def minhash_lsh_pairs(docs: rd.Dataset, shingle: int = 3,
 
     from ray.data.aggregate import Count
     uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
-
-    from .relational import broadcast_get
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         # task-based (broadcast texts fetched once per worker): a second

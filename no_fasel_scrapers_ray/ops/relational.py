@@ -24,6 +24,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from .util import stable_bucket
+
 
 # --------------------------------------------------------------------------
 # Broadcast joins (J1/J2/J4/J5/J6 family: Common.py:223-224, TrendingScraper.py:28-47)
@@ -126,10 +128,22 @@ def bucketed_join(left: rd.Dataset, right: rd.Dataset, on: str,
     tagged = left.map_batches(tag("l"), batch_format="pyarrow").union(
         right.map_batches(tag("r"), batch_format="pyarrow"))
 
+    # Columns that are integer in the INPUT schemas: the null padding in
+    # ``tag`` makes pandas upcast them to float64 inside the bucket merge
+    # (CORRECTNESS r01 `nested_rollup` hash fail) — restore the input
+    # dtype wherever the join produced no actual nulls.
+    int_cols = [name for name, typ in all_fields.items()
+                if pa.types.is_integer(typ)]
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lrows = g[g["__side"] == "l"][left_cols]
         rrows = g[g["__side"] == "r"][right_cols]
-        return lrows.merge(rrows, on=on, how=how)
+        out = lrows.merge(rrows, on=on, how=how)
+        for c in int_cols:
+            if (c in out.columns and out[c].dtype.kind == "f"
+                    and not out[c].isna().any()):
+                out[c] = out[c].astype("int64")
+        return out
 
     return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
@@ -187,7 +201,6 @@ def preagg_sum_count(ds: rd.Dataset, keys: list[str], sums: dict[str, str],
         if count_alias is not None:
             cnt = batch.groupby(keys, as_index=False, sort=False).size()
             g[count_alias] = cnt["size"].to_numpy()
-        from .util import stable_bucket
         key_series = (g[keys].astype(str).agg("\x00".join, axis=1)
                       if len(keys) > 1 else g[keys[0]])
         g["__bucket"] = stable_bucket(key_series, n_buckets)

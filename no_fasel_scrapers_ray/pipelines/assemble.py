@@ -20,6 +20,7 @@ import pandas as pd
 import ray.data as rd
 
 from ..functions.hashing import md5_of_json
+from ..ops.util import stable_bucket
 
 FLAT_CATALOGS = ("movies", "arabic-movies", "WeCima", "CimaNowMovies",
                  "hdwmovies")
@@ -49,7 +50,6 @@ def assemble_records(records: rd.Dataset, n_buckets: int = 64) -> pd.DataFrame:
         batch_format="pyarrow")
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        from ..ops.util import stable_bucket
         key = df["catalog"] + "\x00" + df["series_key"]
         df["bucket"] = stable_bucket(key, n_buckets)
         return df

@@ -41,6 +41,12 @@ from ..functions.urls import canonicalize_url
 from ..state.frontier import (
     PUSH_SCHEMA, FrontierShard, PolitenessConfig, push_table)
 from ..stages.adapters import extract_page, seed_rows
+# top-level (not inside the remote fns): workers resolve these through
+# the by-value-pickled module globals — a runtime relative import inside
+# a task body would re-import the package on the worker, which fails
+# when /root/repo is not on the worker's sys.path
+from ..stages.fetch import get_fetcher
+from ..stages.parse import page_stats_record
 
 RECORD_COLS = ["catalog", "record_type", "key", "series_key", "season_key",
                "order_key", "payload"]
@@ -120,8 +126,6 @@ def _crawl_block(block_idx: np.ndarray, refs: list, shards,
     case the design brief reserves for raw tasks. Per-round Dataset
     executions measured 8+ s of pure startup/teardown dead time across
     a 6-round crawl; the batch-level transform itself is unchanged."""
-    from ..stages.fetch import get_fetcher
-    from ..stages.parse import page_stats_record
     # refs wrapped in a list so Ray does NOT auto-dereference them —
     # the workers resolve them once via the per-process caches
     ready_ref, corpus_ref, state_ref = refs
@@ -157,7 +161,6 @@ def _warm_worker(refs: list) -> int:
     so the timed crawl measures steady-state throughput, not cluster
     warmup. The 0.5 s hold forces Ray to fan tasks over distinct
     workers instead of reusing one warm process."""
-    from ..stages.fetch import get_fetcher
     get_fetcher(refs[0])
     time.sleep(0.5)
     return os.getpid()

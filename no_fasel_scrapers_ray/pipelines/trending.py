@@ -19,7 +19,8 @@ import ray
 import ray.data as rd
 
 from ..corpus.spans import PageView
-from ..functions.text import normalize_title, remove_arabic_chars, remove_year
+from ..functions.text import (
+    content_id_from_text, normalize_title, remove_arabic_chars, remove_year)
 from ..stages.fetch import get_fetcher
 
 FASEL = "https://fasel.test"
@@ -119,7 +120,6 @@ def run_trending(corpus_table: pa.Table, catalogs: dict[str, dict]):
             break
 
     # featured (J5): movie pages → content id → projection
-    from ..functions.text import content_id_from_text
     featured = {"content": []}
     movies = catalogs.get("movies", {})
     for link in featured_links:

@@ -23,6 +23,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..corpus.storage import read_corpus_table
+
 # hosts whose reference scrapers go through the Cloudflare cookie dance
 CHALLENGED_HOSTS = {"fasel.test", "cimanow.test", "hdw.test"}
 
@@ -30,7 +32,6 @@ CHALLENGED_HOSTS = {"fasel.test", "cimanow.test", "hdw.test"}
 class Fetcher:
     def __init__(self, corpus_src, challenge_every: int = 0):
         if isinstance(corpus_src, str):
-            from ..corpus.storage import read_corpus_table
             table = read_corpus_table(corpus_src)
         else:
             table: pa.Table = ray.get(corpus_src)
