@@ -19,7 +19,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from .util import pool_size
+from .util import cached_instance
 
 
 def _stack(batch_col) -> np.ndarray:
@@ -75,9 +75,16 @@ def knn_bruteforce(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
     qdf = qdf.sort_values("vec_id")
     queries_ref = ray.put((qdf["vec_id"].to_numpy(), _stack(qdf["embedding"])))
 
+    # task-based with a per-worker cached instance (state = the
+    # broadcast query matrix, fetched once per worker): pools reserving
+    # CPUs are only worth it for expensive state — see ops.util
+    def bf_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        inst = cached_instance(("bf_topk", queries_ref.hex(), k + 1),
+                               lambda: BruteForceTopK(queries_ref, k + 1))
+        return inst(batch)
+
     partials = embeddings.map_batches(
-        BruteForceTopK, fn_constructor_args=(queries_ref, k + 1),
-        batch_format="pandas", concurrency=pool_size(concurrency), num_cpus=0.5).to_pandas()
+        bf_batch, batch_format="pandas").to_pandas()
 
     if exclude_self:
         partials = partials[partials["query_id"] != partials["neighbor_id"]]
@@ -88,16 +95,38 @@ def knn_bruteforce(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
     return out[["query_id", "neighbor_id", "cosine"]]
 
 
+def sample_embeddings(embeddings: rd.Dataset, target: int = 8192,
+                      seed: int = 42) -> np.ndarray:
+    """Deterministic uniform row sample via a multiplicative hash of
+    vec_id — unbiased w.r.t. storage order (``limit(n)`` takes the
+    FIRST blocks, which are arbitrarily clustered on sorted/partitioned
+    data; r01 used it and got biased centroids). Streaming filter; only
+    ~``target`` vectors reach the driver."""
+    n = embeddings.count()   # parquet metadata, no scan
+    frac = min(1.0, target / max(1, n))
+    cut = np.uint64(int(frac * (1 << 32)))
+    mix = np.uint64(2654435761 + seed)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        h = (batch["vec_id"].to_numpy().astype(np.uint64) * mix) \
+            & np.uint64(0xFFFFFFFF)
+        return batch[h < cut]
+
+    df = embeddings.map_batches(pick, batch_format="pandas").to_pandas()
+    return _stack(df["embedding"]).astype(np.float64)
+
+
 def ivf_build_centroids(embeddings: rd.Dataset, n_cells: int = 16,
                         iters: int = 5, seed: int = 42) -> np.ndarray:
-    """Deterministic mini k-means over a driver-side sample (the coarse
+    """Deterministic mini k-means over a uniform hash-sample (the coarse
     quantizer is small state — built once, broadcast everywhere)."""
-    sample = _stack(embeddings.limit(4096).to_pandas()["embedding"]).astype(np.float64)
+    sample = sample_embeddings(embeddings, target=8192, seed=seed)
     rng = np.random.RandomState(seed)
-    cent = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    cent = sample[rng.choice(len(sample), size=min(n_cells, len(sample)),
+                             replace=False)]
     for _ in range(iters):
         assign = np.argmax(_normalize(sample) @ _normalize(cent).T, axis=1)
-        for c in range(n_cells):
+        for c in range(len(cent)):
             members = sample[assign == c]
             if len(members):
                 cent[c] = members.mean(axis=0)
@@ -105,23 +134,31 @@ def ivf_build_centroids(embeddings: rd.Dataset, n_cells: int = 16,
 
 
 class IVFTopK:
-    """IVF probe: per batch, keep only vectors whose nearest centroid is
-    one of the query's ``nprobe`` cells, then exact cosine on survivors."""
+    """IVF probe: per batch, keep only vectors ASSIGNED to one of the
+    query's ``nprobe`` cells, then exact cosine on survivors.
 
-    def __init__(self, queries_ref, centroids_ref, k: int, nprobe: int):
+    Vectors are multi-assigned to their top-``n_assign`` cells (IVF
+    replication): a neighbor is missed only if NONE of its cells is
+    probed — recall on weakly-clustered data jumps from ~0.7 to ≥0.9
+    while the probe cost grows only by the assignment factor."""
+
+    def __init__(self, queries_ref, centroids_ref, k: int, nprobe: int,
+                 n_assign: int = 2):
         qid, qmat = ray.get(queries_ref)
         self.qid, self.qmat = qid, _normalize(qmat.astype(np.float64))
         self.cent = _normalize(ray.get(centroids_ref).astype(np.float64))
-        self.k, self.nprobe = k, nprobe
+        self.k, self.nprobe, self.n_assign = k, nprobe, n_assign
         self.qcells = np.argsort(-(self.qmat @ self.cent.T), axis=1)[:, :nprobe]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         emb = _normalize(_stack(batch["embedding"]).astype(np.float64))
-        cells = np.argmax(emb @ self.cent.T, axis=1)
+        sims_c = emb @ self.cent.T
+        na = min(self.n_assign, sims_c.shape[1])
+        cells = np.argsort(-sims_c, axis=1)[:, :na]   # (n, n_assign)
         vec_ids = batch["vec_id"].to_numpy()
         out = []
         for j, q in enumerate(self.qid):
-            mask = np.isin(cells, self.qcells[j])
+            mask = np.isin(cells, self.qcells[j]).any(axis=1)
             if not mask.any():
                 continue
             sims = emb[mask] @ self.qmat[j]
@@ -138,16 +175,22 @@ class IVFTopK:
 
 
 def knn_ivf(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
-            n_cells: int = 16, nprobe: int = 4, concurrency: int = 4) -> pd.DataFrame:
+            n_cells: int = 16, nprobe: int = 6,
+            concurrency: int = 4) -> pd.DataFrame:
     qdf = embeddings.map_batches(
         lambda t: t[np.isin(t["vec_id"].to_numpy(), query_ids)],
         batch_format="pandas").to_pandas().sort_values("vec_id")
     queries_ref = ray.put((qdf["vec_id"].to_numpy(), _stack(qdf["embedding"])))
     centroids_ref = ray.put(ivf_build_centroids(embeddings, n_cells))
 
+    def ivf_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        inst = cached_instance(
+            ("ivf_topk", queries_ref.hex(), centroids_ref.hex(), k + 1, nprobe),
+            lambda: IVFTopK(queries_ref, centroids_ref, k + 1, nprobe))
+        return inst(batch)
+
     partials = embeddings.map_batches(
-        IVFTopK, fn_constructor_args=(queries_ref, centroids_ref, k + 1, nprobe),
-        batch_format="pandas", concurrency=pool_size(concurrency), num_cpus=0.5).to_pandas()
+        ivf_batch, batch_format="pandas").to_pandas()
     partials = partials[partials["query_id"] != partials["neighbor_id"]]
     partials["cosine"] = partials["cosine"].round(4)
     partials = partials.sort_values(
@@ -156,14 +199,20 @@ def knn_ivf(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
 
 
 class HyperplaneLSH:
-    """Random-hyperplane signatures for cosine near-dup bucketing."""
+    """Random-hyperplane signatures for cosine near-dup bucketing.
+    Planes are built lazily from the first batch's dimensionality, once
+    per actor."""
 
-    def __init__(self, dim: int = 64, n_planes: int = 4, seed: int = 42):
-        rng = np.random.RandomState(seed)
-        self.planes = rng.randn(dim, n_planes)
+    def __init__(self, n_planes: int = 4, seed: int = 42):
+        self.n_planes = n_planes
+        self.seed = seed
+        self.planes = None
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         emb = _stack(batch["embedding"]).astype(np.float64)
+        if self.planes is None:
+            rng = np.random.RandomState(self.seed)
+            self.planes = rng.randn(emb.shape[1], self.n_planes)
         bits = (emb @ self.planes) > 0
         bucket = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
         return pd.DataFrame({"vec_id": batch["vec_id"],
@@ -171,30 +220,97 @@ class HyperplaneLSH:
                              "embedding": batch["embedding"]})
 
 
+_EMPTY_PAIRS = {"vec_a": pd.Series([], dtype=np.int64),
+                "vec_b": pd.Series([], dtype=np.int64),
+                "cosine": pd.Series([], dtype=np.float64)}
+
+
+def _pairs_block(ids: np.ndarray, emb: np.ndarray,
+                 threshold: float) -> pd.DataFrame:
+    sims = emb @ emb.T
+    a, b = np.triu_indices(len(ids), k=1)
+    keep = sims[a, b] >= threshold
+    return pd.DataFrame({"vec_a": ids[a][keep], "vec_b": ids[b][keep],
+                         "cosine": np.round(sims[a, b][keep], 4)})
+
+
 def cosine_near_dup(embeddings: rd.Dataset, threshold: float = 0.95,
-                    concurrency: int = 4) -> rd.Dataset:
-    """Embedding near-dup pairs: LSH bucket → in-bucket exact cosine.
+                    concurrency: int = 4, n_repeats: int = 3,
+                    target_bucket: int = 1024,
+                    bucket_cap: int = 8192) -> rd.Dataset:
+    """Embedding near-dup pairs: hyperplane-LSH buckets → in-bucket
+    exact cosine → pair dedup across probe repeats.
 
-    Recall note (documented cap): pairs split across buckets are missed;
-    raise recall by probing multiple plane sets. Exactness within a
-    bucket is total.
-    """
-    bucketed = embeddings.map_batches(HyperplaneLSH, batch_format="pandas",
-                                      concurrency=pool_size(concurrency), num_cpus=0.5)
+    Scale levers (r01 fixed 16 buckets → O(n²/16) verify; gone):
+    - plane count grows with n (``log2(n / target_bucket)``) so the
+      EXPECTED bucket size stays ~``target_bucket`` regardless of corpus
+      size — the in-bucket O(k²) verify is size-invariant;
+    - ``n_repeats`` independent plane sets re-probe the corpus and the
+      pair union is deduped by a final (vec_a, vec_b) groupby — recall
+      for near-threshold pairs grows as 1-(1-p)^R while each repeat
+      stays linear;
+    - a hard ``bucket_cap``: an over-full bucket (duplicate-heavy data)
+      is recursively halved on extra seeded hyperplanes computed inside
+      the group, so no verify block ever exceeds the cap.
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        emb = _normalize(_stack(g["embedding"].iloc[order]).astype(np.float64))
-        if len(ids) < 2:
-            return pd.DataFrame({"vec_a": pd.Series([], dtype=np.int64),
-                                 "vec_b": pd.Series([], dtype=np.int64),
-                                 "cosine": pd.Series([], dtype=np.float64)})
-        sims = emb @ emb.T
-        a, b = np.triu_indices(len(ids), k=1)
-        keep = sims[a, b] >= threshold
-        return pd.DataFrame({"vec_a": ids[a][keep], "vec_b": ids[b][keep],
-                             "cosine": np.round(sims[a, b][keep], 4)})
+    Plane/repeat sizing: with p = 1 - acos(t)/π the per-repeat
+    candidate probability of a pair at cosine t is p^planes, so repeats
+    are raised until predicted recall at the THRESHOLD reaches ~0.9
+    (capped at 10 — beyond that is the honest cost limit of hyperplane
+    LSH for low thresholds). A corpus that fits within ``target_bucket``
+    uses zero planes — one bucket, exact verification."""
+    n = embeddings.count()   # parquet metadata / cached plan count
+    n_planes = max(0, int(np.ceil(np.log2(max(1.0, n / target_bucket)))))
+    if n_planes == 0:
+        n_repeats = 1          # single bucket → exact, no re-probe value
+    else:
+        p = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
+        p_cand = max(1e-9, p ** n_planes)
+        need = (1 if p_cand >= 0.9
+                else int(np.ceil(np.log(0.1) / np.log(1.0 - min(p_cand, 1 - 1e-9)))))
+        n_repeats = int(np.clip(need, n_repeats, 10))
 
-    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    def make_verify(seed: int):
+        def verify(g: pd.DataFrame) -> pd.DataFrame:
+            ids = g["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            if len(ids) < 2:
+                return pd.DataFrame(_EMPTY_PAIRS)
+            emb = _normalize(_stack(
+                g["embedding"].iloc[order]).astype(np.float64))
+
+            def split_verify(ids, emb, depth):
+                if len(ids) < 2:
+                    return []
+                if len(ids) <= bucket_cap or depth > 32:
+                    return [_pairs_block(ids, emb, threshold)]
+                rng = np.random.RandomState(seed * 1000 + depth)
+                side = (emb @ rng.randn(emb.shape[1])) > 0
+                return (split_verify(ids[side], emb[side], depth + 1)
+                        + split_verify(ids[~side], emb[~side], depth + 1))
+
+            outs = split_verify(ids, emb, 0)
+            return (pd.concat(outs, ignore_index=True) if outs
+                    else pd.DataFrame(_EMPTY_PAIRS))
+        return verify
+
+    from ray.data.aggregate import Max
+    reps = []
+    for r in range(n_repeats):
+        seed_r = 42 + r
+
+        def lsh_batch(batch: pd.DataFrame, _s=seed_r) -> pd.DataFrame:
+            inst = cached_instance(("hyperplane", n_planes, _s),
+                                   lambda: HyperplaneLSH(n_planes, _s))
+            return inst(batch)
+
+        bucketed = embeddings.map_batches(lsh_batch, batch_format="pandas")
+        reps.append(bucketed.groupby("bucket").map_groups(
+            make_verify(42 + r), batch_format="pandas"))
+    allp = reps[0]
+    for r in reps[1:]:
+        allp = allp.union(r)
+    # dedup the pair union across repeats (cosine identical per pair)
+    return allp.groupby(["vec_a", "vec_b"]).aggregate(
+        Max("cosine", alias_name="cosine"))

@@ -1,19 +1,29 @@
 """Deduplication operators over the ``documents`` table.
 
 Families (brief: "Deduplication"):
-- exact: content-hash → groupby(hash) → keep first (min doc_id);
+- exact: content-hash → bucketed partial-agg → keep first (min doc_id);
 - MinHash + LSH: shingle → minhash signature → band buckets → groupby
-  (band_id, band_hash) → candidate pairs → Jaccard verify;
-- SimHash: 64-bit simhash, bucket by high bits, Hamming verify;
-- embedding-cosine near-dup: LSH-bucketed (random hyperplanes) cosine.
+  (band_id, band_hash) → candidate pairs → exact Jaccard verify via
+  bucketed joins back to the shingle sets (no driver-side text
+  materialization, no full-corpus broadcast);
+- SimHash: 64-bit simhash, bucket by high bits (with a bucket-size
+  cap), Hamming verify;
+- embedding-cosine near-dup: LSH-bucketed (random hyperplanes) cosine
+  (ops/ann.py).
 
 The reference only has EXACT incremental dedup (the seen-set anti-join,
 FaselMoviesScraper.py:28 / SURVEY.md §2.8); near-dup is an engine
 addition. Scale shape: per-batch vectorized signatures, then ONE
 groupby shuffle over (bucket-key) rows — candidate verification happens
-inside the group, never a driver-side O(n²) loop. Pair outputs are
-canonicalized (a < b) and deduplicated across buckets with a final
-groupby.
+inside co-located buckets, never a driver-side O(n²) loop or a
+whole-corpus broadcast. Pair outputs are canonicalized (a < b) and
+deduplicated across buckets with a final groupby.
+
+Token hashing is ``pandas.util.hash_array`` (vectorized SipHash with
+the fixed default key — deterministic across processes); k-shingles are
+combined arithmetically from consecutive token hashes (odd-multiplier
+mix), so no per-shingle string building or per-token hashlib calls
+happen anywhere.
 """
 
 from __future__ import annotations
@@ -24,14 +34,18 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from .relational import broadcast_get
-from .util import pool_size
+from .util import cached_instance, stable_bucket
 
 # MinHash parameters: 64 permutations in 8 bands of 8 rows.
 N_PERM = 64
 N_BANDS = 8
 ROWS_PER_BAND = N_PERM // N_BANDS
 _MERSENNE = (1 << 61) - 1
+
+# odd multipliers for the k-shingle hash combine (k ≤ 5 supported)
+_SHINGLE_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                         0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                         0x85EBCA77C2B2AE63], dtype=np.uint64)
 
 
 def _perm_params(seed: int = 42):
@@ -42,95 +56,199 @@ def _perm_params(seed: int = 42):
 
 
 def _token_hashes(text: str, shingle: int) -> np.ndarray:
+    """Distinct k-shingle hashes of one document, fully vectorized:
+    one hash_array call over the tokens, then an arithmetic combine of
+    k consecutive token hashes (no shingle strings are ever built)."""
     toks = text.split(" ")
-    if shingle > 1:
-        toks = [" ".join(toks[i:i + shingle]) for i in range(max(1, len(toks) - shingle + 1))]
-    hs = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-         for t in set(toks)),
-        dtype=np.uint64,
-    )
-    return hs
+    th = pd.util.hash_array(np.asarray(toks, dtype=object))
+    if shingle > 1 and len(th):
+        n = max(1, len(th) - shingle + 1)
+        out = np.zeros(n, dtype=np.uint64)
+        for j in range(min(shingle, len(th))):
+            out ^= th[j:j + n] * _SHINGLE_MIX[j]
+        th = out
+    return np.unique(th)
 
 
-def exact_dedup_key(docs: rd.Dataset, key_expr: str = "full") -> rd.Dataset:
+def exact_dedup_key(docs: rd.Dataset, key_expr: str = "full",
+                    n_buckets: int = 64) -> rd.Dataset:
     """Exact dedup groups: md5(text) (or a 20-char-prefix key) →
     representative = min(doc_id), group size.
 
-    Hash computed vectorized per batch; the groupby shuffle moves only
-    (key, doc_id) pairs. ``key_expr``: 'full' | 'prefix20'.
+    Two-stage bucketed hash aggregate (the scale-safe groupby shape
+    from ops.relational): per-batch partials (one row per hash per
+    batch), then a 64-bucket shuffle with the final combine per bucket
+    — Ray's sort-based aggregate on this max-cardinality key measured
+    221 s at sf0.1 for the same answer. md5 itself must stay md5: the
+    hex digest IS the output column the DuckDB oracle compares.
+    ``key_expr``: 'full' | 'prefix20'.
     """
+    import pyarrow as pa
 
-    def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        if key_expr == "prefix20":
-            basis = batch["text"].str.slice(0, 20)
-        else:
-            basis = batch["text"]
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        basis = (batch["text"].str.slice(0, 20) if key_expr == "prefix20"
+                 else batch["text"])
         keys = basis.map(lambda t: hashlib.md5(t.encode()).hexdigest())
-        return pd.DataFrame({"content_hash": keys, "doc_id": batch["doc_id"]})
+        g = (pd.DataFrame({"content_hash": keys, "doc_id": batch["doc_id"]})
+             .groupby("content_hash", as_index=False)
+             .agg(rep_doc_id=("doc_id", "min"), n_docs=("doc_id", "size")))
+        g["__bucket"] = stable_bucket(g["content_hash"], n_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Min, Count
-    return (
-        docs.map_batches(hash_batch, batch_format="pandas")
-        .groupby("content_hash")
-        .aggregate(Min("doc_id", alias_name="rep_doc_id"),
-                   Count(alias_name="n_docs"))
-    )
+    def final(g: pd.DataFrame) -> pa.Table:
+        r = (g.groupby("content_hash", as_index=False)
+             .agg(rep_doc_id=("rep_doc_id", "min"), n_docs=("n_docs", "sum")))
+        return pa.Table.from_pandas(r, preserve_index=False)
+
+    return (docs.map_batches(partial, batch_format="pandas")
+            .groupby("__bucket").map_groups(final, batch_format="pandas"))
 
 
 class MinHasher:
-    """Per-batch MinHash signatures → exploded (band_id, band_hash, doc_id).
+    """Per-batch MinHash signatures → exploded (band_id, band_hash,
+    doc_id). Permutation params generated once per actor in
+    ``__init__``; the permute+min runs as chunked matrix ops
+    (``np.minimum.reduceat`` over document boundaries), and band hashes
+    are an arithmetic fold of each band's signature rows — no per-doc
+    or per-band hashlib calls."""
 
-    Permutation params generated once per actor in ``__init__``.
-    """
+    # cap on the (n_perm × n_shingles) work matrix per chunk ≈ 32 MB
+    _CHUNK_SHINGLES = 65536
 
     def __init__(self, shingle: int = 3, seed: int = 42):
         self.a, self.b = _perm_params(seed)
         self.shingle = shingle
 
-    def signature(self, text: str) -> np.ndarray:
-        hs = _token_hashes(text, self.shingle)
-        if len(hs) == 0:
-            return np.zeros(N_PERM, dtype=np.uint64)
-        # (n_perm, n_tok) universal hashing, min over tokens
-        prod = (np.multiply.outer(self.a, hs) + self.b[:, None]) % _MERSENNE
-        return prod.min(axis=1)
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, N_PERM) uint64 signature matrix."""
+        sets = [_token_hashes(t, self.shingle) for t in texts]
+        lens = np.array([max(len(s), 1) for s in sets])
+        # empty docs contribute one zero-hash token
+        flat = np.concatenate(
+            [s if len(s) else np.zeros(1, np.uint64) for s in sets])
+        sig = np.empty((len(sets), N_PERM), dtype=np.uint64)
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        doc_lo = 0
+        while doc_lo < len(sets):
+            doc_hi = doc_lo
+            while (doc_hi < len(sets)
+                   and bounds[doc_hi + 1] - bounds[doc_lo] <= self._CHUNK_SHINGLES):
+                doc_hi += 1
+            doc_hi = max(doc_hi, doc_lo + 1)
+            chunk = flat[bounds[doc_lo]:bounds[doc_hi]]
+            starts = (bounds[doc_lo:doc_hi] - bounds[doc_lo]).astype(np.int64)
+            # (n_perm, n_shingles) universal hashing, min per doc segment
+            prod = (self.a[:, None] * chunk[None, :] + self.b[:, None]) \
+                % np.uint64(_MERSENNE)
+            sig[doc_lo:doc_hi] = np.minimum.reduceat(prod, starts, axis=1).T
+            doc_lo = doc_hi
+        return sig
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, band_ids, band_hashes = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = self.signature(text)
-            for band in range(N_BANDS):
-                chunk = sig[band * ROWS_PER_BAND:(band + 1) * ROWS_PER_BAND]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                doc_ids.append(doc_id)
-                band_ids.append(band)
-                band_hashes.append(int.from_bytes(bh, "little") >> 1)
+        sig = self.signatures(batch["text"].tolist())
+        n = len(sig)
+        # band hash: mix-fold the band's ROWS_PER_BAND signature values
+        bands = sig.reshape(n, N_BANDS, ROWS_PER_BAND)
+        bh = np.zeros((n, N_BANDS), dtype=np.uint64)
+        for j in range(ROWS_PER_BAND):
+            bh ^= (bands[:, :, j] + np.uint64(j + 1)) * _SHINGLE_MIX[j % 5]
+        bh >>= np.uint64(1)     # keep positive in int64
+        doc_ids = np.repeat(batch["doc_id"].to_numpy(), N_BANDS)
         return pd.DataFrame({
-            "doc_id": np.asarray(doc_ids, dtype=np.int64),
-            "band_id": np.asarray(band_ids, dtype=np.int8),
-            "band_hash": np.asarray(band_hashes, dtype=np.int64),
+            "doc_id": doc_ids,
+            "band_id": np.tile(np.arange(N_BANDS, dtype=np.int8), n),
+            "band_hash": bh.reshape(-1).astype(np.int64),
         })
+
+
+class TokenSetter:
+    """doc → sorted distinct shingle-hash set, packed as a BYTES column
+    (uint64 little-endian) for exact Jaccard verification. Bytes (Arrow
+    binary) rather than list<uint64>: ragged arrays trip Ray's pandas
+    TensorArray extension on concat/null-pad; binary is a plain zero-
+    copy Arrow type."""
+
+    def __init__(self, shingle: int = 3):
+        self.shingle = shingle
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "hset": [_token_hashes(t, self.shingle).tobytes()
+                     for t in batch["text"]],
+        })
+
+
+def _attach_sets(pairs: rd.Dataset, pair_cols: list[str],
+                 doc_sets: rd.Dataset, side: str,
+                 n_buckets: int) -> rd.Dataset:
+    """Bucketed join: attach ``hset_<side>`` for pair column ``side``
+    (doc_a / doc_b). Both sides are hash-partitioned on the doc id —
+    the pair stream and only the NEEDED portion of the set stream meet
+    in per-bucket pandas merges; nothing is broadcast or driver-built.
+    Both sides are padded to one schema (pair_cols + the set columns)
+    before the union — mismatched union schemas hit a pathological
+    shuffle path (see ops.relational.bucketed_join)."""
+    hcol = f"hset_{side}"
+    all_cols = pair_cols + [hcol]
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[pair_cols].copy()
+        out[hcol] = b""
+        out["__bucket"] = (out[side] % n_buckets).astype(np.int64)
+        out["__side"] = "p"
+        return out
+
+    def tag_sets(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({side: df["doc_id"], hcol: df["hset"]})
+        for c in pair_cols:
+            if c not in out.columns:
+                # bytes (hset_*) pads are b""; numeric pads are -1
+                out[c] = b"" if c.startswith("hset") else np.int64(-1)
+        out = out[all_cols]
+        out["__bucket"] = (out[side] % n_buckets).astype(np.int64)
+        out["__side"] = "s"
+        return out
+
+    tagged = pairs.map_batches(tag_pairs, batch_format="pandas").union(
+        doc_sets.map_batches(tag_sets, batch_format="pandas"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["__side"] == "p"][pair_cols]
+        s = g[g["__side"] == "s"][[side, hcol]]
+        return p.merge(s, on=side, how="inner")
+
+    return tagged.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas")
 
 
 def minhash_lsh_pairs(docs: rd.Dataset, shingle: int = 3,
                       jaccard_threshold: float = 0.5,
-                      concurrency: int = 4) -> rd.Dataset:
+                      concurrency: int = 4,
+                      n_buckets: int = 32) -> rd.Dataset:
     """MinHash+LSH near-duplicate pairs with exact n-gram Jaccard verify.
 
-    signature → band explode → groupby(band_id, band_hash) emits candidate
-    pairs → pair-level groupby dedups across bands → Jaccard verify on the
-    (re-hashed) shingle sets. Verification re-tokenizes the pair texts via
-    a broadcast doc_id→text lookup, so the wide step only ever moves
-    (band rows) and (pair keys), never full documents.
-    """
-    import ray
+    signature → band explode → groupby(band_id, band_hash) emits
+    candidate pairs → pair-level groupby dedups across bands → the
+    shingle sets of exactly the docs each pair needs are attached via
+    two bucketed joins (partitioned on doc_a then doc_b) → exact
+    Jaccard. The wide steps move band rows, pair keys, and the joined
+    shingle sets — never full documents, never a driver materialization
+    (r01 broadcast of a doc_id→text dict removed)."""
 
-    texts = docs.select_columns(["doc_id", "text"]).to_pandas()
-    text_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
+    # task-based stages with per-worker cached instances, NOT actor
+    # pools: the hash state is ~1 KB, and two pools inside this
+    # 3-shuffle topology reserve enough CPUs to livelock a small
+    # cluster (observed at num_cpus=4)
+    def minhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return cached_instance(("minhash", shingle),
+                               lambda: MinHasher(shingle))(batch)
 
-    bands = docs.map_batches(MinHasher, fn_constructor_args=(shingle,),
-                             batch_format="pandas", concurrency=pool_size(concurrency), num_cpus=0.5)
+    def tokenset_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return cached_instance(("tokenset", shingle),
+                               lambda: TokenSetter(shingle))(batch)
+
+    bands = docs.map_batches(minhash_batch, batch_format="pandas")
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
@@ -143,25 +261,30 @@ def minhash_lsh_pairs(docs: rd.Dataset, shingle: int = 3,
         emit_pairs, batch_format="pandas")
 
     from ray.data.aggregate import Count
-    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_bands"))
+
+    doc_sets = docs.map_batches(tokenset_batch, batch_format="pandas")
+    with_a = _attach_sets(uniq, ["doc_a", "doc_b", "n_bands"],
+                          doc_sets, "doc_a", n_buckets)
+    with_ab = _attach_sets(with_a,
+                           ["doc_a", "doc_b", "n_bands", "hset_doc_a"],
+                           doc_sets, "doc_b", n_buckets)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        # task-based (broadcast texts fetched once per worker): a second
-        # actor pool here could, with the MinHasher pool, reserve every
-        # CPU and starve the read stage
-        texts_map = broadcast_get(text_ref)
         jac = np.empty(len(batch), dtype=np.float64)
-        for i, (da, db) in enumerate(zip(batch["doc_a"], batch["doc_b"])):
-            sa = set(_token_hashes(texts_map[da], shingle).tolist())
-            sb = set(_token_hashes(texts_map[db], shingle).tolist())
-            union = len(sa | sb)
-            jac[i] = (len(sa & sb) / union) if union else 0.0
-        batch = batch.copy()
-        batch["jaccard"] = np.round(jac, 6)
-        return batch[batch["jaccard"] >= jaccard_threshold][
-            ["doc_a", "doc_b", "jaccard"]]
+        for i, (ba, bb) in enumerate(zip(batch["hset_doc_a"],
+                                         batch["hset_doc_b"])):
+            sa = np.frombuffer(ba, dtype=np.uint64)
+            sb = np.frombuffer(bb, dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True)
+            union = len(sa) + len(sb) - len(inter)
+            jac[i] = (len(inter) / union) if union else 0.0
+        out = batch[["doc_a", "doc_b"]].copy()
+        out["jaccard"] = np.round(jac, 6)
+        return out[out["jaccard"] >= jaccard_threshold]
 
-    return uniq.map_batches(verify, batch_format="pandas")
+    return with_ab.map_batches(verify, batch_format="pandas")
 
 
 class SimHasher:
@@ -179,21 +302,56 @@ class SimHasher:
         return int(((votes > 0).astype(np.uint64) << self.bits).sum())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        """Emit one row per (doc, block-table): the 64-bit simhash is
+        split into 4 disjoint 16-bit blocks and the doc is indexed under
+        each block value (pigeonhole: any pair within Hamming ≤ 3 agrees
+        EXACTLY on at least one block → guaranteed candidate; a single
+        top-16 prefix measured only 0.51 recall on close pairs)."""
         sh = np.fromiter((self.simhash(t) for t in batch["text"]),
                          dtype=np.uint64, count=len(batch))
+        n = len(sh)
+        tables = np.arange(4, dtype=np.int64)
+        block = np.empty((n, 4), dtype=np.uint64)
+        for t in range(4):
+            block[:, t] = (sh >> np.uint64(16 * t)) & np.uint64(0xFFFF)
         return pd.DataFrame({
-            "doc_id": batch["doc_id"],
-            "simhash": sh.view(np.int64),
-            "bucket": (sh >> np.uint64(48)).view(np.int64),
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), 4),
+            "simhash": np.repeat(sh.view(np.int64), 4),
+            "table_id": np.tile(tables, n),
+            "block": block.reshape(-1).view(np.int64),
         })
 
 
 def simhash_candidates(docs: rd.Dataset, max_hamming: int = 8,
-                       concurrency: int = 4) -> rd.Dataset:
-    """SimHash near-dup pairs: bucket on the top 16 bits, Hamming-verify
-    within each bucket (vectorized popcount via uint8 bit tricks)."""
-    sigs = docs.map_batches(SimHasher, batch_format="pandas",
-                            concurrency=pool_size(concurrency), num_cpus=0.5)
+                       concurrency: int = 4,
+                       bucket_cap: int = 20000) -> rd.Dataset:
+    """SimHash near-dup pairs: 4 block-tables (16 bits each) → groupby
+    (table_id, block) → Hamming-verify within each bucket (vectorized
+    popcount) → final (doc_a, doc_b) groupby dedups across tables.
+    Pigeonhole guarantee: every pair within Hamming ≤ 3 shares at least
+    one exact block, so close-pair recall is 1.0 by construction.
+
+    Skew guard: a bucket larger than ``bucket_cap`` (boilerplate-heavy
+    corpora collapse many docs into one block value) is re-split on an
+    8-bit slice of a DIFFERENT block and verified per sub-bucket, so
+    the O(k²) verify stays bounded by the cap."""
+    def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return cached_instance("simhasher", SimHasher)(batch)
+
+    sigs = docs.map_batches(simhash_batch, batch_format="pandas")
+
+    def verify_block(ids: np.ndarray, hs: np.ndarray) -> pd.DataFrame:
+        a, b = np.triu_indices(len(ids), k=1)
+        x = (hs[a] ^ hs[b])
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                            axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep],
+                             "hamming": ham[keep].astype(np.int64)})
+
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                          "doc_b": pd.Series([], dtype=np.int64),
+                          "hamming": pd.Series([], dtype=np.int64)})
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["doc_id"].to_numpy()
@@ -201,14 +359,22 @@ def simhash_candidates(docs: rd.Dataset, max_hamming: int = 8,
         order = np.argsort(ids)
         ids, hs = ids[order], hs[order]
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64),
-                                 "hamming": pd.Series([], dtype=np.int64)})
-        a, b = np.triu_indices(len(ids), k=1)
-        x = (hs[a] ^ hs[b])
-        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep],
-                             "hamming": ham[keep].astype(np.int64)})
+            return empty
+        if len(ids) <= bucket_cap:
+            return verify_block(ids, hs)
+        # re-split on bits of another block (this group's own block is
+        # constant): table_id is constant per group
+        other = (int(g["table_id"].iloc[0]) + 1) % 4
+        sub = ((hs >> np.uint64(16 * other)) & np.uint64(0xFF)).astype(np.int64)
+        outs = []
+        for code in np.unique(sub):
+            m = sub == code
+            if m.sum() >= 2:
+                outs.append(verify_block(ids[m], hs[m]))
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
-    return sigs.groupby("bucket").map_groups(verify, batch_format="pandas")
+    pairs = sigs.groupby(["table_id", "block"]).map_groups(
+        verify, batch_format="pandas")
+    from ray.data.aggregate import Min
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))

@@ -27,6 +27,22 @@ def stable_bucket(series, n_buckets: int):
                        dtype=np.int64, count=len(vals))
 
 
+# Per-worker-process instance cache for task-based stateful stages.
+# An actor pool is the right home for EXPENSIVE state (models, big
+# indexes) — but a pool also RESERVES CPUs for the pipeline's lifetime,
+# and two pools inside one multi-shuffle execution livelock a 4-CPU
+# cluster (observed: minhash pipeline, r2). Cheap state (hash params,
+# broadcast refs) lives here instead: tasks run on ordinary CPU slots
+# and each worker process builds the instance once.
+_WORKER_CACHE: dict = {}
+
+
+def cached_instance(key, factory):
+    if key not in _WORKER_CACHE:
+        _WORKER_CACHE[key] = factory()
+    return _WORKER_CACHE[key]
+
+
 def pool_size(requested: int) -> int:
     """Clamp an actor-pool size so the pool can never reserve every CPU
     (a pool holding all CPUs starves the read/write stages and the

@@ -1,13 +1,34 @@
-"""Catalog assembly: flat record rows → nested catalog dicts + the
-merge-precedence writer (SURVEY.md §2.7 A1-A5).
+"""Catalog assembly: flat record rows → nested catalog entries with the
+merge precedence + delta semantics applied DISTRIBUTED (SURVEY.md §2.7
+A1-A5, D2) — no driver-side materialization of the record stream.
 
-The wide step — episode→season→series nesting — is a
-``groupby(catalog, series_key).map_groups`` (one group per series, so a
-1000-episode outlier is one group, not one driver loop). The output of
-assembly is one row per catalog entry (catalog, key, order_key,
-payload_json); the final writer applies each catalog's exact merge
-precedence and delta semantics against the previous run's catalogs and
-emits reference-shaped JSON files (dict-of-dicts, indent=4).
+Shape: one hash-bucket shuffle on (catalog, unit) where unit is the
+series key for nested rows (episode→season→series co-location) and the
+entry key for flat rows (so a 600k-movie catalog spreads over all
+buckets instead of landing in one group). Old-run catalogs enter the
+same shuffle as rows (previous position = order rank), so per-catalog
+merge precedence (old-wins `new | old` FaselSeriesScraper.py:217 vs
+new-wins `old.update(new)` FaselMoviesScraper.py:100-101) and the D2
+episode/season deltas are applied inside the per-bucket pass, worker-
+side. The output is a Dataset of FINAL entries
+
+    (catalog, key, rank0:int64, rank1:str, payload:json-str)
+
+where sorting by (rank0, rank1) inside a catalog reproduces the
+reference's dict insertion order exactly. Writers:
+
+- ``write_entries``    — partitioned parquet, the 100-TB-posture sink;
+- ``write_catalogs_distributed`` — reference-shaped JSON files +
+  file-hashes.json, rendered per-entry in workers (the driver only
+  concatenates pre-rendered fragments in sorted order);
+- ``build_catalogs``   — small-scale dict materializer (tests, tiny
+  runs, the trending/postprocess inputs).
+
+Old-catalog size contract: the previous run's catalogs are the
+reference's own output files (~15 MB committed snapshot) — dimension-
+sized. They are re-emitted as entry rows through the same shuffle, so
+even a much larger old side only costs its proportional share of the
+bucket pass, not a driver loop.
 """
 
 from __future__ import annotations
@@ -15,8 +36,8 @@ from __future__ import annotations
 import json
 import os
 
-import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 from ..functions.hashing import md5_of_json
@@ -31,200 +52,385 @@ NESTED_FLAT_EPISODES = ("anime", "arabic-series")
 OLD_WINS = {"series", "tvshows", "asian-series"}      # FaselSeriesScraper.py:217
 NO_MERGE = {"arabic-movies", "hdwseries"}             # master_dict only
 
+# catalogs whose reference writer uses the json.dump default
+# ensure_ascii=True (the rest pass ensure_ascii=False:
+# AkwamMoviesScaper.py:76-77, WeCimaScraper.py:74-75, ...)
+ENSURE_ASCII_CATALOGS = ("movies", "series", "tvshows", "asian-series",
+                         "anime")
 
-def assemble_records(records: rd.Dataset, n_buckets: int = 64) -> pd.DataFrame:
-    """Distributed nesting: returns (catalog, key, order_key, payload)
-    entry rows — nested entries built per series, flat entries passed
-    through, delta rows tagged for the writer.
+_NEST_TYPES = ("series_head", "season", "episode")
 
-    Shuffle shape: series are hash-bucketed (series co-location is the
-    only requirement) and each bucket assembles ALL its series in one
-    sorted pass — a per-series map_groups measured 180 s at 300k series
-    from per-group overhead alone; 64 buckets assemble the same rows in
-    seconds. A 1000-episode outlier series is still one in-memory
-    group within its bucket."""
 
+def _distinct_catalogs(records: rd.Dataset) -> set[str]:
+    """Tiny pre-pass: which catalogs received records this run (decides
+    carry-forward vs merge for each old catalog). Column-pruned scan,
+    per-batch uniques — the driver sees only catalog names."""
     import pyarrow.compute as pc
-    records = records.map_batches(
-        lambda t: t.filter(pc.not_equal(t["catalog"], "__pages__")),
-        batch_format="pyarrow")
+
+    def uniq(t: pa.Table) -> pa.Table:
+        return pa.table({"catalog": pc.unique(t["catalog"])})
+
+    part = records.select_columns(["catalog"]).map_batches(
+        uniq, batch_format="pyarrow").to_pandas()
+    return set(part["catalog"].unique())
+
+
+def _old_entry_table(old_catalogs: dict, new_cats: set[str]) -> pa.Table:
+    """Previous-run catalogs → entry rows for the assembly shuffle.
+    record_type 'old' rows take part in precedence/deltas; 'carry' rows
+    (catalog saw no new records this run) are re-emitted verbatim."""
+    cols = {c: [] for c in ("catalog", "record_type", "key", "series_key",
+                            "season_key", "order_key", "payload")}
+    for catalog, data in old_catalogs.items():
+        if catalog in NO_MERGE and catalog in new_cats:
+            continue    # master_dict replaces the file wholesale
+        rt = "old" if catalog in new_cats else "carry"
+        for pos, (key, rec) in enumerate(data.items()):
+            cols["catalog"].append(catalog)
+            cols["record_type"].append(rt)
+            cols["key"].append(key)
+            cols["series_key"].append(key)
+            cols["season_key"].append("")
+            cols["order_key"].append(f"{pos:012d}")
+            cols["payload"].append(json.dumps(rec, ensure_ascii=False))
+    return pa.table({c: pa.array(v, type=pa.string())
+                     for c, v in cols.items()})
+
+
+def _nest_series(catalog: str, rows: list) -> tuple[str, str, str] | None:
+    """episode→season→series nesting for one series' new rows (A1/A2).
+    ``rows``: (record_type, key, season_key, order_key, payload) in
+    order_key order. Returns (head_key, head_order_key, payload_json)."""
+    head = None
+    head_key = head_ok = None
+    seasons: list[tuple[str, dict]] = []
+    eps_by_season: dict[str, dict] = {}
+    flat_eps: dict[str, dict] = {}
+    for rt, key, season_key, ok, payload in rows:
+        if rt == "series_head" and head is None:
+            head = json.loads(payload)
+            head_key, head_ok = key, ok
+        elif rt == "season":
+            sp = json.loads(payload)
+            sp.pop("orphan", None)
+            seasons.append((key, sp))
+        elif rt == "episode":
+            if catalog in NESTED_SEASONS:
+                eps_by_season.setdefault(season_key, {})[key] = \
+                    json.loads(payload)
+            else:
+                flat_eps[key] = json.loads(payload)
+    if head is None:
+        return None
+    if catalog in NESTED_SEASONS:
+        total = 0
+        season_map = {}
+        for skey, sp in seasons:
+            # fasel: count = link count (set at season extract);
+            # hdw: count = card count — both already in payload
+            season_map[skey] = {
+                "Season Number": sp["Season Number"],
+                "Number Of Episodes": sp["Number Of Episodes"],
+                "Episodes": eps_by_season.get(skey, {}),
+            }
+            total += sp["Number Of Episodes"]
+        head["Seasons"] = season_map
+        if "Number Of Episodes" in head:
+            head["Number Of Episodes"] = total
+    else:  # anime / arabic-series: flat Episodes
+        head["Episodes"] = flat_eps
+        if catalog == "arabic-series":
+            # A3 fix-up: count = scraped episodes
+            # (AkwamSeriesScraper.py:109-110)
+            head["Number Of Episodes"] = len(flat_eps)
+    return head_key, head_ok, json.dumps(head, ensure_ascii=False)
+
+
+def _emit_unit(catalog: str, rows: list, out: dict) -> None:
+    """Finalize one (catalog, unit): nesting + D2 deltas into the old
+    record + A5 precedence → at most one output entry (plus verbatim
+    carry rows). ``rows``: (record_type, key, season_key, order_key,
+    payload) sorted by order_key."""
+
+    old_payload = old_pos = None
+    new_key = new_ok = new_payload = None
+    nest_rows: list = []
+    deltas: list = []
+    for rt, key, season_key, ok, payload in rows:
+        if rt == "carry":
+            out["catalog"].append(catalog)
+            out["key"].append(key)
+            out["rank0"].append(0)
+            out["rank1"].append(ok)
+            out["payload"].append(payload)
+        elif rt == "old":
+            old_payload, old_pos = payload, ok
+        elif rt in _NEST_TYPES:
+            nest_rows.append((rt, key, season_key, ok, payload))
+        elif rt in ("season_delta", "episode_delta"):
+            deltas.append((rt, key, season_key, payload))
+        elif rt == "record":
+            # flat entry: first occurrence fixes the position, the last
+            # (highest order_key) fixes the value — dict re-assignment
+            if new_key is None:
+                new_key, new_ok = key, ok
+            new_payload = payload
+    if nest_rows:
+        nested = _nest_series(catalog, nest_rows)
+        if nested is not None:
+            new_key, new_ok, new_payload = nested
+
+    # D2 delta application into the OLD record. The delta rows carry the
+    # owning series in series_key (= this unit), so no catalog-wide
+    # season→series scan is needed (the reference's
+    # find-series-with-season walk, FaselSeriesScraper.py:48-100, is a
+    # unit-local lookup here).
+    if deltas and old_payload is not None:
+        old = json.loads(old_payload)
+        if catalog in NESTED_SEASONS:
+            for rt, key, season_key, payload in deltas:
+                sid = key if rt == "season_delta" else season_key
+                season = old.get("Seasons", {}).get(sid)
+                if season is None:
+                    continue
+                if rt == "season_delta":
+                    # count += n_links (link count, FaselSeriesScraper.py:79)
+                    season["Number Of Episodes"] += \
+                        json.loads(payload)["n_links"]
+                else:
+                    season["Episodes"][key] = json.loads(payload)
+        elif catalog in NESTED_FLAT_EPISODES:
+            eps = {key: json.loads(payload)
+                   for rt, key, season_key, payload in deltas
+                   if rt == "episode_delta"}
+            # count += len(scraped dict) (FaselAnimeScraper.py:120)
+            old["Number Of Episodes"] += len(eps)
+            old["Episodes"].update(eps)
+        old_payload = json.dumps(old, ensure_ascii=False)
+
+    # A5 precedence + final insertion rank. rank0 separates the two
+    # order classes of the reference's dict merge; rank1 orders within.
+    if catalog in NO_MERGE:
+        if new_payload is None:
+            return
+        entry = (new_key, 0, new_ok, new_payload)
+    elif catalog in OLD_WINS:
+        # merged = dict(new); merged.update(old) — new keys first in
+        # new order (old value wins), old-only keys appended in old order
+        if new_payload is not None:
+            entry = (new_key, 0, new_ok,
+                     old_payload if old_payload is not None else new_payload)
+        elif old_payload is not None:
+            entry = (rows[0][1], 1, old_pos, old_payload)
+        else:
+            return
+    else:
+        # merged = dict(old); merged.update(new) — old keys keep old
+        # positions (new value wins), new-only keys appended in new order
+        if old_payload is not None:
+            entry = (rows[0][1], 0, old_pos,
+                     new_payload if new_payload is not None else old_payload)
+        elif new_payload is not None:
+            entry = (new_key, 1, new_ok, new_payload)
+        else:
+            return
+    key, rank0, rank1, payload = entry
+    out["catalog"].append(catalog)
+    out["key"].append(key)
+    out["rank0"].append(rank0)
+    out["rank1"].append(rank1)
+    out["payload"].append(payload)
+
+
+ENTRY_SCHEMA = pa.schema([
+    ("catalog", pa.string()), ("key", pa.string()),
+    ("rank0", pa.int64()), ("rank1", pa.string()),
+    ("payload", pa.string()),
+])
+
+
+def assemble_records(records: rd.Dataset, old_catalogs: dict | None = None,
+                     n_buckets: int = 64) -> rd.Dataset:
+    """Distributed end-to-end assembly. Returns the FINAL entry Dataset
+    (catalog, key, rank0, rank1, payload) with nesting, deltas and merge
+    precedence already applied; (rank0, rank1) sorts a catalog into the
+    reference's exact key order."""
+
+    if old_catalogs:
+        new_cats = _distinct_catalogs(records)
+        old_table = _old_entry_table(old_catalogs, new_cats)
+        if old_table.num_rows:
+            records = records.union(rd.from_arrow(old_table))
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        key = df["catalog"] + "\x00" + df["series_key"]
-        df["bucket"] = stable_bucket(key, n_buckets)
+        # defensive: page-stat rows live under pages/ since r2, but a
+        # pre-split run dir may still interleave them
+        if (df["catalog"] == "__pages__").any():
+            df = df[df["catalog"] != "__pages__"].copy()
+        # unit: series for nested rows (co-locates a series' episodes,
+        # seasons, deltas and old record), the entry key for flat rows
+        # (spreads a flat catalog over every bucket — keying flats by
+        # catalog alone measured as a single straggler group at sf0.1)
+        unit = df["series_key"].where(df["series_key"] != "", df["key"])
+        df["bucket"] = stable_bucket(df["catalog"] + "\x00" + unit, n_buckets)
+        df["unit"] = unit
         return df
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["catalog", "series_key", "order_key"],
-                          kind="stable")
-        is_nest = (g["series_key"] != "") & g["record_type"].isin(
-            ["series_head", "season", "episode"])
-        passthrough = g[~is_nest][["catalog", "record_type", "key",
-                                   "season_key", "order_key", "payload"]]
-        nest = g[is_nest]
-        out = {"catalog": [], "record_type": [], "key": [],
-               "season_key": [], "order_key": [], "payload": []}
-
-        def emit_series(catalog, rows):
-            # rows: list of (record_type, key, season_key, order_key,
-            # payload) in order_key order
-            head = None
-            head_key = head_ok = None
-            seasons: list[tuple[str, dict]] = []
-            eps_by_season: dict[str, dict] = {}
-            flat_eps: dict[str, dict] = {}
-            for rt, key, season_key, ok, payload in rows:
-                if rt == "series_head" and head is None:
-                    head = json.loads(payload)
-                    head_key, head_ok = key, ok
-                elif rt == "season":
-                    sp = json.loads(payload)
-                    sp.pop("orphan", None)
-                    seasons.append((key, sp))
-                elif rt == "episode":
-                    if catalog in NESTED_SEASONS:
-                        eps_by_season.setdefault(season_key, {})[key] = \
-                            json.loads(payload)
-                    else:
-                        flat_eps[key] = json.loads(payload)
-            if head is None:
-                return
-            if catalog in NESTED_SEASONS:
-                total = 0
-                season_map = {}
-                for skey, sp in seasons:
-                    eps = eps_by_season.get(skey, {})
-                    # fasel: count = link count (set at season extract);
-                    # hdw: count = card count — both already in payload
-                    season_map[skey] = {
-                        "Season Number": sp["Season Number"],
-                        "Number Of Episodes": sp["Number Of Episodes"],
-                        "Episodes": eps,
-                    }
-                    total += sp["Number Of Episodes"]
-                head["Seasons"] = season_map
-                if "Number Of Episodes" in head:
-                    head["Number Of Episodes"] = total
-            else:  # anime / arabic-series: flat Episodes
-                head["Episodes"] = flat_eps
-                if catalog == "arabic-series":
-                    # A3 fix-up: count = scraped episodes
-                    # (AkwamSeriesScraper.py:109-110)
-                    head["Number Of Episodes"] = len(flat_eps)
-            out["catalog"].append(catalog)
-            out["record_type"].append("record")
-            out["key"].append(head_key)
-            out["season_key"].append("")
-            out["order_key"].append(head_ok)
-            out["payload"].append(json.dumps(head, ensure_ascii=False))
-
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["catalog", "unit", "order_key"], kind="stable")
+        out = {"catalog": [], "key": [], "rank0": [], "rank1": [],
+               "payload": []}
         current = None
         buf: list = []
-        cols = (nest["catalog"].tolist(), nest["series_key"].tolist(),
-                nest["record_type"].tolist(), nest["key"].tolist(),
-                nest["season_key"].tolist(), nest["order_key"].tolist(),
-                nest["payload"].tolist())
-        for cat, skey, rt, key, season_key, ok, payload in zip(*cols):
-            ident = (cat, skey)
+        cols = (g["catalog"].tolist(), g["unit"].tolist(),
+                g["record_type"].tolist(), g["key"].tolist(),
+                g["season_key"].tolist(), g["order_key"].tolist(),
+                g["payload"].tolist())
+        for cat, unit, rt, key, season_key, ok, payload in zip(*cols):
+            ident = (cat, unit)
             if ident != current:
                 if current is not None:
-                    emit_series(current[0], buf)
+                    _emit_unit(current[0], buf, out)
                 current, buf = ident, []
             buf.append((rt, key, season_key, ok, payload))
         if current is not None:
-            emit_series(current[0], buf)
-        return pd.concat([passthrough, pd.DataFrame(out)],
-                         ignore_index=True)
+            _emit_unit(current[0], buf, out)
+        return pa.table({
+            "catalog": pa.array(out["catalog"], type=pa.string()),
+            "key": pa.array(out["key"], type=pa.string()),
+            "rank0": pa.array(out["rank0"], type=pa.int64()),
+            "rank1": pa.array(out["rank1"], type=pa.string()),
+            "payload": pa.array(out["payload"], type=pa.string()),
+        })
 
     return (records
             .map_batches(add_bucket, batch_format="pandas")
             .groupby("bucket")
-            .map_groups(per_bucket, batch_format="pandas")
-            .to_pandas())
+            .map_groups(per_bucket, batch_format="pandas"))
 
 
-def build_catalogs(entries: pd.DataFrame,
-                   old_catalogs: dict | None = None) -> dict[str, dict]:
-    """Apply per-catalog merge precedence + delta semantics; returns
-    {catalog: dict-of-dicts} in the reference's key order."""
-    old_catalogs = {k: {kk: json.loads(json.dumps(vv))
-                        for kk, vv in v.items()}
-                    for k, v in (old_catalogs or {}).items()}
+# --------------------------------------------------------------------------
+# Materializers / writers
+# --------------------------------------------------------------------------
+
+def build_catalogs(entries) -> dict[str, dict]:
+    """Small-scale materializer: final entry rows → {catalog:
+    dict-of-dicts} in the reference's key order. Driver-side by design —
+    use only where a python dict is the consumer (tests, trending/
+    postprocess inputs, tiny runs); the scale sinks are
+    ``write_entries`` / ``write_catalogs_distributed``."""
+    if isinstance(entries, rd.Dataset):
+        entries = entries.to_pandas()
+    entries = entries.sort_values(["rank0", "rank1"], kind="stable")
     catalogs: dict[str, dict] = {}
-    entries = entries.sort_values("order_key", kind="stable")
-
     for catalog, g in entries.groupby("catalog", sort=True):
-        old = old_catalogs.get(catalog, {})
-        new: dict = {}
-        recs = g[g["record_type"] == "record"]
-        for k, payload in zip(recs["key"].tolist(),
-                              recs["payload"].tolist()):
-            new[k] = json.loads(payload)
-
-        # D2 delta application into the OLD catalog
-        if catalog in ("series", "tvshows", "asian-series"):
-            for _, row in g[g["record_type"] == "season_delta"].iterrows():
-                sid = row["key"]
-                series = _find_series_with_season(old, sid)
-                if series is not None:
-                    # count += n_links (link count, FaselSeriesScraper.py:79)
-                    old[series]["Seasons"][sid]["Number Of Episodes"] += \
-                        json.loads(row["payload"])["n_links"]
-            for _, row in g[g["record_type"] == "episode_delta"].iterrows():
-                sid = row["season_key"]
-                series = _find_series_with_season(old, sid)
-                if series is not None:
-                    old[series]["Seasons"][sid]["Episodes"][row["key"]] = \
-                        json.loads(row["payload"])
-        elif catalog == "anime":
-            delta_eps: dict[str, dict] = {}
-            for _, row in g[g["record_type"] == "episode_delta"].iterrows():
-                delta_eps.setdefault(row["season_key"], {})[row["key"]] = \
-                    json.loads(row["payload"])
-            for aid, eps in delta_eps.items():
-                if aid in old:
-                    # count += len(scraped dict) (FaselAnimeScraper.py:120)
-                    old[aid]["Number Of Episodes"] += len(eps)
-                    old[aid]["Episodes"].update(eps)
-
-        # A5 merge precedence
-        if catalog in NO_MERGE:
-            merged = new
-        elif catalog in OLD_WINS:
-            merged = dict(new)
-            merged.update(old)     # `new | old` — old wins, new order first
-        else:
-            merged = dict(old)
-            merged.update(new)     # old.update(new) — new wins
-        catalogs[catalog] = merged
-    # catalogs with no new records this run still carry forward
-    for catalog, old in old_catalogs.items():
-        if catalog not in catalogs:
-            catalogs[catalog] = old
+        catalogs[catalog] = {
+            k: json.loads(p)
+            for k, p in zip(g["key"].tolist(), g["payload"].tolist())}
     return catalogs
 
 
-def _find_series_with_season(old: dict, season_id: str):
-    for sid, rec in old.items():
-        if season_id in rec.get("Seasons", {}):
-            return sid
-    return None
+def write_entries(entries: rd.Dataset, out_dir: str) -> None:
+    """The 100-TB sink: final entries as parquet partitioned by catalog
+    (a failed downstream consumer re-reads per-catalog, not the world)."""
+    entries.write_parquet(out_dir, partition_cols=["catalog"])
+
+
+def _render_fragments(entries: rd.Dataset) -> rd.Dataset:
+    """Worker-side render of each entry's two serializations: the
+    pretty fragment (indent=4, the reference file body) and the compact
+    fragment (default dumps, the md5_of_json stream). Dumping the
+    single-entry dict and stripping the outer braces reproduces the
+    whole-file json.dump byte-for-byte after a ",\\n" join."""
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        pretty, compact = [], []
+        for cat, key, payload in zip(df["catalog"], df["key"],
+                                     df["payload"]):
+            v = json.loads(payload)
+            ea = cat in ENSURE_ASCII_CATALOGS
+            pretty.append(json.dumps({key: v}, indent=4,
+                                     ensure_ascii=ea)[2:-2])
+            compact.append(json.dumps({key: v})[1:-1])
+        return pd.DataFrame({
+            "catalog": df["catalog"], "rank0": df["rank0"],
+            "rank1": df["rank1"], "pretty": pretty, "compact": compact})
+
+    return entries.map_batches(render, batch_format="pandas")
+
+
+def write_catalogs_distributed(
+        entries: rd.Dataset, out_dir: str,
+        hashes: bool = True) -> tuple[dict[str, str], dict[str, int]]:
+    """Reference-shaped sinks from the entry Dataset: one pretty JSON
+    per catalog (S6) + the md5 manifest (S8, Postprocessing.py:98-110),
+    byte-identical to ``write_catalogs(build_catalogs(entries))``.
+    Fragments are rendered in workers; the driver streams the globally
+    sorted fragments straight into the files — no json.loads on the
+    driver, memory bounded by one batch. Returns (file md5s, per-catalog
+    entry counts)."""
+    import hashlib
+
+    os.makedirs(out_dir, exist_ok=True)
+    ordered = _render_fragments(entries).sort(["catalog", "rank0", "rank1"])
+    file_hashes: dict[str, str] = {}
+    counts: dict[str, int] = {}
+    cur = None
+    fp = None
+    md5 = None
+    first = True
+
+    def close_current():
+        nonlocal fp, md5
+        if fp is None:
+            return
+        fp.write("\n}")
+        fp.close()
+        md5.update(b"}")
+        file_hashes[cur] = md5.hexdigest()
+        fp = md5 = None
+
+    for batch in ordered.iter_batches(batch_format="pyarrow",
+                                      batch_size=4096):
+        cats = batch.column("catalog").to_pylist()
+        pretty = batch.column("pretty").to_pylist()
+        compact = batch.column("compact").to_pylist()
+        for cat, pf, cf in zip(cats, pretty, compact):
+            if cat != cur:
+                close_current()
+                cur = cat
+                counts[cat] = 0
+                fp = open(os.path.join(out_dir, f"{cat}.json"), "w",
+                          encoding="utf-8")
+                md5 = hashlib.md5(b"{")
+                first = True
+            fp.write("{\n" if first else ",\n")
+            fp.write(pf)
+            if not first:
+                md5.update(b", ")
+            md5.update(cf.encode("utf-8"))
+            first = False
+            counts[cat] += 1
+    close_current()
+    if hashes:
+        with open(os.path.join(out_dir, "file-hashes.json"), "w") as f:
+            json.dump(file_hashes, f, indent=4)
+    return file_hashes, counts
 
 
 def write_catalogs(catalogs: dict[str, dict], out_dir: str,
                    hashes: bool = True) -> dict[str, str]:
-    """Reference-shaped sinks: one pretty-printed JSON per catalog
-    (S6) + the md5 manifest (S8, Postprocessing.py:98-110)."""
+    """Dict-input writer (small scale): one pretty-printed JSON per
+    catalog (S6) + the md5 manifest (S8, Postprocessing.py:98-110)."""
     os.makedirs(out_dir, exist_ok=True)
     file_hashes = {}
     for catalog, data in catalogs.items():
         path = os.path.join(out_dir, f"{catalog}.json")
-        ensure_ascii = catalog in ("movies", "series", "tvshows",
-                                   "asian-series", "anime")
         # Arabic preserved where the reference passes ensure_ascii=False
         # (AkwamMoviesScaper.py:76-77, WeCimaScraper.py:74-75, ...)
         with open(path, "w", encoding="utf-8") as fp:
-            json.dump(data, fp, indent=4, ensure_ascii=ensure_ascii)
+            json.dump(data, fp, indent=4,
+                      ensure_ascii=catalog in ENSURE_ASCII_CATALOGS)
         file_hashes[catalog] = md5_of_json(data)
     if hashes:
         with open(os.path.join(out_dir, "file-hashes.json"), "w") as fp:

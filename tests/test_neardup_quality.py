@@ -1,0 +1,175 @@
+"""Quality oracles for the near-dup / ANN operators (the components
+whose ANSWERS had no check in r01):
+
+- MinHash+LSH: precision is exact by construction (pairs carry exact
+  Jaccard ≥ threshold); recall is measured against brute-force all-pairs
+  Jaccard — every strong pair (j ≥ 0.9) must be found, and overall
+  recall at the threshold must clear the LSH S-curve floor;
+- SimHash: engine pairs ⊆ brute-force Hamming pairs with identical
+  distances; close pairs (≤ 4 bits) must be found;
+- IVF: recall@k ≥ 0.9 vs knn_bruteforce on the same queries;
+- cosine near-dup: pairs ⊆ brute-force cosine pairs (equal cosine),
+  recall ≥ 0.8 at the threshold, exact for very-near duplicates.
+
+Everything here is deterministic: fixed testdata, fixed seeds, fixed
+hash keys — the asserted floors are stable, not flaky bounds.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+SF = "/root/testdata/sf0.01"
+JACCARD_T = 0.4
+COSINE_T = 0.35
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    import pyarrow.parquet as pq
+    return pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    return rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    return rd.read_parquet(f"{SF}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+
+@pytest.fixture(scope="module")
+def emb_mat():
+    import pyarrow.parquet as pq
+    df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ids = df["vec_id"].to_numpy()
+    m = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return ids, m / n
+
+
+def _brute_jaccard(docs_df, shingle=3):
+    from no_fasel_scrapers_ray.ops.dedup import _token_hashes
+    sets = {d: _token_hashes(t, shingle)
+            for d, t in zip(docs_df["doc_id"], docs_df["text"])}
+    ids = sorted(sets)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sets[a], sets[b]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 0.0
+            if j >= JACCARD_T:
+                out[(a, b)] = round(j, 6)
+    return out
+
+
+def test_minhash_lsh_quality(docs_df, docs_ds):
+    from no_fasel_scrapers_ray.ops.dedup import minhash_lsh_pairs
+    got = minhash_lsh_pairs(docs_ds, jaccard_threshold=JACCARD_T).to_pandas()
+    got_pairs = {(a, b): j for a, b, j in
+                 zip(got["doc_a"], got["doc_b"], got["jaccard"])}
+    brute = _brute_jaccard(docs_df)
+    # precision: every reported pair is a true pair with the exact Jaccard
+    for (a, b), j in got_pairs.items():
+        assert (a, b) in brute, f"false positive ({a},{b})"
+        assert abs(brute[(a, b)] - j) < 1e-9
+    # recall: strong pairs must all surface; overall recall clears the
+    # (b=8, r=8) S-curve floor on this corpus
+    strong = {p for p, j in brute.items() if j >= 0.9}
+    assert strong, "corpus should contain strong near-dups"
+    found_strong = strong & set(got_pairs)
+    assert len(found_strong) == len(strong), (
+        f"missed strong pairs: {strong - set(got_pairs)}")
+    recall = len(set(got_pairs) & set(brute)) / len(brute)
+    assert recall >= 0.6, f"overall recall {recall:.3f} below floor"
+
+
+def test_simhash_quality(docs_df, docs_ds):
+    from no_fasel_scrapers_ray.ops.dedup import SimHasher, simhash_candidates
+    got = simhash_candidates(docs_ds, max_hamming=10).to_pandas()
+    hasher = SimHasher()
+    sh = {d: np.uint64(hasher.simhash(t))
+          for d, t in zip(docs_df["doc_id"], docs_df["text"])}
+    ids = sorted(sh)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin(int(sh[a] ^ sh[b])).count("1")
+            if ham <= 10:
+                brute[(a, b)] = ham
+    for a, b, h in zip(got["doc_a"], got["doc_b"], got["hamming"]):
+        assert brute.get((a, b)) == h, f"({a},{b}) hamming {h} wrong"
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    # pigeonhole guarantee of the 4-block tables: Hamming ≤ 3 ⇒ found
+    guaranteed = {p for p, h in brute.items() if h <= 3}
+    assert guaranteed, "corpus should contain close simhash pairs"
+    missed = guaranteed - got_pairs
+    assert not missed, f"missed guaranteed (h≤3) pairs: {missed}"
+    close = {p for p, h in brute.items() if h <= 4}
+    recall = len(close & got_pairs) / len(close)
+    assert recall >= 0.8, f"close-pair (h≤4) recall {recall:.3f}"
+
+
+def test_knn_ivf_recall(emb_ds):
+    from no_fasel_scrapers_ray.ops.ann import knn_bruteforce, knn_ivf
+    qids = [0, 1, 2]
+    bf = knn_bruteforce(emb_ds, qids, k=5)
+    ivf = knn_ivf(emb_ds, qids, k=5)
+    recalls = []
+    for q in qids:
+        exact = set(bf[bf["query_id"] == q]["neighbor_id"])
+        approx = set(ivf[ivf["query_id"] == q]["neighbor_id"])
+        recalls.append(len(exact & approx) / len(exact))
+    assert np.mean(recalls) >= 0.9, f"IVF recall@5 {recalls}"
+
+
+def test_cosine_near_dup_quality(emb_ds, emb_mat):
+    from no_fasel_scrapers_ray.ops.ann import cosine_near_dup
+    got = cosine_near_dup(emb_ds, threshold=COSINE_T).to_pandas()
+    ids, m = emb_mat
+    sims = m @ m.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    keep = sims[iu, ju] >= COSINE_T
+    brute = {(int(ids[i]), int(ids[j])): round(float(sims[i, j]), 4)
+             for i, j in zip(iu[keep], ju[keep])}
+    got_pairs = {(int(a), int(b)): c for a, b, c in
+                 zip(got["vec_a"], got["vec_b"], got["cosine"])}
+    for p, c in got_pairs.items():
+        assert p in brute, f"false positive {p}"
+        assert abs(brute[p] - c) < 1e-6
+    assert brute, "corpus should contain near-dup embeddings"
+    recall = len(set(got_pairs) & set(brute)) / len(brute)
+    assert recall >= 0.8, f"near-dup recall {recall:.3f}"
+    very_near = {p for p, c in brute.items() if c >= 0.9}
+    if very_near:
+        vn_recall = len(very_near & set(got_pairs)) / len(very_near)
+        assert vn_recall >= 0.95, f"very-near recall {vn_recall:.3f}"
+
+
+def test_cosine_bucket_cap():
+    """An over-cap bucket of duplicate-heavy vectors still verifies
+    (recursive split hits the depth fallback on unsplittable ties)."""
+    from no_fasel_scrapers_ray.ops.ann import cosine_near_dup
+    rng = np.random.RandomState(7)
+    base = rng.randn(4, 16)
+    rows = []
+    for i in range(120):
+        v = base[i % 4] + rng.randn(16) * 0.01
+        rows.append({"vec_id": i, "embedding": v.astype(np.float32)})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    got = cosine_near_dup(ds, threshold=0.99, bucket_cap=16,
+                          target_bucket=8).to_pandas()
+    # every same-cluster pair has cosine ≈ 1 ≥ 0.99 and must be present
+    # only if LSH put them in one bucket — with near-identical vectors
+    # all repeats agree, so expect full in-cluster coverage
+    expect = 4 * (30 * 29 // 2)
+    assert len(got) >= 0.9 * expect

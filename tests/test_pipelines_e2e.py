@@ -91,8 +91,8 @@ def test_incremental_crawl(tmp_path_factory):
     eng = CrawlEngine(corpus1, seeds1.to_pylist(), run_dir, n_shards=2,
                       old_catalogs=old)
     eng.run()
-    got = build_catalogs(assemble_records(eng.records_dataset()),
-                         old_catalogs=old)
+    got = build_catalogs(assemble_records(eng.records_dataset(),
+                                          old_catalogs=old))
 
     for name in o1.catalogs:
         assert list(got[name]) == list(o1.catalogs[name]), (
