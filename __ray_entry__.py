@@ -336,6 +336,36 @@ def q_crawl_all_content(sf_dir: str):
         for r in rows])
 
 
+def q_scrape_all(sf_dir: str):
+    """One-shot orchestrated run (ScrapeAll.py:5-39 parity): crawl →
+    assemble → trending → postprocess → all-content → image blobs →
+    full output directory. Returns the file manifest (name, md5,
+    size) — rows-only check; per-artifact equality is oracle-tested in
+    tests/test_scrape_all.py."""
+    import hashlib
+    import os
+    if "scrape_all" not in _CRAWL_MEMO:
+        import tempfile
+        from no_fasel_scrapers_ray.corpus.synth import generate, tiny_config
+        from no_fasel_scrapers_ray.pipelines.scrape_all import scrape_all
+        corpus, seeds = generate(tiny_config())
+        run_dir = tempfile.mkdtemp(prefix="entry_scrape_all_")
+        _CRAWL_MEMO["scrape_all"] = scrape_all(
+            corpus, seeds.to_pylist(), run_dir, n_shards=2)
+    summary = _CRAWL_MEMO["scrape_all"]
+    out_dir = summary["out_dir"]
+    rows = []
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isfile(path):
+            continue
+        with open(path, "rb") as fp:
+            blob = fp.read()
+        rows.append({"file": name, "md5": hashlib.md5(blob).hexdigest(),
+                     "bytes": len(blob)})
+    return pd.DataFrame(rows)
+
+
 def q_crawl_trending(sf_dir: str):
     """Trending joins (J3 first-match title join, J4 id semi-joins, J5
     featured projection)."""
@@ -354,9 +384,11 @@ def q_crawl_trending(sf_dir: str):
 # --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship: the full multi-site crawl over the tiny synthetic web
-    (read → frontier rounds → fetch/extract → nesting → catalogs),
-    returned as flattened catalog entries."""
+    """Flagship: the ONE-SHOT orchestrated pipeline (ScrapeAll parity —
+    crawl rounds → distributed assembly → trending → postprocess →
+    all-content → S9 image blobs → full output dir), then the flattened
+    catalog entries of the same tiny synthetic web."""
+    q_scrape_all("/root/testdata/sf0.001")
     return q_crawl_catalogs("/root/testdata/sf0.001")
 
 
@@ -389,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
         "crawl_trending": q_crawl_trending,
+        "crawl_scrape_all": q_scrape_all,
     }
 
 

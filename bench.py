@@ -61,12 +61,19 @@ def load_bench_corpus(scale: str):
 
 
 def load_bench_corpus_path(scale: str):
-    """Corpus stays on disk; workers read it themselves (scale path)."""
+    """Corpus stays on disk, HOST-PARTITIONED; path-mode workers load
+    only the partitions their blocks serve (the 10^10-doc layout)."""
     import pyarrow.parquet as pq
-    load_bench_corpus(scale)  # ensure generated
+    from no_fasel_scrapers_ray.corpus.storage import (
+        is_host_partitioned, write_corpus)
+    corpus, _ = load_bench_corpus(scale)  # ensure generated
     cache = _corpus_cache_dir(scale)
-    return (os.path.join(cache, "corpus.parquet"),
-            pq.read_table(os.path.join(cache, "seeds.parquet")))
+    store = os.path.join(cache, "store")
+    from no_fasel_scrapers_ray.corpus.storage import corpus_path
+    path = corpus_path(store)
+    if not (os.path.isdir(path) and is_host_partitioned(path)):
+        path = write_corpus(corpus, store)
+    return path, pq.read_table(os.path.join(cache, "seeds.parquet"))
 
 
 def _restart_ray(num_cpus: int) -> None:
@@ -153,7 +160,12 @@ def main() -> None:
     import no_fasel_scrapers_ray
     no_fasel_scrapers_ray.enable_portable_pickling()
 
-    corpus, seeds = load_bench_corpus(scale)
+    if os.environ.get("BENCH_FETCH_MODE") == "path":
+        # host-partitioned on-disk corpus; workers load only the
+        # partitions their (host, salt) blocks touch
+        corpus, seeds = load_bench_corpus_path(scale)
+    else:
+        corpus, seeds = load_bench_corpus(scale)
     import tempfile
     run_dir = tempfile.mkdtemp(prefix="bench_crawl_")
     crawl = run_crawl(corpus, seeds, num_cpus, run_dir,

@@ -7,15 +7,22 @@ layer is format-gated: identical layout and API over Lance
 Parquet (``write_parquet`` / ``read_parquet``). Everything downstream
 sees a ``ray.data.Dataset`` of CORPUS_SCHEMA rows either way.
 
-Layout: one directory per corpus, data partitioned by host so the fetch
-stage's groupby-host shuffle can prune partitions at the read.
+Layout: one directory per corpus, data hive-partitioned by host
+(``host=<quoted-host>/part-*.parquet``) so the fetch stage loads ONLY
+the partitions its (host, salt) blocks touch — at 10^10 documents a
+worker's resident corpus state is proportional to the hosts it serves,
+not the corpus (Lance gets the same effect through filter pushdown on
+the host column). Files are capped at ``rows_per_file`` so a hot host
+splits into many row-groups and a partial read stays cheap.
 """
 
 from __future__ import annotations
 
 import os
+from urllib.parse import quote, unquote
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 try:  # pragma: no cover - lance not installed in this sandbox
@@ -30,16 +37,58 @@ def corpus_path(root: str) -> str:
     return os.path.join(root, "corpus.lance" if HAVE_LANCE else "corpus_parquet")
 
 
-def write_corpus(table: pa.Table, root: str) -> str:
-    """Write the corpus table; returns the dataset path."""
+def write_corpus(table: pa.Table, root: str,
+                 rows_per_file: int = 250_000) -> str:
+    """Write the corpus table host-partitioned; returns the dataset
+    path. One hive directory per host, files capped at
+    ``rows_per_file`` rows."""
     path = corpus_path(root)
     os.makedirs(root, exist_ok=True)
     if HAVE_LANCE:  # pragma: no cover
         lance.write_dataset(table, path, mode="overwrite")
-    else:
-        os.makedirs(path, exist_ok=True)
-        pq.write_table(table, os.path.join(path, "part-0.parquet"))
+        return path
+    os.makedirs(path, exist_ok=True)
+    import numpy as np
+    enc = pc.dictionary_encode(table.column("host")).combine_chunks()
+    if isinstance(enc, pa.ChunkedArray):
+        if enc.num_chunks == 0:
+            return path
+        enc = enc.chunk(0)
+    dictionary = enc.dictionary
+    code_np = enc.indices.to_numpy()
+    for code, host in enumerate(dictionary.to_pylist()):
+        rows = np.flatnonzero(code_np == code)
+        sub = table.take(pa.array(rows))
+        hdir = os.path.join(path, f"host={quote(host, safe='')}")
+        os.makedirs(hdir, exist_ok=True)
+        for k, lo in enumerate(range(0, sub.num_rows, rows_per_file)):
+            pq.write_table(sub.slice(lo, rows_per_file),
+                           os.path.join(hdir, f"part-{k:05d}.parquet"))
     return path
+
+
+def corpus_hosts(path: str) -> list[str]:
+    """Hosts present in a host-partitioned parquet corpus."""
+    return sorted(unquote(d.split("=", 1)[1])
+                  for d in os.listdir(path) if d.startswith("host="))
+
+
+def host_partition_table(path: str, host: str) -> pa.Table:
+    """ONE host's slice of the corpus — the partition-pruned read the
+    fetch stage uses (Lance: filtered scan; Parquet: hive dir)."""
+    if HAVE_LANCE and path.endswith(".lance"):  # pragma: no cover
+        return lance.dataset(path).to_table(filter=f"host == '{host}'")
+    hdir = os.path.join(path, f"host={quote(host, safe='')}")
+    if not os.path.isdir(hdir):
+        return None
+    return pq.read_table(hdir)
+
+
+def is_host_partitioned(path: str) -> bool:
+    if HAVE_LANCE and path.endswith(".lance"):  # pragma: no cover
+        return True   # pushdown-capable either way
+    return os.path.isdir(path) and any(
+        d.startswith("host=") for d in os.listdir(path))
 
 
 def read_corpus(path: str, columns=None):
@@ -51,7 +100,17 @@ def read_corpus(path: str, columns=None):
 
 
 def read_corpus_table(path: str) -> pa.Table:
-    """Whole corpus as one Arrow table (fixtures / fetch index build)."""
+    """Whole corpus as one Arrow table (fixtures / legacy single-file
+    layouts). Host columns materialized from hive dirs when needed."""
     if HAVE_LANCE and path.endswith(".lance"):  # pragma: no cover
         return lance.dataset(path).to_table()
+    if os.path.isdir(path) and is_host_partitioned(path):
+        tables = []
+        for host in corpus_hosts(path):
+            t = host_partition_table(path, host)
+            if "host" not in t.column_names:
+                t = t.append_column(
+                    "host", pa.array([host] * t.num_rows, pa.string()))
+            tables.append(t)
+        return pa.concat_tables(tables)
     return pq.read_table(path)

@@ -23,7 +23,9 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from ..corpus.storage import read_corpus_table
+from ..corpus.schema import SPAN_TYPE
+from ..corpus.storage import (host_partition_table, is_host_partitioned,
+                              read_corpus_table)
 
 # hosts whose reference scrapers go through the Cloudflare cookie dance
 CHALLENGED_HOSTS = {"fasel.test", "cimanow.test", "hdw.test"}
@@ -31,7 +33,9 @@ CHALLENGED_HOSTS = {"fasel.test", "cimanow.test", "hdw.test"}
 
 class Fetcher:
     def __init__(self, corpus_src, challenge_every: int = 0):
-        if isinstance(corpus_src, str):
+        if isinstance(corpus_src, pa.Table):
+            table = corpus_src
+        elif isinstance(corpus_src, str):
             table = read_corpus_table(corpus_src)
         else:
             table: pa.Table = ray.get(corpus_src)
@@ -89,9 +93,51 @@ class Fetcher:
 _FETCHERS: dict = {}
 
 
-def get_fetcher(corpus_src, challenge_every: int = 0) -> Fetcher:
+class PartitionedFetcher:
+    """Path-mode fetch against a host-partitioned corpus: each host's
+    slice (doc index + spans) is loaded lazily on FIRST contact and
+    cached — a worker's resident corpus state is proportional to the
+    hosts its (host, salt) blocks actually serve, never the whole
+    corpus (r01 path mode had every worker read all rows,
+    stages/fetch.py:33-35). Session/challenge accounting matches
+    ``Fetcher`` exactly (it IS a per-host ``Fetcher``)."""
+
+    def __init__(self, path: str, challenge_every: int = 0):
+        self.path = path
+        self.challenge_every = challenge_every
+        self.per_host: dict[str, Fetcher | None] = {}
+
+    def _host_fetcher(self, host: str) -> Fetcher | None:
+        if host not in self.per_host:
+            t = host_partition_table(self.path, host)
+            self.per_host[host] = (None if t is None
+                                   else Fetcher(t, self.challenge_every))
+        return self.per_host[host]
+
+    @property
+    def hosts_loaded(self) -> list[str]:
+        return sorted(self.per_host)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        outs = []
+        for host in pc.unique(batch.column("host")).to_pylist():
+            f = self._host_fetcher(host)
+            sub = batch.filter(pc.equal(batch.column("host"), host))
+            if f is not None:
+                outs.append(f(sub))
+        if not outs:
+            return batch.slice(0, 0).append_column(
+                "spans", pa.array([], type=SPAN_TYPE))
+        return pa.concat_tables(outs)
+
+
+def get_fetcher(corpus_src, challenge_every: int = 0):
     key = (corpus_src if isinstance(corpus_src, str) else corpus_src.hex(),
            challenge_every)
     if key not in _FETCHERS:
-        _FETCHERS[key] = Fetcher(corpus_src, challenge_every)
+        if isinstance(corpus_src, str) and is_host_partitioned(corpus_src):
+            _FETCHERS[key] = PartitionedFetcher(corpus_src, challenge_every)
+        else:
+            _FETCHERS[key] = Fetcher(corpus_src, challenge_every)
     return _FETCHERS[key]
