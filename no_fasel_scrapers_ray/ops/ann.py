@@ -113,6 +113,9 @@ def sample_embeddings(embeddings: rd.Dataset, target: int = 8192,
         return batch[h < cut]
 
     df = embeddings.map_batches(pick, batch_format="pandas").to_pandas()
+    # sort by id: block-arrival order is nondeterministic under the
+    # streaming executor, and k-means init indexes into this array
+    df = df.sort_values("vec_id")
     return _stack(df["embedding"]).astype(np.float64)
 
 
@@ -295,7 +298,6 @@ def cosine_near_dup(embeddings: rd.Dataset, threshold: float = 0.95,
                     else pd.DataFrame(_EMPTY_PAIRS))
         return verify
 
-    from ray.data.aggregate import Max
     reps = []
     for r in range(n_repeats):
         seed_r = 42 + r
@@ -311,6 +313,8 @@ def cosine_near_dup(embeddings: rd.Dataset, threshold: float = 0.95,
     allp = reps[0]
     for r in reps[1:]:
         allp = allp.union(r)
-    # dedup the pair union across repeats (cosine identical per pair)
-    return allp.groupby(["vec_a", "vec_b"]).aggregate(
-        Max("cosine", alias_name="cosine"))
+    # dedup the pair union across repeats (cosine identical per pair) —
+    # bucketed partial-agg, not the sort-based Aggregate (see
+    # relational.preagg_reduce)
+    from .relational import preagg_reduce
+    return preagg_reduce(allp, ["vec_a", "vec_b"], "cosine", "max")

@@ -260,9 +260,8 @@ def minhash_lsh_pairs(docs: rd.Dataset, shingle: int = 3,
     pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
         emit_pairs, batch_format="pandas")
 
-    from ray.data.aggregate import Count
-    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands"))
+    from .relational import preagg_reduce
+    uniq = preagg_reduce(pairs, ["doc_a", "doc_b"], "n_bands", "count")
 
     doc_sets = docs.map_batches(tokenset_batch, batch_format="pandas")
     with_a = _attach_sets(uniq, ["doc_a", "doc_b", "n_bands"],
@@ -375,6 +374,5 @@ def simhash_candidates(docs: rd.Dataset, max_hamming: int = 8,
 
     pairs = sigs.groupby(["table_id", "block"]).map_groups(
         verify, batch_format="pandas")
-    from ray.data.aggregate import Min
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    from .relational import preagg_reduce
+    return preagg_reduce(pairs, ["doc_a", "doc_b"], "hamming", "min")

@@ -45,14 +45,39 @@ def broadcast_get(ref):
     return _BROADCAST_CACHE[key]
 
 
+# A broadcast side beyond this is a smell — every worker pays the full
+# copy; route bigger sides through bucketed_join instead.
+BROADCAST_LIMIT_BYTES = 512 * 1024 * 1024
+
+
+def _check_broadcast_size(obj, label: str) -> None:
+    try:
+        nbytes = int(getattr(obj, "memory_usage")(deep=True).sum()) \
+            if isinstance(obj, pd.DataFrame) else int(obj.nbytes)
+    except Exception:
+        return
+    if nbytes > BROADCAST_LIMIT_BYTES:
+        import warnings
+        warnings.warn(
+            f"{label}: broadcast side is {nbytes >> 20} MiB "
+            f"(> {BROADCAST_LIMIT_BYTES >> 20} MiB). Every worker pays a "
+            "full copy — use bucketed_join / a partitioned lookup instead.",
+            stacklevel=3)
+
+
 def broadcast_join(ds: rd.Dataset, small_df: pd.DataFrame, on, how="inner",
                    **_ignored) -> rd.Dataset:
     """Map-side hash join: small side put in the object store ONCE
     (``ray.put``), fetched once per worker (never per batch).
 
+    Size contract: the small side must be dimension-scale (it is copied
+    into every worker's heap once) — ``_check_broadcast_size`` warns at
+    512 MiB; beyond that use ``bucketed_join``.
+
     Generalizes the reference's image-cache lookup (Common.py:223-224) and
     trending id lookups (TrendingScraper.py:28-47).
     """
+    _check_broadcast_size(small_df, "broadcast_join")
     ref = ray.put(small_df)
 
     def merge(batch: pd.DataFrame) -> pd.DataFrame:
@@ -67,8 +92,13 @@ def _key_set_filter(ds: rd.Dataset, keys: np.ndarray, column: str,
 
     Generalizes the seen-set probe ``movie_id in old_movies_dict``
     (FaselMoviesScraper.py:28, D1/J6) — the pre-fetch anti-join.
+    Size contract: the key set is broadcast (one copy per worker) —
+    key-set-sized inputs only; a big-big semi/anti join belongs in
+    ``bucketed_join`` with a post-filter.
     """
-    ref = ray.put(np.asarray(keys))
+    keys = np.asarray(keys)
+    _check_broadcast_size(keys, "semi/anti join key set")
+    ref = ray.put(keys)
 
     def filt(batch: pa.Table) -> pa.Table:
         mask = np.isin(batch[column].to_numpy(zero_copy_only=False),
@@ -162,6 +192,12 @@ def merge_with_precedence(new: rd.Dataset, old: rd.Dataset, key: str,
     set. The reference does this with dict ``update``/``|`` where
     argument order decides precedence; each catalog file has a fixed
     precedence (SURVEY.md §2.7 A5).
+
+    Size contract: only the winner's KEY COLUMN is pulled to the driver
+    (catalog keys are dimension-scale). For a merge where even the key
+    column is too big, use the bucketed shape directly — catalog
+    assembly does (pipelines/assemble.py applies this precedence inside
+    its bucket pass without any driver key set).
     """
     winner, loser = (old, new) if old_wins else (new, old)
     winner_keys = winner.select_columns([key]).to_pandas()[key].to_numpy()
@@ -214,6 +250,38 @@ def preagg_sum_count(ds: rd.Dataset, keys: list[str], sums: dict[str, str],
                               batch_size=batch_size)
     return partials.groupby("__bucket").map_groups(
         final, batch_format="pandas")
+
+
+def preagg_reduce(ds: rd.Dataset, keys: list[str], col: str, how: str,
+                  n_buckets: int = 64) -> rd.Dataset:
+    """groupby(keys).agg(how(col)) as a two-stage bucketed hash
+    aggregate (per-batch partials → bucket shuffle → per-bucket final).
+    ``how``: 'min' | 'max' | 'count' ('count' counts rows per key; the
+    final combine sums partial counts). Use instead of
+    ``Dataset.groupby(...).aggregate(...)`` whenever key cardinality is
+    O(rows) — the near-dup pair dedup hit 17 CPU-minutes in Ray's
+    sort-based Aggregate on ~2M distinct pair keys; this shape does the
+    same reduce in seconds."""
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        if how == "count":
+            g = batch.groupby(keys, as_index=False).size().rename(
+                columns={"size": col})
+        else:
+            g = batch.groupby(keys, as_index=False).agg({col: how})
+        key_series = (g[keys].astype(str).agg("\x00".join, axis=1)
+                      if len(keys) > 1 else g[keys[0]])
+        g["__bucket"] = stable_bucket(key_series, n_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    combine = "sum" if how == "count" else how
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        r = g.groupby(keys, as_index=False).agg({col: combine})
+        return pa.Table.from_pandas(r, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("__bucket").map_groups(final, batch_format="pandas"))
 
 
 def round_columns(ds: rd.Dataset, decimals: dict[str, int]) -> rd.Dataset:

@@ -32,9 +32,12 @@ def doc_stats(docs: rd.Dataset) -> rd.Dataset:
     """
 
     def stats(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.split(" ")
-        n_tokens = toks.str.len().astype(np.int64)
-        stop = toks.map(lambda ws: sum(w in STOPWORDS for w in ws)).astype(np.int64)
+        n_tokens = (batch["text"].str.count(" ") + 1).astype(np.int64)
+        # exact whole-token stopword hits, fully vectorized: zero-width
+        # boundaries so adjacent stopwords (" the the ") all count
+        padded = " " + batch["text"] + " "
+        stop = sum(padded.str.count(rf"(?<= ){w}(?= )")
+                   for w in STOPWORDS).astype(np.int64)
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
             "n_tokens": n_tokens,

@@ -35,7 +35,7 @@ import ray
 import ray.data as rd
 
 from ..corpus.schema import FRONTIER_SCHEMA
-from ..corpus.spans import PageView
+from ..corpus.spans import pages_from_arrow
 from ..functions.hashing import stable_hash64
 from ..functions.urls import canonicalize_url
 from ..state.frontier import (
@@ -146,10 +146,13 @@ def _crawl_block(block_idx: np.ndarray, refs: list, shards,
         frontier_cols = {c: fetched.column(c).to_pylist()
                          for c in FRONTIER_SCHEMA.names
                          if c in fetched.column_names}
-        spans = fetched.column("spans").to_pylist()
+        # columnar page views: three flat child to_pylist calls for the
+        # whole batch instead of one python dict per span
+        views = pages_from_arrow(fetched.column("spans"),
+                                 fetched.num_rows)
         for i in range(fetched.num_rows):
             row = {c: frontier_cols[c][i] for c in frontier_cols}
-            page = PageView(spans[i])
+            page = views[i]
             recs, lks = extract_page(row, page, state)
             records.extend(recs)
             links.extend(lks)
@@ -204,7 +207,7 @@ class CrawlEngine:
         self.max_pop = max_pop_per_round
         self.frontier_log: list[pa.Table] = []
         self.metrics = {"rounds": 0, "popped": 0, "records": 0,
-                        "round_secs": []}
+                        "round_secs": [], "driver_secs": []}
         self._push_rows(seed_rows(seeds))
         self.round_idx = 0
 
@@ -269,6 +272,7 @@ class CrawlEngine:
         index, per-host sessions) is cached per worker process
         (stages/fetch.py:get_fetcher) so warm workers carry it across
         rounds with zero spin-up."""
+        t0 = time.perf_counter()
         out_dir = os.path.join(self.run_dir, "records",
                                f"round={self.round_idx:04d}")
         pages_dir = os.path.join(self.run_dir, "pages",
@@ -285,6 +289,8 @@ class CrawlEngine:
                 os.path.join(pages_dir, f"part-{k:05d}.parquet"))
             for k, idx in enumerate(blocks)
         ]
+        self.metrics["driver_secs"].append(
+            round(time.perf_counter() - t0, 3))
         return sum(ray.get(refs))
 
     # -- checkpoint / resume (per-partition lineage, north_rule) -----------

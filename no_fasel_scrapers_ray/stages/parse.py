@@ -27,12 +27,13 @@ STOPWORDS = frozenset(("the", "a", "of", "and", "in"))
 
 def span_fingerprint(page: PageView) -> str:
     h = hashlib.blake2b(digest_size=16)
-    for s in page.spans:
-        h.update(s["kind"].encode())
+    K, T, M = page.kinds, page.txts, page.mrefs
+    for i in range(page.lo, page.hi):
+        h.update(K[i].encode())
         h.update(b"\x00")
-        h.update(s["text"].encode())
+        h.update(T[i].encode())
         h.update(b"\x00")
-        h.update(s["media_ref"].encode())
+        h.update(M[i].encode())
         h.update(b"\x01")
     return h.hexdigest()
 
@@ -41,11 +42,12 @@ def page_stats_record(row: dict, page: PageView) -> dict:
     n_tokens = 0
     n_stop = 0
     n_text = 0
-    for s in page.spans:
-        if s["kind"] != "text":
+    K, T = page.kinds, page.txts
+    for i in range(page.lo, page.hi):
+        if K[i] != "text":
             continue
         n_text += 1
-        toks = s["text"].split()
+        toks = T[i].split()
         n_tokens += len(toks)
         for t in toks:
             if t in STOPWORDS:
@@ -59,7 +61,7 @@ def page_stats_record(row: dict, page: PageView) -> dict:
         "order_key": row["order_key"],
         "payload": json.dumps({
             "fingerprint": span_fingerprint(page),
-            "n_spans": len(page.spans),
+            "n_spans": len(page),
             "n_text_spans": n_text,
             "n_tokens": n_tokens,
             "n_stopwords": n_stop,
