@@ -29,7 +29,8 @@ sys.path.insert(0, REPO)
 
 BENCH_QUERIES = [
     "pricing_summary", "region_rollup", "semi_join_customers",
-    "anti_join_customers", "merge_new_wins", "nested_rollup",
+    "anti_join_customers", "merge_old_wins", "merge_new_wins",
+    "nested_rollup",
     "union_index", "top10_customers", "events_hourly", "sessionize",
     "distinct_suppliers", "doc_stats", "lang_signal", "token_count",
     "doc_fingerprint", "dedup_exact", "knn_bruteforce", "knn_ivf",

@@ -166,6 +166,17 @@ def _crawl_block(block_idx: np.ndarray, refs: list, shards,
 
 
 @ray.remote
+def _write_round_ckpt(ready: pa.Table, ckpt_dir: str, manifest: dict) -> int:
+    """Round-checkpoint writer (runs off the driver): popped.parquet
+    first, MANIFEST.json last — MANIFEST is resume()'s completeness
+    marker, so a crash mid-write leaves an ignorable partial dir."""
+    pq.write_table(ready, os.path.join(ckpt_dir, "popped.parquet"))
+    with open(os.path.join(ckpt_dir, "MANIFEST.json"), "w") as fp:
+        json.dump(manifest, fp)
+    return ready.num_rows
+
+
+@ray.remote
 def _warm_worker(refs: list) -> int:
     """Pre-builds per-worker fetch state (worker spawn + corpus index)
     so the timed crawl measures steady-state throughput, not cluster
@@ -247,7 +258,11 @@ class CrawlEngine:
         while True:
             if max_rounds is not None and \
                     self.round_idx - start_round >= max_rounds:
-                return self.metrics  # simulated crash: no finalize
+                # simulated crash AFTER the round's checkpoint settled
+                # (no finalize) — the scenario kill-and-resume models
+                if getattr(self, "_ckpt_refs", None):
+                    ray.get(self._ckpt_refs)
+                return self.metrics
             t0 = time.perf_counter()
             ready = self._pop_round()
             if ready is None:
@@ -281,6 +296,7 @@ class CrawlEngine:
         os.makedirs(pages_dir, exist_ok=True)
         blocks = partition_by_host(ready, n_salts=self.fetch_concurrency)
         ready_ref = ray.put(ready.combine_chunks())
+        self._last_ready_ref = ready_ref
         refs = [
             _crawl_block.remote(
                 idx, [ready_ref, self.corpus_ref, self.state_ref],
@@ -303,12 +319,17 @@ class CrawlEngine:
         if getattr(self, "_ckpt_refs", None):
             ray.get(self._ckpt_refs)
         self._ckpt_refs = [s.checkpoint.remote(ckpt) for s in self.shards]
-        pq.write_table(ready, os.path.join(ckpt, "popped.parquet"))
-        with open(os.path.join(ckpt, "MANIFEST.json"), "w") as fp:
-            json.dump({"round": self.round_idx,
-                       "popped": ready.num_rows,
-                       "n_shards": self.n_shards,
-                       "metrics": self.metrics}, fp)
+        # popped.parquet + MANIFEST written from a task (the round table
+        # is already in the object store as _last_ready_ref) — a serial
+        # driver-side parquet write per round was dead time in the
+        # barrier loop. MANIFEST lands only after popped.parquet, so
+        # resume's completeness marker is unchanged.
+        manifest = {"round": self.round_idx,
+                    "popped": ready.num_rows,
+                    "n_shards": self.n_shards,
+                    "metrics": json.loads(json.dumps(self.metrics))}
+        self._ckpt_refs.append(
+            _write_round_ckpt.remote(self._last_ready_ref, ckpt, manifest))
 
     def resume(self) -> int:
         """Restore frontier state from the latest complete checkpoint;
