@@ -273,46 +273,68 @@ def cosine_near_dup(embeddings: rd.Dataset, threshold: float = 0.95,
                 else int(np.ceil(np.log(0.1) / np.log(1.0 - min(p_cand, 1 - 1e-9)))))
         n_repeats = int(np.clip(need, n_repeats, 10))
 
-    def make_verify(seed: int):
-        def verify(g: pd.DataFrame) -> pd.DataFrame:
-            ids = g["vec_id"].to_numpy()
-            order = np.argsort(ids)
-            ids = ids[order]
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        # group key is (rep, bucket); the split seed follows the rep's
+        # plane-set seed so re-splits stay deterministic per repeat
+        seed = 42 + int(g["rep"].iloc[0])
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        if len(ids) < 2:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        emb = _normalize(_stack(
+            g["embedding"].iloc[order]).astype(np.float64))
+
+        def split_verify(ids, emb, depth):
             if len(ids) < 2:
-                return pd.DataFrame(_EMPTY_PAIRS)
-            emb = _normalize(_stack(
-                g["embedding"].iloc[order]).astype(np.float64))
+                return []
+            if len(ids) <= bucket_cap or depth > 32:
+                return [_pairs_block(ids, emb, threshold)]
+            rng = np.random.RandomState(seed * 1000 + depth)
+            side = (emb @ rng.randn(emb.shape[1])) > 0
+            return (split_verify(ids[side], emb[side], depth + 1)
+                    + split_verify(ids[~side], emb[~side], depth + 1))
 
-            def split_verify(ids, emb, depth):
-                if len(ids) < 2:
-                    return []
-                if len(ids) <= bucket_cap or depth > 32:
-                    return [_pairs_block(ids, emb, threshold)]
-                rng = np.random.RandomState(seed * 1000 + depth)
-                side = (emb @ rng.randn(emb.shape[1])) > 0
-                return (split_verify(ids[side], emb[side], depth + 1)
-                        + split_verify(ids[~side], emb[~side], depth + 1))
+        outs = split_verify(ids, emb, 0)
+        return (pd.concat(outs, ignore_index=True) if outs
+                else pd.DataFrame(_EMPTY_PAIRS))
 
-            outs = split_verify(ids, emb, 0)
-            return (pd.concat(outs, ignore_index=True) if outs
-                    else pd.DataFrame(_EMPTY_PAIRS))
-        return verify
+    # ALL probe repeats ride ONE shuffle keyed (rep, bucket): the r02
+    # per-repeat pipelines paid n_repeats sequential all-to-all sorts
+    # for the same bytes (each repeat re-shuffled the corpus once);
+    # replicating rows rep-tagged moves the identical volume through a
+    # single barrier.
+    seeds = [42 + r for r in range(n_repeats)]
 
-    reps = []
-    for r in range(n_repeats):
-        seed_r = 42 + r
+    def lsh_all(batch: pd.DataFrame) -> pd.DataFrame:
+        emb = _stack(batch["embedding"]).astype(np.float64)
 
-        def lsh_batch(batch: pd.DataFrame, _s=seed_r) -> pd.DataFrame:
-            inst = cached_instance(("hyperplane", n_planes, _s),
-                                   lambda: HyperplaneLSH(n_planes, _s))
-            return inst(batch)
+        def build():
+            return np.concatenate(
+                [np.random.RandomState(s).randn(emb.shape[1],
+                                                max(n_planes, 1))
+                 for s in seeds], axis=1)
+        planes = cached_instance(("hyperplanes", n_planes, tuple(seeds),
+                                  emb.shape[1]), build)
+        bits = (emb @ planes) > 0            # (n, reps * max(planes,1))
+        weights = (1 << np.arange(n_planes)) if n_planes else np.zeros(0)
+        frames = []
+        for r in range(n_repeats):
+            cols = bits[:, r * max(n_planes, 1):
+                        r * max(n_planes, 1) + n_planes]
+            bucket = (cols * weights).sum(axis=1) if n_planes \
+                else np.zeros(len(batch))
+            frames.append(pd.DataFrame({
+                "rep": np.int64(r),
+                "bucket": bucket.astype(np.int64),
+                "vec_id": batch["vec_id"].to_numpy(),
+                "embedding": batch["embedding"].to_numpy(),
+            }))
+        return pd.concat(frames, ignore_index=True)
 
-        bucketed = embeddings.map_batches(lsh_batch, batch_format="pandas")
-        reps.append(bucketed.groupby("bucket").map_groups(
-            make_verify(42 + r), batch_format="pandas"))
-    allp = reps[0]
-    for r in reps[1:]:
-        allp = allp.union(r)
+    bucketed = embeddings.map_batches(lsh_all, batch_format="pandas")
+    allp = bucketed.groupby(["rep", "bucket"]).map_groups(
+        verify, batch_format="pandas")
     # dedup the pair union across repeats (cosine identical per pair) —
     # bucketed partial-agg, not the sort-based Aggregate (see
     # relational.preagg_reduce)

@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from .util import stable_bucket
+from .util import stable_bucket, stable_bucket_cols
 
 
 # --------------------------------------------------------------------------
@@ -237,9 +237,7 @@ def preagg_sum_count(ds: rd.Dataset, keys: list[str], sums: dict[str, str],
         if count_alias is not None:
             cnt = batch.groupby(keys, as_index=False, sort=False).size()
             g[count_alias] = cnt["size"].to_numpy()
-        key_series = (g[keys].astype(str).agg("\x00".join, axis=1)
-                      if len(keys) > 1 else g[keys[0]])
-        g["__bucket"] = stable_bucket(key_series, n_buckets)
+        g["__bucket"] = stable_bucket_cols(g, keys, n_buckets)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def final(g: pd.DataFrame) -> pa.Table:
@@ -269,9 +267,7 @@ def preagg_reduce(ds: rd.Dataset, keys: list[str], col: str, how: str,
                 columns={"size": col})
         else:
             g = batch.groupby(keys, as_index=False).agg({col: how})
-        key_series = (g[keys].astype(str).agg("\x00".join, axis=1)
-                      if len(keys) > 1 else g[keys[0]])
-        g["__bucket"] = stable_bucket(key_series, n_buckets)
+        g["__bucket"] = stable_bucket_cols(g, keys, n_buckets)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     combine = "sum" if how == "count" else how

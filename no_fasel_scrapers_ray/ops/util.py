@@ -12,19 +12,38 @@ def stable_bucket(series, n_buckets: int):
     POSITION within the series (measured: the same key string hashed to
     bucket 48 in one batch slice and 60 in another), which silently
     splits one key across shuffle buckets. Integer keys use a plain
-    modulo; everything else CRC32s the string content.
+    modulo; everything else goes through ``pd.util.hash_array`` —
+    vectorized SipHash of the VALUES only (fixed default key, position-
+    independent, deterministic across processes — the same primitive the
+    shingle hashing relies on).
     """
-    import zlib
-
     import numpy as np
     import pandas as pd
 
     if pd.api.types.is_integer_dtype(series.dtype):
         return (series.to_numpy(dtype=np.int64) % n_buckets).astype(np.int64)
-    vals = series.astype(str)
-    return np.fromiter((zlib.crc32(s.encode("utf-8")) % n_buckets
-                        for s in vals),
-                       dtype=np.int64, count=len(vals))
+    vals = series.to_numpy(dtype=object)
+    return (pd.util.hash_array(vals) % np.uint64(n_buckets)).astype(np.int64)
+
+
+def stable_bucket_cols(df, keys: list, n_buckets: int):
+    """Content-only bucket hash over MULTIPLE key columns, vectorized:
+    per-column ``hash_array`` folded with odd-multiplier mixing (order-
+    sensitive so (a, b) and (b, a) differ). Replaces the per-row
+    ``astype(str).agg("\\x00".join)`` string build, which measured ~10 s
+    per million rows on pair-key aggregates."""
+    import numpy as np
+    import pandas as pd
+
+    h = np.zeros(len(df), dtype=np.uint64)
+    for i, k in enumerate(keys):
+        col = df[k]
+        if pd.api.types.is_integer_dtype(col.dtype):
+            ch = col.to_numpy().astype(np.uint64, copy=False)
+        else:
+            ch = pd.util.hash_array(col.to_numpy(dtype=object))
+        h = h * np.uint64(0x9E3779B97F4A7C15) + ch + np.uint64(i + 1)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
 # Per-worker-process instance cache for task-based stateful stages.
