@@ -285,6 +285,14 @@ def q_minhash_lsh(sf_dir: str):
                              jaccard_threshold=0.4)
 
 
+def q_dedup_ngram(sf_dir: str):
+    """Exact prefix-filtered n-gram Jaccard near-dup (its own family in
+    the brief, distinct from the probabilistic MinHash path)."""
+    from no_fasel_scrapers_ray.ops.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                               shingle=3, jaccard_threshold=0.5)
+
+
 def q_simhash(sf_dir: str):
     from no_fasel_scrapers_ray.ops.dedup import simhash_candidates
     return simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"]),
@@ -439,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "dedup_minhash_lsh": q_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram,
         "dedup_simhash": q_simhash,
         "cosine_near_dup": q_cosine_near_dup,
         "crawl_catalogs": q_crawl_catalogs,
@@ -588,6 +597,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(substr(text, 1, 20)) AS content_hash,
                    min(doc_id) AS rep_doc_id, count(*) AS n_docs
             FROM documents GROUP BY md5(substr(text, 1, 20))
+        """,
+        # exact all-pairs 3-gram Jaccard (the engine's prefix filter is
+        # exact, so the brute-force cross join is a true oracle); docs
+        # shorter than 3 tokens contribute one whole-text shingle,
+        # mirroring ops/dedup.py::_token_hashes; jaccard is rounded to
+        # 6 decimals BEFORE the threshold filter on both sides
+        "dedup_ngram_jaccard": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            sh AS (SELECT doc_id,
+                    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                         ELSE list_distinct(list_transform(
+                                generate_series(1, len(t) - 2),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    END AS s
+                   FROM toks),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         len(list_intersect(a.s, b.s)) AS i,
+                         len(a.s) AS la, len(b.s) AS lb
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, round(i / (la + lb - i), 6) AS jaccard
+            FROM p WHERE round(i / (la + lb - i), 6) >= 0.5
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -34,7 +34,8 @@ BENCH_QUERIES = [
     "union_index", "top10_customers", "events_hourly", "sessionize",
     "distinct_suppliers", "doc_stats", "lang_signal", "token_count",
     "doc_fingerprint", "dedup_exact", "knn_bruteforce", "knn_ivf",
-    "dedup_minhash_lsh", "dedup_simhash", "cosine_near_dup",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "cosine_near_dup",
 ]
 
 

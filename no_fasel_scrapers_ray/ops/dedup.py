@@ -6,8 +6,12 @@ Families (brief: "Deduplication"):
   (band_id, band_hash) → candidate pairs → exact Jaccard verify via
   bucketed joins back to the shingle sets (no driver-side text
   materialization, no full-corpus broadcast);
-- SimHash: 64-bit simhash, bucket by high bits (with a bucket-size
-  cap), Hamming verify;
+- n-gram Jaccard: EXACT near-dup pairs via prefix filtering (shared
+  ascending-hash prefix shingle ⇒ candidate; guaranteed complete for
+  J ≥ t), same bucketed verify machinery as MinHash;
+- SimHash: 64-bit simhash, 4 × 16-bit block tables, first-agreeing-
+  table pair emission (globally unique without a pair-dedup shuffle),
+  Hamming verify with a bucket-size cap;
 - embedding-cosine near-dup: LSH-bucketed (random hyperplanes) cosine
   (ops/ann.py).
 
@@ -229,6 +233,128 @@ def _attach_sets(pairs: rd.Dataset, pair_cols: list[str],
         join_bucket, batch_format="pandas")
 
 
+_EMPTY_DOC_PAIRS = pd.DataFrame(
+    {"doc_a": pd.Series([], dtype=np.int64),
+     "doc_b": pd.Series([], dtype=np.int64)})
+
+
+def _emit_dup_pairs_bucketed(ds: rd.Dataset, key_cols: list[str]) -> rd.Dataset:
+    """Candidate (doc_a, doc_b) pairs from rows sharing a key, shuffled
+    by the pre-computed ``__bucket`` column (many key-groups per bucket).
+    A per-key-group map_groups measured 21 s remote wall at sf0.1 (~40 k
+    groups, almost all singletons → pure per-group pandas overhead);
+    here singletons are dropped with one vectorized duplicated() pass
+    and the python loop walks only the groups that actually collide."""
+
+    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated(key_cols, keep=False)]
+        if dup.empty:
+            return _EMPTY_DOC_PAIRS
+        dup = dup.sort_values(key_cols + ["doc_id"])
+        change = np.zeros(len(dup) - 1, dtype=bool)
+        for c in key_cols:
+            change |= np.diff(dup[c].to_numpy().astype(np.int64)) != 0
+        starts = np.flatnonzero(np.concatenate([[True], change]))
+        bounds = np.append(starts, len(dup))
+        ids_all = dup["doc_id"].to_numpy()
+        outs_a, outs_b = [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            ids = np.unique(ids_all[lo:hi])
+            if len(ids) < 2:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            outs_a.append(ids[a])
+            outs_b.append(ids[b])
+        if not outs_a:
+            return _EMPTY_DOC_PAIRS
+        return pd.DataFrame({"doc_a": np.concatenate(outs_a),
+                             "doc_b": np.concatenate(outs_b)})
+
+    return ds.groupby("__bucket").map_groups(
+        emit_bucket, batch_format="pandas")
+
+
+def _jaccard_verify(uniq_pairs: rd.Dataset, extra_cols: list[str],
+                    docs: rd.Dataset, tokenset_batch,
+                    jaccard_threshold: float, n_buckets: int) -> rd.Dataset:
+    """Exact n-gram Jaccard for candidate pairs: the shingle sets of
+    exactly the docs each pair needs are attached via two bucketed joins
+    (partitioned on doc_a then doc_b) — never a driver materialization
+    or corpus broadcast. Jaccard is rounded to 6 decimals BEFORE the
+    threshold filter (the SQL oracle mirrors this order)."""
+    doc_sets = docs.map_batches(tokenset_batch, batch_format="pandas")
+    base = ["doc_a", "doc_b"] + extra_cols
+    with_a = _attach_sets(uniq_pairs, base, doc_sets, "doc_a", n_buckets)
+    with_ab = _attach_sets(with_a, base + ["hset_doc_a"],
+                           doc_sets, "doc_b", n_buckets)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        jac = np.empty(len(batch), dtype=np.float64)
+        for i, (ba, bb) in enumerate(zip(batch["hset_doc_a"],
+                                         batch["hset_doc_b"])):
+            sa = np.frombuffer(ba, dtype=np.uint64)
+            sb = np.frombuffer(bb, dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True)
+            union = len(sa) + len(sb) - len(inter)
+            jac[i] = (len(inter) / union) if union else 0.0
+        out = batch[["doc_a", "doc_b"]].copy()
+        out["jaccard"] = np.round(jac, 6)
+        return out[out["jaccard"] >= jaccard_threshold]
+
+    return with_ab.map_batches(verify, batch_format="pandas")
+
+
+def ngram_jaccard_pairs(docs: rd.Dataset, shingle: int = 3,
+                        jaccard_threshold: float = 0.5,
+                        n_buckets: int = 32) -> rd.Dataset:
+    """EXACT n-gram Jaccard near-duplicate pairs via prefix filtering —
+    no probabilistic recall gap (unlike MinHash banding), no all-pairs
+    scan, and a full DuckDB SQL oracle (cross-join Jaccard) at test sf.
+
+    Prefix-filter guarantee (hash order as the global total order):
+    J(A,B) ≥ t ⇒ |A∩B| ≥ ceil(t·max(|A|,|B|)), so the ascending-hash
+    prefixes of length |X| − ceil(t·|X|) + 1 must intersect — emitting
+    candidates from shared PREFIX shingles finds every qualifying pair.
+    Topology: prefix rows → one bucketed groupby emits candidate pairs
+    → pair dedup (preagg) → exact Jaccard via bucketed set joins. All
+    wide steps move prefix rows and pair keys, never documents.
+
+    Scale note: hot shingles (boilerplate n-grams in many prefixes)
+    inflate one group's O(k²) emission; measured max document frequency
+    on the bench corpus is 25. The standard extension if a corpus
+    misbehaves is df-ordered prefixes (rare shingles first — any global
+    total order preserves exactness), which needs one extra DF count
+    pass + a broadcast hot-set."""
+
+    def tokenset_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return cached_instance(("tokenset", shingle),
+                               lambda: TokenSetter(shingle))(batch)
+
+    def prefix_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_cols, sh_cols = [], []
+        for d, txt in zip(batch["doc_id"].to_numpy(), batch["text"]):
+            s = _token_hashes(txt, shingle)     # sorted ascending
+            if not len(s):
+                s = np.zeros(1, np.uint64)
+            p = len(s) - int(np.ceil(jaccard_threshold * len(s))) + 1
+            sh_cols.append(s[:max(p, 1)])
+            doc_cols.append(np.full(max(p, 1), d, dtype=np.int64))
+        sh = np.concatenate(sh_cols)
+        return pd.DataFrame({
+            "doc_id": np.concatenate(doc_cols),
+            "shingle": sh.view(np.int64),
+            "__bucket": (sh % np.uint64(64)).astype(np.int64),
+        })
+
+    pref = docs.map_batches(prefix_batch, batch_format="pandas")
+    pairs = _emit_dup_pairs_bucketed(pref, ["shingle"])
+
+    from .relational import preagg_reduce
+    uniq = preagg_reduce(pairs, ["doc_a", "doc_b"], "n_shared", "count")
+    return _jaccard_verify(uniq, ["n_shared"], docs, tokenset_batch,
+                           jaccard_threshold, n_buckets)
+
+
 def minhash_lsh_pairs(docs: rd.Dataset, shingle: int = 3,
                       jaccard_threshold: float = 0.5,
                       concurrency: int = 4,
@@ -256,67 +382,12 @@ def minhash_lsh_pairs(docs: rd.Dataset, shingle: int = 3,
                                lambda: TokenSetter(shingle))(batch)
 
     bands = docs.map_batches(minhash_batch, batch_format="pandas")
-
-    _EMPTY = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                           "doc_b": pd.Series([], dtype=np.int64)})
-
-    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # One hash-bucket holds MANY (band_id, band_hash) groups. A
-        # per-band-group map_groups measured 21 s remote wall at sf0.1
-        # (~40 k groups, almost all singletons → pure per-group pandas
-        # overhead); here singletons are dropped with one vectorized
-        # duplicated() pass and the python loop only walks the few
-        # groups that actually collide.
-        dup = g[g.duplicated(["band_id", "band_hash"], keep=False)]
-        if dup.empty:
-            return _EMPTY
-        dup = dup.sort_values(["band_id", "band_hash", "doc_id"])
-        key = (dup["band_id"].to_numpy().astype(np.int64),
-               dup["band_hash"].to_numpy())
-        starts = np.flatnonzero(np.concatenate(
-            [[True], (np.diff(key[0]) != 0) | (np.diff(key[1]) != 0)]))
-        bounds = np.append(starts, len(dup))
-        ids_all = dup["doc_id"].to_numpy()
-        outs_a, outs_b = [], []
-        for lo, hi in zip(bounds[:-1], bounds[1:]):
-            ids = np.unique(ids_all[lo:hi])
-            if len(ids) < 2:
-                continue
-            a, b = np.triu_indices(len(ids), k=1)
-            outs_a.append(ids[a])
-            outs_b.append(ids[b])
-        if not outs_a:
-            return _EMPTY
-        return pd.DataFrame({"doc_a": np.concatenate(outs_a),
-                             "doc_b": np.concatenate(outs_b)})
-
-    pairs = bands.groupby("__bucket").map_groups(
-        emit_bucket, batch_format="pandas")
+    pairs = _emit_dup_pairs_bucketed(bands, ["band_id", "band_hash"])
 
     from .relational import preagg_reduce
     uniq = preagg_reduce(pairs, ["doc_a", "doc_b"], "n_bands", "count")
-
-    doc_sets = docs.map_batches(tokenset_batch, batch_format="pandas")
-    with_a = _attach_sets(uniq, ["doc_a", "doc_b", "n_bands"],
-                          doc_sets, "doc_a", n_buckets)
-    with_ab = _attach_sets(with_a,
-                           ["doc_a", "doc_b", "n_bands", "hset_doc_a"],
-                           doc_sets, "doc_b", n_buckets)
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        jac = np.empty(len(batch), dtype=np.float64)
-        for i, (ba, bb) in enumerate(zip(batch["hset_doc_a"],
-                                         batch["hset_doc_b"])):
-            sa = np.frombuffer(ba, dtype=np.uint64)
-            sb = np.frombuffer(bb, dtype=np.uint64)
-            inter = np.intersect1d(sa, sb, assume_unique=True)
-            union = len(sa) + len(sb) - len(inter)
-            jac[i] = (len(inter) / union) if union else 0.0
-        out = batch[["doc_a", "doc_b"]].copy()
-        out["jaccard"] = np.round(jac, 6)
-        return out[out["jaccard"] >= jaccard_threshold]
-
-    return with_ab.map_batches(verify, batch_format="pandas")
+    return _jaccard_verify(uniq, ["n_bands"], docs, tokenset_batch,
+                           jaccard_threshold, n_buckets)
 
 
 class SimHasher:
