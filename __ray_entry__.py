@@ -305,6 +305,14 @@ def q_cosine_near_dup(sf_dir: str):
                            threshold=0.35)
 
 
+def q_cosine_near_dup_exact(sf_dir: str):
+    """Exact blocked all-pairs cosine — the hash-verified baseline for
+    the approximate cosine_near_dup path (full DuckDB oracle)."""
+    from no_fasel_scrapers_ray.ops.ann import cosine_near_dup_exact
+    return cosine_near_dup_exact(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.35)
+
+
 # --------------------------------------------------------------------------
 # Crawl-engine queries (rows-only: the reference-semantics oracle — not
 # SQL — is their correctness authority; covered by tests/test_crawl_e2e
@@ -450,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": q_dedup_ngram,
         "dedup_simhash": q_simhash,
         "cosine_near_dup": q_cosine_near_dup,
+        "cosine_near_dup_exact": q_cosine_near_dup_exact,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -636,5 +645,16 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY cosine DESC, neighbor_id) AS rk
                 FROM sims)
             SELECT query_id, neighbor_id, cosine FROM ranked WHERE rk <= 5
+        """,
+        "cosine_near_dup_exact": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])) >= 0.35
+            ORDER BY vec_a, vec_b
         """,
     }

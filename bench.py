@@ -35,7 +35,7 @@ BENCH_QUERIES = [
     "distinct_suppliers", "doc_stats", "lang_signal", "token_count",
     "doc_fingerprint", "dedup_exact", "knn_bruteforce", "knn_ivf",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "cosine_near_dup",
+    "cosine_near_dup", "cosine_near_dup_exact",
 ]
 
 
@@ -128,8 +128,9 @@ def run_crawl(corpus, seeds, num_cpus: int, run_dir: str,
         # + md5 manifest written from pre-rendered worker fragments
         eng.release()
         _restart_ray(num_cpus)
+        from no_fasel_scrapers_ray.corpus.storage import read_parquet_sized
         entries = assemble_records(
-            rd.read_parquet(os.path.join(run_dir, "records")))
+            read_parquet_sized(os.path.join(run_dir, "records")))
         _, counts = write_catalogs_distributed(
             entries, os.path.join(run_dir, "out"))
         n_entries = sum(counts.values())

@@ -99,6 +99,39 @@ def read_corpus(path: str, columns=None):
     return rd.read_parquet(path, columns=columns)
 
 
+def read_parquet_sized(path: str, columns=None):
+    """read_parquet over a file/dir with data-proportional block count.
+
+    A crawl run's records/ dir holds one small fragment per writer task
+    (hundreds of ~1 MB files at sf0.1); Ray's default one-block-per-file
+    read then makes every downstream all-to-all pay a blocks² fan-out
+    (measured: the assemble-phase Sort spends 18 s shuffling 40k
+    intermediate objects while actual compute is ~6 s). Size blocks by
+    DATA instead: ~32 MB of file bytes per block (Ray's own target) with
+    a floor of one block per ~2048 rows capped at 2×CPUs so small runs
+    still parallelize."""
+    import math
+
+    import ray
+    import ray.data as rd
+    try:
+        files = []
+        if os.path.isdir(path):
+            for base, _dirs, names in os.walk(path):
+                files += [os.path.join(base, n) for n in names
+                          if n.endswith(".parquet")]
+        else:
+            files = [path]
+        nbytes = sum(os.path.getsize(f) for f in files)
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        nb = max(math.ceil(nbytes / (32 << 20)),
+                 min(2 * cpus, math.ceil(rows / 2048)), 1)
+    except Exception:
+        return rd.read_parquet(path, columns=columns)
+    return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
+
+
 def read_corpus_table(path: str) -> pa.Table:
     """Whole corpus as one Arrow table (fixtures / legacy single-file
     layouts). Host columns materialized from hive dirs when needed."""

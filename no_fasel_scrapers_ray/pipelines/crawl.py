@@ -367,12 +367,14 @@ class CrawlEngine:
 
     def records_dataset(self) -> rd.Dataset:
         """Catalog record rows only (page stats live under pages/)."""
-        return rd.read_parquet(os.path.join(self.run_dir, "records"))
+        from ..corpus.storage import read_parquet_sized
+        return read_parquet_sized(os.path.join(self.run_dir, "records"))
 
     def pages_dataset(self) -> rd.Dataset:
         """Per-page parse artifacts: span-sequence fingerprint + text
         stats for every fetched page (stages/parse.py)."""
-        return rd.read_parquet(os.path.join(self.run_dir, "pages"))
+        from ..corpus.storage import read_parquet_sized
+        return read_parquet_sized(os.path.join(self.run_dir, "pages"))
 
     def frontier_log_table(self) -> pa.Table:
         return pa.concat_tables(self.frontier_log) if self.frontier_log \

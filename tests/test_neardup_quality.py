@@ -173,3 +173,28 @@ def test_cosine_bucket_cap():
     # all repeats agree, so expect full in-cluster coverage
     expect = 4 * (30 * 29 // 2)
     assert len(got) >= 0.9 * expect
+
+def test_cosine_exact_allpairs(emb_ds, emb_mat):
+    """cosine_near_dup_exact == numpy brute force, bit-for-bit pairs and
+    rounded cosines, across multiple block sizes (exercises the same-block
+    triangle AND the cross-block full-grid paths); the approximate path's
+    pairs must be a subset of the exact result."""
+    from no_fasel_scrapers_ray.ops.ann import (cosine_near_dup,
+                                               cosine_near_dup_exact)
+    ids, m = emb_mat
+    sims = m @ m.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    keep = sims[iu, ju] >= COSINE_T
+    brute = {(int(ids[i]), int(ids[j])): round(float(sims[i, j]), 4)
+             for i, j in zip(iu[keep], ju[keep])}
+    for block_rows in (64, 10_000):   # many cross blocks / single block
+        got = cosine_near_dup_exact(emb_ds, threshold=COSINE_T,
+                                    block_rows=block_rows)
+        got_pairs = {(int(a), int(b)): c for a, b, c in
+                     zip(got["vec_a"], got["vec_b"], got["cosine"])}
+        assert got_pairs.keys() == brute.keys()
+        for p in brute:
+            assert abs(got_pairs[p] - brute[p]) < 1e-9
+    approx = cosine_near_dup(emb_ds, threshold=COSINE_T).to_pandas()
+    ap = {(int(a), int(b)) for a, b in zip(approx["vec_a"], approx["vec_b"])}
+    assert ap <= set(brute), "approx emitted a pair the exact kernel rejects"
