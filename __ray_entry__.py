@@ -305,6 +305,58 @@ def q_cosine_near_dup(sf_dir: str):
                            threshold=0.35)
 
 
+def q_asof_clicks(sf_dir: str):
+    """As-of join (§ custom operators): each purchase event matched to
+    the user's most recent prior-or-same-instant click. Oracle: DuckDB
+    native ASOF JOIN. Time carried as epoch microseconds (int64) so both
+    engines compare integers, not timestamp encodings."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import asof_join
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def side(event_type: str, rename: dict):
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["event_type"] == event_type]
+            out = {"user_id": b["user_id"].to_numpy(),
+                   "ts_us": b["ts"].astype("datetime64[us]")
+                            .astype("int64").to_numpy()}
+            for src, dst in rename.items():
+                out[dst] = b[src].to_numpy()
+            return pd.DataFrame(out)
+        return ev.map_batches(prep, batch_format="pandas")
+
+    return asof_join(
+        side("purchase", {"event_id": "event_id", "value": "amount"}),
+        side("click", {"event_id": "click_id", "value": "click_value"}),
+        by="user_id", on="ts_us")
+
+
+def q_range_join_clicks(sf_dir: str):
+    """Range join (§ custom operators): per signup event, the number of
+    the same user's clicks within the following hour — LEFT inequality
+    join + GROUP BY in one windowed-count pass. Oracle: DuckDB
+    inequality join (IEJoin)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import range_count_join
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def side(event_type: str, with_id: bool):
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["event_type"] == event_type]
+            out = {"user_id": b["user_id"].to_numpy(),
+                   "ts_us": b["ts"].astype("datetime64[us]")
+                            .astype("int64").to_numpy()}
+            if with_id:
+                out["event_id"] = b["event_id"].to_numpy()
+            return pd.DataFrame(out)
+        return ev.map_batches(prep, batch_format="pandas")
+
+    return range_count_join(side("signup", True), side("click", False),
+                            by="user_id", on="ts_us",
+                            window=3_600_000_000, out_col="n_clicks_1h")
+
+
 def q_cosine_near_dup_exact(sf_dir: str):
     """Exact blocked all-pairs cosine — the hash-verified baseline for
     the approximate cosine_near_dup path (full DuckDB oracle)."""
@@ -459,6 +511,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_simhash,
         "cosine_near_dup": q_cosine_near_dup,
         "cosine_near_dup_exact": q_cosine_near_dup_exact,
+        "asof_clicks": q_asof_clicks,
+        "range_join_clicks": q_range_join_clicks,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -645,6 +699,29 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY cosine DESC, neighbor_id) AS rk
                 FROM sims)
             SELECT query_id, neighbor_id, cosine FROM ranked WHERE rk <= 5
+        """,
+        "asof_clicks": """
+            WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                              value AS amount
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                              event_id AS click_id, value AS click_value
+                       FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, p.ts_us, p.amount,
+                   c.click_id, c.click_value
+            FROM p ASOF JOIN c
+              ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        """,
+        "range_join_clicks": """
+            WITH s AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events WHERE event_type = 'signup'),
+                 c AS (SELECT user_id, epoch_us(ts) AS ts_us
+                       FROM events WHERE event_type = 'click')
+            SELECT s.event_id, s.user_id, s.ts_us,
+                   count(c.ts_us) AS n_clicks_1h
+            FROM s LEFT JOIN c ON s.user_id = c.user_id
+              AND c.ts_us > s.ts_us AND c.ts_us <= s.ts_us + 3600000000
+            GROUP BY s.event_id, s.user_id, s.ts_us
         """,
         "cosine_near_dup_exact": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -178,6 +178,174 @@ def bucketed_join(left: rd.Dataset, right: rd.Dataset, on: str,
     return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
+              n_buckets: int = 64) -> rd.Dataset:
+    """As-of join: each left row matched to the LAST right row of the
+    same ``by`` key with ``right.on <= left.on`` (backward, inclusive);
+    inner semantics — unmatched left rows are dropped.
+
+    Ray Data has no asof join; this is the partition + ordered-merge
+    composition the brief calls for: both sides are tagged, padded to a
+    common schema and bucketed on ``hash(by)`` so ONE shuffle co-locates
+    each key's rows from both sides, then the per-bucket merge is
+    pandas ``merge_asof`` (vectorized C, handles many keys per bucket).
+    Skew note: a hot ``by`` key concentrates in one bucket — raise
+    ``n_buckets`` for key salting only if the PER-KEY row count stays
+    bounded; asof semantics require a key's rows to meet in one group.
+
+    Right payload columns must not collide with left's (rename before
+    the call); ``by``/``on`` are shared. Right payload must be non-null
+    (the match-found indicator after the outer merge_asof).
+    """
+    left_schema, right_schema = left.schema(), right.schema()
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    payload = [c for c in right_cols if c not in (by, on)]
+    if not payload:
+        raise ValueError("asof_join: right side needs a payload column")
+    clash = set(payload) & set(left_cols)
+    if clash:
+        raise ValueError(f"asof_join: rename right columns {clash}")
+    all_fields = {}
+    for name, typ in zip(left_schema.names, left_schema.types):
+        all_fields[name] = typ
+    for name, typ in zip(right_schema.names, right_schema.types):
+        all_fields.setdefault(name, typ)
+
+    def tag(side: str):
+        def _tag(batch: pa.Table) -> pa.Table:
+            bucket = pc.bit_wise_and(
+                pc.cast(batch[by], pa.int64()),
+                pa.scalar(n_buckets - 1, pa.int64()))
+            cols = {name: (batch[name] if name in batch.column_names
+                           else pa.nulls(len(batch), typ))
+                    for name, typ in all_fields.items()}
+            cols["__bucket"] = bucket
+            cols["__side"] = pa.array([side] * len(batch))
+            return pa.table(cols)
+        return _tag
+
+    tagged = left.map_batches(tag("l"), batch_format="pyarrow").union(
+        right.map_batches(tag("r"), batch_format="pyarrow"))
+    out_cols = left_cols + payload
+    int_cols = [c for c in out_cols
+                if pa.types.is_integer(all_fields[c])]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=all_fields[c].to_pandas_dtype())
+            for c in out_cols})
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lrows = g[g["__side"] == "l"][left_cols].sort_values(on)
+        rrows = g[g["__side"] == "r"][right_cols].sort_values(on)
+        if not len(lrows) or not len(rrows):
+            return _empty()
+        out = pd.merge_asof(lrows, rrows, on=on, by=by,
+                            direction="backward",
+                            allow_exact_matches=True)
+        out = out.dropna(subset=[payload[0]])   # inner semantics
+        for c in int_cols:   # null-padding upcast restore, BOTH sides
+            if out[c].dtype.kind == "f":        # (see bucketed_join)
+                out[c] = out[c].astype("int64")
+        return out[out_cols]
+
+    return tagged.groupby("__bucket").map_groups(
+        merge_bucket, batch_format="pandas")
+
+
+def range_count_join(left: rd.Dataset, right: rd.Dataset, by: str,
+                     on: str, window: int, out_col: str = "n_in_window",
+                     n_buckets: int = 64) -> rd.Dataset:
+    """Range join as a windowed count: for every left row, the number of
+    right rows of the same ``by`` key with ``on`` in
+    ``(left.on, left.on + window]`` (strict lower, inclusive upper).
+    All left rows survive (count 0 when nothing matches) — LEFT range
+    join + GROUP BY in one pass.
+
+    Same single-shuffle partitioning as ``asof_join``; the per-bucket
+    count is two vectorized rank lookups instead of an O(rows²)
+    inequality join: right rows get a per-key running rank, then
+    rank(last right ≤ l.on + window) − rank(last right ≤ l.on), each via
+    ``pd.merge_asof``. ``on`` must be an integer column (e.g. epoch
+    microseconds) so window arithmetic is exact.
+    """
+    left_schema = left.schema()
+    left_cols = list(left_schema.names)
+    int_left = [c for c, t in zip(left_schema.names, left_schema.types)
+                if pa.types.is_integer(t)]
+
+    def tag(side: str, keep: list[str]):
+        def _tag(batch: pa.Table) -> pa.Table:
+            cols = {c: batch[c] for c in keep}
+            cols["__bucket"] = pc.bit_wise_and(
+                pc.cast(batch[by], pa.int64()),
+                pa.scalar(n_buckets - 1, pa.int64()))
+            cols["__side"] = pa.array([side] * len(batch))
+            return pa.table(cols)
+        return _tag
+
+    # pad: left carries its payload, right only (by, on) — union needs a
+    # common schema, so right's missing columns ride as nulls
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c, t in zip(left_schema.names, left_schema.types):
+            cols[c] = (batch[c] if c in (by, on)
+                       else pa.nulls(len(batch), t))
+        cols["__bucket"] = pc.bit_wise_and(
+            pc.cast(batch[by], pa.int64()),
+            pa.scalar(n_buckets - 1, pa.int64()))
+        cols["__side"] = pa.array(["r"] * len(batch))
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag("l", left_cols),
+                              batch_format="pyarrow").union(
+        right.select_columns([by, on]).map_batches(
+            tag_right, batch_format="pyarrow"))
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lrows = g[g["__side"] == "l"][left_cols].sort_values(on)
+        for c in int_left:   # null-padding upcast restore
+            if lrows[c].dtype.kind == "f":
+                lrows[c] = lrows[c].astype("int64")
+        if not len(lrows):
+            out = pd.DataFrame({c: pd.Series([], dtype=d)
+                                for c, d in lrows.dtypes.items()})
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        rrows = (g[g["__side"] == "r"][[by, on]]
+                 .astype({by: "int64", on: "int64"})
+                 .sort_values([by, on]))
+        if not len(rrows):
+            lrows[out_col] = np.int64(0)
+            return lrows
+        rrows["__rank"] = rrows.groupby(by).cumcount() + 1
+        # merge_asof needs the right frame sorted by ``on`` ALONE
+        # (per-key ranks stay attached to their rows)
+        ranks = rrows[[by, on, "__rank"]].sort_values(on, kind="stable")
+
+        by_np = lrows[by].to_numpy()
+
+        def rank_at(ts_np: np.ndarray) -> np.ndarray:
+            order = np.argsort(ts_np, kind="stable")
+            probe = pd.DataFrame({by: by_np[order], on: ts_np[order]})
+            m = pd.merge_asof(probe, ranks, on=on, by=by,
+                              direction="backward",
+                              allow_exact_matches=True)
+            r = m["__rank"].fillna(0).to_numpy().astype(np.int64)
+            out = np.empty(len(r), dtype=np.int64)
+            out[order] = r          # back to lrows row order
+            return out
+
+        hi = rank_at(lrows[on].to_numpy() + window)
+        lo = rank_at(lrows[on].to_numpy())
+        lrows[out_col] = (hi - lo).astype(np.int64)
+        return lrows
+
+    return tagged.groupby("__bucket").map_groups(
+        count_bucket, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # Keyed merge with precedence (A5: FaselSeriesScraper.py:217 old-wins vs
 # FaselMoviesScraper.py:100-101 / WeCimaScraper.py:71-72 new-wins)

@@ -390,12 +390,17 @@ def write_catalogs_distributed(
         file_hashes[cur] = md5.hexdigest()
         fp = md5 = None
 
+    import numpy as np
     for batch in ordered.iter_batches(batch_format="pyarrow",
-                                      batch_size=4096):
-        cats = batch.column("catalog").to_pylist()
+                                      batch_size=16384):
+        cats = np.asarray(batch.column("catalog").to_pylist())
         pretty = batch.column("pretty").to_pylist()
         compact = batch.column("compact").to_pylist()
-        for cat, pf, cf in zip(cats, pretty, compact):
+        # contiguous catalog runs → ONE write / md5 update per run, not
+        # per entry (the per-entry Python loop was the driver hot spot)
+        bounds = np.flatnonzero(cats[1:] != cats[:-1]) + 1
+        for lo, hi in zip(np.r_[0, bounds], np.r_[bounds, len(cats)]):
+            cat = cats[lo]
             if cat != cur:
                 close_current()
                 cur = cat
@@ -404,13 +409,12 @@ def write_catalogs_distributed(
                           encoding="utf-8")
                 md5 = hashlib.md5(b"{")
                 first = True
-            fp.write("{\n" if first else ",\n")
-            fp.write(pf)
-            if not first:
-                md5.update(b", ")
-            md5.update(cf.encode("utf-8"))
+            head = "{\n" if first else ",\n"
+            fp.write(head + ",\n".join(pretty[lo:hi]))
+            md5.update(("" if first else ", ").encode("utf-8")
+                       + ", ".join(compact[lo:hi]).encode("utf-8"))
             first = False
-            counts[cat] += 1
+            counts[cat] += hi - lo
     close_current()
     if hashes:
         with open(os.path.join(out_dir, "file-hashes.json"), "w") as f:
