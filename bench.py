@@ -41,7 +41,7 @@ BENCH_QUERIES = [
 
 
 def _corpus_cache_dir(scale: str) -> str:
-    return f"/tmp/nofasel_bench_corpus_{scale}_v5"
+    return f"/tmp/nofasel_bench_corpus_{scale}_v6"
 
 
 def load_bench_corpus(scale: str):
@@ -180,9 +180,12 @@ def main() -> None:
     import no_fasel_scrapers_ray
     no_fasel_scrapers_ray.enable_portable_pickling()
 
-    if os.environ.get("BENCH_FETCH_MODE") == "path":
-        # host-partitioned on-disk corpus; workers load only the
-        # partitions their (host, salt) blocks touch
+    if os.environ.get("BENCH_FETCH_MODE", "path") == "path":
+        # DEFAULT: (host, salt)-partitioned on-disk corpus; workers load
+        # only the partitions their salt-aligned blocks touch — the
+        # 10^10-doc layout, measured at parity with broadcast mode
+        # (68.3k vs 67.8k pages/s) once blocks align with partitions.
+        # BENCH_FETCH_MODE=broadcast restores the ray.put whole-table mode.
         corpus, seeds = load_bench_corpus_path(scale)
     else:
         corpus, seeds = load_bench_corpus(scale)

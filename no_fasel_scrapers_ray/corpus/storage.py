@@ -25,6 +25,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from ..functions.hashing import stable_hash64_array
+from ..functions.urls import canonicalize_url
+
 try:  # pragma: no cover - lance not installed in this sandbox
     import lance  # type: ignore
     HAVE_LANCE = True
@@ -37,11 +40,30 @@ def corpus_path(root: str) -> str:
     return os.path.join(root, "corpus.lance" if HAVE_LANCE else "corpus_parquet")
 
 
+# Second partition level: salt = stable_hash64(canonical url) % CORPUS_SALTS.
+# The crawl salts its (host, salt) fetch blocks with the SAME function, so
+# a block's worker reads exactly one corpus partition — the "one
+# partitioning key reused across stages" rule. Raising this divides both
+# per-worker resident corpus state and per-partition file size.
+CORPUS_SALTS = 16
+
+
+def url_salts(urls) -> "np.ndarray":
+    """Salt bucket per url — MUST stay in lockstep with the crawl's
+    frontier hash (pipelines/crawl.py::link_hashes). Imports hoisted to
+    module level: a function-level relative import executes at CALL
+    time on workers, where the package is pickled by value and not on
+    sys.path (the worker-import trap)."""
+    import numpy as np
+    return (stable_hash64_array([canonicalize_url(u) for u in urls])
+            % np.uint64(CORPUS_SALTS)).astype(np.int64)
+
+
 def write_corpus(table: pa.Table, root: str,
                  rows_per_file: int = 250_000) -> str:
-    """Write the corpus table host-partitioned; returns the dataset
-    path. One hive directory per host, files capped at
-    ``rows_per_file`` rows."""
+    """Write the corpus table (host, salt)-partitioned; returns the
+    dataset path. Hive layout ``host=H/salt=S/part-*.parquet``, files
+    capped at ``rows_per_file`` rows."""
     path = corpus_path(root)
     os.makedirs(root, exist_ok=True)
     if HAVE_LANCE:  # pragma: no cover
@@ -56,14 +78,20 @@ def write_corpus(table: pa.Table, root: str,
         enc = enc.chunk(0)
     dictionary = enc.dictionary
     code_np = enc.indices.to_numpy()
+    salts = url_salts(table.column("doc_id").to_pylist())
     for code, host in enumerate(dictionary.to_pylist()):
-        rows = np.flatnonzero(code_np == code)
-        sub = table.take(pa.array(rows))
+        hrows = code_np == code
         hdir = os.path.join(path, f"host={quote(host, safe='')}")
-        os.makedirs(hdir, exist_ok=True)
-        for k, lo in enumerate(range(0, sub.num_rows, rows_per_file)):
-            pq.write_table(sub.slice(lo, rows_per_file),
-                           os.path.join(hdir, f"part-{k:05d}.parquet"))
+        for salt in range(CORPUS_SALTS):
+            rows = np.flatnonzero(hrows & (salts == salt))
+            if not len(rows):
+                continue
+            sub = table.take(pa.array(rows))
+            sdir = os.path.join(hdir, f"salt={salt}")
+            os.makedirs(sdir, exist_ok=True)
+            for k, lo in enumerate(range(0, sub.num_rows, rows_per_file)):
+                pq.write_table(sub.slice(lo, rows_per_file),
+                               os.path.join(sdir, f"part-{k:05d}.parquet"))
     return path
 
 
@@ -73,15 +101,35 @@ def corpus_hosts(path: str) -> list[str]:
                   for d in os.listdir(path) if d.startswith("host="))
 
 
-def host_partition_table(path: str, host: str) -> pa.Table:
-    """ONE host's slice of the corpus — the partition-pruned read the
-    fetch stage uses (Lance: filtered scan; Parquet: hive dir)."""
+def host_partition_table(path: str, host: str,
+                         salt: int | None = None) -> pa.Table:
+    """ONE (host[, salt]) slice of the corpus — the partition-pruned
+    read the fetch stage uses (Lance: filtered scan; Parquet: hive
+    dirs). ``salt=None`` (or a pre-salt layout) reads the whole host."""
     if HAVE_LANCE and path.endswith(".lance"):  # pragma: no cover
-        return lance.dataset(path).to_table(filter=f"host == '{host}'")
+        flt = f"host == '{host}'"
+        if salt is not None:
+            flt += f" and salt == {salt}"
+        return lance.dataset(path).to_table(filter=flt)
     hdir = os.path.join(path, f"host={quote(host, safe='')}")
     if not os.path.isdir(hdir):
         return None
-    return pq.read_table(hdir)
+    if salt is not None:
+        sdir = os.path.join(hdir, f"salt={salt}")
+        if os.path.isdir(sdir):
+            return pq.read_table(sdir)
+        if has_salt_layout(path, host):
+            return None          # salted layout, empty partition
+    t = pq.read_table(hdir)
+    if "salt" in t.column_names:   # hive partition col, not corpus schema
+        t = t.drop_columns(["salt"])
+    return t
+
+
+def has_salt_layout(path: str, host: str) -> bool:
+    hdir = os.path.join(path, f"host={quote(host, safe='')}")
+    return os.path.isdir(hdir) and any(
+        d.startswith("salt=") for d in os.listdir(hdir))
 
 
 def is_host_partitioned(path: str) -> bool:

@@ -36,6 +36,7 @@ import ray.data as rd
 
 from ..corpus.schema import FRONTIER_SCHEMA
 from ..corpus.spans import pages_from_arrow
+from ..corpus.storage import CORPUS_SALTS
 from ..functions.hashing import stable_hash64
 from ..functions.urls import canonicalize_url
 from ..state.frontier import (
@@ -92,27 +93,54 @@ def push_links(links: list[dict], shards, n_shards: int) -> None:
 
 def partition_by_host(table: pa.Table, n_salts: int) -> list[np.ndarray]:
     """The groupby-host shuffle with hot-host salting: one ROW-INDEX
-    array per (host, salt) bucket. Every host is split into
-    ⌈count/target⌉ salt buckets where target keeps ~2 blocks per slot —
-    a host with 80% of the round (fasel) gets ~1.6×n_salts buckets
-    while a mid-size host still splits instead of becoming one
-    straggler task. Returning indices (not sub-tables) lets the round
-    table be ray.put ONCE and sliced inside the tasks — per-block
-    sub-table serialization on the driver measured ~1-2 s/round."""
+    array per (host, salt) bucket, sized so each bucket holds ~target
+    rows (~2 blocks per fetch slot). Returning indices (not sub-tables)
+    lets the round table be ray.put ONCE and sliced inside the tasks —
+    per-block sub-table serialization on the driver measured ~1-2 s/round.
+
+    Salt ALIGNMENT: the primary split inside a host follows
+    ``h % CORPUS_SALTS`` — the same url hash that partitioned the
+    on-disk corpus (corpus/storage.py::url_salts) — so in path mode a
+    block's worker reads exactly the corpus partitions its rows live
+    in. Oversized salt groups stripe-split WITHIN the salt (still one
+    partition); undersized groups of the same host coalesce (a merged
+    block touches the few partitions it carries — the fetcher prunes
+    per row-group either way). Broadcast mode is indifferent to block
+    composition, so one scheme serves both."""
     import pyarrow.compute as pc
     n = table.num_rows
     target = max(256, -(-n // (2 * n_salts)))
     codes = pc.dictionary_encode(
         table.column("host")).combine_chunks().indices.to_numpy()
+    h = (table.column("h").to_numpy()
+         if "h" in table.column_names else None)
     out = []
     for code in np.unique(codes):
         rows = np.flatnonzero(codes == code)
-        salts = -(-len(rows) // target)
-        if salts <= 1:
-            out.append(rows)
-        else:
-            for s in range(salts):
-                out.append(rows[s::salts])
+        if h is None:                       # no hash column: stripe only
+            splits = -(-len(rows) // target)
+            for s in range(splits):
+                out.append(rows[s::splits])
+            continue
+        salts = (h[rows] % np.uint64(CORPUS_SALTS)).astype(np.int64)
+        pending: list[np.ndarray] = []
+        pend_n = 0
+        for s in range(CORPUS_SALTS):
+            grp = rows[salts == s]
+            if not len(grp):
+                continue
+            if len(grp) >= target:
+                splits = -(-len(grp) // target)
+                for k in range(splits):
+                    out.append(grp[k::splits])
+            else:
+                pending.append(grp)
+                pend_n += len(grp)
+                if pend_n >= target:
+                    out.append(np.concatenate(pending))
+                    pending, pend_n = [], 0
+        if pending:
+            out.append(np.concatenate(pending))
     return [ix for ix in out if len(ix)]
 
 

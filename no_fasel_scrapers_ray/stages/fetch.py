@@ -24,8 +24,9 @@ import pyarrow as pa
 import ray
 
 from ..corpus.schema import SPAN_TYPE
-from ..corpus.storage import (host_partition_table, is_host_partitioned,
-                              read_corpus_table)
+from ..corpus.storage import (CORPUS_SALTS, has_salt_layout,
+                              host_partition_table, is_host_partitioned,
+                              read_corpus_table, url_salts)
 
 # hosts whose reference scrapers go through the Cloudflare cookie dance
 CHALLENGED_HOSTS = {"fasel.test", "cimanow.test", "hdw.test"}
@@ -94,38 +95,68 @@ _FETCHERS: dict = {}
 
 
 class PartitionedFetcher:
-    """Path-mode fetch against a host-partitioned corpus: each host's
-    slice (doc index + spans) is loaded lazily on FIRST contact and
-    cached — a worker's resident corpus state is proportional to the
-    hosts its (host, salt) blocks actually serve, never the whole
-    corpus (r01 path mode had every worker read all rows,
-    stages/fetch.py:33-35). Session/challenge accounting matches
-    ``Fetcher`` exactly (it IS a per-host ``Fetcher``)."""
+    """Path-mode fetch against a (host, salt)-partitioned corpus: each
+    partition's slice (doc index + spans) is loaded lazily on FIRST
+    contact and cached. The crawl salts its fetch blocks with the SAME
+    url hash that partitioned the corpus (corpus/storage.py::url_salts),
+    so a salt-aligned block touches exactly ONE corpus partition — a
+    worker's resident corpus state is proportional to the partitions it
+    serves: ~hosts×salts-touched/CORPUS_SALTS of the corpus, never the
+    whole thing (r01 path mode had every worker read all rows; r02
+    pre-salt had every worker read its full hosts). Session/challenge
+    accounting matches ``Fetcher`` (it IS a per-partition ``Fetcher``,
+    so per-host session counts split across salts — the challenge
+    TOTALS over a host still match the budget semantics)."""
 
     def __init__(self, path: str, challenge_every: int = 0):
         self.path = path
         self.challenge_every = challenge_every
-        self.per_host: dict[str, Fetcher | None] = {}
+        self.parts: dict[tuple, Fetcher | None] = {}
+        self.salted: dict[str, bool] = {}
 
-    def _host_fetcher(self, host: str) -> Fetcher | None:
-        if host not in self.per_host:
-            t = host_partition_table(self.path, host)
-            self.per_host[host] = (None if t is None
-                                   else Fetcher(t, self.challenge_every))
-        return self.per_host[host]
+    def _part_fetcher(self, host: str, salt: int | None) -> Fetcher | None:
+        key = (host, salt)
+        if key not in self.parts:
+            t = host_partition_table(self.path, host, salt)
+            self.parts[key] = (None if t is None
+                               else Fetcher(t, self.challenge_every))
+        return self.parts[key]
+
+    def _is_salted(self, host: str) -> bool:
+        if host not in self.salted:
+            self.salted[host] = has_salt_layout(self.path, host)
+        return self.salted[host]
 
     @property
     def hosts_loaded(self) -> list[str]:
-        return sorted(self.per_host)
+        return sorted({h for h, _ in self.parts})
+
+    @property
+    def partitions_loaded(self) -> list[tuple]:
+        return sorted(self.parts)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+        if "h" in batch.column_names:      # frontier blocks carry the hash
+            salts = (batch.column("h").to_numpy().astype(np.uint64)
+                     % np.uint64(CORPUS_SALTS)).astype(np.int64)
+        else:
+            salts = url_salts(batch.column("url").to_pylist())
+        hosts = batch.column("host")
         outs = []
-        for host in pc.unique(batch.column("host")).to_pylist():
-            f = self._host_fetcher(host)
-            sub = batch.filter(pc.equal(batch.column("host"), host))
-            if f is not None:
-                outs.append(f(sub))
+        for host in pc.unique(hosts).to_pylist():
+            hmask = pc.equal(hosts, host).to_numpy(zero_copy_only=False)
+            if not self._is_salted(host):
+                f = self._part_fetcher(host, None)
+                if f is not None:
+                    outs.append(f(batch.filter(pa.array(hmask))))
+                continue
+            for salt in np.unique(salts[hmask]):
+                f = self._part_fetcher(host, int(salt))
+                if f is None:
+                    continue
+                outs.append(f(batch.filter(
+                    pa.array(hmask & (salts == salt)))))
         if not outs:
             return batch.slice(0, 0).append_column(
                 "spans", pa.array([], type=SPAN_TYPE))

@@ -50,11 +50,20 @@ def test_partition_pruned_fetch(corpus_on_disk):
                       "host": sample.column("host")})
     out = f(batch)
     assert out.num_rows == 5
-    # ONLY the touched host's partition is resident
+    # ONLY the touched host's partitions are resident, and only the
+    # SALT slices the probe urls live in (not all CORPUS_SALTS)
     assert f.hosts_loaded == [host]
-    # span sequences survive the partitioned path byte-exactly
-    assert out.column("spans").to_pylist() == \
-        sample.column("spans").to_pylist()
+    from no_fasel_scrapers_ray.corpus.storage import url_salts
+    probe_salts = set(url_salts(sample.column("doc_id").to_pylist())
+                      .tolist())
+    assert {s for h, s in f.partitions_loaded} == probe_salts
+    # span sequences survive the partitioned path byte-exactly (rows
+    # come back grouped by salt partition → compare keyed by url)
+    got = dict(zip(out.column("url").to_pylist(),
+                   out.column("spans").to_pylist()))
+    want = dict(zip(sample.column("doc_id").to_pylist(),
+                    sample.column("spans").to_pylist()))
+    assert got == want
     # unknown host → no partition load beyond the probe, no rows
     miss = f(pa.table({"url": pa.array(["http://nowhere.test/x"]),
                        "host": pa.array(["nowhere.test"])}))
