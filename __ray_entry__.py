@@ -305,6 +305,17 @@ def q_cosine_near_dup(sf_dir: str):
                            threshold=0.35)
 
 
+def q_top3_orders_per_cust(sf_dir: str):
+    """Per-group top-k: each customer's 3 largest orders (the keep-k-
+    best-docs-per-domain shape). Partial top-k per batch prunes the
+    shuffle to k rows/key/batch; oracle is ROW_NUMBER() windowing."""
+    from no_fasel_scrapers_ray.ops.relational import topk_per_group
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_totalprice"])
+    return topk_per_group(orders, ["o_custkey"], "o_totalprice", k=3,
+                          tie_cols=["o_orderkey"])
+
+
 def q_asof_clicks(sf_dir: str):
     """As-of join (§ custom operators): each purchase event matched to
     the user's most recent prior-or-same-instant click. Oracle: DuckDB
@@ -513,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_near_dup_exact": q_cosine_near_dup_exact,
         "asof_clicks": q_asof_clicks,
         "range_join_clicks": q_range_join_clicks,
+        "top3_orders_per_cust": q_top3_orders_per_cust,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -699,6 +711,14 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY cosine DESC, neighbor_id) AS rk
                 FROM sims)
             SELECT query_id, neighbor_id, cosine FROM ranked WHERE rk <= 5
+        """,
+        "top3_orders_per_cust": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                FROM orders) WHERE rk <= 3
         """,
         "asof_clicks": """
             WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,

@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     "doc_fingerprint", "dedup_exact", "knn_bruteforce", "knn_ivf",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "cosine_near_dup", "cosine_near_dup_exact",
-    "asof_clicks", "range_join_clicks",
+    "asof_clicks", "range_join_clicks", "top3_orders_per_cust",
 ]
 
 

@@ -448,6 +448,37 @@ def preagg_reduce(ds: rd.Dataset, keys: list[str], col: str, how: str,
             .groupby("__bucket").map_groups(final, batch_format="pandas"))
 
 
+def topk_per_group(ds: rd.Dataset, keys: list[str], order_col: str, k: int,
+                   ascending: bool = False, tie_cols: list[str] | None = None,
+                   n_buckets: int = 64) -> rd.Dataset:
+    """Per-key top-k rows (keep the k best docs per domain, the k
+    largest orders per customer, ...). Scale shape: a batch's per-key
+    top-k is a SUPERSET filter for the global per-key top-k, so the
+    per-batch partial prunes the shuffle to ≤ k rows per key per batch;
+    the bucket shuffle then moves partials, not the table, and the
+    per-bucket final repeats the same selection. Ties broken by
+    ``tie_cols`` (always sorted ascending) so results are deterministic
+    and oracle-comparable (ROW_NUMBER semantics)."""
+    tie = tie_cols or []
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([order_col] + tie, kind="stable",
+                            ascending=[ascending] + [True] * len(tie))
+        return df.groupby(keys, sort=False).head(k)
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        g = select(batch)
+        g = g.assign(__bucket=stable_bucket_cols(g, keys, n_buckets))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        out = select(g.drop(columns="__bucket"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("__bucket").map_groups(final, batch_format="pandas"))
+
+
 def round_columns(ds: rd.Dataset, decimals: dict[str, int]) -> rd.Dataset:
     def _round(batch: pd.DataFrame) -> pd.DataFrame:
         for col, nd in decimals.items():

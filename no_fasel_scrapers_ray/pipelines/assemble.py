@@ -414,7 +414,7 @@ def write_catalogs_distributed(
             md5.update(("" if first else ", ").encode("utf-8")
                        + ", ".join(compact[lo:hi]).encode("utf-8"))
             first = False
-            counts[cat] += hi - lo
+            counts[cat] += int(hi - lo)
     close_current()
     if hashes:
         with open(os.path.join(out_dir, "file-hashes.json"), "w") as f:
