@@ -25,7 +25,7 @@ import no_fasel_scrapers_ray
 no_fasel_scrapers_ray.enable_portable_pickling()
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, rows_per_block: int = 512):
     """read_parquet with data-proportional block sizing.
 
     Ray's default parallelism floor (2×CPUs) splits a 0.6 MB documents
@@ -34,8 +34,11 @@ def _read(sf_dir: str, table: str, columns=None):
     tiny-table groupby costs 2.4 s at 64 blocks vs 0.7 s at 8). Blocks
     here scale with the INPUT: ~32 MB of file bytes per block once the
     table is big (the 100 TB regime — identical to Ray's own target),
-    with a small-table floor of one block per ~512 rows capped at 2×CPUs
-    so CPU-heavy per-row stages still parallelize."""
+    with a small-table floor of one block per ``rows_per_block`` rows
+    capped at 2×CPUs. The default floor (512) suits CPU-heavy per-row
+    stages (regex/hashing per doc); shuffle-bound relational queries
+    pass a coarser floor (8192) — their per-row work is vectorized C,
+    so tiny blocks only multiply all-to-all fan-out."""
     import math
     import os
 
@@ -48,7 +51,7 @@ def _read(sf_dir: str, table: str, columns=None):
         nbytes = os.path.getsize(path)
         cpus = int(ray.cluster_resources().get("CPU", 8))
         nb = max(math.ceil(nbytes / (32 << 20)),
-                 min(2 * cpus, math.ceil(rows / 512)), 1)
+                 min(2 * cpus, math.ceil(rows / rows_per_block)), 1)
     except Exception:
         return rd.read_parquet(path, columns=columns)
     return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
@@ -311,7 +314,8 @@ def q_top3_orders_per_cust(sf_dir: str):
     shuffle to k rows/key/batch; oracle is ROW_NUMBER() windowing."""
     from no_fasel_scrapers_ray.ops.relational import topk_per_group
     orders = _read(sf_dir, "orders",
-                   ["o_custkey", "o_orderkey", "o_totalprice"])
+                   ["o_custkey", "o_orderkey", "o_totalprice"],
+                   rows_per_block=8192)
     return topk_per_group(orders, ["o_custkey"], "o_totalprice", k=3,
                           tie_cols=["o_orderkey"])
 
@@ -324,7 +328,8 @@ def q_asof_clicks(sf_dir: str):
     import pandas as pd
     from no_fasel_scrapers_ray.ops.relational import asof_join
     ev = _read(sf_dir, "events",
-               ["event_id", "ts", "user_id", "event_type", "value"])
+               ["event_id", "ts", "user_id", "event_type", "value"],
+               rows_per_block=8192)
 
     def side(event_type: str, rename: dict):
         def prep(b: pd.DataFrame) -> pd.DataFrame:
@@ -337,10 +342,16 @@ def q_asof_clicks(sf_dir: str):
             return pd.DataFrame(out)
         return ev.map_batches(prep, batch_format="pandas")
 
+    import pyarrow as pa
+    i64, f64 = pa.int64(), pa.float64()
     return asof_join(
         side("purchase", {"event_id": "event_id", "value": "amount"}),
         side("click", {"event_id": "click_id", "value": "click_value"}),
-        by="user_id", on="ts_us")
+        by="user_id", on="ts_us",
+        left_fields={"user_id": i64, "ts_us": i64,
+                     "event_id": i64, "amount": f64},
+        right_fields={"user_id": i64, "ts_us": i64,
+                      "click_id": i64, "click_value": f64})
 
 
 def q_range_join_clicks(sf_dir: str):
@@ -350,7 +361,8 @@ def q_range_join_clicks(sf_dir: str):
     inequality join (IEJoin)."""
     import pandas as pd
     from no_fasel_scrapers_ray.ops.relational import range_count_join
-    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"],
+               rows_per_block=8192)
 
     def side(event_type: str, with_id: bool):
         def prep(b: pd.DataFrame) -> pd.DataFrame:
@@ -363,9 +375,13 @@ def q_range_join_clicks(sf_dir: str):
             return pd.DataFrame(out)
         return ev.map_batches(prep, batch_format="pandas")
 
+    import pyarrow as pa
+    i64 = pa.int64()
     return range_count_join(side("signup", True), side("click", False),
                             by="user_id", on="ts_us",
-                            window=3_600_000_000, out_col="n_clicks_1h")
+                            window=3_600_000_000, out_col="n_clicks_1h",
+                            left_fields={"user_id": i64, "ts_us": i64,
+                                         "event_id": i64})
 
 
 def q_cosine_near_dup_exact(sf_dir: str):

@@ -108,7 +108,7 @@ def run_crawl(corpus, seeds, num_cpus: int, run_dir: str,
               do_assemble: bool = True) -> dict:
     import ray.data as rd
     from no_fasel_scrapers_ray.pipelines.assemble import (
-        assemble_records, write_catalogs_distributed)
+        assemble_records, write_catalogs_parallel)
     from no_fasel_scrapers_ray.pipelines.crawl import CrawlEngine
     t_setup0 = time.perf_counter()
     # fetch_concurrency sets SALT granularity (blocks per round ≈ 2×
@@ -132,7 +132,7 @@ def run_crawl(corpus, seeds, num_cpus: int, run_dir: str,
         from no_fasel_scrapers_ray.corpus.storage import read_parquet_sized
         entries = assemble_records(
             read_parquet_sized(os.path.join(run_dir, "records")))
-        _, counts = write_catalogs_distributed(
+        _, counts = write_catalogs_parallel(
             entries, os.path.join(run_dir, "out"))
         n_entries = sum(counts.values())
     else:

@@ -179,7 +179,9 @@ def bucketed_join(left: rd.Dataset, right: rd.Dataset, on: str,
 
 
 def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
-              n_buckets: int = 64) -> rd.Dataset:
+              n_buckets: int = 64,
+              left_fields: dict | None = None,
+              right_fields: dict | None = None) -> rd.Dataset:
     """As-of join: each left row matched to the LAST right row of the
     same ``by`` key with ``right.on <= left.on`` (backward, inclusive);
     inner semantics — unmatched left rows are dropped.
@@ -196,21 +198,32 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
     Right payload columns must not collide with left's (rename before
     the call); ``by``/``on`` are shared. Right payload must be non-null
     (the match-found indicator after the outer merge_asof).
+
+    ``left_fields``/``right_fields`` ({name: pyarrow.DataType}, ordered)
+    skip the two ``Dataset.schema()`` probes — each probe executes one
+    block of a lazy lineage, a fixed ~1 s tax per side on a cold run.
     """
-    left_schema, right_schema = left.schema(), right.schema()
-    left_cols = list(left_schema.names)
-    right_cols = list(right_schema.names)
+    if left_fields is not None and right_fields is not None:
+        left_cols = list(left_fields)
+        right_cols = list(right_fields)
+        all_fields = dict(left_fields)
+        for name, typ in right_fields.items():
+            all_fields.setdefault(name, typ)
+    else:
+        left_schema, right_schema = left.schema(), right.schema()
+        left_cols = list(left_schema.names)
+        right_cols = list(right_schema.names)
+        all_fields = {}
+        for name, typ in zip(left_schema.names, left_schema.types):
+            all_fields[name] = typ
+        for name, typ in zip(right_schema.names, right_schema.types):
+            all_fields.setdefault(name, typ)
     payload = [c for c in right_cols if c not in (by, on)]
     if not payload:
         raise ValueError("asof_join: right side needs a payload column")
     clash = set(payload) & set(left_cols)
     if clash:
         raise ValueError(f"asof_join: rename right columns {clash}")
-    all_fields = {}
-    for name, typ in zip(left_schema.names, left_schema.types):
-        all_fields[name] = typ
-    for name, typ in zip(right_schema.names, right_schema.types):
-        all_fields.setdefault(name, typ)
 
     def tag(side: str):
         def _tag(batch: pa.Table) -> pa.Table:
@@ -256,7 +269,8 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
 
 def range_count_join(left: rd.Dataset, right: rd.Dataset, by: str,
                      on: str, window: int, out_col: str = "n_in_window",
-                     n_buckets: int = 64) -> rd.Dataset:
+                     n_buckets: int = 64,
+                     left_fields: dict | None = None) -> rd.Dataset:
     """Range join as a windowed count: for every left row, the number of
     right rows of the same ``by`` key with ``on`` in
     ``(left.on, left.on + window]`` (strict lower, inclusive upper).
@@ -268,12 +282,15 @@ def range_count_join(left: rd.Dataset, right: rd.Dataset, by: str,
     inequality join: right rows get a per-key running rank, then
     rank(last right ≤ l.on + window) − rank(last right ≤ l.on), each via
     ``pd.merge_asof``. ``on`` must be an integer column (e.g. epoch
-    microseconds) so window arithmetic is exact.
+    microseconds) so window arithmetic is exact. ``left_fields``
+    ({name: pyarrow.DataType}, ordered) skips the ``schema()`` probe
+    (a ~1 s lazy-lineage execution on a cold run).
     """
-    left_schema = left.schema()
-    left_cols = list(left_schema.names)
-    int_left = [c for c, t in zip(left_schema.names, left_schema.types)
-                if pa.types.is_integer(t)]
+    if left_fields is None:
+        left_schema = left.schema()
+        left_fields = dict(zip(left_schema.names, left_schema.types))
+    left_cols = list(left_fields)
+    int_left = [c for c, t in left_fields.items() if pa.types.is_integer(t)]
 
     def tag(side: str, keep: list[str]):
         def _tag(batch: pa.Table) -> pa.Table:
@@ -289,7 +306,7 @@ def range_count_join(left: rd.Dataset, right: rd.Dataset, by: str,
     # common schema, so right's missing columns ride as nulls
     def tag_right(batch: pa.Table) -> pa.Table:
         cols = {}
-        for c, t in zip(left_schema.names, left_schema.types):
+        for c, t in left_fields.items():
             cols[c] = (batch[c] if c in (by, on)
                        else pa.nulls(len(batch), t))
         cols["__bucket"] = pc.bit_wise_and(

@@ -33,7 +33,7 @@ import os
 from ..functions.hashing import md5_of_json
 from ..stages.images import image_table_from_indices, transcode_images
 from .assemble import (assemble_records, build_catalogs,
-                       write_catalogs_distributed)
+                       write_catalogs_parallel)
 from .crawl import CrawlEngine
 from .postprocess import FILE_NAMES, all_content_index, postprocess_catalogs
 from .trending import run_trending
@@ -71,7 +71,7 @@ def scrape_all(corpus, seeds: list[dict], run_dir: str,
     # 2. assemble → scraper-stage catalog files (distributed writer)
     entries = assemble_records(eng.records_dataset(),
                                old_catalogs=old_catalogs).materialize()
-    write_catalogs_distributed(entries, out_dir, hashes=False)
+    write_catalogs_parallel(entries, out_dir, hashes=False)
     # record-scale dicts for the post-crawl phases (catalogs ≪ corpus)
     catalogs = build_catalogs(entries)
 

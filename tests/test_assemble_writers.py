@@ -19,7 +19,7 @@ from no_fasel_scrapers_ray.functions.hashing import md5_of_json
 from no_fasel_scrapers_ray.oracle import Oracle
 from no_fasel_scrapers_ray.pipelines.assemble import (
     assemble_records, build_catalogs, write_catalogs,
-    write_catalogs_distributed)
+    write_catalogs_distributed, write_catalogs_parallel)
 from no_fasel_scrapers_ray.pipelines.crawl import CrawlEngine
 
 
@@ -50,6 +50,29 @@ def test_distributed_writer_byte_equality(entries_and_oracle, tmp_path):
             assert fa.read() == fb.read(), f"{name} differs"
     for cat, n in counts.items():
         with open(os.path.join(dist_dir, f"{cat}.json"),
+                  encoding="utf-8") as fp:
+            assert len(json.load(fp)) == n
+
+
+def test_parallel_writer_byte_equality(entries_and_oracle, tmp_path):
+    """The per-catalog worker sink (one task per catalog writes the
+    file + folds its md5) is byte-identical to the dict writer, and
+    its chunked md5 stream reproduces md5(json.dumps(content))."""
+    entries, _ = entries_and_oracle
+    dict_dir = str(tmp_path / "dict_out")
+    par_dir = str(tmp_path / "par_out")
+    dict_hashes = write_catalogs(build_catalogs(entries), dict_dir)
+    # chunk=3 forces multi-chunk md5 folds + file appends per catalog
+    par_hashes, counts = write_catalogs_parallel(entries, par_dir, chunk=3)
+    assert par_hashes == dict_hashes
+    files = sorted(os.listdir(dict_dir))
+    assert sorted(os.listdir(par_dir)) == files
+    for name in files:
+        with open(os.path.join(dict_dir, name), "rb") as fa, \
+                open(os.path.join(par_dir, name), "rb") as fb:
+            assert fa.read() == fb.read(), f"{name} differs"
+    for cat, n in counts.items():
+        with open(os.path.join(par_dir, f"{cat}.json"),
                   encoding="utf-8") as fp:
             assert len(json.load(fp)) == n
 
