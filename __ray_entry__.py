@@ -320,6 +320,57 @@ def q_top3_orders_per_cust(sf_dir: str):
                           tie_cols=["o_orderkey"])
 
 
+def q_sample_orders(sf_dir: str):
+    """Deterministic hash sample (§ sampling): ~5% of orders, the
+    engine and the oracle running the SAME multiplicative-hash filter
+    so the picked rows are identical (no RNG)."""
+    from no_fasel_scrapers_ray.ops.relational import hash_sample
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"],
+                   rows_per_block=8192)
+    return hash_sample(orders, "o_orderkey", rate=0.05)
+
+
+def q_intersect_users(sf_dir: str):
+    """Set op (§2.9): users who both purchased and clicked — SQL
+    INTERSECT as a distinct-key co-location shuffle."""
+    import pyarrow.compute as pc
+    from no_fasel_scrapers_ray.ops.relational import intersect_keys
+    ev = _read(sf_dir, "events", ["user_id", "event_type"],
+               rows_per_block=8192)
+
+    def typed(kind):
+        return ev.map_batches(
+            lambda t, k=kind: t.filter(pc.equal(t["event_type"], k))
+            .select(["user_id"]), batch_format="pyarrow")
+
+    return intersect_keys(typed("purchase"), typed("click"), "user_id")
+
+
+def q_except_customers(sf_dir: str):
+    """Set op (§2.9): customer keys with no URGENT order — SQL EXCEPT
+    over distinct keys (the seen-set complement shape, cf. J6; the
+    bucketed-shuffle counterpart of the broadcast anti_join)."""
+    import pyarrow as pa
+    from no_fasel_scrapers_ray.ops.relational import except_keys
+    import pyarrow.compute as pc
+    cust = _read(sf_dir, "customer", ["c_custkey"], rows_per_block=8192)
+    okeys = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"],
+                  rows_per_block=8192).map_batches(
+        lambda t: pa.table({"c_custkey": t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT"))["o_custkey"]}),
+        batch_format="pyarrow")
+    return except_keys(cust, okeys, "c_custkey")
+
+
+def q_distinct_parts_per_supplier(sf_dir: str):
+    """COUNT(DISTINCT) GROUP BY over the big table: distinct parts per
+    supplier via the two-stage dedup-then-count bucket aggregate."""
+    from no_fasel_scrapers_ray.ops.relational import grouped_count_distinct
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    return grouped_count_distinct(li, ["l_suppkey"], "l_partkey",
+                                  alias="n_parts")
+
+
 def q_asof_clicks(sf_dir: str):
     """As-of join (§ custom operators): each purchase event matched to
     the user's most recent prior-or-same-instant click. Oracle: DuckDB
@@ -541,6 +592,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_clicks": q_asof_clicks,
         "range_join_clicks": q_range_join_clicks,
         "top3_orders_per_cust": q_top3_orders_per_cust,
+        "sample_orders": q_sample_orders,
+        "intersect_users": q_intersect_users,
+        "except_customers": q_except_customers,
+        "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -735,6 +790,25 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY o_custkey
                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
                 FROM orders) WHERE rk <= 3
+        """,
+        "sample_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE ((o_orderkey * 2654435761) & 4294967295) < 214748364
+        """,
+        "intersect_users": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'click'
+        """,
+        "except_customers": """
+            SELECT c_custkey FROM customer
+            EXCEPT
+            SELECT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        """,
+        "distinct_parts_per_supplier": """
+            SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_suppkey
         """,
         "asof_clicks": """
             WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,

@@ -354,15 +354,17 @@ def _block_pairs(blk_a: pd.DataFrame, blk_b: pd.DataFrame, same: bool,
     else:
         ids_b, emb_b = blk_b["vec_id"].to_numpy(), _stack(blk_b["nemb"])
     sims = emb_a @ emb_b.T
+    # boolean mask + nonzero, NOT triu_indices over all O(rows²) pairs:
+    # the dense index arrays are 4× the sims matrix and freshly faulted
+    # pages are the dominant task cost on cold workers
+    mask = sims >= threshold
     if same:
-        a, b = np.triu_indices(len(ids_a), k=1)
-    else:
-        a, b = np.indices(sims.shape).reshape(2, -1)
-    keep = sims[a, b] >= threshold
-    ia, ib = ids_a[a[keep]], ids_b[b[keep]]
+        mask = np.triu(mask, k=1)
+    a, b = np.nonzero(mask)
+    ia, ib = ids_a[a], ids_b[b]
     return pd.DataFrame({"vec_a": np.minimum(ia, ib),
                          "vec_b": np.maximum(ia, ib),
-                         "cosine": np.round(sims[a, b][keep], 4)})
+                         "cosine": np.round(sims[a, b], 4)})
 
 
 def cosine_near_dup_exact(embeddings: rd.Dataset,

@@ -496,6 +496,101 @@ def topk_per_group(ds: rd.Dataset, keys: list[str], order_col: str, k: int,
             .groupby("__bucket").map_groups(final, batch_format="pandas"))
 
 
+KNUTH_HASH = 2654435761  # floor(2^32 / golden ratio), Knuth 6.4
+
+
+def hash_sample(ds: rd.Dataset, column: str, rate: float) -> rd.Dataset:
+    """Deterministic uniform sample: keep rows where
+    ``(column * 2654435761) & 0xFFFFFFFF < rate * 2^32``.
+
+    Embarrassingly parallel (a pure per-batch filter, no shuffle, no
+    RNG state), reproducible across engines (the same integer
+    arithmetic runs in SQL), and stable under repartitioning — the
+    properties a 100-TB pipeline needs from a sample (re-runs and
+    resumed runs pick the SAME rows). ``column`` must be integral."""
+    threshold = int(rate * (1 << 32))
+
+    def pick(t: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply(pc.cast(t[column], pa.int64()),
+                        pa.scalar(KNUTH_HASH, pa.int64())),
+            pa.scalar((1 << 32) - 1, pa.int64()))
+        return t.filter(pc.less(h, pa.scalar(threshold, pa.int64())))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def _side_keys(ds: rd.Dataset, column: str, side: str,
+               n_buckets: int) -> rd.Dataset:
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        u = batch[[column]].drop_duplicates()
+        u["__side"] = side
+        u["__bucket"] = stable_bucket_cols(u, [column], n_buckets)
+        return pa.Table.from_pandas(u, preserve_index=False)
+    return ds.map_batches(partial, batch_format="pandas")
+
+
+def _set_op(a: rd.Dataset, b: rd.Dataset, column: str, keep_both: bool,
+            n_buckets: int) -> rd.Dataset:
+    """Shared body of intersect/except over DISTINCT keys: per-batch
+    distinct partials (tiny vs the table), ONE bucket shuffle
+    co-locating each key's sightings from both sides, then a vectorized
+    per-bucket min/max-side test. Scale shape: the shuffle moves
+    distinct keys only, never payload rows."""
+    tagged = (_side_keys(a, column, "a", n_buckets)
+              .union(_side_keys(b, column, "b", n_buckets)))
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        s = (g.drop_duplicates([column, "__side"])
+             .groupby(column)["__side"].agg(["min", "max"]))
+        if keep_both:          # intersect: seen from both sides
+            keys = s.index[(s["min"] == "a") & (s["max"] == "b")]
+        else:                  # except: seen from 'a' only
+            keys = s.index[(s["min"] == "a") & (s["max"] == "a")]
+        return pa.table({column: pa.array(keys.to_numpy())})
+
+    return tagged.groupby("__bucket").map_groups(
+        final, batch_format="pandas")
+
+
+def intersect_keys(a: rd.Dataset, b: rd.Dataset, column: str,
+                   n_buckets: int = 64) -> rd.Dataset:
+    """SQL INTERSECT over one key column (distinct keys in BOTH)."""
+    return _set_op(a, b, column, keep_both=True, n_buckets=n_buckets)
+
+
+def except_keys(a: rd.Dataset, b: rd.Dataset, column: str,
+                n_buckets: int = 64) -> rd.Dataset:
+    """SQL EXCEPT over one key column (distinct keys of ``a`` not in
+    ``b``)."""
+    return _set_op(a, b, column, keep_both=False, n_buckets=n_buckets)
+
+
+def grouped_count_distinct(ds: rd.Dataset, keys: list[str], col: str,
+                           alias: str,
+                           n_buckets: int = 64) -> rd.Dataset:
+    """COUNT(DISTINCT col) GROUP BY keys as a two-stage bucketed
+    aggregate: per-batch (keys, col) dedup shrinks the shuffle to
+    distinct pairs, the bucket shuffle co-locates each key group, and
+    the per-bucket final dedups across batches then counts. Same
+    rationale as ``preagg_sum_count`` — never feed O(rows)-cardinality
+    keys to Ray's sort-based Aggregate."""
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        u = batch[keys + [col]].drop_duplicates()
+        u["__bucket"] = stable_bucket_cols(u, keys, n_buckets)
+        return pa.Table.from_pandas(u, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        r = (g.drop_duplicates(keys + [col])
+             .groupby(keys, as_index=False).size()
+             .rename(columns={"size": alias}))
+        return pa.Table.from_pandas(r, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("__bucket").map_groups(final, batch_format="pandas"))
+
+
 def round_columns(ds: rd.Dataset, decimals: dict[str, int]) -> rd.Dataset:
     def _round(batch: pd.DataFrame) -> pd.DataFrame:
         for col, nd in decimals.items():
