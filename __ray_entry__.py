@@ -371,6 +371,44 @@ def q_distinct_parts_per_supplier(sf_dir: str):
                                   alias="n_parts")
 
 
+def q_running_user_spend(sf_dir: str):
+    """Windowed cumulative aggregate (§ custom operators): per-user
+    running spend over purchase events, SUM() OVER (PARTITION BY user
+    ORDER BY ts). Values carried as integer cents so the cumulative
+    sum is bit-exact regardless of either engine's summation order."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import running_total
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"],
+               rows_per_block=8192)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"] == "purchase"]
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(),
+            "event_id": b["event_id"].to_numpy(),
+            "ts_us": b["ts"].astype("datetime64[us]")
+                     .astype("int64").to_numpy(),
+            "cents": (b["value"] * 100).round().astype("int64").to_numpy(),
+        })
+
+    purchases = ev.map_batches(prep, batch_format="pandas")
+    out = running_total(purchases, ["user_id"], "ts_us", "cents",
+                        alias="cum_cents", tie_cols=["event_id"])
+    return out.select_columns(["user_id", "event_id", "ts_us", "cum_cents"])
+
+
+def q_median_order_value(sf_dir: str):
+    """Per-group discrete quantile (§ aggregates): each customer's
+    median order value, the DuckDB quantile_disc rule — an actual
+    element, so both engines return identical float bits."""
+    from no_fasel_scrapers_ray.ops.relational import grouped_quantile_disc
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                   rows_per_block=8192)
+    return grouped_quantile_disc(orders, ["o_custkey"], "o_totalprice",
+                                 q=0.5, alias="median_price")
+
+
 def q_asof_clicks(sf_dir: str):
     """As-of join (§ custom operators): each purchase event matched to
     the user's most recent prior-or-same-instant click. Oracle: DuckDB
@@ -592,6 +630,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_clicks": q_asof_clicks,
         "range_join_clicks": q_range_join_clicks,
         "top3_orders_per_cust": q_top3_orders_per_cust,
+        "running_user_spend": q_running_user_spend,
+        "median_order_value": q_median_order_value,
         "sample_orders": q_sample_orders,
         "intersect_users": q_intersect_users,
         "except_customers": q_except_customers,
@@ -790,6 +830,19 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY o_custkey
                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
                 FROM orders) WHERE rk <= 3
+        """,
+        "median_order_value": """
+            SELECT o_custkey, quantile_disc(o_totalprice, 0.5)
+                   AS median_price
+            FROM orders GROUP BY o_custkey
+        """,
+        "running_user_spend": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS BIGINT)
+                       AS cum_cents
+            FROM events WHERE event_type = 'purchase'
         """,
         "sample_orders": """
             SELECT o_orderkey, o_totalprice FROM orders

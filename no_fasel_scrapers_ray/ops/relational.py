@@ -496,6 +496,68 @@ def topk_per_group(ds: rd.Dataset, keys: list[str], order_col: str, k: int,
             .groupby("__bucket").map_groups(final, batch_format="pandas"))
 
 
+def running_total(ds: rd.Dataset, keys: list[str], order_col: str,
+                  val_col: str, alias: str,
+                  tie_cols: list[str] | None = None,
+                  n_buckets: int = 64) -> rd.Dataset:
+    """Windowed cumulative aggregate:
+    ``SUM(val) OVER (PARTITION BY keys ORDER BY order_col, tie_cols)``.
+
+    ONE bucket shuffle on ``hash(keys)`` co-locates each key's whole
+    history, then the per-bucket pass is a vectorized sort + pandas
+    ``groupby().cumsum()``. Cumulative semantics need a key's rows in
+    one group, so keys cannot be salted — a hot key bounds the group
+    (same contract as ``asof_join``). Use an INTEGER ``val_col`` when
+    the result must be bit-exact across engines: float cumulative sums
+    depend on the engine's summation tree."""
+    tie = tie_cols or []
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(__bucket=stable_bucket_cols(df, keys, n_buckets))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def cumulate(g: pd.DataFrame) -> pa.Table:
+        g = (g.drop(columns="__bucket")
+             .sort_values(keys + [order_col] + tie, kind="stable"))
+        g[alias] = g.groupby(keys, sort=False)[val_col].cumsum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(cumulate, batch_format="pandas"))
+
+
+def grouped_quantile_disc(ds: rd.Dataset, keys: list[str], col: str,
+                          q: float, alias: str,
+                          n_buckets: int = 64) -> rd.Dataset:
+    """Discrete per-group quantile: the element at 1-indexed position
+    ``ceil(q*n)`` of each key's sorted values — DuckDB's
+    ``quantile_disc`` rule, implemented directly so results are
+    bit-identical (an ACTUAL element is returned, never an
+    interpolation; pandas' 'lower' interpolation picks a DIFFERENT
+    element for e.g. q=0.9, n=3). Quantiles don't decompose into
+    per-batch partials, so each key's values meet in one bucket group
+    (same no-salting contract as ``running_total``); the per-bucket
+    pass is one sort + vectorized cumcount select."""
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df[keys + [col]].assign(
+            __bucket=stable_bucket_cols(df, keys, n_buckets))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pick(g: pd.DataFrame) -> pa.Table:
+        g = (g.drop(columns="__bucket")
+             .sort_values(keys + [col], kind="stable"))
+        grp = g.groupby(keys, sort=False)
+        sizes = grp[col].transform("size").to_numpy()
+        pos = grp.cumcount().to_numpy()
+        target = np.ceil(q * sizes).astype(np.int64) - 1
+        out = g[pos == target].rename(columns={col: alias})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(pick, batch_format="pandas"))
+
+
 KNUTH_HASH = 2654435761  # floor(2^32 / golden ratio), Knuth 6.4
 
 
