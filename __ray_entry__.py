@@ -409,6 +409,80 @@ def q_median_order_value(sf_dir: str):
                                  q=0.5, alias="median_price")
 
 
+def q_lag_purchase_gap(sf_dir: str):
+    """LAG window (§ custom operators): each purchase paired with the
+    user's previous purchase timestamp (µs), -1 for the first — the
+    COALESCE keeps the column int64 on both engines."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import windowed_lag
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"],
+               rows_per_block=8192)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"] == "purchase"]
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(),
+            "event_id": b["event_id"].to_numpy(),
+            "ts_us": b["ts"].astype("datetime64[us]")
+                     .astype("int64").to_numpy(),
+        })
+
+    purchases = ev.map_batches(prep, batch_format="pandas")
+    out = windowed_lag(purchases, ["user_id"], "ts_us", "ts_us",
+                       alias="prev_ts_us", tie_cols=["event_id"],
+                       default=-1)
+    return out.select_columns(["user_id", "event_id", "ts_us", "prev_ts_us"])
+
+
+def q_pivot_event_counts(sf_dir: str):
+    """Pivot / filtered aggregate (§ aggregates): per-user event counts
+    by type as wide columns — COUNT(*) FILTER (WHERE type = v)."""
+    from no_fasel_scrapers_ray.ops.relational import pivot_counts
+    ev = _read(sf_dir, "events", ["user_id", "event_type"],
+               rows_per_block=65536)
+    return pivot_counts(ev, ["user_id"], "event_type",
+                        values=["click", "view", "purchase"],
+                        aliases=["n_click", "n_view", "n_purchase"])
+
+
+def q_rollup_order_counts(sf_dir: str):
+    """ROLLUP grouping sets (§ aggregates): order counts at
+    (status, priority), (status) and the grand total, NULL-filled like
+    SQL ROLLUP, without a second scan for the coarse levels."""
+    from no_fasel_scrapers_ray.ops.relational import rollup_counts
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"],
+                   rows_per_block=65536)
+    return rollup_counts(orders, "o_orderstatus", "o_orderpriority",
+                         alias="n_orders")
+
+
+def q_corr_qty_price(sf_dir: str):
+    """Grouped Pearson correlation (§ statistical aggregates): quantity
+    vs price per return flag, from exact integer moment sums so the
+    float result is bit-identical to the oracle's closed form. Prices
+    go to CENTS: ×100 of a 2-decimal value is integral, so rounding
+    never lands on a .5 boundary (whole DOLLARS do — and pandas
+    rounds half-to-even while DuckDB rounds half-away, which skewed
+    the sums). batch_size=32768 keeps the Σ(cents²) partial < 2^63."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import grouped_corr
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"],
+               rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_numpy(),
+            "qty": b["l_quantity"].round().astype("int64").to_numpy(),
+            "cents": (b["l_extendedprice"] * 100)
+                     .round().astype("int64").to_numpy(),
+        })
+
+    return grouped_corr(li.map_batches(prep, batch_format="pandas"),
+                        ["l_returnflag"], "qty", "cents",
+                        alias="corr_qty_price", batch_size=32768)
+
+
 def q_asof_clicks(sf_dir: str):
     """As-of join (§ custom operators): each purchase event matched to
     the user's most recent prior-or-same-instant click. Oracle: DuckDB
@@ -632,6 +706,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_orders_per_cust": q_top3_orders_per_cust,
         "running_user_spend": q_running_user_spend,
         "median_order_value": q_median_order_value,
+        "lag_purchase_gap": q_lag_purchase_gap,
+        "pivot_event_counts": q_pivot_event_counts,
+        "rollup_order_counts": q_rollup_order_counts,
+        "corr_qty_price": q_corr_qty_price,
         "sample_orders": q_sample_orders,
         "intersect_users": q_intersect_users,
         "except_customers": q_except_customers,
@@ -843,6 +921,48 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY epoch_us(ts), event_id) AS BIGINT)
                        AS cum_cents
             FROM events WHERE event_type = 'purchase'
+        """,
+        "lag_purchase_gap": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   COALESCE(LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id), -1) AS prev_ts_us
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "pivot_event_counts": """
+            SELECT user_id,
+                   COUNT(*) FILTER (WHERE event_type = 'click')
+                       AS n_click,
+                   COUNT(*) FILTER (WHERE event_type = 'view')
+                       AS n_view,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase')
+                       AS n_purchase
+            FROM events GROUP BY user_id
+        """,
+        "rollup_order_counts": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "corr_qty_price": """
+            WITH s AS (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS DOUBLE) AS nf,
+                       CAST(SUM(x) AS DOUBLE) AS sx,
+                       CAST(SUM(y) AS DOUBLE) AS sy,
+                       CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                       CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                       CAST(SUM(y * y) AS DOUBLE) AS syy
+                FROM (SELECT l_returnflag,
+                             CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                 AS y
+                      FROM lineitem)
+                GROUP BY l_returnflag)
+            SELECT l_returnflag,
+                   (nf * sxy - sx * sy)
+                   / sqrt((nf * sxx - sx * sx) * (nf * syy - sy * sy))
+                       AS corr_qty_price
+            FROM s
         """,
         "sample_orders": """
             SELECT o_orderkey, o_totalprice FROM orders

@@ -37,7 +37,9 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "cosine_near_dup", "cosine_near_dup_exact",
     "asof_clicks", "range_join_clicks", "top3_orders_per_cust",
-    "running_user_spend", "median_order_value", "sample_orders", "intersect_users", "except_customers",
+    "running_user_spend", "median_order_value", "lag_purchase_gap",
+    "pivot_event_counts", "rollup_order_counts", "corr_qty_price",
+    "sample_orders", "intersect_users", "except_customers",
     "distinct_parts_per_supplier",
 ]
 

@@ -526,6 +526,154 @@ def running_total(ds: rd.Dataset, keys: list[str], order_col: str,
             .groupby("__bucket").map_groups(cumulate, batch_format="pandas"))
 
 
+def windowed_lag(ds: rd.Dataset, keys: list[str], order_col: str,
+                 val_col: str, alias: str,
+                 tie_cols: list[str] | None = None,
+                 default=None, periods: int = 1,
+                 n_buckets: int = 64) -> rd.Dataset:
+    """``LAG(val, periods) OVER (PARTITION BY keys ORDER BY order_col,
+    tie_cols)``. Same single key-bucket shuffle + vectorized per-bucket
+    pass as ``running_total``: each key's full history meets in one
+    group, then pandas ``groupby().shift(periods)``. ``default`` fills
+    the window's leading NULLs — pass an in-domain sentinel (e.g. -1)
+    to keep integer columns integer; ``None`` leaves NaN/float
+    (matching a SQL LAG without COALESCE)."""
+    tie = tie_cols or []
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(__bucket=stable_bucket_cols(df, keys, n_buckets))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def lag(g: pd.DataFrame) -> pa.Table:
+        g = (g.drop(columns="__bucket")
+             .sort_values(keys + [order_col] + tie, kind="stable"))
+        shifted = g.groupby(keys, sort=False)[val_col].shift(periods)
+        if default is not None:
+            shifted = shifted.fillna(default).astype(g[val_col].dtype)
+        g[alias] = shifted
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(lag, batch_format="pandas"))
+
+
+def pivot_counts(ds: rd.Dataset, keys: list[str], pivot_col: str,
+                 values: list[str], aliases: list[str] | None = None,
+                 batch_size: int = 65536,
+                 n_buckets: int = 64) -> rd.Dataset:
+    """Pivot a categorical column into per-key count columns:
+    ``COUNT(*) FILTER (WHERE pivot_col = v)`` for each ``v`` in
+    ``values``. Fully decomposable — per-batch one-hot partial counts
+    (one row per key per batch), then the standard 64-bucket shuffle
+    with a final sum per key — so the shuffle moves partials, never
+    rows, no matter the table size. ``values`` must be the closed
+    category list (unlisted values are ignored, as FILTER does)."""
+    out_cols = aliases or [f"n_{v}" for v in values]
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        onehot = pd.DataFrame(
+            {a: (batch[pivot_col] == v).to_numpy(dtype=np.int64)
+             for v, a in zip(values, out_cols)})
+        for k in keys:
+            onehot[k] = batch[k].to_numpy()
+        g = onehot.groupby(keys, as_index=False, sort=False)[out_cols].sum()
+        g["__bucket"] = stable_bucket_cols(g, keys, n_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        r = g.groupby(keys, as_index=False, sort=False)[out_cols].sum()
+        return pa.Table.from_pandas(r, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=batch_size)
+            .groupby("__bucket").map_groups(final, batch_format="pandas"))
+
+
+def rollup_counts(ds: rd.Dataset, coarse: str, fine: str, alias: str,
+                  n_buckets: int = 64) -> rd.Dataset:
+    """``COUNT(*) GROUP BY ROLLUP (coarse, fine)``: counts at
+    (coarse, fine), (coarse, NULL) and the (NULL, NULL) grand total.
+
+    One bucket shuffle on ``hash(coarse)`` ONLY, so every bucket holds
+    complete ``coarse`` groups and can emit both the fine-level and the
+    coarse-subtotal rows in a single pass; the shuffle input is
+    per-batch partials (one row per (coarse, fine) per batch). The
+    grand total is ``ds.count()`` — for parquet input a metadata-only
+    read, never a second scan of row data."""
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        g = (batch.groupby([coarse, fine], as_index=False, sort=False)
+             .size().rename(columns={"size": alias}))
+        g["__bucket"] = stable_bucket(g[coarse], n_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def levels(g: pd.DataFrame) -> pa.Table:
+        fine_lvl = (g.groupby([coarse, fine], as_index=False, sort=False)
+                    [alias].sum())
+        sub = fine_lvl.groupby(coarse, as_index=False, sort=False)[alias].sum()
+        sub[fine] = None
+        out = pd.concat([fine_lvl, sub[[coarse, fine, alias]]],
+                        ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    total = ds.count()
+    grand = rd.from_arrow(pa.table({
+        coarse: pa.array([None], type=pa.string()),
+        fine: pa.array([None], type=pa.string()),
+        alias: pa.array([total], type=pa.int64())}))
+    leveled = (ds.map_batches(partial, batch_format="pandas")
+               .groupby("__bucket").map_groups(levels, batch_format="pandas"))
+    return leveled.union(grand)
+
+
+def grouped_corr(ds: rd.Dataset, keys: list[str], xcol: str, ycol: str,
+                 alias: str, batch_size: int = 65536,
+                 n_buckets: int = 64) -> rd.Dataset:
+    """Per-group Pearson correlation of two INTEGER columns, exact to
+    the bit against a SQL oracle that evaluates the same closed form.
+
+    Decomposes into the six moment sums (n, Σx, Σy, Σxy, Σx², Σy²):
+    per-batch int64 partials, bucket shuffle, then a final combine in
+    PYTHON-INT (object) space — arbitrary precision, so Σy² never
+    overflows int64 no matter how many rows a group has (DuckDB's
+    BIGINT SUM widens to HUGEINT the same way). Only the final
+    float64 formula leaves integer space; an oracle that casts its
+    exact sums to DOUBLE and applies the identical expression gets
+    identical bits (IEEE ops are deterministic given the operands).
+    Caller must pass integer x/y (e.g. prices as whole cents/dollars):
+    batch_size × max(x², y²) must fit int64."""
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        x = batch[xcol].to_numpy(dtype=np.int64)
+        y = batch[ycol].to_numpy(dtype=np.int64)
+        t = pd.DataFrame({k: batch[k].to_numpy() for k in keys})
+        t["__n"] = np.int64(1)
+        t["__sx"], t["__sy"] = x, y
+        t["__sxy"], t["__sxx"], t["__syy"] = x * y, x * x, y * y
+        g = t.groupby(keys, as_index=False, sort=False).sum()
+        g["__bucket"] = stable_bucket_cols(g, keys, n_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    moment_cols = ["__n", "__sx", "__sy", "__sxy", "__sxx", "__syy"]
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = pd.concat(  # object dtype → exact big-int accumulation
+            [g[keys], g[moment_cols].astype(object)], axis=1)
+        r = g.groupby(keys, as_index=False, sort=False)[moment_cols].sum()
+        nf, sx, sy, sxy, sxx, syy = (
+            r[c].astype(np.float64).to_numpy() for c in moment_cols)
+        num = nf * sxy - sx * sy
+        den = np.sqrt((nf * sxx - sx * sx) * (nf * syy - sy * sy))
+        out = r[keys].copy()
+        out[alias] = num / den
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size)
+    return partials.groupby("__bucket").map_groups(
+        final, batch_format="pandas")
+
+
 def grouped_quantile_disc(ds: rd.Dataset, keys: list[str], col: str,
                           q: float, alias: str,
                           n_buckets: int = 64) -> rd.Dataset:
