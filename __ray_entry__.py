@@ -456,6 +456,39 @@ def q_rollup_order_counts(sf_dir: str):
                          alias="n_orders")
 
 
+def q_top_terms(sf_dir: str):
+    """Corpus-wide top-50 terms (§ text analysis): wordcount as
+    per-batch distinct-term partials → term-bucket shuffle → global
+    top-k over the survivor set."""
+    from no_fasel_scrapers_ray.ops.textops import top_terms
+    return top_terms(_read(sf_dir, "documents", ["text"]), k=50)
+
+
+def q_cust_order_counts(sf_dir: str):
+    """LEFT OUTER join (§ joins): every customer with their order
+    count, 0 for customers with no orders — the big-big bucketed join
+    in 'left' mode, COALESCE keeping the count int64 on both engines."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        bucketed_join, preagg_sum_count)
+    orders = _read(sf_dir, "orders", ["o_custkey"], rows_per_block=65536)
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"c_custkey": b["o_custkey"].to_numpy(),
+                             "one": np.ones(len(b), dtype=np.int64)})
+
+    counts = preagg_sum_count(orders.map_batches(ones, batch_format="pandas"),
+                              ["c_custkey"], {"one": "n_orders"})
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = bucketed_join(cust, counts, on="c_custkey", how="left")
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_orders"] = b["n_orders"].fillna(0).astype("int64")
+        return b
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
 def q_corr_qty_price(sf_dir: str):
     """Grouped Pearson correlation (§ statistical aggregates): quantity
     vs price per return flag, from exact integer moment sums so the
@@ -710,6 +743,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_event_counts": q_pivot_event_counts,
         "rollup_order_counts": q_rollup_order_counts,
         "corr_qty_price": q_corr_qty_price,
+        "top_terms": q_top_terms,
+        "cust_order_counts": q_cust_order_counts,
         "sample_orders": q_sample_orders,
         "intersect_users": q_intersect_users,
         "except_customers": q_except_customers,
@@ -963,6 +998,19 @@ def oracle_sql() -> dict[str, str]:
                    / sqrt((nf * sxx - sx * sx) * (nf * syy - sy * sy))
                        AS corr_qty_price
             FROM s
+        """,
+        "top_terms": """
+            SELECT term, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY term ORDER BY n DESC, term LIMIT 50
+        """,
+        "cust_order_counts": """
+            SELECT c_custkey, c_name, COALESCE(n_orders, 0) AS n_orders
+            FROM customer LEFT JOIN (
+                SELECT o_custkey, COUNT(*) AS n_orders
+                FROM orders GROUP BY o_custkey) o
+            ON c_custkey = o.o_custkey
         """,
         "sample_orders": """
             SELECT o_orderkey, o_totalprice FROM orders

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "asof_clicks", "range_join_clicks", "top3_orders_per_cust",
     "running_user_spend", "median_order_value", "lag_purchase_gap",
     "pivot_event_counts", "rollup_order_counts", "corr_qty_price",
+    "top_terms", "cust_order_counts",
     "sample_orders", "intersect_users", "except_customers",
     "distinct_parts_per_supplier",
 ]

@@ -86,6 +86,38 @@ def lang_score(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(score, batch_format="pandas")
 
 
+def top_terms(docs: rd.Dataset, k: int = 50,
+              n_buckets: int = 64) -> rd.Dataset:
+    """Corpus-wide top-k terms by occurrence — the canonical wordcount
+    as a decomposable pipeline: per-batch ``value_counts`` partials
+    (one row per DISTINCT term per batch, so the shuffle never moves
+    exploded tokens), a term-bucket shuffle with a final sum + local
+    top-k per bucket, then a global sort/limit over the tiny
+    ``n_buckets × k`` survivor set. Ties break (count DESC, term ASC)
+    — mirrored in the oracle's ORDER BY so the k-boundary is
+    deterministic on both engines."""
+    import pyarrow as pa
+
+    from .util import stable_bucket
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        vc = batch["text"].str.split(" ").explode().value_counts()
+        g = pd.DataFrame({"term": vc.index.to_numpy(dtype=object),
+                          "n": vc.to_numpy(dtype=np.int64)})
+        g["__bucket"] = stable_bucket(g["term"], n_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def local_topk(g: pd.DataFrame) -> pa.Table:
+        r = g.groupby("term", as_index=False, sort=False)["n"].sum()
+        r = r.sort_values(["n", "term"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(r, preserve_index=False)
+
+    survivors = (docs.map_batches(partial, batch_format="pandas")
+                 .groupby("__bucket").map_groups(local_topk,
+                                                 batch_format="pandas"))
+    return survivors.sort(["n", "term"], descending=[True, False]).limit(k)
+
+
 def fingerprint(docs: rd.Dataset) -> rd.Dataset:
     """Bag-of-words document fingerprint: md5 of the sorted distinct
     token set. Near-identical docs that only reorder/repeat words share a
