@@ -489,6 +489,81 @@ def q_cust_order_counts(sf_dir: str):
     return joined.map_batches(fill, batch_format="pandas")
 
 
+def q_media_thumbnails(sf_dir: str):
+    """Multimodal binary-column stage under the oracle gate: per-doc
+    synthetic image blobs (dims derived from doc_id) flow through the
+    ImageResizer actor pool; the query returns the resize METADATA
+    (thumb dims + container byte length), which the SQL oracle
+    recomputes from the same dim derivation — the bytes plumbing is
+    exercised for real, the math is checked exactly (IEEE double ops
+    in the same order on both engines)."""
+    import pyarrow as pa
+    from no_fasel_scrapers_ray.stages.media import resize_images, synth_image
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        ws = [320 + (i % 7) * 64 for i in ids]
+        hs = [200 + (i % 5) * 80 for i in ids]
+        return pa.table({
+            "content_id": pa.array([str(i) for i in ids]),
+            "image_bytes": pa.array(
+                [synth_image(str(i), w, h)
+                 for i, w, h in zip(ids, ws, hs)], pa.binary()),
+        })
+
+    thumbs = resize_images(
+        docs.map_batches(mk, batch_format="pyarrow", batch_size=256),
+        max_w=128, max_h=128)
+
+    def meta(t: pa.Table) -> pa.Table:
+        lens = [len(b) for b in t.column("thumb_bytes").to_pylist()]
+        return pa.table({
+            "content_id": t.column("content_id"),
+            "thumb_w": t.column("thumb_w").cast(pa.int64()),
+            "thumb_h": t.column("thumb_h").cast(pa.int64()),
+            "thumb_len": pa.array(lens, pa.int64()),
+        })
+
+    return thumbs.map_batches(meta, batch_format="pyarrow")
+
+
+def q_media_frame_sample(sf_dir: str):
+    """Video frame-sampling stage under the oracle gate: synthetic
+    video containers (frame count from doc_id) through the
+    FrameSampler actor pool; the oracle recomputes the sampled-frame
+    count and total sampled bytes from the same derivation."""
+    import pyarrow as pa
+    from no_fasel_scrapers_ray.stages.media import sample_frames, synth_video
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        return pa.table({
+            "content_id": pa.array([str(i) for i in ids]),
+            "video_bytes": pa.array(
+                [synth_video(str(i), n_frames=16 + (i % 6) * 16,
+                             frame_bytes=64) for i in ids], pa.binary()),
+        })
+
+    sampled = sample_frames(
+        docs.map_batches(mk, batch_format="pyarrow", batch_size=64),
+        every=8, max_frames=16)
+
+    def meta(t: pa.Table) -> pa.Table:
+        frames = t.column("frames").to_pylist()
+        return pa.table({
+            "content_id": t.column("content_id"),
+            "n_sampled": t.column("n_sampled").cast(pa.int64()),
+            "sampled_bytes": pa.array(
+                [sum(len(f) for f in fl) for fl in frames], pa.int64()),
+        })
+
+    return sampled.map_batches(meta, batch_format="pyarrow")
+
+
 def q_corr_qty_price(sf_dir: str):
     """Grouped Pearson correlation (§ statistical aggregates): quantity
     vs price per return flag, from exact integer moment sums so the
@@ -744,6 +819,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_order_counts": q_rollup_order_counts,
         "corr_qty_price": q_corr_qty_price,
         "top_terms": q_top_terms,
+        "media_thumbnails": q_media_thumbnails,
+        "media_frame_sample": q_media_frame_sample,
         "cust_order_counts": q_cust_order_counts,
         "sample_orders": q_sample_orders,
         "intersect_users": q_intersect_users,
@@ -998,6 +1075,34 @@ def oracle_sql() -> dict[str, str]:
                    / sqrt((nf * sxx - sx * sx) * (nf * syy - sy * sy))
                        AS corr_qty_price
             FROM s
+        """,
+        "media_thumbnails": """
+            WITH d AS (
+                SELECT CAST(doc_id AS VARCHAR) AS content_id,
+                       320 + (doc_id % 7) * 64 AS w,
+                       200 + (doc_id % 5) * 80 AS h
+                FROM documents),
+            s AS (SELECT content_id, w, h,
+                         LEAST(1.0, 128.0 / w, 128.0 / h) AS scale
+                  FROM d),
+            t AS (SELECT content_id,
+                         GREATEST(1, CAST(FLOOR(w * scale) AS BIGINT))
+                             AS thumb_w,
+                         GREATEST(1, CAST(FLOOR(h * scale) AS BIGINT))
+                             AS thumb_h
+                  FROM s)
+            SELECT content_id, thumb_w, thumb_h,
+                   12 + GREATEST(1, (thumb_w * thumb_h) // 256) * 32
+                       AS thumb_len
+            FROM t
+        """,
+        "media_frame_sample": """
+            SELECT CAST(doc_id AS VARCHAR) AS content_id,
+                   LEAST(16, CAST(CEIL((16 + (doc_id % 6) * 16) / 8.0)
+                                  AS BIGINT)) AS n_sampled,
+                   LEAST(16, CAST(CEIL((16 + (doc_id % 6) * 16) / 8.0)
+                                  AS BIGINT)) * 64 AS sampled_bytes
+            FROM documents
         """,
         "top_terms": """
             SELECT term, COUNT(*) AS n

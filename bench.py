@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "running_user_spend", "median_order_value", "lag_purchase_gap",
     "pivot_event_counts", "rollup_order_counts", "corr_qty_price",
     "top_terms", "cust_order_counts",
+    "media_thumbnails", "media_frame_sample",
     "sample_orders", "intersect_users", "except_customers",
     "distinct_parts_per_supplier",
 ]
