@@ -37,8 +37,10 @@ def _read(sf_dir: str, table: str, columns=None, rows_per_block: int = 512):
     with a small-table floor of one block per ``rows_per_block`` rows
     capped at 2×CPUs. The default floor (512) suits CPU-heavy per-row
     stages (regex/hashing per doc); shuffle-bound relational queries
-    pass a coarser floor (8192) — their per-row work is vectorized C,
-    so tiny blocks only multiply all-to-all fan-out."""
+    pass a coarser floor (8192-65536) — their per-row work is
+    vectorized C, so tiny blocks only multiply all-to-all fan-out
+    (measured: 64 blocks of 2.3k orders cost 5.7 s of task scheduling
+    for 0.5 s of compute in nested_rollup's tag stage)."""
     import math
     import os
 
@@ -65,7 +67,8 @@ def q_pricing_summary(sf_dir: str):
     """A1/A7-family partial-aggregate groupby over the big table."""
     from no_fasel_scrapers_ray.ops.relational import preagg_sum_count, round_columns
     li = _read(sf_dir, "lineitem",
-               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+               rows_per_block=65536)
     out = preagg_sum_count(
         li, ["l_returnflag", "l_linestatus"],
         {"l_quantity": "sum_qty", "l_extendedprice": "sum_base_price"},
@@ -78,7 +81,8 @@ def q_region_rollup(sf_dir: str):
     nation ⋈ region, then a pre-aggregated rollup."""
     from no_fasel_scrapers_ray.ops.relational import (
         broadcast_join, preagg_sum_count, round_columns)
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                   rows_per_block=65536)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
@@ -94,8 +98,10 @@ def q_region_rollup(sf_dir: str):
 def q_semi_join_customers(sf_dir: str):
     """J4/J6-family semi-join: customers having at least one order."""
     from no_fasel_scrapers_ray.ops.relational import semi_join
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    okeys = _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"],
+                 rows_per_block=65536)
+    okeys = _read(sf_dir, "orders", ["o_custkey"],
+                  rows_per_block=65536).unique("o_custkey")
     return semi_join(cust, np.asarray(okeys), "c_custkey")
 
 
@@ -104,8 +110,10 @@ def q_anti_join_customers(sf_dir: str):
     customers with no URGENT order."""
     import pyarrow.compute as pc
     from no_fasel_scrapers_ray.ops.relational import anti_join
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"],
+                 rows_per_block=65536)
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"],
+                   rows_per_block=65536).map_batches(
         lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
         batch_format="pyarrow")
     okeys = urgent.unique("o_custkey")
@@ -126,7 +134,8 @@ def _merge_query(sf_dir: str, old_wins: bool):
     import pyarrow as pa
     import pyarrow.compute as pc
     from no_fasel_scrapers_ray.ops.relational import merge_with_precedence
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"],
+                   rows_per_block=65536)
 
     def tag(label, keep_mod, mod):
         def _f(t: pa.Table) -> pa.Table:
@@ -144,13 +153,15 @@ def q_nested_rollup(sf_dir: str):
     join: lineitem→order item counts, then order→customer rollup."""
     from no_fasel_scrapers_ray.ops.relational import (
         bucketed_join, preagg_sum_count, round_columns)
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"],
+               rows_per_block=65536)
     per_order = preagg_sum_count(li, ["l_orderkey"], {"l_quantity": "order_qty"},
                                  count_alias="n_items")
     per_order = per_order.map_batches(
         lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
         batch_format="pandas")
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                   rows_per_block=65536)
     joined = bucketed_join(orders, per_order, on="o_orderkey", n_buckets=16)
     out = preagg_sum_count(joined, ["o_custkey"],
                            {"n_items": "n_items", "order_qty": "total_qty"},
@@ -183,7 +194,8 @@ def q_top10_customers(sf_dir: str):
     """§2.9 top-k: revenue per customer, sort desc, limit 10."""
     from no_fasel_scrapers_ray.ops.relational import (
         broadcast_join, preagg_sum_count, round_columns)
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                   rows_per_block=65536)
     per_cust = preagg_sum_count(orders, ["o_custkey"], {"o_totalprice": "spend"},
                                 count_alias="n_orders")
     per_cust = round_columns(per_cust, {"spend": 2})
@@ -198,7 +210,8 @@ def q_events_hourly(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
     from no_fasel_scrapers_ray.ops.relational import preagg_sum_count, round_columns
-    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"],
+               rows_per_block=65536)
     ev = ev.map_batches(
         lambda t: t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour")),
         batch_format="pyarrow").drop_columns(["ts"])
@@ -210,7 +223,8 @@ def q_events_hourly(sf_dir: str):
 def q_sessionize(sf_dir: str):
     """Session windows (30-min gap) per user — groupby.map_groups."""
     from no_fasel_scrapers_ray.ops.relational import sessionize_events
-    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    ev = _read(sf_dir, "events", ["user_id", "ts"],
+               rows_per_block=65536)
     return sessionize_events(ev, gap_minutes=30)
 
 
@@ -219,7 +233,8 @@ def q_distinct_suppliers(sf_dir: str):
     bucket shuffle on the key → per-bucket distinct + count (the
     high-cardinality-safe groupby shape, see ops.relational)."""
     import pyarrow as pa
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"],
+               rows_per_block=65536)
 
     def partial(batch: pd.DataFrame) -> pa.Table:
         d = batch.drop_duplicates(["l_partkey", "l_suppkey"]).copy()
@@ -366,7 +381,8 @@ def q_distinct_parts_per_supplier(sf_dir: str):
     """COUNT(DISTINCT) GROUP BY over the big table: distinct parts per
     supplier via the two-stage dedup-then-count bucket aggregate."""
     from no_fasel_scrapers_ray.ops.relational import grouped_count_distinct
-    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"],
+               rows_per_block=65536)
     return grouped_count_distinct(li, ["l_suppkey"], "l_partkey",
                                   alias="n_parts")
 
