@@ -505,6 +505,33 @@ def q_cust_order_counts(sf_dir: str):
     return joined.map_batches(fill, batch_format="pandas")
 
 
+def q_rank_orders_per_cust(sf_dir: str):
+    """DENSE_RANK window (§ custom operators): each order ranked
+    within its customer by price, highest first — tie-safe (equal
+    prices share a rank) so no tie column is needed."""
+    from no_fasel_scrapers_ray.ops.relational import windowed_rank
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_totalprice"],
+                   rows_per_block=65536)
+    return windowed_rank(orders, ["o_custkey"], "o_totalprice",
+                         alias="price_rank", method="dense",
+                         ascending=False)
+
+
+def q_ntile_order_quartiles(sf_dir: str):
+    """NTILE(4) window (§ custom operators): each customer's orders
+    split into price quartiles with SQL's exact uneven-tile sizing;
+    o_orderkey breaks price ties so both engines assign the same
+    tile at boundaries."""
+    from no_fasel_scrapers_ray.ops.relational import grouped_ntile
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_totalprice"],
+                   rows_per_block=65536)
+    return grouped_ntile(orders, ["o_custkey"], "o_totalprice",
+                         n_tiles=4, alias="quartile",
+                         tie_cols=["o_orderkey"])
+
+
 def q_media_thumbnails(sf_dir: str):
     """Multimodal binary-column stage under the oracle gate: per-doc
     synthetic image blobs (dims derived from doc_id) flow through the
@@ -835,6 +862,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_order_counts": q_rollup_order_counts,
         "corr_qty_price": q_corr_qty_price,
         "top_terms": q_top_terms,
+        "rank_orders_per_cust": q_rank_orders_per_cust,
+        "ntile_order_quartiles": q_ntile_order_quartiles,
         "media_thumbnails": q_media_thumbnails,
         "media_frame_sample": q_media_frame_sample,
         "cust_order_counts": q_cust_order_counts,
@@ -1091,6 +1120,22 @@ def oracle_sql() -> dict[str, str]:
                    / sqrt((nf * sxx - sx * sx) * (nf * syy - sy * sy))
                        AS corr_qty_price
             FROM s
+        """,
+        "rank_orders_per_cust": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(DENSE_RANK() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC) AS BIGINT)
+                       AS price_rank
+            FROM orders
+        """,
+        "ntile_order_quartiles": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(NTILE(4) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+                       AS quartile
+            FROM orders
         """,
         "media_thumbnails": """
             WITH d AS (

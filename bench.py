@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "pivot_event_counts", "rollup_order_counts", "corr_qty_price",
     "top_terms", "cust_order_counts",
     "media_thumbnails", "media_frame_sample",
+    "rank_orders_per_cust", "ntile_order_quartiles",
     "sample_orders", "intersect_users", "except_customers",
     "distinct_parts_per_supplier",
 ]

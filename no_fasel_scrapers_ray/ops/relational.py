@@ -626,6 +626,75 @@ def rollup_counts(ds: rd.Dataset, coarse: str, fine: str, alias: str,
     return leveled.union(grand)
 
 
+def windowed_rank(ds: rd.Dataset, keys: list[str], order_col: str,
+                  alias: str, method: str = "dense",
+                  ascending: bool = True, tie_cols: list[str] | None = None,
+                  n_buckets: int = 64) -> rd.Dataset:
+    """``DENSE_RANK() / RANK() / ROW_NUMBER() OVER (PARTITION BY keys
+    ORDER BY order_col [, tie_cols])`` — the same single key-bucket
+    shuffle as ``running_total``, then pandas ``groupby().rank`` /
+    ``cumcount`` per bucket. ``method``: 'dense' | 'min' (SQL RANK) |
+    'row_number' (needs ``tie_cols`` for determinism when order_col
+    has duplicates). Ranks are int64 on both engines."""
+    tie = tie_cols or []
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(__bucket=stable_bucket_cols(df, keys, n_buckets))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def rank(g: pd.DataFrame) -> pa.Table:
+        g = (g.drop(columns="__bucket")
+             .sort_values(keys + [order_col] + tie,
+                          ascending=[True] * len(keys)
+                          + [ascending] + [True] * len(tie),
+                          kind="stable"))
+        grp = g.groupby(keys, sort=False)
+        if method == "row_number":
+            g[alias] = grp.cumcount().to_numpy() + 1
+        else:
+            g[alias] = (grp[order_col]
+                        .rank(method=method, ascending=ascending)
+                        .astype(np.int64).to_numpy())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(rank, batch_format="pandas"))
+
+
+def grouped_ntile(ds: rd.Dataset, keys: list[str], order_col: str,
+                  n_tiles: int, alias: str,
+                  tie_cols: list[str] | None = None,
+                  n_buckets: int = 64) -> rd.Dataset:
+    """``NTILE(n) OVER (PARTITION BY keys ORDER BY order_col,
+    tie_cols)`` with the exact SQL sizing rule: with group size n and
+    k tiles, the first ``n % k`` tiles get ``n // k + 1`` rows. One
+    key-bucket shuffle, vectorized position arithmetic per bucket.
+    Pass ``tie_cols`` covering any order_col duplicates — NTILE's
+    assignment at a tie boundary is otherwise engine-dependent."""
+    tie = tie_cols or []
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(__bucket=stable_bucket_cols(df, keys, n_buckets))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def tile(g: pd.DataFrame) -> pa.Table:
+        g = (g.drop(columns="__bucket")
+             .sort_values(keys + [order_col] + tie, kind="stable"))
+        grp = g.groupby(keys, sort=False)
+        n = grp[order_col].transform("size").to_numpy(dtype=np.int64)
+        p = grp.cumcount().to_numpy(dtype=np.int64)
+        size, rem = n // n_tiles, n % n_tiles
+        big_span = rem * (size + 1)
+        in_big = p < big_span
+        t = np.where(in_big, p // np.maximum(size + 1, 1),
+                     rem + (p - big_span) // np.maximum(size, 1))
+        g[alias] = t.astype(np.int64) + 1
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(tile, batch_format="pandas"))
+
+
 def grouped_corr(ds: rd.Dataset, keys: list[str], xcol: str, ycol: str,
                  alias: str, batch_size: int = 65536,
                  n_buckets: int = 64) -> rd.Dataset:

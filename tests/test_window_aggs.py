@@ -1,0 +1,113 @@
+"""Boundary-case unit tests for the window / aggregate operators added
+in round 2 (running_total, windowed_lag, grouped_quantile_disc,
+pivot_counts, rollup_counts, grouped_corr, top_terms). The sf-level
+DuckDB comparison in test_queries_vs_duckdb.py checks these on real
+tables; here we pin the EDGE semantics on tiny crafted inputs —
+tie-breaks, leading-NULL fills, the quantile element rule at the
+positions where pandas' own interpolation picks a different element,
+big-int overflow resistance, and top-k ties at the k boundary."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from no_fasel_scrapers_ray.ops.relational import (
+    grouped_corr,
+    grouped_quantile_disc,
+    pivot_counts,
+    rollup_counts,
+    running_total,
+    windowed_lag,
+)
+from no_fasel_scrapers_ray.ops.textops import top_terms
+
+
+def _ds(df: pd.DataFrame, blocks: int = 3) -> rd.Dataset:
+    return rd.from_pandas(df).repartition(blocks)
+
+
+def test_running_total_tie_break_and_split_blocks():
+    # same (key, ts) twice — the tie column decides cumulative order;
+    # rows for one key deliberately land in different input blocks
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 1],
+        "ts": [10, 10, 5, 10, 20],
+        "tie": [2, 1, 0, 0, 0],
+        "v": [100, 10, 1, 7, 1000],
+    })
+    out = (running_total(_ds(df), ["k"], "ts", "v", alias="cum",
+                         tie_cols=["tie"], n_buckets=4)
+           .to_pandas().sort_values(["k", "ts", "tie"], ignore_index=True))
+    assert out["cum"].tolist() == [1, 11, 111, 1111, 7]
+
+
+def test_windowed_lag_default_fill_keeps_dtype():
+    df = pd.DataFrame({"k": [1, 1, 2], "ts": [1, 2, 1], "v": [5, 6, 7]})
+    out = (windowed_lag(_ds(df, 2), ["k"], "ts", "v", alias="prev",
+                        default=-1, n_buckets=2)
+           .to_pandas().sort_values(["k", "ts"], ignore_index=True))
+    assert out["prev"].tolist() == [-1, 5, -1]
+    assert out["prev"].dtype == np.int64
+
+
+def test_quantile_disc_element_rule_not_pandas_interpolation():
+    # n=3, q=0.9: DuckDB quantile_disc → element ceil(0.9*3)=3 (the MAX);
+    # pandas quantile(interpolation='lower') would pick element 2.
+    df = pd.DataFrame({"k": [1, 1, 1], "v": [10.0, 20.0, 30.0]})
+    out = grouped_quantile_disc(_ds(df, 2), ["k"], "v", q=0.9,
+                                alias="q90", n_buckets=2).to_pandas()
+    assert out["q90"].tolist() == [30.0]
+    # q=0.5, even n → lower-middle element (ceil(0.5*4)=2), never a mean
+    df2 = pd.DataFrame({"k": [1] * 4, "v": [1.0, 2.0, 3.0, 4.0]})
+    out2 = grouped_quantile_disc(_ds(df2, 2), ["k"], "v", q=0.5,
+                                 alias="med", n_buckets=2).to_pandas()
+    assert out2["med"].tolist() == [2.0]
+
+
+def test_pivot_counts_ignores_unlisted_values():
+    df = pd.DataFrame({"k": [1, 1, 2, 2, 2],
+                       "t": ["a", "b", "a", "zzz", "a"]})
+    out = (pivot_counts(_ds(df, 2), ["k"], "t", values=["a", "b"],
+                        n_buckets=2)
+           .to_pandas().sort_values("k", ignore_index=True))
+    assert out["n_a"].tolist() == [1, 2]
+    assert out["n_b"].tolist() == [1, 0]
+
+
+def test_rollup_counts_levels_and_grand_total():
+    df = pd.DataFrame({"c": ["x", "x", "y"], "f": ["p", "q", "p"]})
+    out = rollup_counts(_ds(df, 2), "c", "f", alias="n",
+                        n_buckets=2).to_pandas()
+    total = out[out["c"].isna() & out["f"].isna()]
+    assert total["n"].tolist() == [3]
+    sub_x = out[(out["c"] == "x") & out["f"].isna()]
+    assert sub_x["n"].tolist() == [2]
+    fine = out[out["c"].notna() & out["f"].notna()]
+    assert len(fine) == 3 and fine["n"].sum() == 3
+
+
+def test_grouped_corr_matches_numpy_and_survives_big_sums():
+    rng = np.random.RandomState(7)
+    # y ≈ 2e8 → per-batch Σy² partial ≈ 4e18 (fits int64) but the
+    # GROUP total ≈ 8e19 overflows int64: only the object/big-int
+    # final combine gets this right
+    y = rng.randint(10 ** 8, 3 * 10 ** 8, size=2000).astype(np.int64)
+    x = (y // 10 ** 5 + rng.randint(0, 500, size=2000)).astype(np.int64)
+    df = pd.DataFrame({"k": np.repeat([1, 2], 1000), "x": x, "y": y})
+    out = (grouped_corr(_ds(df, 4), ["k"], "x", "y", alias="r",
+                        batch_size=100, n_buckets=2)
+           .to_pandas().sort_values("k", ignore_index=True))
+    for i, k in enumerate([1, 2]):
+        g = df[df["k"] == k]
+        expect = np.corrcoef(g["x"].astype(float), g["y"].astype(float))[0, 1]
+        assert out["r"][i] == pytest.approx(expect, rel=1e-9)
+
+
+def test_top_terms_tie_break_at_k_boundary():
+    docs = pd.DataFrame({"text": ["b c", "c b", "a a", "d"]})
+    # counts: a=2, b=2, c=2, d=1 → k=2 keeps (a, b) by term ASC tie-break
+    out = (top_terms(_ds(docs, 2), k=2, n_buckets=4)
+           .to_pandas().sort_values("term", ignore_index=True))
+    assert out["term"].tolist() == ["a", "b"]
+    assert out["n"].tolist() == [2, 2]
