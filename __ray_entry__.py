@@ -505,6 +505,19 @@ def q_cust_order_counts(sf_dir: str):
     return joined.map_batches(fill, batch_format="pandas")
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog sketch (§ custom operators / sketches): approximate
+    distinct users over events — constant-size register partials, so
+    the reduce is cardinality-independent (the 10^10-key scale path
+    next to the exact count-distinct operators). No SQL oracle
+    (approximate by design); tests/test_sketch.py pins the 3-sigma
+    error envelope against exact cardinalities."""
+    from no_fasel_scrapers_ray.ops.sketch import approx_count_distinct
+    ev = _read(sf_dir, "events", ["user_id"], rows_per_block=65536)
+    est = approx_count_distinct(ev, "user_id")
+    return pd.DataFrame({"n_users_approx": [float(est)]})
+
+
 def q_rank_orders_per_cust(sf_dir: str):
     """DENSE_RANK window (§ custom operators): each order ranked
     within its customer by price, highest first — tie-safe (equal
@@ -862,6 +875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_order_counts": q_rollup_order_counts,
         "corr_qty_price": q_corr_qty_price,
         "top_terms": q_top_terms,
+        "approx_distinct_users": q_approx_distinct_users,
         "rank_orders_per_cust": q_rank_orders_per_cust,
         "ntile_order_quartiles": q_ntile_order_quartiles,
         "media_thumbnails": q_media_thumbnails,

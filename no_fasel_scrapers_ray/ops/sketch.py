@@ -1,0 +1,98 @@
+"""Sketch operators: HyperLogLog approximate count-distinct.
+
+The exact count-distinct operators (``grouped_count_distinct``,
+``distinct_suppliers``) move one partial row per distinct key through a
+shuffle — exact, but the partial volume grows with the key cardinality.
+At 10^10 distinct keys the scale path is a SKETCH: constant-size state
+per batch (2^p one-byte registers), mergeable by elementwise max, so
+the reduce moves kilobytes no matter the cardinality and never
+shuffles rows at all.
+
+Implementation is the classic HyperLogLog (Flajolet et al. 2007,
+"HyperLogLog: the analysis of a near-optimal cardinality estimation
+algorithm") with the standard small-range linear-counting correction.
+Hashing is ``pd.util.hash_array`` (vectorized 64-bit SipHash, fixed
+key — the same deterministic primitive the shuffle bucketing uses), so
+estimates are bit-reproducible across runs and cluster layouts.
+
+Register math is fully vectorized; the leading-zero count uses a
+branchless binary search on uint64 (float ``log2`` is NOT exact near
+powers of two at >2^53).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _clz_rho(w: np.ndarray, width: int) -> np.ndarray:
+    """rho(w) = index of the first 1-bit from the MSB of a
+    ``width``-bit value, 1-based; width+1 when w == 0. Branchless
+    binary search — exact for all uint64 inputs."""
+    w = w.astype(np.uint64, copy=True)
+    n = np.zeros(w.shape, dtype=np.int64)
+    shift = 32
+    while shift:
+        mask = w >= (np.uint64(1) << np.uint64(shift))
+        n = np.where(mask, n + shift, n)
+        w = np.where(mask, w >> np.uint64(shift), w)
+        shift //= 2
+    # n is now floor(log2(w)) for w>0; rho counts from the top of width
+    return np.where(w == 0, width + 1, width - n).astype(np.int64)
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(values: np.ndarray, p: int = 14) -> np.ndarray:
+    """One pass over a value array → the 2^p uint8 register vector."""
+    m = 1 << p
+    h = pd.util.hash_array(np.asarray(values, dtype=object)
+                           if values.dtype == object
+                           else np.ascontiguousarray(values))
+    h = h.astype(np.uint64, copy=False)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & ((np.uint64(1) << np.uint64(64 - p)) - np.uint64(1))
+    rho = _clz_rho(w, 64 - p).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Raw HLL estimate + linear-counting small-range correction."""
+    m = len(regs)
+    est = _alpha(m) * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_count_distinct(ds: rd.Dataset, col: str, p: int = 14) -> float:
+    """Approximate COUNT(DISTINCT col): per-batch register partials
+    (one 2^p-byte binary row per batch — constant in row count AND in
+    cardinality), merged by elementwise max. The partial set is tiny
+    (one row per block), so the final merge is a driver reduce —
+    the same small-result contract as the kNN top-k reduce."""
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        regs = hll_registers(batch[col].to_numpy(), p=p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pandas").take_all()
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for row in parts:
+        np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8),
+                   out=merged)
+    return hll_estimate(merged)

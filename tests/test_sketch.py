@@ -1,0 +1,44 @@
+"""Quality gate for the HyperLogLog sketch: the estimate must sit
+within the published error envelope (sigma = 1.04/sqrt(2^p) ~ 0.81% at
+p=14; we allow 3 sigma) against EXACT cardinalities, across the
+linear-counting small range and the raw-estimator large range, and be
+bit-reproducible across block layouts."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from no_fasel_scrapers_ray.ops.sketch import (
+    approx_count_distinct,
+    hll_estimate,
+    hll_registers,
+)
+
+
+@pytest.mark.parametrize("n_distinct", [500, 20_000, 300_000])
+def test_hll_error_envelope(n_distinct):
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 2 ** 62, size=n_distinct).astype(np.int64)
+    exact = len(np.unique(vals))
+    # duplicate-heavy stream: every value appears ~3x
+    stream = np.concatenate([vals, vals[: n_distinct // 2], vals])
+    est = hll_estimate(hll_registers(stream))
+    assert abs(est - exact) / exact < 0.025
+
+
+def test_hll_merge_is_layout_invariant():
+    vals = np.arange(50_000, dtype=np.int64) * 7919
+    whole = hll_registers(vals)
+    merged = np.zeros_like(whole)
+    for chunk in np.array_split(vals, 13):
+        np.maximum(merged, hll_registers(chunk), out=merged)
+    assert np.array_equal(whole, merged)          # max-merge == one pass
+    assert hll_estimate(merged) == hll_estimate(whole)
+
+
+def test_approx_count_distinct_dataset():
+    df = pd.DataFrame({"u": np.arange(10_000, dtype=np.int64) % 3_000})
+    ds = rd.from_pandas(df).repartition(5)
+    est = approx_count_distinct(ds, "u")
+    assert abs(est - 3_000) / 3_000 < 0.025
