@@ -505,6 +505,18 @@ def q_cust_order_counts(sf_dir: str):
     return joined.map_batches(fill, batch_format="pandas")
 
 
+def q_global_median_price(sf_dir: str):
+    """Exact GLOBAL quantile by distributed selection (§ wide ops
+    without a sort): the median order price found via two counting
+    passes (range histogram, then one range's rows) instead of an
+    all-to-all sort — bit-identical to quantile_disc because an actual
+    element is returned."""
+    from no_fasel_scrapers_ray.ops.relational import global_quantile_disc
+    orders = _read(sf_dir, "orders", ["o_totalprice"], rows_per_block=65536)
+    med = global_quantile_disc(orders, "o_totalprice", q=0.5)
+    return pd.DataFrame({"median_price": [med]})
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog sketch (§ custom operators / sketches): approximate
     distinct users over events — constant-size register partials, so
@@ -876,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_qty_price": q_corr_qty_price,
         "top_terms": q_top_terms,
         "approx_distinct_users": q_approx_distinct_users,
+        "global_median_price": q_global_median_price,
         "rank_orders_per_cust": q_rank_orders_per_cust,
         "ntile_order_quartiles": q_ntile_order_quartiles,
         "media_thumbnails": q_media_thumbnails,
@@ -1134,6 +1147,10 @@ def oracle_sql() -> dict[str, str]:
                    / sqrt((nf * sxx - sx * sx) * (nf * syy - sy * sy))
                        AS corr_qty_price
             FROM s
+        """,
+        "global_median_price": """
+            SELECT quantile_disc(o_totalprice, 0.5) AS median_price
+            FROM orders
         """,
         "rank_orders_per_cust": """
             SELECT o_custkey, o_orderkey, o_totalprice,

@@ -42,7 +42,7 @@ BENCH_QUERIES = [
     "top_terms", "cust_order_counts",
     "media_thumbnails", "media_frame_sample",
     "rank_orders_per_cust", "ntile_order_quartiles",
-    "approx_distinct_users",
+    "approx_distinct_users", "global_median_price",
     "sample_orders", "intersect_users", "except_customers",
     "distinct_parts_per_supplier",
 ]

@@ -778,6 +778,68 @@ def grouped_quantile_disc(ds: rd.Dataset, keys: list[str], col: str,
 KNUTH_HASH = 2654435761  # floor(2^32 / golden ratio), Knuth 6.4
 
 
+def global_quantile_disc(ds: rd.Dataset, col: str, q: float,
+                         n_ranges: int = 256,
+                         sample_target: int = 65536) -> float:
+    """EXACT global discrete quantile (the ``quantile_disc`` element at
+    1-indexed position ``ceil(q*n)``) by distributed SELECTION — never
+    a full sort:
+
+    1. deterministic hash-sample of the column → ``n_ranges`` splitter
+       values on the driver (a biased sample only skews range SIZES,
+       never correctness);
+    2. one streaming pass counting rows per range (vectorized
+       ``searchsorted`` partials, one tiny count row per batch) →
+       locate the range holding the target rank;
+    3. one filtered pass collecting ONLY that range's values
+       (~n/n_ranges rows) → exact element via ``np.partition``.
+
+    Full sort moves every row through an all-to-all; this moves two
+    count vectors and one range. The input is executed twice (lineage
+    re-runs the read) — selection's classic trade."""
+
+    def sample_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col]
+        keep = (pd.util.hash_array(v.to_numpy()) & np.uint64(1023)) < 16
+        return pd.DataFrame({col: v[keep]})
+
+    samp = np.concatenate(
+        [b[col].to_numpy() for b in
+         ds.map_batches(sample_batch, batch_format="pandas")
+         .iter_batches(batch_format="pandas")] or [np.array([])])
+    if len(samp) > sample_target:
+        samp = samp[:sample_target]
+    if len(samp) == 0:
+        samp = np.array([0.0])
+    bounds = np.unique(np.quantile(
+        samp, np.linspace(0, 1, n_ranges + 1)[1:-1]))
+
+    def count_ranges(batch: pd.DataFrame) -> pd.DataFrame:
+        r = np.searchsorted(bounds, batch[col].to_numpy(), side="right")
+        c = np.bincount(r, minlength=len(bounds) + 1).astype(np.int64)
+        return pd.DataFrame({"range_id": np.arange(len(c), dtype=np.int64),
+                             "cnt": c})
+
+    counts = (ds.map_batches(count_ranges, batch_format="pandas")
+              .to_pandas().groupby("range_id")["cnt"].sum()
+              .reindex(range(len(bounds) + 1), fill_value=0))
+    n = int(counts.sum())
+    target = int(np.ceil(q * n))          # 1-indexed rank
+    cum = counts.cumsum()
+    rid = int(cum.searchsorted(target))   # first range with cum >= target
+    local_rank = target - (int(cum.iloc[rid - 1]) if rid else 0)
+
+    def in_range(batch: pd.DataFrame) -> pd.DataFrame:
+        r = np.searchsorted(bounds, batch[col].to_numpy(), side="right")
+        return pd.DataFrame({col: batch[col][r == rid]})
+
+    vals = np.concatenate(
+        [b[col].to_numpy() for b in
+         ds.map_batches(in_range, batch_format="pandas")
+         .iter_batches(batch_format="pandas")] or [np.array([])])
+    return float(np.partition(vals, local_rank - 1)[local_rank - 1])
+
+
 def hash_sample(ds: rd.Dataset, column: str, rate: float) -> rd.Dataset:
     """Deterministic uniform sample: keep rows where
     ``(column * 2654435761) & 0xFFFFFFFF < rate * 2^32``.

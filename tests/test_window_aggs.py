@@ -104,6 +104,21 @@ def test_grouped_corr_matches_numpy_and_survives_big_sums():
         assert out["r"][i] == pytest.approx(expect, rel=1e-9)
 
 
+def test_global_quantile_disc_selection():
+    from no_fasel_scrapers_ray.ops.relational import global_quantile_disc
+    rng = np.random.RandomState(3)
+    # heavy duplicates so range boundaries land INSIDE runs of equal
+    # values — the searchsorted side must agree between the counting
+    # and collection passes
+    vals = np.repeat(rng.randint(0, 200, size=500), 7).astype(np.float64)
+    df = pd.DataFrame({"v": rng.permutation(vals)})
+    ds = _ds(df, 4)
+    for q in (0.1, 0.5, 0.9, 1.0):
+        expect = np.sort(vals)[int(np.ceil(q * len(vals))) - 1]
+        got = global_quantile_disc(ds, "v", q, n_ranges=16)
+        assert got == expect, (q, got, expect)
+
+
 def test_top_terms_tie_break_at_k_boundary():
     docs = pd.DataFrame({"text": ["b c", "c b", "a a", "d"]})
     # counts: a=2, b=2, c=2, d=1 → k=2 keeps (a, b) by term ASC tie-break
