@@ -505,6 +505,39 @@ def q_cust_order_counts(sf_dir: str):
     return joined.map_batches(fill, batch_format="pandas")
 
 
+def q_nation_customer_list(sf_dir: str):
+    """Grouped string_agg (§ aggregates): each nation's customer names
+    concatenated in key order — the catalog-file shape (ordered
+    per-group rendering) as a relational operator."""
+    from no_fasel_scrapers_ray.ops.relational import grouped_string_agg
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_name"],
+                 rows_per_block=65536)
+    return grouped_string_agg(cust, ["c_nationkey"], "c_name",
+                              alias="names", sep="|",
+                              order_cols=["c_name"])
+
+
+def q_unpivot_order_flags(sf_dir: str):
+    """Unpivot / melt (§ reshapes): each order's (status, priority)
+    pair melted into attribute/value rows — the wide→long flat_map
+    family, 2 output rows per input row, no shuffle at all."""
+    import pyarrow as pa
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_orderpriority"],
+                   rows_per_block=65536)
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = len(t)
+        keys = pa.concat_arrays([t["o_orderkey"].combine_chunks(),
+                                 t["o_orderkey"].combine_chunks()])
+        attr = pa.array(["status"] * n + ["priority"] * n)
+        val = pa.concat_arrays([t["o_orderstatus"].combine_chunks(),
+                                t["o_orderpriority"].combine_chunks()])
+        return pa.table({"o_orderkey": keys, "attr": attr, "val": val})
+
+    return orders.map_batches(melt, batch_format="pyarrow")
+
+
 def q_global_median_price(sf_dir: str):
     """Exact GLOBAL quantile by distributed selection (§ wide ops
     without a sort): the median order price found via two counting
@@ -889,6 +922,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": q_top_terms,
         "approx_distinct_users": q_approx_distinct_users,
         "global_median_price": q_global_median_price,
+        "nation_customer_list": q_nation_customer_list,
+        "unpivot_order_flags": q_unpivot_order_flags,
         "rank_orders_per_cust": q_rank_orders_per_cust,
         "ntile_order_quartiles": q_ntile_order_quartiles,
         "media_thumbnails": q_media_thumbnails,
@@ -1150,6 +1185,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "global_median_price": """
             SELECT quantile_disc(o_totalprice, 0.5) AS median_price
+            FROM orders
+        """,
+        "nation_customer_list": """
+            SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_name)
+                   AS names
+            FROM customer GROUP BY c_nationkey
+        """,
+        "unpivot_order_flags": """
+            SELECT o_orderkey, 'status' AS attr, o_orderstatus AS val
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'priority' AS attr, o_orderpriority AS val
             FROM orders
         """,
         "rank_orders_per_cust": """

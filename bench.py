@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "media_thumbnails", "media_frame_sample",
     "rank_orders_per_cust", "ntile_order_quartiles",
     "approx_distinct_users", "global_median_price",
+    "nation_customer_list", "unpivot_order_flags",
     "sample_orders", "intersect_users", "except_customers",
     "distinct_parts_per_supplier",
 ]
@@ -307,24 +308,33 @@ def scaling_nodes() -> None:
     boundaries). Appends the measurement to BENCH_SCALING.json."""
     import subprocess as sp
     port = int(os.environ.get("BENCH_NODES_PORT", "6411"))
+    repeats = int(os.environ.get("BENCH_NODES_REPEATS", "2"))
     results = {}
     base_env = {k: v for k, v in os.environ.items() if k != "RAY_ADDRESS"}
     for n_nodes in (1, 4):
-        sp.run(["ray", "stop", "--force"], env=base_env, capture_output=True)
-        sp.run(["ray", "start", "--head", f"--port={port}", "--num-cpus=4",
-                "--include-dashboard=false"],
-               env=base_env, check=True, capture_output=True)
-        for _ in range(n_nodes - 1):
-            sp.run(["ray", "start", f"--address=127.0.0.1:{port}",
-                    "--num-cpus=4"],
+        best = None
+        for _ in range(repeats):
+            sp.run(["ray", "stop", "--force"], env=base_env,
+                   capture_output=True)
+            sp.run(["ray", "start", "--head", f"--port={port}",
+                    "--num-cpus=4", "--include-dashboard=false"],
                    env=base_env, check=True, capture_output=True)
-        env = dict(base_env, BENCH_RAY_ADDRESS=f"127.0.0.1:{port}",
-                   BENCH_CRAWL_ONLY="1",
-                   RAY_GRAFT_CPUS=str(4 * n_nodes))
-        out = sp.run([sys.executable, os.path.join(REPO, "bench.py")],
-                     env=env, capture_output=True, text=True, check=True).stdout
-        results[n_nodes] = json.loads(out.strip().splitlines()[-1])
-        sp.run(["ray", "stop", "--force"], env=base_env, capture_output=True)
+            for _ in range(n_nodes - 1):
+                sp.run(["ray", "start", f"--address=127.0.0.1:{port}",
+                        "--num-cpus=4"],
+                       env=base_env, check=True, capture_output=True)
+            env = dict(base_env, BENCH_RAY_ADDRESS=f"127.0.0.1:{port}",
+                       BENCH_CRAWL_ONLY="1", BENCH_CRAWL_REPEATS="1",
+                       RAY_GRAFT_CPUS=str(4 * n_nodes))
+            out = sp.run([sys.executable, os.path.join(REPO, "bench.py")],
+                         env=env, capture_output=True, text=True,
+                         check=True).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["crawl_pages_per_sec"] >                     best["crawl_pages_per_sec"]:
+                best = r
+            sp.run(["ray", "stop", "--force"], env=base_env,
+                   capture_output=True)
+        results[n_nodes] = best
     thr_1 = results[1]["crawl_pages_per_sec"]
     thr_4 = results[4]["crawl_pages_per_sec"]
     report = {

@@ -778,6 +778,33 @@ def grouped_quantile_disc(ds: rd.Dataset, keys: list[str], col: str,
 KNUTH_HASH = 2654435761  # floor(2^32 / golden ratio), Knuth 6.4
 
 
+def grouped_string_agg(ds: rd.Dataset, keys: list[str], col: str,
+                       alias: str, sep: str = ",",
+                       order_cols: list[str] | None = None,
+                       n_buckets: int = 64) -> rd.Dataset:
+    """``string_agg(col, sep ORDER BY order_cols)`` per group. One
+    key-bucket shuffle; the per-bucket pass sorts once then joins each
+    group's values (the join is the actual output payload, not
+    avoidable work). ``order_cols`` must make the concatenation order
+    deterministic — pass the value column itself or a unique tie."""
+    order = order_cols or [col]
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df[keys + list(dict.fromkeys(order + [col]))].assign(
+            __bucket=stable_bucket_cols(df, keys, n_buckets))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def agg(g: pd.DataFrame) -> pa.Table:
+        g = (g.drop(columns="__bucket")
+             .sort_values(keys + order, kind="stable"))
+        r = (g.groupby(keys, sort=False)[col]
+             .agg(sep.join).reset_index().rename(columns={col: alias}))
+        return pa.Table.from_pandas(r, preserve_index=False)
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(agg, batch_format="pandas"))
+
+
 def global_quantile_disc(ds: rd.Dataset, col: str, q: float,
                          n_ranges: int = 256,
                          sample_target: int = 65536) -> float:

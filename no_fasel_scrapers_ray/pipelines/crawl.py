@@ -228,8 +228,13 @@ class CrawlEngine:
         os.makedirs(os.path.join(run_dir, "records"), exist_ok=True)
         os.makedirs(os.path.join(run_dir, "ckpt"), exist_ok=True)
         self.n_shards = n_shards
+        # SPREAD the shard actors across nodes: Ray's default actor
+        # placement packs them onto the submitting node, which in
+        # multi-node runs funnels every hash-routed push/pop RPC and
+        # its plasma traffic through ONE raylet (no-op on one node).
         self.shards = [
-            FrontierShard.remote(i, n_shards, politeness)
+            FrontierShard.options(scheduling_strategy="SPREAD")
+            .remote(i, n_shards, politeness)
             for i in range(n_shards)
         ]
         # corpus: broadcast table (combined to single chunks so worker
