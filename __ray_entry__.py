@@ -726,6 +726,50 @@ def q_asof_clicks(sf_dir: str):
                       "click_id": i64, "click_value": f64})
 
 
+def q_funnel_click_purchase(sf_dir: str):
+    """Funnel / sequence-match (§ custom operators, composition): per
+    user, how many purchases happened within 1 h of their most recent
+    prior click — asof_join carrying the click timestamp as payload,
+    a vectorized gap filter, then the partial-agg count. Tie-robust:
+    equal-timestamp clicks share the ts the filter reads. Oracle:
+    DuckDB ASOF JOIN + the same gap predicate."""
+    import pandas as pd
+    import pyarrow as pa
+    from no_fasel_scrapers_ray.ops.relational import (
+        asof_join, preagg_sum_count)
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"],
+               rows_per_block=8192)
+
+    def side(event_type: str, extra: dict):
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["event_type"] == event_type]
+            ts_us = b["ts"].astype("datetime64[us]").astype("int64")
+            out = {"user_id": b["user_id"].to_numpy(),
+                   "ts_us": ts_us.to_numpy()}
+            for dst in extra:
+                out[dst] = ts_us.to_numpy() if extra[dst] == "ts_us" \
+                    else b[extra[dst]].to_numpy()
+            return pd.DataFrame(out)
+        return ev.map_batches(prep, batch_format="pandas")
+
+    i64 = pa.int64()
+    joined = asof_join(
+        side("purchase", {"event_id": "event_id"}),
+        side("click", {"click_ts_us": "ts_us"}),
+        by="user_id", on="ts_us",
+        left_fields={"user_id": i64, "ts_us": i64, "event_id": i64},
+        right_fields={"user_id": i64, "ts_us": i64, "click_ts_us": i64})
+
+    def within_hour(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["ts_us"] - b["click_ts_us"] <= 3_600_000_000]
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(),
+            "one": np.ones(len(b), dtype=np.int64)})
+
+    hits = joined.map_batches(within_hour, batch_format="pandas")
+    return preagg_sum_count(hits, ["user_id"], {"one": "n_converted"})
+
+
 def q_range_join_clicks(sf_dir: str):
     """Range join (§ custom operators): per signup event, the number of
     the same user's clicks within the following hour — LEFT inequality
@@ -923,6 +967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": q_approx_distinct_users,
         "global_median_price": q_global_median_price,
         "nation_customer_list": q_nation_customer_list,
+        "funnel_click_purchase": q_funnel_click_purchase,
         "unpivot_order_flags": q_unpivot_order_flags,
         "rank_orders_per_cust": q_rank_orders_per_cust,
         "ntile_order_quartiles": q_ntile_order_quartiles,
@@ -1186,6 +1231,19 @@ def oracle_sql() -> dict[str, str]:
         "global_median_price": """
             SELECT quantile_disc(o_totalprice, 0.5) AS median_price
             FROM orders
+        """,
+        "funnel_click_purchase": """
+            WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, epoch_us(ts) AS click_ts_us
+                       FROM events WHERE event_type = 'click')
+            SELECT user_id, COUNT(*) AS n_converted
+            FROM (SELECT p.user_id, p.ts_us, c.click_ts_us
+                  FROM p ASOF JOIN c
+                  ON p.user_id = c.user_id
+                     AND p.ts_us >= c.click_ts_us)
+            WHERE ts_us - click_ts_us <= 3600000000
+            GROUP BY user_id
         """,
         "nation_customer_list": """
             SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_name)
