@@ -538,6 +538,21 @@ def q_unpivot_order_flags(sf_dir: str):
     return orders.map_batches(melt, batch_format="pyarrow")
 
 
+def q_approx_parts_per_supplier(sf_dir: str):
+    """Grouped HLL (§ sketches): approximate distinct parts per
+    supplier — the scale path twin of the exact
+    `distinct_parts_per_supplier`: shuffle volume is one 1 KiB register
+    blob per key per batch, independent of how many distinct values a
+    key has. No SQL oracle (approximate); per-key 10% envelope pinned
+    in tests/test_sketch.py."""
+    from no_fasel_scrapers_ray.ops.sketch import (
+        grouped_approx_count_distinct)
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"],
+               rows_per_block=65536)
+    return grouped_approx_count_distinct(li, ["l_suppkey"], "l_partkey",
+                                         alias="n_parts_approx", p=10)
+
+
 def q_global_median_price(sf_dir: str):
     """Exact GLOBAL quantile by distributed selection (§ wide ops
     without a sort): the median order price found via two counting
@@ -968,6 +983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_median_price": q_global_median_price,
         "nation_customer_list": q_nation_customer_list,
         "funnel_click_purchase": q_funnel_click_purchase,
+        "approx_parts_per_supplier": q_approx_parts_per_supplier,
         "unpivot_order_flags": q_unpivot_order_flags,
         "rank_orders_per_cust": q_rank_orders_per_cust,
         "ntile_order_quartiles": q_ntile_order_quartiles,

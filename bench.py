@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     "rank_orders_per_cust", "ntile_order_quartiles",
     "approx_distinct_users", "global_median_price",
     "nation_customer_list", "unpivot_order_flags",
-    "funnel_click_purchase",
+    "funnel_click_purchase", "approx_parts_per_supplier",
     "sample_orders", "intersect_users", "except_customers",
     "distinct_parts_per_supplier",
 ]

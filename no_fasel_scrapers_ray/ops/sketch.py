@@ -27,6 +27,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from .util import stable_bucket_cols
+
 
 def _clz_rho(w: np.ndarray, width: int) -> np.ndarray:
     """rho(w) = index of the first 1-bit from the MSB of a
@@ -77,6 +79,53 @@ def hll_estimate(regs: np.ndarray) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+def grouped_approx_count_distinct(ds: rd.Dataset, keys: list[str],
+                                  col: str, alias: str, p: int = 10,
+                                  n_buckets: int = 64) -> rd.Dataset:
+    """Per-group approximate COUNT(DISTINCT col): one 2^p-byte register
+    blob per key per batch moves through the key-bucket shuffle instead
+    of one row per DISTINCT VALUE — the trade that keeps shuffle volume
+    proportional to |keys| when values-per-key is huge (the exact
+    operator's partials grow with distinct values). p=10 → 1 KiB/key,
+    sigma ≈ 1.04/sqrt(1024) ≈ 3.3%. Registers ride as Arrow ``binary``
+    (ragged numeric sets in object columns trip Ray's TensorArray)."""
+    m = 1 << p
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        out_keys: dict[str, list] = {k: [] for k in keys}
+        blobs = []
+        for kv, g in batch.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            for k, v in zip(keys, kv):
+                out_keys[k].append(v)
+            blobs.append(hll_registers(g[col].to_numpy(), p=p).tobytes())
+        t = {k: pa.array(v) for k, v in out_keys.items()}
+        t["__regs"] = pa.array(blobs, pa.binary())
+        tbl = pa.table(t)
+        bucket = stable_bucket_cols(
+            pd.DataFrame({k: out_keys[k] for k in keys}), keys, n_buckets)
+        return tbl.append_column("__bucket", pa.array(bucket))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        rows_keys: dict[str, list] = {k: [] for k in keys}
+        ests = []
+        for kv, grp in g.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            merged = np.zeros(m, dtype=np.uint8)
+            for blob in grp["__regs"]:
+                np.maximum(merged, np.frombuffer(blob, dtype=np.uint8),
+                           out=merged)
+            for k, v in zip(keys, kv):
+                rows_keys[k].append(v)
+            ests.append(hll_estimate(merged))
+        out = pd.DataFrame(rows_keys)
+        out[alias] = np.asarray(ests, dtype=np.float64)
+        return out
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("__bucket").map_groups(combine, batch_format="pandas"))
 
 
 def approx_count_distinct(ds: rd.Dataset, col: str, p: int = 14) -> float:

@@ -37,6 +37,27 @@ def test_hll_merge_is_layout_invariant():
     assert hll_estimate(merged) == hll_estimate(whole)
 
 
+def test_grouped_approx_count_distinct():
+    from no_fasel_scrapers_ray.ops.sketch import (
+        grouped_approx_count_distinct)
+    rng = np.random.RandomState(5)
+    # 4 keys with very different true cardinalities, values duplicated
+    frames = []
+    for k, card in [(1, 50), (2, 1_000), (3, 7_000), (4, 1)]:
+        v = rng.randint(0, 2 ** 60, size=card)
+        frames.append(pd.DataFrame(
+            {"k": k, "v": np.concatenate([v, v[: card // 2 + 1]])}))
+    df = pd.concat(frames, ignore_index=True).sample(
+        frac=1.0, random_state=0).reset_index(drop=True)
+    ds = rd.from_pandas(df).repartition(6)
+    out = (grouped_approx_count_distinct(ds, ["k"], "v", alias="nd", p=10)
+           .to_pandas().sort_values("k", ignore_index=True))
+    exact = df.groupby("k")["v"].nunique()
+    for _, row in out.iterrows():
+        e = exact[row["k"]]
+        assert abs(row["nd"] - e) / e < 0.10, (row["k"], row["nd"], e)
+
+
 def test_approx_count_distinct_dataset():
     df = pd.DataFrame({"u": np.arange(10_000, dtype=np.int64) % 3_000})
     ds = rd.from_pandas(df).repartition(5)
