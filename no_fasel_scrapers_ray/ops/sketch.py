@@ -94,18 +94,28 @@ def grouped_approx_count_distinct(ds: rd.Dataset, keys: list[str],
     m = 1 << p
 
     def partial(batch: pd.DataFrame) -> pa.Table:
-        out_keys: dict[str, list] = {k: [] for k in keys}
-        blobs = []
-        for kv, g in batch.groupby(keys, sort=False):
-            kv = kv if isinstance(kv, tuple) else (kv,)
-            for k, v in zip(keys, kv):
-                out_keys[k].append(v)
-            blobs.append(hll_registers(g[col].to_numpy(), p=p).tobytes())
-        t = {k: pa.array(v) for k, v in out_keys.items()}
-        t["__regs"] = pa.array(blobs, pa.binary())
+        # ONE np.maximum.at over a (n_keys × m) register matrix — no
+        # per-key Python loop: rows are flattened to key_code*m + idx
+        codes, uniques = pd.factorize(
+            pd.MultiIndex.from_frame(batch[keys]) if len(keys) > 1
+            else batch[keys[0]], sort=False)
+        v = batch[col].to_numpy()
+        h = pd.util.hash_array(np.asarray(v, dtype=object)
+                               if v.dtype == object
+                               else np.ascontiguousarray(v))
+        h = h.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h & ((np.uint64(1) << np.uint64(64 - p)) - np.uint64(1))
+        rho = _clz_rho(w, 64 - p).astype(np.uint8)
+        regs = np.zeros((len(uniques), m), dtype=np.uint8)
+        np.maximum.at(regs.reshape(-1), codes * m + idx, rho)
+        kf = pd.DataFrame(
+            list(uniques) if len(keys) > 1 else {keys[0]: uniques},
+            columns=keys)
+        t = {k: pa.array(kf[k]) for k in keys}
+        t["__regs"] = pa.array([r.tobytes() for r in regs], pa.binary())
         tbl = pa.table(t)
-        bucket = stable_bucket_cols(
-            pd.DataFrame({k: out_keys[k] for k in keys}), keys, n_buckets)
+        bucket = stable_bucket_cols(kf, keys, n_buckets)
         return tbl.append_column("__bucket", pa.array(bucket))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
