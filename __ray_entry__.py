@@ -425,6 +425,34 @@ def q_median_order_value(sf_dir: str):
                                  q=0.5, alias="median_price")
 
 
+def q_rolling_user_spend(sf_dir: str):
+    """Window-frame aggregate (§ custom operators): each user's spend
+    over their last 4 purchases (ROWS BETWEEN 3 PRECEDING AND CURRENT
+    ROW), integer cents so the sliding sums are bit-exact."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import rolling_sum
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"],
+               rows_per_block=8192)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"] == "purchase"]
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(),
+            "event_id": b["event_id"].to_numpy(),
+            "ts_us": b["ts"].astype("datetime64[us]")
+                     .astype("int64").to_numpy(),
+            "cents": (b["value"] * 100).round().astype("int64").to_numpy(),
+        })
+
+    purchases = ev.map_batches(prep, batch_format="pandas")
+    out = rolling_sum(purchases, ["user_id"], "ts_us", "cents",
+                      alias="last4_cents", preceding=3,
+                      tie_cols=["event_id"])
+    return out.select_columns(["user_id", "event_id", "ts_us",
+                               "last4_cents"])
+
+
 def q_lag_purchase_gap(sf_dir: str):
     """LAG window (§ custom operators): each purchase paired with the
     user's previous purchase timestamp (µs), -1 for the first — the
@@ -975,6 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_user_spend": q_running_user_spend,
         "median_order_value": q_median_order_value,
         "lag_purchase_gap": q_lag_purchase_gap,
+        "rolling_user_spend": q_rolling_user_spend,
         "pivot_event_counts": q_pivot_event_counts,
         "rollup_order_counts": q_rollup_order_counts,
         "corr_qty_price": q_corr_qty_price,
@@ -1200,6 +1229,15 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY epoch_us(ts), event_id) AS BIGINT)
                        AS cum_cents
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "rolling_user_spend": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS last4_cents
             FROM events WHERE event_type = 'purchase'
         """,
         "lag_purchase_gap": """

@@ -37,7 +37,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "cosine_near_dup", "cosine_near_dup_exact",
     "asof_clicks", "range_join_clicks", "top3_orders_per_cust",
-    "running_user_spend", "median_order_value", "lag_purchase_gap",
+    "running_user_spend", "rolling_user_spend", "median_order_value",
+    "lag_purchase_gap",
     "pivot_event_counts", "rollup_order_counts", "corr_qty_price",
     "top_terms", "cust_order_counts",
     "media_thumbnails", "media_frame_sample",

@@ -526,6 +526,37 @@ def running_total(ds: rd.Dataset, keys: list[str], order_col: str,
             .groupby("__bucket").map_groups(cumulate, batch_format="pandas"))
 
 
+def rolling_sum(ds: rd.Dataset, keys: list[str], order_col: str,
+                val_col: str, alias: str, preceding: int,
+                tie_cols: list[str] | None = None,
+                n_buckets: int = 64) -> rd.Dataset:
+    """Window-frame aggregate: ``SUM(val) OVER (PARTITION BY keys ORDER
+    BY order_col, tie_cols ROWS BETWEEN preceding PRECEDING AND CURRENT
+    ROW)``. Same single key-bucket shuffle as ``running_total``; the
+    per-bucket pass computes the sliding sum as cumsum minus the
+    (preceding+1)-shifted cumsum — all int64, no rolling-float mean, so
+    an integer ``val_col`` is bit-exact against a SQL oracle that also
+    SUMs (never AVG, whose internal accumulation order differs)."""
+    tie = tie_cols or []
+    win = preceding + 1
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(__bucket=stable_bucket_cols(df, keys, n_buckets))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def slide(g: pd.DataFrame) -> pa.Table:
+        g = (g.drop(columns="__bucket")
+             .sort_values(keys + [order_col] + tie, kind="stable"))
+        grp = g.groupby(keys, sort=False)
+        cs = grp[val_col].cumsum()
+        lag = cs.groupby([g[k] for k in keys], sort=False).shift(win)
+        g[alias] = cs - lag.fillna(0).astype(cs.dtype)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(slide, batch_format="pandas"))
+
+
 def windowed_lag(ds: rd.Dataset, keys: list[str], order_col: str,
                  val_col: str, alias: str,
                  tie_cols: list[str] | None = None,

@@ -42,6 +42,21 @@ def test_running_total_tie_break_and_split_blocks():
     assert out["cum"].tolist() == [1, 11, 111, 1111, 7]
 
 
+def test_rolling_sum_frame_boundaries():
+    from no_fasel_scrapers_ray.ops.relational import rolling_sum
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 1, 2],
+        "ts": [1, 2, 3, 4, 5, 1],
+        "v": [1, 10, 100, 1000, 10000, 7],
+    })
+    out = (rolling_sum(_ds(df), ["k"], "ts", "v", alias="w",
+                       preceding=2, n_buckets=4)
+           .to_pandas().sort_values(["k", "ts"], ignore_index=True))
+    # window of 3 rows: rows before the frame fills, then values roll OUT
+    assert out["w"].tolist() == [1, 11, 111, 1110, 11100, 7]
+    assert out["w"].dtype == np.int64
+
+
 def test_windowed_lag_default_fill_keeps_dtype():
     df = pd.DataFrame({"k": [1, 1, 2], "ts": [1, 2, 1], "v": [5, 6, 7]})
     out = (windowed_lag(_ds(df, 2), ["k"], "ts", "v", alias="prev",
