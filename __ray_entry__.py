@@ -708,6 +708,16 @@ def q_media_frame_sample(sf_dir: str):
     return sampled.map_batches(meta, batch_format="pyarrow")
 
 
+def q_cube_order_counts(sf_dir: str):
+    """CUBE grouping sets (§ aggregates): ROLLUP plus the
+    priority-only marginal, NULL-filled like SQL CUBE."""
+    from no_fasel_scrapers_ray.ops.relational import cube_counts
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"],
+                   rows_per_block=65536)
+    return cube_counts(orders, "o_orderstatus", "o_orderpriority",
+                       alias="n_orders")
+
+
 def q_corr_qty_price(sf_dir: str):
     """Grouped Pearson correlation (§ statistical aggregates): quantity
     vs price per return flag, from exact integer moment sums so the
@@ -1006,6 +1016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_spend": q_rolling_user_spend,
         "pivot_event_counts": q_pivot_event_counts,
         "rollup_order_counts": q_rollup_order_counts,
+        "cube_order_counts": q_cube_order_counts,
         "corr_qty_price": q_corr_qty_price,
         "top_terms": q_top_terms,
         "approx_distinct_users": q_approx_distinct_users,
@@ -1260,6 +1271,10 @@ def oracle_sql() -> dict[str, str]:
         "rollup_order_counts": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "cube_order_counts": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "corr_qty_price": """
             WITH s AS (

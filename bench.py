@@ -39,7 +39,8 @@ BENCH_QUERIES = [
     "asof_clicks", "range_join_clicks", "top3_orders_per_cust",
     "running_user_spend", "rolling_user_spend", "median_order_value",
     "lag_purchase_gap",
-    "pivot_event_counts", "rollup_order_counts", "corr_qty_price",
+    "pivot_event_counts", "rollup_order_counts", "cube_order_counts",
+    "corr_qty_price",
     "top_terms", "cust_order_counts",
     "media_thumbnails", "media_frame_sample",
     "rank_orders_per_cust", "ntile_order_quartiles",

@@ -774,6 +774,32 @@ def grouped_corr(ds: rd.Dataset, keys: list[str], xcol: str, ycol: str,
         final, batch_format="pandas")
 
 
+def cube_counts(ds: rd.Dataset, coarse: str, fine: str, alias: str,
+                n_buckets: int = 64) -> rd.Dataset:
+    """``COUNT(*) GROUP BY CUBE (coarse, fine)`` = the ROLLUP levels
+    plus the (NULL, fine) marginal. The marginal reuses the same
+    partial-counts shape bucketed on ``fine``; the rollup side comes
+    from ``rollup_counts`` (its lineage re-reads the input — two scans
+    total, the price of two independent grouping orientations)."""
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        g = (batch.groupby(fine, as_index=False, sort=False)
+             .size().rename(columns={"size": alias}))
+        g["__bucket"] = stable_bucket(g[fine], n_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def marginal(g: pd.DataFrame) -> pa.Table:
+        r = g.groupby(fine, as_index=False, sort=False)[alias].sum()
+        r.insert(0, coarse, pd.Series([None] * len(r), dtype=object))
+        return pa.Table.from_pandas(r, preserve_index=False)
+
+    fine_marginal = (ds.map_batches(partial, batch_format="pandas")
+                     .groupby("__bucket")
+                     .map_groups(marginal, batch_format="pandas"))
+    return rollup_counts(ds, coarse, fine, alias,
+                         n_buckets=n_buckets).union(fine_marginal)
+
+
 def grouped_quantile_disc(ds: rd.Dataset, keys: list[str], col: str,
                           q: float, alias: str,
                           n_buckets: int = 64) -> rd.Dataset:
