@@ -387,28 +387,38 @@ def q_distinct_parts_per_supplier(sf_dir: str):
                                   alias="n_parts")
 
 
+def _purchase_events(sf_dir: str, with_cents: bool):
+    """Purchases as (user_id, event_id, ts_us[, cents]) — shared by the
+    window queries. ts as epoch µs int64; value as integer CENTS (×100
+    of a 2-decimal value is integral, so rounding never hits the
+    pandas-half-to-even vs SQL-half-away .5 boundary)."""
+    import pandas as pd
+    cols = ["event_id", "ts", "user_id", "event_type"] + (
+        ["value"] if with_cents else [])
+    ev = _read(sf_dir, "events", cols, rows_per_block=8192)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"] == "purchase"]
+        out = {
+            "user_id": b["user_id"].to_numpy(),
+            "event_id": b["event_id"].to_numpy(),
+            "ts_us": b["ts"].astype("datetime64[us]")
+                     .astype("int64").to_numpy(),
+        }
+        if with_cents:
+            out["cents"] = (b["value"] * 100).round().astype("int64")                 .to_numpy()
+        return pd.DataFrame(out)
+
+    return ev.map_batches(prep, batch_format="pandas")
+
+
 def q_running_user_spend(sf_dir: str):
     """Windowed cumulative aggregate (§ custom operators): per-user
     running spend over purchase events, SUM() OVER (PARTITION BY user
     ORDER BY ts). Values carried as integer cents so the cumulative
     sum is bit-exact regardless of either engine's summation order."""
-    import pandas as pd
     from no_fasel_scrapers_ray.ops.relational import running_total
-    ev = _read(sf_dir, "events",
-               ["event_id", "ts", "user_id", "event_type", "value"],
-               rows_per_block=8192)
-
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["event_type"] == "purchase"]
-        return pd.DataFrame({
-            "user_id": b["user_id"].to_numpy(),
-            "event_id": b["event_id"].to_numpy(),
-            "ts_us": b["ts"].astype("datetime64[us]")
-                     .astype("int64").to_numpy(),
-            "cents": (b["value"] * 100).round().astype("int64").to_numpy(),
-        })
-
-    purchases = ev.map_batches(prep, batch_format="pandas")
+    purchases = _purchase_events(sf_dir, with_cents=True)
     out = running_total(purchases, ["user_id"], "ts_us", "cents",
                         alias="cum_cents", tie_cols=["event_id"])
     return out.select_columns(["user_id", "event_id", "ts_us", "cum_cents"])
@@ -429,23 +439,8 @@ def q_rolling_user_spend(sf_dir: str):
     """Window-frame aggregate (§ custom operators): each user's spend
     over their last 4 purchases (ROWS BETWEEN 3 PRECEDING AND CURRENT
     ROW), integer cents so the sliding sums are bit-exact."""
-    import pandas as pd
     from no_fasel_scrapers_ray.ops.relational import rolling_sum
-    ev = _read(sf_dir, "events",
-               ["event_id", "ts", "user_id", "event_type", "value"],
-               rows_per_block=8192)
-
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["event_type"] == "purchase"]
-        return pd.DataFrame({
-            "user_id": b["user_id"].to_numpy(),
-            "event_id": b["event_id"].to_numpy(),
-            "ts_us": b["ts"].astype("datetime64[us]")
-                     .astype("int64").to_numpy(),
-            "cents": (b["value"] * 100).round().astype("int64").to_numpy(),
-        })
-
-    purchases = ev.map_batches(prep, batch_format="pandas")
+    purchases = _purchase_events(sf_dir, with_cents=True)
     out = rolling_sum(purchases, ["user_id"], "ts_us", "cents",
                       alias="last4_cents", preceding=3,
                       tie_cols=["event_id"])
@@ -457,21 +452,8 @@ def q_lag_purchase_gap(sf_dir: str):
     """LAG window (§ custom operators): each purchase paired with the
     user's previous purchase timestamp (µs), -1 for the first — the
     COALESCE keeps the column int64 on both engines."""
-    import pandas as pd
     from no_fasel_scrapers_ray.ops.relational import windowed_lag
-    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"],
-               rows_per_block=8192)
-
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["event_type"] == "purchase"]
-        return pd.DataFrame({
-            "user_id": b["user_id"].to_numpy(),
-            "event_id": b["event_id"].to_numpy(),
-            "ts_us": b["ts"].astype("datetime64[us]")
-                     .astype("int64").to_numpy(),
-        })
-
-    purchases = ev.map_batches(prep, batch_format="pandas")
+    purchases = _purchase_events(sf_dir, with_cents=False)
     out = windowed_lag(purchases, ["user_id"], "ts_us", "ts_us",
                        alias="prev_ts_us", tie_cols=["event_id"],
                        default=-1)
@@ -523,7 +505,8 @@ def q_cust_order_counts(sf_dir: str):
 
     counts = preagg_sum_count(orders.map_batches(ones, batch_format="pandas"),
                               ["c_custkey"], {"one": "n_orders"})
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"],
+                 rows_per_block=65536)
     joined = bucketed_join(cust, counts, on="c_custkey", how="left")
 
     def fill(b: pd.DataFrame) -> pd.DataFrame:

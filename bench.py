@@ -259,6 +259,13 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def _best_run(best: dict | None, r: dict) -> dict:
+    """Best-of-N selection: keep the run with the higher crawl rate."""
+    if best is None or r["crawl_pages_per_sec"] > best["crawl_pages_per_sec"]:
+        return r
+    return best
+
+
 def scaling() -> None:
     """The N→4N gate: the same crawl at num_cpus=4 (N) and 16 (4N) in
     fresh processes → throughput at both + scaling efficiency.
@@ -282,8 +289,7 @@ def scaling() -> None:
                 env=env, capture_output=True, text=True,
                 check=True).stdout
             r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["crawl_pages_per_sec"] >                     best["crawl_pages_per_sec"]:
-                best = r
+            best = _best_run(best, r)
         results[ncpu] = best
     thr_n = results[4]["crawl_pages_per_sec"]
     thr_4n = results[16]["crawl_pages_per_sec"]
@@ -333,8 +339,7 @@ def scaling_nodes() -> None:
                          env=env, capture_output=True, text=True,
                          check=True).stdout
             r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["crawl_pages_per_sec"] >                     best["crawl_pages_per_sec"]:
-                best = r
+            best = _best_run(best, r)
             sp.run(["ray", "stop", "--force"], env=base_env,
                    capture_output=True)
         results[n_nodes] = best

@@ -496,6 +496,20 @@ def topk_per_group(ds: rd.Dataset, keys: list[str], order_col: str, k: int,
             .groupby("__bucket").map_groups(final, batch_format="pandas"))
 
 
+def _bucket_tagger(keys: list[str], n_buckets: int,
+                   cols: list[str] | None = None):
+    """The shared map-side stage of every windowed operator: project
+    (optionally) to ``cols`` and tag each row with the content-hash
+    bucket of ``keys``. One definition so bucketing fixes apply
+    everywhere at once."""
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        if cols is not None:
+            df = df[cols]
+        df = df.assign(__bucket=stable_bucket_cols(df, keys, n_buckets))
+        return pa.Table.from_pandas(df, preserve_index=False)
+    return add_bucket
+
+
 def running_total(ds: rd.Dataset, keys: list[str], order_col: str,
                   val_col: str, alias: str,
                   tie_cols: list[str] | None = None,
@@ -512,9 +526,7 @@ def running_total(ds: rd.Dataset, keys: list[str], order_col: str,
     depend on the engine's summation tree."""
     tie = tie_cols or []
 
-    def add_bucket(df: pd.DataFrame) -> pa.Table:
-        df = df.assign(__bucket=stable_bucket_cols(df, keys, n_buckets))
-        return pa.Table.from_pandas(df, preserve_index=False)
+    add_bucket = _bucket_tagger(keys, n_buckets)
 
     def cumulate(g: pd.DataFrame) -> pa.Table:
         g = (g.drop(columns="__bucket")
@@ -540,9 +552,7 @@ def rolling_sum(ds: rd.Dataset, keys: list[str], order_col: str,
     tie = tie_cols or []
     win = preceding + 1
 
-    def add_bucket(df: pd.DataFrame) -> pa.Table:
-        df = df.assign(__bucket=stable_bucket_cols(df, keys, n_buckets))
-        return pa.Table.from_pandas(df, preserve_index=False)
+    add_bucket = _bucket_tagger(keys, n_buckets)
 
     def slide(g: pd.DataFrame) -> pa.Table:
         g = (g.drop(columns="__bucket")
@@ -571,9 +581,7 @@ def windowed_lag(ds: rd.Dataset, keys: list[str], order_col: str,
     (matching a SQL LAG without COALESCE)."""
     tie = tie_cols or []
 
-    def add_bucket(df: pd.DataFrame) -> pa.Table:
-        df = df.assign(__bucket=stable_bucket_cols(df, keys, n_buckets))
-        return pa.Table.from_pandas(df, preserve_index=False)
+    add_bucket = _bucket_tagger(keys, n_buckets)
 
     def lag(g: pd.DataFrame) -> pa.Table:
         g = (g.drop(columns="__bucket")
@@ -669,9 +677,7 @@ def windowed_rank(ds: rd.Dataset, keys: list[str], order_col: str,
     has duplicates). Ranks are int64 on both engines."""
     tie = tie_cols or []
 
-    def add_bucket(df: pd.DataFrame) -> pa.Table:
-        df = df.assign(__bucket=stable_bucket_cols(df, keys, n_buckets))
-        return pa.Table.from_pandas(df, preserve_index=False)
+    add_bucket = _bucket_tagger(keys, n_buckets)
 
     def rank(g: pd.DataFrame) -> pa.Table:
         g = (g.drop(columns="__bucket")
@@ -704,9 +710,7 @@ def grouped_ntile(ds: rd.Dataset, keys: list[str], order_col: str,
     assignment at a tie boundary is otherwise engine-dependent."""
     tie = tie_cols or []
 
-    def add_bucket(df: pd.DataFrame) -> pa.Table:
-        df = df.assign(__bucket=stable_bucket_cols(df, keys, n_buckets))
-        return pa.Table.from_pandas(df, preserve_index=False)
+    add_bucket = _bucket_tagger(keys, n_buckets)
 
     def tile(g: pd.DataFrame) -> pa.Table:
         g = (g.drop(columns="__bucket")
@@ -790,8 +794,15 @@ def cube_counts(ds: rd.Dataset, coarse: str, fine: str, alias: str,
 
     def marginal(g: pd.DataFrame) -> pa.Table:
         r = g.groupby(fine, as_index=False, sort=False)[alias].sum()
-        r.insert(0, coarse, pd.Series([None] * len(r), dtype=object))
-        return pa.Table.from_pandas(r, preserve_index=False)
+        # explicit string-typed NULLs: from_pandas infers Arrow `null`
+        # for an all-None column, which breaks schema unification
+        # against the rollup blocks in the union (same fix as
+        # rollup_counts' grand-total row)
+        return pa.table({
+            coarse: pa.array([None] * len(r), type=pa.string()),
+            fine: pa.array(r[fine]),
+            alias: pa.array(r[alias], type=pa.int64()),
+        })
 
     fine_marginal = (ds.map_batches(partial, batch_format="pandas")
                      .groupby("__bucket")
@@ -813,10 +824,7 @@ def grouped_quantile_disc(ds: rd.Dataset, keys: list[str], col: str,
     (same no-salting contract as ``running_total``); the per-bucket
     pass is one sort + vectorized cumcount select."""
 
-    def add_bucket(df: pd.DataFrame) -> pa.Table:
-        df = df[keys + [col]].assign(
-            __bucket=stable_bucket_cols(df, keys, n_buckets))
-        return pa.Table.from_pandas(df, preserve_index=False)
+    add_bucket = _bucket_tagger(keys, n_buckets, cols=keys + [col])
 
     def pick(g: pd.DataFrame) -> pa.Table:
         g = (g.drop(columns="__bucket")
@@ -824,7 +832,9 @@ def grouped_quantile_disc(ds: rd.Dataset, keys: list[str], col: str,
         grp = g.groupby(keys, sort=False)
         sizes = grp[col].transform("size").to_numpy()
         pos = grp.cumcount().to_numpy()
-        target = np.ceil(q * sizes).astype(np.int64) - 1
+        # rank ceil(q*n) clamped to >= 1 so q=0 returns the MIN
+        # (DuckDB quantile_disc(col, 0) semantics), never no-row
+        target = np.maximum(np.ceil(q * sizes), 1).astype(np.int64) - 1
         out = g[pos == target].rename(columns={col: alias})
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -846,14 +856,13 @@ def grouped_string_agg(ds: rd.Dataset, keys: list[str], col: str,
     deterministic — pass the value column itself or a unique tie."""
     order = order_cols or [col]
 
-    def add_bucket(df: pd.DataFrame) -> pa.Table:
-        df = df[keys + list(dict.fromkeys(order + [col]))].assign(
-            __bucket=stable_bucket_cols(df, keys, n_buckets))
-        return pa.Table.from_pandas(df, preserve_index=False)
+    add_bucket = _bucket_tagger(
+        keys, n_buckets, cols=keys + list(dict.fromkeys(order + [col])))
 
     def agg(g: pd.DataFrame) -> pa.Table:
         g = (g.drop(columns="__bucket")
              .sort_values(keys + order, kind="stable"))
+        g = g[g[col].notna()]   # SQL string_agg skips NULLs
         r = (g.groupby(keys, sort=False)[col]
              .agg(sep.join).reset_index().rename(columns={col: alias}))
         return pa.Table.from_pandas(r, preserve_index=False)
@@ -908,7 +917,7 @@ def global_quantile_disc(ds: rd.Dataset, col: str, q: float,
               .to_pandas().groupby("range_id")["cnt"].sum()
               .reindex(range(len(bounds) + 1), fill_value=0))
     n = int(counts.sum())
-    target = int(np.ceil(q * n))          # 1-indexed rank
+    target = max(1, int(np.ceil(q * n)))  # 1-indexed rank; q=0 -> MIN
     cum = counts.cumsum()
     rid = int(cum.searchsorted(target))   # first range with cum >= target
     local_rank = target - (int(cum.iloc[rid - 1]) if rid else 0)

@@ -95,10 +95,14 @@ def grouped_approx_count_distinct(ds: rd.Dataset, keys: list[str],
 
     def partial(batch: pd.DataFrame) -> pa.Table:
         # ONE np.maximum.at over a (n_keys × m) register matrix — no
-        # per-key Python loop: rows are flattened to key_code*m + idx
+        # per-key Python loop: rows are flattened to key_code*m + idx.
+        # use_na_sentinel=False keeps NULL keys as their own group (SQL
+        # GROUP BY semantics); the default -1 sentinel would wrap the
+        # flattened index into the LAST key's register block and
+        # silently corrupt its count.
         codes, uniques = pd.factorize(
             pd.MultiIndex.from_frame(batch[keys]) if len(keys) > 1
-            else batch[keys[0]], sort=False)
+            else batch[keys[0]], sort=False, use_na_sentinel=False)
         v = batch[col].to_numpy()
         h = pd.util.hash_array(np.asarray(v, dtype=object)
                                if v.dtype == object
@@ -121,7 +125,9 @@ def grouped_approx_count_distinct(ds: rd.Dataset, keys: list[str],
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         rows_keys: dict[str, list] = {k: [] for k in keys}
         ests = []
-        for kv, grp in g.groupby(keys, sort=False):
+        # dropna=False: NULL keys are their own group (SQL GROUP BY),
+        # mirroring use_na_sentinel=False in the partial
+        for kv, grp in g.groupby(keys, sort=False, dropna=False):
             kv = kv if isinstance(kv, tuple) else (kv,)
             merged = np.zeros(m, dtype=np.uint8)
             for blob in grp["__regs"]:

@@ -134,6 +134,52 @@ def test_global_quantile_disc_selection():
         assert got == expect, (q, got, expect)
 
 
+def test_quantile_q_zero_returns_min():
+    from no_fasel_scrapers_ray.ops.relational import global_quantile_disc
+    df = pd.DataFrame({"k": [1, 1, 1], "v": [30.0, 10.0, 20.0]})
+    out = grouped_quantile_disc(_ds(df, 2), ["k"], "v", q=0.0,
+                                alias="q0", n_buckets=2).to_pandas()
+    assert out["q0"].tolist() == [10.0]
+    assert global_quantile_disc(_ds(df, 2), "v", q=0.0, n_ranges=4) == 10.0
+
+
+def test_string_agg_skips_nulls_like_sql():
+    from no_fasel_scrapers_ray.ops.relational import grouped_string_agg
+    df = pd.DataFrame({"k": [1, 1, 1, 2], "s": ["b", None, "a", None]})
+    out = (grouped_string_agg(_ds(df, 2), ["k"], "s", alias="j",
+                              n_buckets=2)
+           .to_pandas().sort_values("k", ignore_index=True))
+    # NULL-only group collapses to empty string (DuckDB returns NULL
+    # for it — callers on nullable columns should pre-filter); mixed
+    # group must skip the NULL instead of raising TypeError
+    assert out[out["k"] == 1]["j"].tolist() == ["a,b"]
+
+
+def test_cube_counts_schema_unifies():
+    from no_fasel_scrapers_ray.ops.relational import cube_counts
+    df = pd.DataFrame({"c": ["x", "y"], "f": ["p", "p"]})
+    ds = cube_counts(_ds(df, 2), "c", "f", alias="n", n_buckets=2)
+    schema = ds.schema()          # Arrow-level unification must not fail
+    assert set(schema.names) == {"c", "f", "n"}
+    assert str(schema.types[schema.names.index("c")]) == "string"
+
+
+def test_grouped_hll_null_key_does_not_corrupt_neighbors():
+    from no_fasel_scrapers_ray.ops.sketch import (
+        grouped_approx_count_distinct)
+    df = pd.DataFrame({
+        "k": [1.0, 1.0, np.nan, np.nan, 2.0],
+        "v": np.arange(5, dtype=np.int64),
+    })
+    out = grouped_approx_count_distinct(
+        rd.from_pandas(df), ["k"], "v", alias="nd", p=10).to_pandas()
+    by_key = {(None if pd.isna(r["k"]) else r["k"]): r["nd"]
+              for _, r in out.iterrows()}
+    assert round(by_key[1.0]) == 2       # not inflated by the NaN rows
+    assert round(by_key[2.0]) == 1
+    assert round(by_key[None]) == 2      # NULL keys form their own group
+
+
 def test_top_terms_tie_break_at_k_boundary():
     docs = pd.DataFrame({"text": ["b c", "c b", "a a", "d"]})
     # counts: a=2, b=2, c=2, d=1 → k=2 keeps (a, b) by term ASC tie-break
