@@ -891,17 +891,30 @@ def global_quantile_disc(ds: rd.Dataset, col: str, q: float,
     count vectors and one range. The input is executed twice (lineage
     re-runs the read) — selection's classic trade."""
 
+    # Splitter sample: hash-filter per batch, then CAP each batch's
+    # contribution with an even stride so the driver never holds more
+    # than ~cap×blocks values and no block dominates. A prefix
+    # truncation here would be block-ORDERED — on input sorted by the
+    # column the splitters would all come from the low end and pass 3
+    # would collect nearly the whole table.
+    per_batch_cap = 256
+
     def sample_batch(batch: pd.DataFrame) -> pd.DataFrame:
         v = batch[col]
         keep = (pd.util.hash_array(v.to_numpy()) & np.uint64(1023)) < 16
-        return pd.DataFrame({col: v[keep]})
+        picked = v[keep].to_numpy()
+        if len(picked) > per_batch_cap:
+            picked = picked[np.linspace(0, len(picked) - 1,
+                                        per_batch_cap).astype(np.int64)]
+        return pd.DataFrame({col: picked})
 
     samp = np.concatenate(
         [b[col].to_numpy() for b in
          ds.map_batches(sample_batch, batch_format="pandas")
          .iter_batches(batch_format="pandas")] or [np.array([])])
-    if len(samp) > sample_target:
-        samp = samp[:sample_target]
+    if len(samp) > sample_target:   # even stride, never a prefix
+        samp = samp[np.linspace(0, len(samp) - 1,
+                                sample_target).astype(np.int64)]
     if len(samp) == 0:
         samp = np.array([0.0])
     bounds = np.unique(np.quantile(
