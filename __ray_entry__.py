@@ -191,7 +191,11 @@ def q_union_index(sf_dir: str):
 
 
 def q_top10_customers(sf_dir: str):
-    """§2.9 top-k: revenue per customer, sort desc, limit 10."""
+    """§2.9 top-k: revenue per customer, sort desc, limit 10. A
+    per-block partial top-10 under the SAME total order prunes the
+    global sort's input to 10×blocks survivor rows — any global
+    top-10 row is necessarily in its block's top-10, so the result is
+    identical while the all-to-all never sees the full key set."""
     from no_fasel_scrapers_ray.ops.relational import (
         broadcast_join, preagg_sum_count, round_columns)
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
@@ -199,7 +203,14 @@ def q_top10_customers(sf_dir: str):
     per_cust = preagg_sum_count(orders, ["o_custkey"], {"o_totalprice": "spend"},
                                 count_alias="n_orders")
     per_cust = round_columns(per_cust, {"spend": 2})
-    top = per_cust.sort(["spend", "o_custkey"], descending=[True, False]).limit(10)
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["spend", "o_custkey"],
+                             ascending=[False, True]).head(10)
+
+    survivors = per_cust.map_batches(block_topk, batch_format="pandas")
+    top = survivors.sort(["spend", "o_custkey"],
+                         descending=[True, False]).limit(10)
     names = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
     names = names.rename(columns={"c_custkey": "o_custkey"})
     return broadcast_join(top, names, on="o_custkey", concurrency=2)
