@@ -847,6 +847,128 @@ def q_range_join_clicks(sf_dir: str):
                                          "event_id": i64})
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Duplicate CLUSTERS (§ dedup): the exact n-gram Jaccard pairs
+    closed under transitivity — connected components by iterative
+    min-label propagation, each doc labeled with its component's
+    smallest doc_id (the canonical representative a dedup pass keeps).
+    Oracle: recursive CTE over the same pair predicate."""
+    from no_fasel_scrapers_ray.ops.dedup import ngram_jaccard_pairs
+    from no_fasel_scrapers_ray.ops.graph import connected_components
+    pairs = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        shingle=3, jaccard_threshold=0.5)
+    return connected_components(pairs, "doc_a", "doc_b")
+
+
+def q_bloom_semi_join_lineitem(sf_dir: str):
+    """Bloom-prefiltered EXACT semi-join (§ joins, scale path): line
+    items belonging to URGENT orders. The broadcast is a fixed-size
+    bit array (not the key set), and only the Bloom survivors — not
+    the whole lineitem table — reach the exact verify shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from no_fasel_scrapers_ray.ops.relational import bloom_semi_join
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"],
+               rows_per_block=65536)
+    ukeys = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"],
+                  rows_per_block=65536).map_batches(
+        lambda t: pa.table({"l_orderkey": t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT"))["o_orderkey"]}),
+        batch_format="pyarrow")
+    return bloom_semi_join(li, ukeys, "l_orderkey")
+
+
+def q_user_activity_full(sf_dir: str):
+    """FULL OUTER join (§ joins): per-user click counts vs purchase
+    counts — the big-big bucketed join in 'outer' mode; users seen on
+    one side only get COALESCEd zeros, int64 on both engines."""
+    from no_fasel_scrapers_ray.ops.relational import (
+        bucketed_join, preagg_sum_count)
+    ev = _read(sf_dir, "events", ["user_id", "event_type"],
+               rows_per_block=65536)
+
+    def counted(kind: str, alias: str):
+        def ones(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["event_type"] == kind]
+            return pd.DataFrame({
+                "user_id": b["user_id"].to_numpy(),
+                "one": np.ones(len(b), dtype=np.int64)})
+        return preagg_sum_count(ev.map_batches(ones, batch_format="pandas"),
+                                ["user_id"], {"one": alias})
+
+    joined = bucketed_join(counted("click", "n_clicks"),
+                           counted("purchase", "n_purchases"),
+                           on="user_id", how="outer")
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_clicks", "n_purchases"):
+            b[c] = b[c].fillna(0).astype("int64")
+        return b
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate (§ windows): 1-hour windows every 30
+    minutes over the events stream — each event lands in exactly two
+    windows via a pure per-batch flat-map (2 output rows per event, no
+    driver state), then the partial-agg groupby. Values as integer
+    cents so the sums are bit-exact."""
+    import pyarrow as pa
+    from no_fasel_scrapers_ray.ops.relational import preagg_sum_count
+    HOP_US = 1_800_000_000  # 30 min
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"],
+               rows_per_block=65536)
+
+    def windows(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cents = (b["value"] * 100).round().astype("int64").to_numpy()
+        w1 = t - t % HOP_US
+        return pd.DataFrame({
+            "event_type": np.concatenate([b["event_type"].to_numpy()] * 2),
+            "win_start_us": np.concatenate([w1, w1 - HOP_US]),
+            "cents": np.concatenate([cents, cents]),
+        })
+
+    win = ev.map_batches(windows, batch_format="pandas")
+    return preagg_sum_count(win, ["event_type", "win_start_us"],
+                            {"cents": "total_cents"},
+                            count_alias="n_events")
+
+
+def q_stratified_sample_events(sf_dir: str):
+    """Stratified deterministic sample (§ sampling): per-event-type
+    rates (downsample the dominant view/click classes, keep half of
+    the rare purchases) — the same multiplicative-hash pick runs in
+    the SQL oracle, so the chosen rows are identical."""
+    from no_fasel_scrapers_ray.ops.relational import stratified_hash_sample
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"],
+               rows_per_block=65536)
+    return stratified_hash_sample(
+        ev, "event_id", "event_type",
+        rates={"click": 0.05, "view": 0.02, "purchase": 0.5,
+               "signup": 0.25})
+
+
+def q_price_quartiles(sf_dir: str):
+    """Interpolated GLOBAL quantiles (§ wide ops without a sort): the
+    SQL quantile_cont rule at 0.25/0.5/0.75 over integer cents — all
+    three quantiles share ONE distributed selection (one count pass +
+    one collect pass for every bracketing order statistic); the
+    interpolation `lo + (hi-lo)*frac` is bit-identical to DuckDB's."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import global_quantile_cont
+    orders = _read(sf_dir, "orders", ["o_totalprice"], rows_per_block=65536)
+    cents = orders.map_batches(
+        lambda b: pd.DataFrame(
+            {"cents": (b["o_totalprice"] * 100).round().astype("int64")}),
+        batch_format="pandas")
+    q25, q50, q75 = global_quantile_cont(cents, "cents", [0.25, 0.5, 0.75])
+    return pd.DataFrame({"q25": [q25], "q50": [q50], "q75": [q75]})
+
+
 def q_cosine_near_dup_exact(sf_dir: str):
     """Exact blocked all-pairs cosine — the hash-verified baseline for
     the approximate cosine_near_dup path (full DuckDB oracle)."""
@@ -1028,6 +1150,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_users": q_intersect_users,
         "except_customers": q_except_customers,
         "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
+        "user_activity_full": q_user_activity_full,
+        "bloom_semi_join_lineitem": q_bloom_semi_join_lineitem,
+        "dedup_clusters": q_dedup_clusters,
+        "events_hopping": q_events_hopping,
+        "stratified_sample_events": q_stratified_sample_events,
+        "price_quartiles": q_price_quartiles,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -1395,6 +1523,83 @@ def oracle_sql() -> dict[str, str]:
         "distinct_parts_per_supplier": """
             SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts
             FROM lineitem GROUP BY l_suppkey
+        """,
+        # same pair predicate as dedup_ngram_jaccard, closed under
+        # transitivity by a recursive CTE (min reachable label)
+        "dedup_clusters": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            sh AS (SELECT doc_id,
+                    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                         ELSE list_distinct(list_transform(
+                                generate_series(1, len(t) - 2),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    END AS s
+                   FROM toks),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE round(len(list_intersect(a.s, b.s))
+                        / (len(a.s) + len(b.s)
+                           - len(list_intersect(a.s, b.s))), 6) >= 0.5),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                      UNION SELECT doc_b, doc_a FROM p),
+            walk(node, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.b, w.label FROM walk w
+                JOIN edges e ON w.node = e.a)
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM walk GROUP BY node
+        """,
+        "bloom_semi_join_lineitem": """
+            SELECT l_orderkey, l_extendedprice FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+        """,
+        "user_activity_full": """
+            WITH c AS (SELECT user_id, COUNT(*) AS n_clicks
+                       FROM events WHERE event_type = 'click'
+                       GROUP BY user_id),
+                 p AS (SELECT user_id, COUNT(*) AS n_purchases
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id)
+            SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+                   COALESCE(n_clicks, 0) AS n_clicks,
+                   COALESCE(n_purchases, 0) AS n_purchases
+            FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+        """,
+        "events_hopping": """
+            WITH e AS (SELECT event_type, epoch_us(ts) AS t,
+                              CAST(ROUND(value * 100) AS BIGINT) AS cents
+                       FROM events),
+                 w AS (SELECT event_type, t - t % 1800000000
+                                  AS win_start_us, cents
+                       FROM e
+                       UNION ALL
+                       SELECT event_type,
+                              t - t % 1800000000 - 1800000000, cents
+                       FROM e)
+            SELECT event_type, win_start_us,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   COUNT(*) AS n_events
+            FROM w GROUP BY event_type, win_start_us
+        """,
+        "stratified_sample_events": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE ((event_id * 2654435761) & 4294967295) <
+                  CASE event_type
+                       WHEN 'click' THEN 214748364
+                       WHEN 'view' THEN 85899345
+                       WHEN 'purchase' THEN 2147483648
+                       WHEN 'signup' THEN 1073741824
+                       ELSE 0 END
+        """,
+        "price_quartiles": """
+            SELECT quantile_cont(c, 0.25) AS q25,
+                   quantile_cont(c, 0.5) AS q50,
+                   quantile_cont(c, 0.75) AS q75
+            FROM (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+                  FROM orders)
         """,
         "asof_clicks": """
             WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,

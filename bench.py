@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "funnel_click_purchase", "approx_parts_per_supplier",
     "sample_orders", "intersect_users", "except_customers",
     "distinct_parts_per_supplier",
+    "user_activity_full", "events_hopping", "stratified_sample_events",
+    "price_quartiles", "bloom_semi_join_lineitem", "dedup_clusters",
 ]
 
 

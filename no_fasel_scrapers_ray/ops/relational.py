@@ -116,6 +116,75 @@ def anti_join(ds: rd.Dataset, keys: np.ndarray, column: str, **_ignored) -> rd.D
     return _key_set_filter(ds, keys, column, False)
 
 
+def _bloom_hashes(keys: np.ndarray, m_bits: int, k_hashes: int):
+    """Kirsch-Mitzenmacher double hashing: k bit indices per key from
+    two splitmix64-style mixes, all vectorized uint64 arithmetic."""
+    x = keys.astype(np.uint64)
+    h1 = (x + np.uint64(0x9E3779B97F4A7C15))
+    h1 = (h1 ^ (h1 >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h1 = (h1 ^ (h1 >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h1 = h1 ^ (h1 >> np.uint64(31))
+    h2 = (x * np.uint64(0xFF51AFD7ED558CCD)) | np.uint64(1)  # odd → full cycle
+    for i in range(k_hashes):
+        yield ((h1 + np.uint64(i) * h2) % np.uint64(m_bits))
+
+
+def bloom_semi_join(big: rd.Dataset, keys_ds: rd.Dataset, column: str,
+                    m_bits: int = 1 << 20, k_hashes: int = 4,
+                    n_buckets: int = 16) -> rd.Dataset:
+    """EXACT semi-join of ``big`` against the (distinct) key set in
+    ``keys_ds[column]``, Bloom-prefiltered:
+
+    1. build: one streaming pass over ``keys_ds`` emitting per-batch
+       partial Bloom bit arrays (fixed ``m_bits/8`` bytes each,
+       independent of key count), OR-combined on the driver;
+    2. prefilter: the combined filter is ``ray.put`` ONCE and probed
+       vectorized per batch of ``big`` — only rows whose key passes
+       every hash survive (false-positive rate (1-e^{-kn/m})^k, ~1e-4
+       at the defaults for ~50k keys);
+    3. verify: the survivors — already pruned to ~|matches| rows — go
+       through the bucketed hash join against the key set, so false
+       positives are eliminated and the result is EXACT.
+
+    The scale contract vs ``semi_join``: that broadcast key-set probe
+    copies every key into every worker (dim-sized sets only); here the
+    broadcast is a FIXED-size bit array no matter how many keys, and
+    the exact verification shuffles only the Bloom survivors, not the
+    big table. ``keys_ds[column]`` must be distinct (a key appearing
+    twice would duplicate matched rows in the verify join)."""
+    words = m_bits // 64
+
+    def partial_bloom(batch: pa.Table) -> pd.DataFrame:
+        arr = np.zeros(words, dtype=np.uint64)
+        keys = batch[column].to_numpy(zero_copy_only=False)
+        for idx in _bloom_hashes(keys, m_bits, k_hashes):
+            np.bitwise_or.at(arr, (idx >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (idx & np.uint64(63)))
+        return pd.DataFrame({"bloom": [arr.tobytes()]})
+
+    bloom = np.zeros(words, dtype=np.uint64)
+    for row in keys_ds.map_batches(partial_bloom,
+                                   batch_format="pyarrow").take_all():
+        bloom |= np.frombuffer(row["bloom"], dtype=np.uint64)
+    ref = ray.put(bloom)
+
+    def probe(t: pa.Table) -> pa.Table:
+        blm = broadcast_get(ref)
+        keys = t[column].to_numpy(zero_copy_only=False)
+        mask = np.ones(len(keys), dtype=bool)
+        for idx in _bloom_hashes(keys, m_bits, k_hashes):
+            bits = (blm[(idx >> np.uint64(6)).astype(np.int64)]
+                    >> (idx & np.uint64(63))) & np.uint64(1)
+            mask &= bits.astype(bool)
+        return t.filter(pa.array(mask))
+
+    survivors = big.map_batches(probe, batch_format="pyarrow")
+    keys_only = keys_ds.map_batches(
+        lambda t: t.select([column]), batch_format="pyarrow")
+    return bucketed_join(survivors, keys_only, on=column,
+                         n_buckets=n_buckets, how="inner")
+
+
 # --------------------------------------------------------------------------
 # Partitioned (bucketed) hash join — both sides large: hash-partition on
 # the key into B buckets, join matching buckets inside map_groups. The
@@ -871,25 +940,28 @@ def grouped_string_agg(ds: rd.Dataset, keys: list[str], col: str,
             .groupby("__bucket").map_groups(agg, batch_format="pandas"))
 
 
-def global_quantile_disc(ds: rd.Dataset, col: str, q: float,
-                         n_ranges: int = 256,
-                         sample_target: int = 65536) -> float:
-    """EXACT global discrete quantile (the ``quantile_disc`` element at
-    1-indexed position ``ceil(q*n)``) by distributed SELECTION — never
-    a full sort:
+def _select_order_stats(ds: rd.Dataset, col: str, ranks_fn,
+                        n_ranges: int = 256,
+                        sample_target: int = 65536) -> tuple[int, dict]:
+    """EXACT global order statistics by distributed SELECTION — never a
+    full sort. ``ranks_fn(n) -> list of 1-indexed ranks`` is called once
+    the global row count is known; returns ``(n, {rank: value})``.
 
     1. deterministic hash-sample of the column → ``n_ranges`` splitter
        values on the driver (a biased sample only skews range SIZES,
        never correctness);
     2. one streaming pass counting rows per range (vectorized
        ``searchsorted`` partials, one tiny count row per batch) →
-       locate the range holding the target rank;
-    3. one filtered pass collecting ONLY that range's values
-       (~n/n_ranges rows) → exact element via ``np.partition``.
+       locate the range holding each target rank;
+    3. one filtered pass collecting ONLY those ranges' values
+       (~n/n_ranges rows per range) → exact elements via
+       ``np.partition``.
 
     Full sort moves every row through an all-to-all; this moves two
-    count vectors and one range. The input is executed twice (lineage
-    re-runs the read) — selection's classic trade."""
+    count vectors and the hit ranges — for ANY number of requested
+    ranks (all quantiles share the same three passes). The input is
+    executed twice (lineage re-runs the read) — selection's classic
+    trade."""
 
     # Splitter sample: hash-filter per batch, then CAP each batch's
     # contribution with an even stride so the driver never holds more
@@ -930,20 +1002,79 @@ def global_quantile_disc(ds: rd.Dataset, col: str, q: float,
               .to_pandas().groupby("range_id")["cnt"].sum()
               .reindex(range(len(bounds) + 1), fill_value=0))
     n = int(counts.sum())
-    target = max(1, int(np.ceil(q * n)))  # 1-indexed rank; q=0 -> MIN
+    ranks = sorted(set(ranks_fn(n)))
     cum = counts.cumsum()
-    rid = int(cum.searchsorted(target))   # first range with cum >= target
-    local_rank = target - (int(cum.iloc[rid - 1]) if rid else 0)
+    # rank -> (range id, rank local to that range)
+    plan = {}
+    for target in ranks:
+        rid = int(cum.searchsorted(target))  # first range with cum >= target
+        plan[target] = (rid, target - (int(cum.iloc[rid - 1]) if rid else 0))
+    hit_rids = np.array(sorted({rid for rid, _ in plan.values()}),
+                        dtype=np.int64)
 
-    def in_range(batch: pd.DataFrame) -> pd.DataFrame:
+    def in_ranges(batch: pd.DataFrame) -> pd.DataFrame:
         r = np.searchsorted(bounds, batch[col].to_numpy(), side="right")
-        return pd.DataFrame({col: batch[col][r == rid]})
+        keep = np.isin(r, hit_rids)
+        return pd.DataFrame({col: batch[col][keep], "__rid": r[keep]})
 
-    vals = np.concatenate(
-        [b[col].to_numpy() for b in
-         ds.map_batches(in_range, batch_format="pandas")
-         .iter_batches(batch_format="pandas")] or [np.array([])])
-    return float(np.partition(vals, local_rank - 1)[local_rank - 1])
+    collected = [b for b in
+                 ds.map_batches(in_ranges, batch_format="pandas")
+                 .iter_batches(batch_format="pandas")]
+    if collected:
+        allv = pd.concat(collected, ignore_index=True)
+    else:
+        allv = pd.DataFrame({col: [], "__rid": []})
+    out = {}
+    for target, (rid, local_rank) in plan.items():
+        vals = allv[col][allv["__rid"] == rid].to_numpy()
+        out[target] = float(np.partition(vals, local_rank - 1)[local_rank - 1])
+    return n, out
+
+
+def global_quantile_disc(ds: rd.Dataset, col: str, q: float,
+                         n_ranges: int = 256,
+                         sample_target: int = 65536) -> float:
+    """EXACT global discrete quantile (the ``quantile_disc`` element at
+    1-indexed position ``ceil(q*n)``; q=0 -> MIN) via
+    ``_select_order_stats``."""
+    _, vals = _select_order_stats(
+        ds, col, lambda n: [max(1, int(np.ceil(q * n)))],
+        n_ranges=n_ranges, sample_target=sample_target)
+    return next(iter(vals.values()))
+
+
+def global_quantile_cont(ds: rd.Dataset, col: str, qs: list[float],
+                         n_ranges: int = 256,
+                         sample_target: int = 65536) -> list[float]:
+    """EXACT global INTERPOLATED quantiles (SQL ``quantile_cont`` /
+    ``percentile_cont``): position ``q*(n-1)`` (0-indexed), linear
+    interpolation ``lo + (hi - lo) * frac`` — verified bit-identical to
+    DuckDB's rule over integer inputs. ALL requested quantiles share
+    ONE selection (one count pass + one collect pass) — the bracketing
+    order statistics for every q are fetched together."""
+
+    def ranks_fn(n: int) -> list[int]:
+        ranks = []
+        for q in qs:
+            pos = q * (n - 1)
+            lo = int(np.floor(pos))
+            ranks.append(lo + 1)           # 1-indexed lower bracket
+            if pos - lo > 0:
+                ranks.append(min(lo + 2, n))
+        return ranks
+
+    n, vals = _select_order_stats(ds, col, ranks_fn,
+                                  n_ranges=n_ranges,
+                                  sample_target=sample_target)
+    out = []
+    for q in qs:
+        pos = q * (n - 1)
+        lo = int(np.floor(pos))
+        frac = pos - lo
+        v_lo = vals[lo + 1]
+        out.append(v_lo if frac == 0
+                   else v_lo + (vals[min(lo + 2, n)] - v_lo) * frac)
+    return out
 
 
 def hash_sample(ds: rd.Dataset, column: str, rate: float) -> rd.Dataset:
@@ -965,6 +1096,30 @@ def hash_sample(ds: rd.Dataset, column: str, rate: float) -> rd.Dataset:
         return t.filter(pc.less(h, pa.scalar(threshold, pa.int64())))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def stratified_hash_sample(ds: rd.Dataset, id_column: str,
+                           strata_column: str,
+                           rates: dict[str, float]) -> rd.Dataset:
+    """Deterministic STRATIFIED sample: each stratum gets its own rate,
+    rows picked by the same multiplicative-hash filter as
+    ``hash_sample`` (strata absent from ``rates`` are dropped).
+
+    Same scale properties as ``hash_sample`` — a pure per-batch filter,
+    no shuffle, no RNG state, reproducible across engines and re-runs —
+    with the per-stratum thresholds applied by a vectorized lookup.
+    The typical curation use: downsample the over-represented class
+    (boilerplate web text) while keeping all of the rare one."""
+    thresholds = {k: int(v * (1 << 32)) for k, v in rates.items()}
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_column].to_numpy(dtype=np.int64)
+        h = (ids * KNUTH_HASH) & 0xFFFFFFFF
+        thr = (batch[strata_column].map(thresholds)
+               .fillna(0).to_numpy(dtype=np.int64))
+        return batch[h < thr]
+
+    return ds.map_batches(pick, batch_format="pandas")
 
 
 def _side_keys(ds: rd.Dataset, column: str, side: str,

@@ -1,0 +1,97 @@
+"""Edge-case units for round-2 additions: connected components, Bloom
+semi-join, interpolated quantiles, stratified sampling. The happy paths
+are oracle-gated in test_queries_vs_duckdb; these pin the boundaries the
+oracle data doesn't reach."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from no_fasel_scrapers_ray.ops.graph import connected_components
+from no_fasel_scrapers_ray.ops.relational import (
+    bloom_semi_join, global_quantile_cont, global_quantile_disc,
+    stratified_hash_sample)
+
+
+def cc_dict(pairs):
+    ds = rd.from_pandas(pd.DataFrame(pairs, columns=["a", "b"]))
+    out = connected_components(ds, "a", "b").to_pandas()
+    return dict(zip(out["doc_id"], out["cluster_id"]))
+
+
+def test_cc_chain_propagates_past_diameter():
+    # 0-1-2-3-4-5: min label must travel the whole chain, not one hop.
+    got = cc_dict([(i, i + 1) for i in range(5)])
+    assert got == {i: 0 for i in range(6)}
+
+
+def test_cc_cycle_and_disjoint_components():
+    got = cc_dict([(10, 11), (11, 12), (12, 10),   # cycle
+                   (5, 7),                          # pair
+                   (20, 20)])                       # self-loop
+    assert got == {10: 10, 11: 10, 12: 10, 5: 5, 7: 5, 20: 20}
+
+
+def test_cc_merge_via_bridge():
+    # Two clusters joined by a late bridge edge collapse to one label.
+    got = cc_dict([(1, 2), (3, 4), (2, 3)])
+    assert set(got.values()) == {1}
+
+
+def test_cc_empty_pairs():
+    ds = rd.from_pandas(pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                      "b": pd.Series([], dtype="int64")}))
+    cc = connected_components(ds, "a", "b")
+    assert cc.count() == 0
+    # 0-row Dataset.to_pandas() drops column names (Ray gotcha); the
+    # schema itself must still carry the contract columns.
+    assert sorted(cc.schema().names) == ["cluster_id", "doc_id"]
+
+
+def test_bloom_semi_join_exact_despite_false_positives():
+    # Tiny filter (m_bits=64) forces heavy false positives; the verify
+    # join must still return EXACTLY the true matches.
+    big = rd.from_pandas(pd.DataFrame({"k": np.arange(2000, dtype=np.int64),
+                                       "v": np.arange(2000, dtype=np.int64)}))
+    keys = rd.from_pandas(pd.DataFrame(
+        {"k": np.array([3, 700, 1999], dtype=np.int64)}))
+    out = bloom_semi_join(big, keys, "k", m_bits=64, k_hashes=2,
+                          n_buckets=4).to_pandas()
+    assert sorted(out["k"].tolist()) == [3, 700, 1999]
+    assert out["v"].dtype == np.int64
+
+
+def test_bloom_semi_join_no_matches():
+    big = rd.from_pandas(pd.DataFrame({"k": np.arange(100, dtype=np.int64)}))
+    keys = rd.from_pandas(pd.DataFrame(
+        {"k": np.array([5000], dtype=np.int64)}))
+    out = bloom_semi_join(big, keys, "k", n_buckets=4).to_pandas()
+    assert len(out) == 0
+
+
+@pytest.mark.parametrize("q", [0.0, 0.25, 0.5, 0.75, 1.0])
+def test_quantile_cont_matches_numpy_linear(q):
+    vals = np.array([3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5], dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(3)
+    got = global_quantile_cont(ds, "x", [q], n_ranges=4)[0]
+    assert got == float(np.quantile(vals, q))  # numpy 'linear' = SQL cont
+
+
+def test_quantile_disc_still_exact_after_refactor():
+    vals = np.array([10, 20, 30, 40], dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(2)
+    # quantile_disc rule: element at 1-indexed rank ceil(q*n)
+    assert global_quantile_disc(ds, "x", 0.5, n_ranges=4) == 20.0
+    assert global_quantile_disc(ds, "x", 0.0, n_ranges=4) == 10.0
+    assert global_quantile_disc(ds, "x", 1.0, n_ranges=4) == 40.0
+
+
+def test_stratified_sample_unlisted_stratum_dropped():
+    df = pd.DataFrame({"id": np.arange(1000, dtype=np.int64),
+                       "grp": ["a", "b"] * 500})
+    out = stratified_hash_sample(rd.from_pandas(df), "id", "grp",
+                                 {"a": 1.0}).to_pandas()
+    # rate 1.0 keeps every 'a'; 'b' has no rate -> dropped entirely
+    assert set(out["grp"]) == {"a"}
+    assert len(out) == 500
