@@ -847,6 +847,37 @@ def q_range_join_clicks(sf_dir: str):
                                          "event_id": i64})
 
 
+def q_doc_quality(sf_dir: str):
+    """Gopher-style rule-based quality filter (§ text analysis):
+    integer features + keep verdict, bit-exact vs the SQL oracle."""
+    from no_fasel_scrapers_ray.ops.textops import doc_quality
+    return doc_quality(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_heavy_hitter_terms(sf_dir: str):
+    """Misra-Gries heavy hitters (§ sketches): top-20 corpus terms via
+    bounded per-batch summaries + one exact recount of the ≤k
+    candidates — shares the EXACT SQL oracle because the MG superset
+    guarantee holds whenever the 20th term's frequency exceeds
+    N_tokens/(k+1) (adversarial-vocabulary envelope pinned in
+    tests/test_sketch.py)."""
+    from no_fasel_scrapers_ray.ops.sketch import heavy_hitter_terms
+    return heavy_hitter_terms(_read(sf_dir, "documents", ["text"]),
+                              topn=20)
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed spherical k-means (§ clustering, iterative): per-
+    round broadcast centroids + per-batch partial sums; returns
+    per-cluster sizes and floored-integer inertia. Rows-only check
+    (iterative float algorithm, no SQL form); quality pinned vs a
+    single-process numpy reference in tests/test_kmeans.py."""
+    from no_fasel_scrapers_ray.ops.ann import kmeans_embeddings
+    return kmeans_embeddings(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=8, iters=5)
+
+
 def q_dedup_clusters(sf_dir: str):
     """Duplicate CLUSTERS (§ dedup): the exact n-gram Jaccard pairs
     closed under transitivity — connected components by iterative
@@ -1153,6 +1184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_full": q_user_activity_full,
         "bloom_semi_join_lineitem": q_bloom_semi_join_lineitem,
         "dedup_clusters": q_dedup_clusters,
+        "doc_quality": q_doc_quality,
+        "heavy_hitter_terms": q_heavy_hitter_terms,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "events_hopping": q_events_hopping,
         "stratified_sample_events": q_stratified_sample_events,
         "price_quartiles": q_price_quartiles,
@@ -1523,6 +1557,35 @@ def oracle_sql() -> dict[str, str]:
         "distinct_parts_per_supplier": """
             SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts
             FROM lineitem GROUP BY l_suppkey
+        """,
+        "doc_quality": """
+            WITH f AS (
+                SELECT doc_id,
+                       array_length(string_split(text, ' ')) AS n_tokens,
+                       (length(text)
+                        - array_length(string_split(text, ' ')) + 1) * 1000
+                           // array_length(string_split(text, ' '))
+                           AS mean_len_milli,
+                       len(list_filter(string_split(text, ' '),
+                           t -> t IN ('the', 'a', 'value', 'table'))) * 1000
+                           // array_length(string_split(text, ' '))
+                           AS stop_permille
+                FROM documents)
+            SELECT doc_id, n_tokens, mean_len_milli, stop_permille,
+                   CASE WHEN n_tokens BETWEEN 20 AND 80
+                             AND mean_len_milli >= 4300
+                             AND stop_permille <= 160
+                        THEN 1 ELSE 0 END AS keep
+            FROM f
+        """,
+        # exact oracle: valid because the MG candidate pass is a
+        # guaranteed superset of terms with freq > N/(k+1) and the
+        # final counts come from an exact recount
+        "heavy_hitter_terms": """
+            SELECT term, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY term ORDER BY n DESC, term LIMIT 20
         """,
         # same pair predicate as dedup_ngram_jaccard, closed under
         # transitivity by a recursive CTE (min reachable label)

@@ -403,3 +403,78 @@ def cosine_near_dup_exact(embeddings: rd.Dataset,
         return pd.DataFrame(_EMPTY_PAIRS)
     out = pd.concat(parts, ignore_index=True)
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+# --------------------------------------------------------------------------
+# Distributed spherical k-means (Lloyd's) — corpus clustering for
+# curation (cluster-balanced sampling, per-cluster dedup, topic pruning).
+# --------------------------------------------------------------------------
+
+def kmeans_embeddings(embeddings: rd.Dataset, k: int = 8, iters: int = 5,
+                      seed: int = 42, init_centroids: np.ndarray | None = None):
+    """Spherical k-means over the embedding column, Ray-Data-native:
+    centroids are the only driver state (k × d floats, broadcast per
+    round); every round is ONE streaming pass emitting per-batch
+    PARTIAL sums — k rows per batch of (cluster, count, vector-sum) —
+    combined on the driver (a tree-reduce at larger k×d). Vectors are
+    never materialized; the table streams ``iters``+1 times (lineage
+    re-runs the read — the classic iterative-algorithm trade; at scale
+    the input would be a cached/materialized Dataset).
+
+    Deterministic: init picks k rows from the same hash-sample the IVF
+    quantizer uses; assignment = argmax cosine (ties → lowest cluster
+    id via argmax's first-hit rule). Returns a pandas DataFrame
+    (cluster_id, n_vecs, inertia_milli) where inertia is the summed
+    cosine distance ×1000, floored to int64 — stable across batch
+    orders at the reported precision."""
+    if init_centroids is not None:
+        cent = np.array(init_centroids, dtype=np.float64, copy=True)
+    else:
+        sample = sample_embeddings(embeddings, target=4096, seed=seed)
+        rng = np.random.RandomState(seed)
+        cent = sample[rng.choice(len(sample), size=min(k, len(sample)),
+                                 replace=False)].astype(np.float64)
+
+    def partials_for(cent_ref):
+        def assign_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            c = _normalize(ray.get(cent_ref))
+            emb = _normalize(_stack(batch["embedding"]).astype(np.float64))
+            a = np.argmax(emb @ c.T, axis=1)
+            rows = []
+            for cid in np.unique(a):
+                m = emb[a == cid]
+                rows.append({"cluster": int(cid), "cnt": int(m.shape[0]),
+                             "vsum": m.sum(axis=0).tolist()})
+            return pd.DataFrame(rows)
+        return assign_partial
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+        p = embeddings.map_batches(partials_for(cent_ref),
+                                   batch_format="pandas").to_pandas()
+        for cid, g in p.groupby("cluster"):
+            vec = np.sum(np.vstack(g["vsum"].to_numpy()), axis=0)
+            cnt = int(g["cnt"].sum())
+            if cnt:
+                cent[cid] = vec / cnt
+
+    cent_ref = ray.put(cent)
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        c = _normalize(ray.get(cent_ref))
+        emb = _normalize(_stack(batch["embedding"]).astype(np.float64))
+        sims = emb @ c.T
+        a = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(a)), a]
+        out = pd.DataFrame({"cluster": a, "one": np.ones(len(a), np.int64),
+                            "dist": 1.0 - best})
+        return out.groupby("cluster", as_index=False).agg(
+            n_vecs=("one", "sum"), inertia=("dist", "sum"))
+
+    agg = (embeddings.map_batches(stats, batch_format="pandas")
+           .to_pandas().groupby("cluster", as_index=False)
+           .agg(n_vecs=("n_vecs", "sum"), inertia=("inertia", "sum")))
+    return pd.DataFrame({
+        "cluster_id": agg["cluster"].astype(np.int64),
+        "n_vecs": agg["n_vecs"].astype(np.int64),
+        "inertia_milli": np.floor(agg["inertia"] * 1000).astype(np.int64),
+    }).sort_values("cluster_id", ignore_index=True)

@@ -161,3 +161,71 @@ def approx_count_distinct(ds: rd.Dataset, col: str, p: int = 14) -> float:
         np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8),
                    out=merged)
     return hll_estimate(merged)
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters (Misra & Gries 1982; mergeable-summary form
+# per Agarwal et al. 2012, "Mergeable Summaries"): per-batch summaries of
+# at most k counters, merged by count-sum then re-trimmed. Guarantee
+# after any merge tree: every term with true frequency > N/(k+1) is
+# still present and its count is undercounted by at most N/(k+1).
+# --------------------------------------------------------------------------
+
+def _mg_trim(counts: pd.Series, k: int) -> pd.Series:
+    """Compress a term->count summary to at most k counters: subtract
+    the (k+1)-th largest count from everything, keep positives."""
+    if len(counts) <= k:
+        return counts
+    d = counts.nlargest(k + 1).iloc[k]
+    out = counts - d
+    return out[out > 0]
+
+
+def heavy_hitter_terms(docs: rd.Dataset, topn: int = 20,
+                       k_counters: int = 4096,
+                       n_buckets: int = 64) -> rd.Dataset:
+    """Top-``topn`` corpus terms via a Misra-Gries candidate sketch plus
+    one exact recount pass — the heavy-hitter shape for vocabularies too
+    large to shuffle (``top_terms`` moves one partial row per DISTINCT
+    term per batch; this moves ≤ ``k_counters`` rows per batch no matter
+    the vocabulary).
+
+    1. per-batch MG summaries (vectorized value_counts + trim);
+    2. summaries merged and re-trimmed to k on the driver (bounded:
+       ≤ k counters survive; a tree-reduce at larger fan-in);
+    3. EXACT recount of the ≤ k candidate terms (broadcast as a set,
+       per-batch filtered value_counts → partial-agg sum) → top-n.
+
+    The result is exactly the true top-n whenever the n-th term's
+    frequency exceeds N_tokens/(k_counters+1) — the MG superset
+    guarantee (pinned with an adversarial vocabulary in
+    tests/test_sketch.py); that is why it can share the exact SQL
+    oracle. Ties break (count DESC, term ASC) like top_terms."""
+    import ray
+
+    # driver-side import, captured by value in the closures below — a
+    # relative import INSIDE a worker closure re-triggers the package
+    # import on the worker, which has no /root/repo on sys.path
+    from .relational import broadcast_get, preagg_sum_count
+
+    def mg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["text"].str.split(" ").explode().value_counts()
+        vc = _mg_trim(vc, k_counters)
+        return pd.DataFrame({"term": vc.index.to_numpy(dtype=object),
+                             "n": vc.to_numpy(dtype=np.int64)})
+
+    merged = (docs.map_batches(mg_partial, batch_format="pandas")
+              .to_pandas().groupby("term")["n"].sum())
+    candidates = _mg_trim(merged, k_counters).index.to_numpy(dtype=object)
+    cand_ref = ray.put(set(candidates))
+
+    def recount(batch: pd.DataFrame) -> pd.DataFrame:
+        cand = broadcast_get(cand_ref)
+        vc = batch["text"].str.split(" ").explode().value_counts()
+        vc = vc[vc.index.isin(cand)]
+        return pd.DataFrame({"term": vc.index.to_numpy(dtype=object),
+                             "n": vc.to_numpy(dtype=np.int64)})
+
+    exact = preagg_sum_count(
+        docs.map_batches(recount, batch_format="pandas"),
+        ["term"], {"n": "n"}, n_buckets=n_buckets)
+    return exact.sort(["n", "term"], descending=[True, False]).limit(topn)

@@ -118,6 +118,44 @@ def top_terms(docs: rd.Dataset, k: int = 50,
     return survivors.sort(["n", "term"], descending=[True, False]).limit(k)
 
 
+def doc_quality(docs: rd.Dataset,
+                min_tokens: int = 20, max_tokens: int = 80,
+                min_mean_len_milli: int = 4300,
+                max_stop_permille: int = 160) -> rd.Dataset:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1
+    shape: token-count band, mean-word-length band, stopword-density
+    cap), emitting per-doc integer features and the keep verdict — the
+    filter stage every curation pipeline runs before dedup.
+
+    All features are INTEGER (length milliunits, density permille via
+    floor division) so the SQL oracle reproduces them bit-exactly —
+    no float rounding at the decision boundary. Pure per-batch map,
+    no shuffle."""
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        n_tokens = (text.str.count(" ") + 1).astype(np.int64)
+        # single-space-separated corpus: token chars = chars - spaces
+        token_chars = text.str.len().astype(np.int64) - (n_tokens - 1)
+        mean_len_milli = token_chars * 1000 // n_tokens
+        padded = " " + text + " "
+        stop = sum(padded.str.count(rf"(?<= ){w}(?= )")
+                   for w in STOPWORDS).astype(np.int64)
+        stop_permille = stop * 1000 // n_tokens
+        keep = ((n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+                & (mean_len_milli >= min_mean_len_milli)
+                & (stop_permille <= max_stop_permille))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_tokens": n_tokens,
+            "mean_len_milli": mean_len_milli,
+            "stop_permille": stop_permille,
+            "keep": keep.astype(np.int64),
+        })
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 def fingerprint(docs: rd.Dataset) -> rd.Dataset:
     """Bag-of-words document fingerprint: md5 of the sorted distinct
     token set. Near-identical docs that only reorder/repeat words share a

@@ -63,3 +63,46 @@ def test_approx_count_distinct_dataset():
     ds = rd.from_pandas(df).repartition(5)
     est = approx_count_distinct(ds, "u")
     assert abs(est - 3_000) / 3_000 < 0.025
+
+
+# ---------------------------------------------------------------------
+# Misra-Gries heavy hitters: adversarially large vocabulary (forces
+# eviction in every per-batch summary), verified against the exact
+# pandas count — the MG superset guarantee in action.
+# ---------------------------------------------------------------------
+
+def _mk_docs(texts):
+    return rd.from_pandas(pd.DataFrame(
+        {"text": texts})).repartition(8)
+
+
+def test_heavy_hitters_exact_under_eviction():
+    from no_fasel_scrapers_ray.ops.sketch import heavy_hitter_terms
+    rng = np.random.RandomState(3)
+    # zipf-ish: 30 hot terms (freq 200..50) drowned in 20k unique terms
+    hot = [f"hot{i:02d}" for i in range(30)]
+    words = []
+    for i, w in enumerate(hot):
+        words += [w] * (200 - 5 * i)
+    words += [f"u{j}" for j in range(20_000)]   # singletons
+    rng.shuffle(words)
+    texts = [" ".join(words[i:i + 40]) for i in range(0, len(words), 40)]
+    # k_counters=512 << 20k distinct forces trimming in every batch
+    got = heavy_hitter_terms(_mk_docs(texts), topn=10,
+                             k_counters=512).to_pandas()
+    exact = (pd.Series(words).value_counts().rename_axis("term")
+             .reset_index(name="n"))
+    exact = exact.sort_values(["n", "term"],
+                              ascending=[False, True]).head(10)
+    assert got["term"].tolist() == exact["term"].tolist()
+    assert got["n"].tolist() == exact["n"].tolist()
+
+
+def test_heavy_hitters_tie_break_on_boundary():
+    from no_fasel_scrapers_ray.ops.sketch import heavy_hitter_terms
+    # all counts equal -> top-n decided purely by term order
+    texts = [" ".join(f"w{j:03d}" for j in range(50))] * 3
+    got = heavy_hitter_terms(_mk_docs(texts), topn=5,
+                             k_counters=1024).to_pandas()
+    assert got["term"].tolist() == [f"w{j:03d}" for j in range(5)]
+    assert got["n"].tolist() == [3] * 5
