@@ -446,6 +446,24 @@ def q_median_order_value(sf_dir: str):
                                  q=0.5, alias="median_price")
 
 
+def q_median_cents_cont(sf_dir: str):
+    """Per-group INTERPOLATED quantile (§ aggregates): each customer's
+    quantile_cont(0.5) order value in integer cents — the two
+    bracketing order statistics and the `lo + (hi-lo)*frac`
+    interpolation match DuckDB's bit-exactly."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import grouped_quantile_cont
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                   rows_per_block=8192)
+    cents = orders.map_batches(
+        lambda b: pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(),
+            "cents": (b["o_totalprice"] * 100).round().astype("int64")}),
+        batch_format="pandas")
+    return grouped_quantile_cont(cents, ["o_custkey"], "cents",
+                                 q=0.5, alias="median_cents")
+
+
 def q_rolling_user_spend(sf_dir: str):
     """Window-frame aggregate (§ custom operators): each user's spend
     over their last 4 purchases (ROWS BETWEEN 3 PRECEDING AND CURRENT
@@ -1159,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_orders_per_cust": q_top3_orders_per_cust,
         "running_user_spend": q_running_user_spend,
         "median_order_value": q_median_order_value,
+        "median_cents_cont": q_median_cents_cont,
         "lag_purchase_gap": q_lag_purchase_gap,
         "rolling_user_spend": q_rolling_user_spend,
         "pivot_event_counts": q_pivot_event_counts,
@@ -1397,6 +1416,12 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY epoch_us(ts), event_id) AS BIGINT)
                        AS cum_cents
             FROM events WHERE event_type = 'purchase'
+        """,
+        "median_cents_cont": """
+            SELECT o_custkey,
+                   quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                                 0.5) AS median_cents
+            FROM orders GROUP BY o_custkey
         """,
         "rolling_user_spend": """
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -911,6 +911,49 @@ def grouped_quantile_disc(ds: rd.Dataset, keys: list[str], col: str,
             .groupby("__bucket").map_groups(pick, batch_format="pandas"))
 
 
+def grouped_quantile_cont(ds: rd.Dataset, keys: list[str], col: str,
+                          q: float, alias: str,
+                          n_buckets: int = 64) -> rd.Dataset:
+    """INTERPOLATED per-group quantile — SQL ``quantile_cont``:
+    0-indexed position ``q*(n-1)``, result ``lo + (hi-lo)*frac`` —
+    bit-identical to DuckDB over integer inputs (same two order
+    statistics, same interpolation expression). Same topology as
+    ``grouped_quantile_disc``: each key's values meet in one bucket
+    group; the per-bucket pass is one sort + two vectorized rank
+    selects, so only the group sizes (not the quantile math) bound the
+    per-bucket memory."""
+
+    add_bucket = _bucket_tagger(keys, n_buckets, cols=keys + [col])
+
+    def pick(g: pd.DataFrame) -> pa.Table:
+        g = (g.drop(columns="__bucket")
+             .sort_values(keys + [col], kind="stable"))
+        grp = g.groupby(keys, sort=False)
+        sizes = grp[col].transform("size").to_numpy()
+        pos = grp.cumcount().to_numpy()
+        v = g[col].to_numpy().astype(np.float64)
+        target = q * (sizes - 1)
+        lo = np.floor(target)
+        frac = target - lo
+        is_lo = pos == lo
+        lo_rows = g[is_lo].copy()
+        v_lo = v[is_lo]
+        # the hi bracket is the lo row's immediate successor inside the
+        # sorted group (frac > 0 implies lo <= n-2, so the successor is
+        # still the same group); frac == 0 reuses lo
+        hi_vals = v_lo.copy()
+        needs_hi = frac[is_lo] > 0
+        if needs_hi.any():
+            hi_vals[needs_hi] = v[np.flatnonzero(is_lo)[needs_hi] + 1]
+        res = v_lo + (hi_vals - v_lo) * frac[is_lo]
+        lo_rows[alias] = res
+        lo_rows = lo_rows.drop(columns=[col])
+        return pa.Table.from_pandas(lo_rows, preserve_index=False)
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(pick, batch_format="pandas"))
+
+
 KNUTH_HASH = 2654435761  # floor(2^32 / golden ratio), Knuth 6.4
 
 
