@@ -865,6 +865,15 @@ def q_range_join_clicks(sf_dir: str):
                                          "event_id": i64})
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-doc TF-IDF keywords (§ text analysis): integer surrogate
+    score tf*N//df so the full ranking is SQL-oracle-exact; the DF
+    table is the only shuffle, scoring is doc-local."""
+    from no_fasel_scrapers_ray.ops.textops import tfidf_top_terms
+    return tfidf_top_terms(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           topn=3)
+
+
 def q_doc_quality(sf_dir: str):
     """Gopher-style rule-based quality filter (§ text analysis):
     integer features + keep verdict, bit-exact vs the SQL oracle."""
@@ -1204,6 +1213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join_lineitem": q_bloom_semi_join_lineitem,
         "dedup_clusters": q_dedup_clusters,
         "doc_quality": q_doc_quality,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "heavy_hitter_terms": q_heavy_hitter_terms,
         "kmeans_embeddings": q_kmeans_embeddings,
         "events_hopping": q_events_hopping,
@@ -1582,6 +1592,25 @@ def oracle_sql() -> dict[str, str]:
         "distinct_parts_per_supplier": """
             SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts
             FROM lineitem GROUP BY l_suppkey
+        """,
+        "tfidf_top_terms": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+                 tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                        FROM tok GROUP BY doc_id, term),
+                 df AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                        FROM tok GROUP BY term),
+                 nd AS (SELECT COUNT(*) AS n FROM documents),
+                 sc AS (SELECT doc_id, tf.term,
+                               tf * n // df AS score
+                        FROM tf JOIN df ON tf.term = df.term
+                        CROSS JOIN nd),
+                 r AS (SELECT *, row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score DESC, term) AS rk
+                       FROM sc)
+            SELECT doc_id, term, score FROM r WHERE rk <= 3
         """,
         "doc_quality": """
             WITH f AS (

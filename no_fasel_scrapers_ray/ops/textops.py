@@ -118,6 +118,63 @@ def top_terms(docs: rd.Dataset, k: int = 50,
     return survivors.sort(["n", "term"], descending=[True, False]).limit(k)
 
 
+def tfidf_top_terms(docs: rd.Dataset, topn: int = 3,
+                    n_buckets: int = 64) -> rd.Dataset:
+    """Per-document top-``topn`` TF-IDF terms — the keyword-extraction
+    stage of a curation pipeline, in two passes:
+
+    1. document frequencies: per-batch per-doc-DISTINCT term partials →
+       one bucketed sum (the shuffle moves distinct (term, df) partials
+       only, never tokens);
+    2. DF table broadcast once (``ray.put``); scoring is then purely
+       doc-local — tf from a per-batch groupby, per-doc top-n with no
+       second shuffle at all.
+
+    The score is the INTEGER surrogate ``tf * N_docs // df`` (floor
+    division) — monotone in tf/idf, and bit-exact in SQL, so the whole
+    ranking sits under the DuckDB oracle gate. Ties break (score DESC,
+    term ASC). Size contract: the broadcast DF table is
+    vocabulary-sized; a 10^9-term vocabulary would route scoring
+    through a term-bucketed join instead (same pattern as
+    ``heavy_hitter_terms``' recount)."""
+    import ray
+
+    from .relational import broadcast_get, preagg_sum_count
+
+    n_docs = docs.count()
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tok = batch[["doc_id", "text"]].copy()
+        tok["term"] = tok["text"].str.split(" ")
+        ex = tok[["doc_id", "term"]].explode("term")
+        vc = ex.drop_duplicates()["term"].value_counts()
+        return pd.DataFrame({"term": vc.index.to_numpy(dtype=object),
+                             "df": vc.to_numpy(dtype=np.int64)})
+
+    df_tbl = preagg_sum_count(
+        docs.map_batches(df_partial, batch_format="pandas"),
+        ["term"], {"df": "df"}, n_buckets=n_buckets).to_pandas()
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"])))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        dfm = broadcast_get(df_ref)
+        tok = batch[["doc_id", "text"]].copy()
+        tok["term"] = tok["text"].str.split(" ")
+        ex = tok[["doc_id", "term"]].explode("term")
+        tf = (ex.groupby(["doc_id", "term"], as_index=False, sort=False)
+              .size().rename(columns={"size": "tf"}))
+        dfv = tf["term"].map(dfm).to_numpy(dtype=np.int64)
+        tf["score"] = (tf["tf"].to_numpy(dtype=np.int64) * n_docs) // dfv
+        tf = tf.sort_values(["doc_id", "score", "term"],
+                            ascending=[True, False, True], kind="stable")
+        out = tf.groupby("doc_id", sort=False).head(topn)
+        return pd.DataFrame({"doc_id": out["doc_id"].to_numpy(),
+                             "term": out["term"].to_numpy(dtype=object),
+                             "score": out["score"].to_numpy(dtype=np.int64)})
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 def doc_quality(docs: rd.Dataset,
                 min_tokens: int = 20, max_tokens: int = 80,
                 min_mean_len_milli: int = 4300,
