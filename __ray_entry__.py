@@ -720,6 +720,66 @@ def q_media_frame_sample(sf_dir: str):
     return sampled.map_batches(meta, batch_format="pyarrow")
 
 
+def q_media_audio_features(sf_dir: str):
+    """Audio feature-extraction stage (§ multimodal): synthetic PCM
+    containers (sample count derived from doc_id) through the
+    AudioFeaturizer actor pool; emits the feature-vector length and
+    the floored-integer RMS. Rows-only check (the blake2b-seeded
+    sample synthesis has no SQL form); byte-level parsing and the
+    container contract are pinned in tests/test_media_stages.py."""
+    import pyarrow as pa
+    from no_fasel_scrapers_ray.stages.media import (
+        extract_audio_features, synth_audio)
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        return pa.table({
+            "content_id": pa.array([str(i) for i in ids]),
+            "audio_bytes": pa.array(
+                [synth_audio(str(i), n_samples=2048 + (i % 4) * 1024)
+                 for i in ids], pa.binary()),
+        })
+
+    feats = extract_audio_features(
+        docs.map_batches(mk, batch_format="pyarrow", batch_size=256))
+
+    def meta(t: pa.Table) -> pa.Table:
+        fl = t.column("features").to_pylist()
+        return pa.table({
+            "content_id": t.column("content_id"),
+            "n_features": pa.array([len(f) for f in fl], pa.int64()),
+            "rms_milli": pa.array([int(f[0] * 1000) for f in fl],
+                                  pa.int64()),
+        })
+
+    return feats.map_batches(meta, batch_format="pyarrow")
+
+
+def q_first_event_per_user_day(sf_dir: str):
+    """ARG-MIN per composite group (§ windows): each user's FIRST event
+    of each day — topk_per_group ascending k=1 over (user, day), the
+    keep-earliest-record dedup shape. Oracle: ROW_NUMBER() = 1."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import topk_per_group
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"],
+               rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        ts_us = b["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(),
+            "day_us": (ts_us - ts_us % 86_400_000_000).to_numpy(),
+            "ts_us": ts_us.to_numpy(),
+            "event_id": b["event_id"].to_numpy(),
+        })
+
+    return topk_per_group(ev.map_batches(prep, batch_format="pandas"),
+                          ["user_id", "day_us"], "ts_us", k=1,
+                          ascending=True, tie_cols=["event_id"])
+
+
 def q_cube_order_counts(sf_dir: str):
     """CUBE grouping sets (§ aggregates): ROLLUP plus the
     priority-only marginal, NULL-filled like SQL CUBE."""
@@ -1204,6 +1264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_order_quartiles": q_ntile_order_quartiles,
         "media_thumbnails": q_media_thumbnails,
         "media_frame_sample": q_media_frame_sample,
+        "media_audio_features": q_media_audio_features,
+        "first_event_per_user_day": q_first_event_per_user_day,
         "cust_order_counts": q_cust_order_counts,
         "sample_orders": q_sample_orders,
         "intersect_users": q_intersect_users,
@@ -1516,6 +1578,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey, 'priority' AS attr, o_orderpriority AS val
             FROM orders
+        """,
+        "first_event_per_user_day": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+                       FROM events),
+                 d AS (SELECT user_id,
+                              ts_us - ts_us % 86400000000 AS day_us,
+                              ts_us, event_id
+                       FROM e),
+                 r AS (SELECT *, row_number() OVER (
+                           PARTITION BY user_id, day_us
+                           ORDER BY ts_us, event_id) AS rk
+                       FROM d)
+            SELECT user_id, day_us, ts_us, event_id FROM r WHERE rk = 1
         """,
         "rank_orders_per_cust": """
             SELECT o_custkey, o_orderkey, o_totalprice,

@@ -52,7 +52,8 @@ BENCH_QUERIES = [
     "user_activity_full", "events_hopping", "stratified_sample_events",
     "price_quartiles", "bloom_semi_join_lineitem", "dedup_clusters",
     "doc_quality", "heavy_hitter_terms", "kmeans_embeddings",
-    "median_cents_cont",
+    "median_cents_cont", "tfidf_top_terms", "media_audio_features",
+    "first_event_per_user_day",
 ]
 
 
