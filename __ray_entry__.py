@@ -477,6 +477,40 @@ def q_rolling_user_spend(sf_dir: str):
                                "last4_cents"])
 
 
+def q_trailing_hour_spend(sf_dir: str):
+    """Time-based window frame (§ custom operators): each purchase's
+    trailing-1-hour spend — SQL RANGE BETWEEN 3600000000 PRECEDING AND
+    CURRENT ROW over epoch-µs, integer cents, tie-peers included per
+    RANGE semantics so the result is order-independent at equal ts."""
+    from no_fasel_scrapers_ray.ops.relational import rolling_time_sum
+    purchases = _purchase_events(sf_dir, with_cents=True)
+    out = rolling_time_sum(purchases, ["user_id"], "ts_us", "cents",
+                           window=3_600_000_000, alias="trail_cents")
+    return out.select_columns(["user_id", "event_id", "ts_us",
+                               "trail_cents"])
+
+
+def q_favorite_event_type(sf_dir: str):
+    """Grouped MODE (§ aggregates): each user's most frequent event
+    type (ties → lexicographically first) — partial counts then an
+    arg-max topk_per_group, deterministic ROW_NUMBER oracle."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        preagg_sum_count, topk_per_group)
+    ev = _read(sf_dir, "events", ["user_id", "event_type"],
+               rows_per_block=65536)
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": b["user_id"].to_numpy(),
+                             "event_type": b["event_type"].to_numpy(),
+                             "one": np.ones(len(b), dtype=np.int64)})
+
+    counts = preagg_sum_count(ev.map_batches(ones, batch_format="pandas"),
+                              ["user_id", "event_type"], {"one": "n"})
+    return topk_per_group(counts, ["user_id"], "n", k=1,
+                          ascending=False, tie_cols=["event_type"])
+
+
 def q_lag_purchase_gap(sf_dir: str):
     """LAG window (§ custom operators): each purchase paired with the
     user's previous purchase timestamp (µs), -1 for the first — the
@@ -1248,6 +1282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_order_value": q_median_order_value,
         "median_cents_cont": q_median_cents_cont,
         "lag_purchase_gap": q_lag_purchase_gap,
+        "trailing_hour_spend": q_trailing_hour_spend,
+        "favorite_event_type": q_favorite_event_type,
         "rolling_user_spend": q_rolling_user_spend,
         "pivot_event_counts": q_pivot_event_counts,
         "rollup_order_counts": q_rollup_order_counts,
@@ -1510,6 +1546,23 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY epoch_us(ts), event_id), -1) AS prev_ts_us
             FROM events WHERE event_type = 'purchase'
+        """,
+        "trailing_hour_spend": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS trail_cents
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "favorite_event_type": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+                       FROM events GROUP BY user_id, event_type),
+                 r AS (SELECT *, row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY n DESC, event_type) AS rk
+                       FROM c)
+            SELECT user_id, event_type, n FROM r WHERE rk = 1
         """,
         "pivot_event_counts": """
             SELECT user_id,

@@ -53,7 +53,8 @@ BENCH_QUERIES = [
     "price_quartiles", "bloom_semi_join_lineitem", "dedup_clusters",
     "doc_quality", "heavy_hitter_terms", "kmeans_embeddings",
     "median_cents_cont", "tfidf_top_terms", "media_audio_features",
-    "first_event_per_user_day",
+    "first_event_per_user_day", "trailing_hour_spend",
+    "favorite_event_type",
 ]
 
 

@@ -636,6 +636,46 @@ def rolling_sum(ds: rd.Dataset, keys: list[str], order_col: str,
             .groupby("__bucket").map_groups(slide, batch_format="pandas"))
 
 
+def rolling_time_sum(ds: rd.Dataset, keys: list[str], order_col: str,
+                     val_col: str, window: int, alias: str,
+                     n_buckets: int = 64) -> rd.Dataset:
+    """Time-based sliding-window aggregate — SQL RANGE BETWEEN
+    ``window`` PRECEDING AND CURRENT ROW (the trailing-1-hour-spend
+    shape): for each row, the sum of ``val_col`` over the group's rows
+    whose ``order_col`` lies in ``[t - window, t]``, INCLUDING later
+    peers at exactly ``t`` (RANGE-mode current-row semantics, so the
+    result is tie-order-independent).
+
+    Same topology as ``rolling_sum`` (one key-bucket shuffle, each
+    group's rows meet in one bucket); the per-bucket pass is a cumsum
+    plus two vectorized ``searchsorted`` bounds per group. Use integer
+    values (cents) for bit-exact sums."""
+
+    add_bucket = _bucket_tagger(keys, n_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = (g.drop(columns="__bucket")
+             .sort_values(keys + [order_col], kind="stable"))
+        t = g[order_col].to_numpy()
+        v = g[val_col].to_numpy()
+        out = np.empty(len(g), dtype=np.int64)
+        starts = np.flatnonzero(
+            ~(g[keys].eq(g[keys].shift()).all(axis=1)).to_numpy())
+        bounds = np.append(starts, len(g))
+        for s, e in zip(bounds[:-1], bounds[1:]):     # one slice per group
+            ts = t[s:e]
+            cs = np.cumsum(v[s:e])
+            lo = np.searchsorted(ts, ts - window, side="left")
+            hi = np.searchsorted(ts, ts, side="right") - 1
+            out[s:e] = cs[hi] - np.where(lo > 0, cs[lo - 1], 0)
+        g[alias] = out
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas"))
+
+
 def windowed_lag(ds: rd.Dataset, keys: list[str], order_col: str,
                  val_col: str, alias: str,
                  tie_cols: list[str] | None = None,
