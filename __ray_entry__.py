@@ -968,6 +968,34 @@ def q_tfidf_top_terms(sf_dir: str):
                            topn=3)
 
 
+def q_doc_rarity(sf_dir: str):
+    """Per-doc rare-term (OOV) permille (§ text analysis): share of
+    tokens with corpus DF ≤ 2, integer permille — bit-exact oracle."""
+    from no_fasel_scrapers_ray.ops.textops import rare_term_permille
+    return rare_term_permille(_read(sf_dir, "documents",
+                                    ["doc_id", "text"]), max_df=2)
+
+
+def q_order_price_histogram(sf_dir: str):
+    """Fixed-width histogram (§ aggregates): order counts per $500
+    price bucket — a pure per-batch bucket map + partial-agg count,
+    the profile/EDA operator at any scale."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import preagg_sum_count
+    orders = _read(sf_dir, "orders", ["o_totalprice"],
+                   rows_per_block=65536)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        cents = (b["o_totalprice"] * 100).round().astype("int64")
+        return pd.DataFrame({
+            "bucket_lo_cents": (cents // 5_000_000) * 5_000_000,
+            "one": np.ones(len(b), dtype=np.int64)})
+
+    return preagg_sum_count(
+        orders.map_batches(bucketize, batch_format="pandas"),
+        ["bucket_lo_cents"], {"one": "n_orders"})
+
+
 def q_doc_quality(sf_dir: str):
     """Gopher-style rule-based quality filter (§ text analysis):
     integer features + keep verdict, bit-exact vs the SQL oracle."""
@@ -1312,6 +1340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "doc_quality": q_doc_quality,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "doc_rarity": q_doc_rarity,
+        "order_price_histogram": q_order_price_histogram,
         "heavy_hitter_terms": q_heavy_hitter_terms,
         "kmeans_embeddings": q_kmeans_embeddings,
         "events_hopping": q_events_hopping,
@@ -1739,6 +1769,30 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY score DESC, term) AS rk
                        FROM sc)
             SELECT doc_id, term, score FROM r WHERE rk <= 3
+        """,
+        "doc_rarity": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+                 df AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                        FROM tok GROUP BY term),
+                 rare AS (SELECT term FROM df WHERE df <= 2),
+                 per_doc AS (
+                     SELECT t.doc_id,
+                            COUNT(*) AS n_tokens,
+                            COUNT(*) FILTER (
+                                WHERE t.term IN (SELECT term FROM rare))
+                                AS hits
+                     FROM tok t GROUP BY t.doc_id)
+            SELECT doc_id, n_tokens,
+                   hits * 1000 // n_tokens AS rare_permille
+            FROM per_doc
+        """,
+        "order_price_histogram": """
+            SELECT (CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    // 5000000) * 5000000 AS bucket_lo_cents,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY bucket_lo_cents
         """,
         "doc_quality": """
             WITH f AS (

@@ -54,7 +54,7 @@ BENCH_QUERIES = [
     "doc_quality", "heavy_hitter_terms", "kmeans_embeddings",
     "median_cents_cont", "tfidf_top_terms", "media_audio_features",
     "first_event_per_user_day", "trailing_hour_spend",
-    "favorite_event_type",
+    "favorite_event_type", "doc_rarity", "order_price_histogram",
 ]
 
 

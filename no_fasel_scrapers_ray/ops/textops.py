@@ -175,6 +175,48 @@ def tfidf_top_terms(docs: rd.Dataset, topn: int = 3,
     return docs.map_batches(score, batch_format="pandas")
 
 
+def rare_term_permille(docs: rd.Dataset, max_df: int = 2,
+                       n_buckets: int = 64) -> rd.Dataset:
+    """Per-document OOV/rarity signal: the permille of a doc's tokens
+    whose corpus document frequency is ≤ ``max_df`` — the standard
+    'too many never-seen words' quality flag. Same two-pass shape as
+    ``tfidf_top_terms`` (DF table via one bucketed sum, broadcast
+    once, then purely doc-local counting); integer permille so the
+    SQL oracle is bit-exact."""
+    import ray
+
+    from .relational import broadcast_get, preagg_sum_count
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tok = batch[["doc_id", "text"]].copy()
+        tok["term"] = tok["text"].str.split(" ")
+        ex = tok[["doc_id", "term"]].explode("term")
+        vc = ex.drop_duplicates()["term"].value_counts()
+        return pd.DataFrame({"term": vc.index.to_numpy(dtype=object),
+                             "df": vc.to_numpy(dtype=np.int64)})
+
+    df_tbl = preagg_sum_count(
+        docs.map_batches(df_partial, batch_format="pandas"),
+        ["term"], {"df": "df"}, n_buckets=n_buckets).to_pandas()
+    rare = set(df_tbl["term"][df_tbl["df"] <= max_df])
+    rare_ref = ray.put(rare)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        rset = broadcast_get(rare_ref)
+        toks = batch["text"].str.split(" ")
+        n_tokens = toks.str.len().to_numpy(dtype=np.int64)
+        hits = toks.map(
+            lambda ts: sum(1 for t in ts if t in rset)).to_numpy(
+            dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_tokens": n_tokens,
+            "rare_permille": hits * 1000 // n_tokens,
+        })
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 def doc_quality(docs: rd.Dataset,
                 min_tokens: int = 20, max_tokens: int = 80,
                 min_mean_len_milli: int = 4300,
