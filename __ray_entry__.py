@@ -1027,6 +1027,63 @@ def q_kmeans_embeddings(sf_dir: str):
         k=8, iters=5)
 
 
+def q_curate_documents(sf_dir: str):
+    """END-TO-END curation pipeline (§ the training-data flagship):
+    quality filter → exact dedup (md5, keep min doc_id) → near-dup
+    clustering (exact 3-gram Jaccard ≥ 0.5 pairs → connected
+    components) → canonical survivors with token counts. Every stage
+    is the distributed operator the standalone queries expose; the
+    WHOLE composition is checked against one SQL oracle (CTE chain
+    ending in a recursive transitive closure).
+
+    Scale notes: the quality filter is a pure map; exact-dedup
+    survivors join back by doc_id through the bucketed join (never a
+    driver key set); the only broadcast is the near-dup DROP list,
+    which is bounded by the pair-graph's node count (≪ corpus)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.dedup import (
+        exact_dedup_key, ngram_jaccard_pairs)
+    from no_fasel_scrapers_ray.ops.graph import connected_components
+    from no_fasel_scrapers_ray.ops.relational import anti_join, bucketed_join
+    from no_fasel_scrapers_ray.ops.textops import doc_quality
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # 1. quality gate: same integer rules as q_doc_quality, joined
+    #    back as a mask-producing pure map (no shuffle)
+    quality = doc_quality(docs)
+
+    import pyarrow as pa
+
+    def keep_ids(b: pd.DataFrame) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"][b["keep"] == 1].to_numpy()})
+
+    kept_ids = quality.map_batches(keep_ids, batch_format="pandas")
+    kept = bucketed_join(docs, kept_ids, on="doc_id", n_buckets=8)
+
+    # 2. exact dedup: one row per distinct md5(text), keep min doc_id
+    reps = exact_dedup_key(kept, "full").map_batches(
+        lambda b: pa.table({"doc_id": b["rep_doc_id"].to_numpy()}),
+        batch_format="pandas")
+    uniq = bucketed_join(kept, reps, on="doc_id", n_buckets=8)
+
+    # 3. near-dup: exact-Jaccard pairs over the survivors, transitive
+    #    closure, drop every non-canonical cluster member
+    pairs = ngram_jaccard_pairs(uniq, shingle=3, jaccard_threshold=0.5)
+    cc = connected_components(pairs, "doc_a", "doc_b").to_pandas()
+    drops = cc["doc_id"][cc["cluster_id"] != cc["doc_id"]].to_numpy()
+
+    survivors = anti_join(uniq, drops, "doc_id")
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "n_tokens": (b["text"].str.count(" ") + 1)
+                        .astype(np.int64).to_numpy()})
+
+    return survivors.map_batches(finalize, batch_format="pandas")
+
+
 def q_dedup_clusters(sf_dir: str):
     """Duplicate CLUSTERS (§ dedup): the exact n-gram Jaccard pairs
     closed under transitivity — connected components by iterative
@@ -1338,6 +1395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_full": q_user_activity_full,
         "bloom_semi_join_lineitem": q_bloom_semi_join_lineitem,
         "dedup_clusters": q_dedup_clusters,
+        "curate_documents": q_curate_documents,
         "doc_quality": q_doc_quality,
         "tfidf_top_terms": q_tfidf_top_terms,
         "doc_rarity": q_doc_rarity,
@@ -1822,6 +1880,57 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split(text, ' ')) AS term
                   FROM documents)
             GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
+        # the full curation composition: quality rules == doc_quality,
+        # md5 exact dedup, 3-gram Jaccard >= 0.5 pairs over the
+        # survivors, recursive-CTE transitive closure, canonical-only
+        "curate_documents": """
+            WITH RECURSIVE feats AS (
+                SELECT doc_id, text,
+                       array_length(string_split(text, ' ')) AS n_tokens,
+                       (length(text)
+                        - array_length(string_split(text, ' ')) + 1) * 1000
+                           // array_length(string_split(text, ' '))
+                           AS mean_len_milli,
+                       len(list_filter(string_split(text, ' '),
+                           t -> t IN ('the', 'a', 'value', 'table'))) * 1000
+                           // array_length(string_split(text, ' '))
+                           AS stop_permille
+                FROM documents),
+            kept AS (SELECT doc_id, text, n_tokens FROM feats
+                     WHERE n_tokens BETWEEN 20 AND 80
+                       AND mean_len_milli >= 4300
+                       AND stop_permille <= 160),
+            h AS (SELECT md5(text) AS ch, min(doc_id) AS rep
+                  FROM kept GROUP BY md5(text)),
+            uniq AS (SELECT k.doc_id, k.text, k.n_tokens
+                     FROM kept k JOIN h ON k.doc_id = h.rep),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM uniq),
+            sh AS (SELECT doc_id,
+                    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                         ELSE list_distinct(list_transform(
+                                generate_series(1, len(t) - 2),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    END AS s
+                   FROM toks),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE round(len(list_intersect(a.s, b.s))
+                        / (len(a.s) + len(b.s)
+                           - len(list_intersect(a.s, b.s))), 6) >= 0.5),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                      UNION SELECT doc_b, doc_a FROM p),
+            walk(node, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.b, w.label FROM walk w
+                JOIN edges e ON w.node = e.a),
+            cc AS (SELECT node, min(label) AS cluster_id
+                   FROM walk GROUP BY node),
+            drops AS (SELECT node FROM cc WHERE cluster_id <> node)
+            SELECT doc_id, n_tokens FROM uniq
+            WHERE doc_id NOT IN (SELECT node FROM drops)
         """,
         # same pair predicate as dedup_ngram_jaccard, closed under
         # transitivity by a recursive CTE (min reachable label)

@@ -200,15 +200,26 @@ def bucketed_join(left: rd.Dataset, right: rd.Dataset, on: str,
     with different schemas sends the shuffle down a pathological slow
     path (measured 550 s for a 150k⋈150k join at sf0.1)."""
 
+    def _pa_type(t):
+        # a side built from pandas blocks reports numpy dtypes
+        # (PandasBlockSchema); normalize so the null padding and the
+        # int-restore check below always see Arrow types
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()     # numpy object == pandas text column
+
     left_schema = left.schema()
     right_schema = right.schema()
     left_cols = list(left_schema.names)
     right_cols = list(right_schema.names)
     all_fields = {}
     for name, typ in zip(left_schema.names, left_schema.types):
-        all_fields[name] = typ
+        all_fields[name] = _pa_type(typ)
     for name, typ in zip(right_schema.names, right_schema.types):
-        all_fields.setdefault(name, typ)
+        all_fields.setdefault(name, _pa_type(typ))
 
     def tag(side: str):
         def _tag(batch: pa.Table) -> pa.Table:
