@@ -523,6 +523,30 @@ def q_lag_purchase_gap(sf_dir: str):
     return out.select_columns(["user_id", "event_id", "ts_us", "prev_ts_us"])
 
 
+def q_props_value_by_type(sf_dir: str):
+    """Semi-structured column extraction (§ parsers): pull the integer
+    `k` out of the events' JSON `props` string and aggregate per
+    event type. The flat-props fast path is one vectorized regex
+    extract (pandas C loop, pattern cached per worker) — the honest
+    general path for NESTED props is an orjson actor-pool stage, the
+    same shape as the media featurizers. Oracle uses the identical
+    extraction via regexp_extract."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import preagg_sum_count
+    ev = _read(sf_dir, "events", ["event_type", "props"],
+               rows_per_block=65536)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        k = (b["props"].str.extract(r'"k": (\d+)', expand=False)
+             .astype("int64"))
+        return pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                             "k": k.to_numpy()})
+
+    return preagg_sum_count(ev.map_batches(extract, batch_format="pandas"),
+                            ["event_type"], {"k": "total_k"},
+                            count_alias="n_events")
+
+
 def q_pivot_event_counts(sf_dir: str):
     """Pivot / filtered aggregate (§ aggregates): per-user event counts
     by type as wide columns — COUNT(*) FILTER (WHERE type = v)."""
@@ -1116,6 +1140,22 @@ def q_bloom_semi_join_lineitem(sf_dir: str):
     return bloom_semi_join(li, ukeys, "l_orderkey")
 
 
+def q_urgent_orders_pruned(sf_dir: str):
+    """Predicate pushdown AT THE READ (§ sources): the priority filter
+    is handed to read_parquet as an Arrow dataset expression, so
+    non-matching row groups are dropped by the scanner before any
+    block enters the object store — the prune-at-the-read contract
+    for 100-TB inputs (column pruning via `columns=` everywhere else
+    in this file)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+        filter=pads.field("o_orderpriority") == "1-URGENT")
+    return ds
+
+
 def q_user_activity_full(sf_dir: str):
     """FULL OUTER join (§ joins): per-user click counts vs purchase
     counts — the big-big bucketed join in 'outer' mode; users seen on
@@ -1371,6 +1411,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "favorite_event_type": q_favorite_event_type,
         "rolling_user_spend": q_rolling_user_spend,
         "pivot_event_counts": q_pivot_event_counts,
+        "props_value_by_type": q_props_value_by_type,
+        "urgent_orders_pruned": q_urgent_orders_pruned,
         "rollup_order_counts": q_rollup_order_counts,
         "cube_order_counts": q_cube_order_counts,
         "corr_qty_price": q_corr_qty_price,
@@ -1634,6 +1676,17 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY epoch_us(ts), event_id), -1) AS prev_ts_us
             FROM events WHERE event_type = 'purchase'
+        """,
+        "urgent_orders_pruned": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        """,
+        "props_value_by_type": """
+            SELECT event_type,
+                   CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                                 AS BIGINT)) AS BIGINT) AS total_k,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "trailing_hour_spend": """
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,

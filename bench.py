@@ -55,7 +55,7 @@ BENCH_QUERIES = [
     "median_cents_cont", "tfidf_top_terms", "media_audio_features",
     "first_event_per_user_day", "trailing_hour_spend",
     "favorite_event_type", "doc_rarity", "order_price_histogram",
-    "curate_documents",
+    "curate_documents", "props_value_by_type", "urgent_orders_pruned",
 ]
 
 
