@@ -1060,44 +1060,47 @@ def q_curate_documents(sf_dir: str):
     WHOLE composition is checked against one SQL oracle (CTE chain
     ending in a recursive transitive closure).
 
-    Scale notes: the quality filter is a pure map; exact-dedup
-    survivors join back by doc_id through the bucketed join (never a
-    driver key set); the only broadcast is the near-dup DROP list,
-    which is bounded by the pair-graph's node count (≪ corpus)."""
+    Scale notes: the quality gate runs INLINE as a pure map (no join
+    shuffles document text); the exact-dedup stage is SUBSUMED by the
+    clustering — identical texts share every shingle, so they always
+    emit Jaccard-1.0 pairs and land in one component whose canonical
+    (min doc_id) is exactly the exact-dedup representative, making the
+    composed survivor set identical to the oracle's staged form while
+    the engine never materializes an intermediate dedup join. The only
+    broadcast is the near-dup DROP list, bounded by the pair-graph's
+    node count (≪ corpus)."""
     import pandas as pd
-    from no_fasel_scrapers_ray.ops.dedup import (
-        exact_dedup_key, ngram_jaccard_pairs)
+    from no_fasel_scrapers_ray.ops.dedup import ngram_jaccard_pairs
     from no_fasel_scrapers_ray.ops.graph import connected_components
-    from no_fasel_scrapers_ray.ops.relational import anti_join, bucketed_join
-    from no_fasel_scrapers_ray.ops.textops import doc_quality
+    from no_fasel_scrapers_ray.ops.relational import anti_join
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    # 1. quality gate: same integer rules as q_doc_quality, joined
-    #    back as a mask-producing pure map (no shuffle)
-    quality = doc_quality(docs)
+    # 1. quality gate: the same integer rules as q_doc_quality, as a
+    #    pure per-batch filter (zero shuffles)
+    def quality_filter(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"]
+        n_tokens = (text.str.count(" ") + 1).astype(np.int64)
+        token_chars = text.str.len().astype(np.int64) - (n_tokens - 1)
+        mean_len_milli = token_chars * 1000 // n_tokens
+        padded = " " + text + " "
+        stop = sum(padded.str.count(rf"(?<= ){w}(?= )")
+                   for w in ("the", "a", "value", "table")).astype(np.int64)
+        stop_permille = stop * 1000 // n_tokens
+        keep = ((n_tokens >= 20) & (n_tokens <= 80)
+                & (mean_len_milli >= 4300) & (stop_permille <= 160))
+        return b[keep.to_numpy()]
 
-    import pyarrow as pa
+    kept = docs.map_batches(quality_filter, batch_format="pandas")
 
-    def keep_ids(b: pd.DataFrame) -> pa.Table:
-        return pa.table({"doc_id": b["doc_id"][b["keep"] == 1].to_numpy()})
-
-    kept_ids = quality.map_batches(keep_ids, batch_format="pandas")
-    kept = bucketed_join(docs, kept_ids, on="doc_id", n_buckets=8)
-
-    # 2. exact dedup: one row per distinct md5(text), keep min doc_id
-    reps = exact_dedup_key(kept, "full").map_batches(
-        lambda b: pa.table({"doc_id": b["rep_doc_id"].to_numpy()}),
-        batch_format="pandas")
-    uniq = bucketed_join(kept, reps, on="doc_id", n_buckets=8)
-
-    # 3. near-dup: exact-Jaccard pairs over the survivors, transitive
-    #    closure, drop every non-canonical cluster member
-    pairs = ngram_jaccard_pairs(uniq, shingle=3, jaccard_threshold=0.5)
+    # 2.+3. exact + near-dup in ONE clustering: pairs (Jaccard >= 0.5,
+    #    exact dups at 1.0), transitive closure, keep each component's
+    #    min doc_id
+    pairs = ngram_jaccard_pairs(kept, shingle=3, jaccard_threshold=0.5)
     cc = connected_components(pairs, "doc_a", "doc_b").to_pandas()
     drops = cc["doc_id"][cc["cluster_id"] != cc["doc_id"]].to_numpy()
 
-    survivors = anti_join(uniq, drops, "doc_id")
+    survivors = anti_join(kept, drops, "doc_id")
 
     def finalize(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

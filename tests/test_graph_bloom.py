@@ -33,6 +33,17 @@ def test_cc_cycle_and_disjoint_components():
     assert got == {10: 10, 11: 10, 12: 10, 5: 5, 7: 5, 20: 20}
 
 
+def test_cc_chain_across_blocks_needs_global_rounds():
+    # one edge per block: local contraction can collapse nothing, so
+    # the min label must travel through the ITERATED global rounds
+    pairs = [(i, i + 1) for i in range(7)]
+    ds = rd.from_pandas(pd.DataFrame(pairs, columns=["a", "b"]))
+    ds = ds.repartition(len(pairs))   # ~1 edge per block
+    out = connected_components(ds, "a", "b").to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {i: 0 for i in range(8)}
+
+
 def test_cc_merge_via_bridge():
     # Two clusters joined by a late bridge edge collapse to one label.
     got = cc_dict([(1, 2), (3, 4), (2, 3)])
