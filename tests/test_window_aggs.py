@@ -187,3 +187,31 @@ def test_top_terms_tie_break_at_k_boundary():
            .to_pandas().sort_values("term", ignore_index=True))
     assert out["term"].tolist() == ["a", "b"]
     assert out["n"].tolist() == [2, 2]
+
+
+def test_rolling_time_sum_inclusive_boundary_and_tie_peers():
+    """RANGE BETWEEN W PRECEDING AND CURRENT ROW: the row at exactly
+    t-W is INSIDE the frame, and equal-ts peers AFTER the current row
+    are included too (RANGE-mode current-row semantics)."""
+    import pandas as pd
+    import numpy as np
+    import ray.data as rd
+    from no_fasel_scrapers_ray.ops.relational import rolling_time_sum
+
+    df = pd.DataFrame({
+        "uid": np.ones(5, dtype=np.int64),
+        "ts": np.array([0, 100, 100, 150, 201], dtype=np.int64),
+        "v": np.array([1, 10, 100, 1000, 10000], dtype=np.int64),
+    })
+    out = rolling_time_sum(rd.from_pandas(df).repartition(2),
+                           ["uid"], "ts", "v", window=100,
+                           alias="trail", n_buckets=2).to_pandas()
+    got = dict(zip(zip(out["ts"], out["v"]), out["trail"]))
+    assert got[(0, 1)] == 1
+    # both ts=100 rows: frame [0,100] = 1+10+100 (tie peer included)
+    assert got[(100, 10)] == 111
+    assert got[(100, 100)] == 111
+    # ts=150: frame [50,150] = 10+100+1000
+    assert got[(150, 1000)] == 1110
+    # ts=201: frame [101,201] = 1000+10000 (ts=100 < 101 excluded)
+    assert got[(201, 10000)] == 11000
