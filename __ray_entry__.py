@@ -1076,20 +1076,12 @@ def q_curate_documents(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    # 1. quality gate: the same integer rules as q_doc_quality, as a
-    #    pure per-batch filter (zero shuffles)
+    # 1. quality gate: the SAME rules as q_doc_quality (shared
+    #    textops.quality_keep_mask), as a pure per-batch filter
+    from no_fasel_scrapers_ray.ops.textops import quality_keep_mask
+
     def quality_filter(b: pd.DataFrame) -> pd.DataFrame:
-        text = b["text"]
-        n_tokens = (text.str.count(" ") + 1).astype(np.int64)
-        token_chars = text.str.len().astype(np.int64) - (n_tokens - 1)
-        mean_len_milli = token_chars * 1000 // n_tokens
-        padded = " " + text + " "
-        stop = sum(padded.str.count(rf"(?<= ){w}(?= )")
-                   for w in ("the", "a", "value", "table")).astype(np.int64)
-        stop_permille = stop * 1000 // n_tokens
-        keep = ((n_tokens >= 20) & (n_tokens <= 80)
-                & (mean_len_milli >= 4300) & (stop_permille <= 160))
-        return b[keep.to_numpy()]
+        return b[quality_keep_mask(b["text"]).to_numpy()]
 
     kept = docs.map_batches(quality_filter, batch_format="pandas")
 
@@ -1098,7 +1090,11 @@ def q_curate_documents(sf_dir: str):
     #    min doc_id
     pairs = ngram_jaccard_pairs(kept, shingle=3, jaccard_threshold=0.5)
     cc = connected_components(pairs, "doc_a", "doc_b").to_pandas()
-    drops = cc["doc_id"][cc["cluster_id"] != cc["doc_id"]].to_numpy()
+    # a pair-free corpus yields 0 CC rows — and a 0-row to_pandas()
+    # drops column names (Ray gotcha), so guard before indexing
+    drops = (cc["doc_id"][cc["cluster_id"] != cc["doc_id"]]
+             .to_numpy(dtype=np.int64)
+             if len(cc) else np.array([], dtype=np.int64))
 
     survivors = anti_join(kept, drops, "doc_id")
 
@@ -1122,7 +1118,13 @@ def q_dedup_clusters(sf_dir: str):
     pairs = ngram_jaccard_pairs(
         _read(sf_dir, "documents", ["doc_id", "text"]),
         shingle=3, jaccard_threshold=0.5)
-    return connected_components(pairs, "doc_a", "doc_b")
+    out = connected_components(pairs, "doc_a", "doc_b").to_pandas()
+    if out.empty and "doc_id" not in out.columns:
+        # 0-row to_pandas() drops column names (Ray gotcha) — restore
+        # the contract schema so the driver's column compare holds
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                            "cluster_id": pd.Series([], dtype="int64")})
+    return out
 
 
 def q_bloom_semi_join_lineitem(sf_dir: str):

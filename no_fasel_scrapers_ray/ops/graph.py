@@ -114,6 +114,7 @@ def connected_components(pairs: rd.Dataset, col_a: str, col_b: str,
                              "label": b["label"].to_numpy()})
 
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         # Offers: co-locate each node's label with its outgoing edges
         # (one bucketed join shuffle), emit (nbr, label); then each
@@ -125,8 +126,16 @@ def connected_components(pairs: rd.Dataset, col_a: str, col_b: str,
                                how="min", n_buckets=n_buckets).materialize()
         cur_sum = int(labels.sum("label"))
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # returning part-propagated labels would silently split
+        # components (duplicates survive dedup) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "iterations (cross-block diameter exceeds max_iters); "
+            "raise max_iters")
 
     return labels.map_batches(
         lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}),

@@ -200,26 +200,38 @@ def bucketed_join(left: rd.Dataset, right: rd.Dataset, on: str,
     with different schemas sends the shuffle down a pathological slow
     path (measured 550 s for a 150k⋈150k join at sf0.1)."""
 
-    def _pa_type(t):
+    def _resolve_fields(ds: rd.Dataset) -> dict:
         # a side built from pandas blocks reports numpy dtypes
         # (PandasBlockSchema); normalize so the null padding and the
-        # int-restore check below always see Arrow types
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(t)
-        except (pa.ArrowNotImplementedError, TypeError):
-            return pa.string()     # numpy object == pandas text column
+        # int-restore check below always see Arrow types. numpy object
+        # columns are ambiguous (text? list? bytes?) — infer from one
+        # actual row (a limit-1 probe) instead of guessing string.
+        schema = ds.schema()
+        fields, unresolved = {}, []
+        for name, typ in zip(schema.names, schema.types):
+            if isinstance(typ, pa.DataType):
+                fields[name] = typ
+                continue
+            try:
+                fields[name] = pa.from_numpy_dtype(typ)
+            except (pa.ArrowNotImplementedError, TypeError):
+                unresolved.append(name)
+        if unresolved:
+            rows = ds.limit(1).take(1)
+            for name in unresolved:
+                try:
+                    fields[name] = pa.array([rows[0][name]]).type
+                except (IndexError, pa.ArrowInvalid):
+                    fields[name] = pa.string()
+        return fields
 
-    left_schema = left.schema()
-    right_schema = right.schema()
-    left_cols = list(left_schema.names)
-    right_cols = list(right_schema.names)
-    all_fields = {}
-    for name, typ in zip(left_schema.names, left_schema.types):
-        all_fields[name] = _pa_type(typ)
-    for name, typ in zip(right_schema.names, right_schema.types):
-        all_fields.setdefault(name, _pa_type(typ))
+    left_fields = _resolve_fields(left)
+    right_fields = _resolve_fields(right)
+    left_cols = list(left_fields)
+    right_cols = list(right_fields)
+    all_fields = dict(left_fields)
+    for name, typ in right_fields.items():
+        all_fields.setdefault(name, typ)
 
     def tag(side: str):
         def _tag(batch: pa.Table) -> pa.Table:
@@ -669,7 +681,7 @@ def rolling_time_sum(ds: rd.Dataset, keys: list[str], order_col: str,
              .sort_values(keys + [order_col], kind="stable"))
         t = g[order_col].to_numpy()
         v = g[val_col].to_numpy()
-        out = np.empty(len(g), dtype=np.int64)
+        out = np.empty(len(g), dtype=v.dtype)  # never truncate floats
         starts = np.flatnonzero(
             ~(g[keys].eq(g[keys].shift()).all(axis=1)).to_numpy())
         bounds = np.append(starts, len(g))

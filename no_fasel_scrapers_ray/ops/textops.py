@@ -118,6 +118,54 @@ def top_terms(docs: rd.Dataset, k: int = 50,
     return survivors.sort(["n", "term"], descending=[True, False]).limit(k)
 
 
+def _df_table(docs: rd.Dataset, n_buckets: int) -> pd.DataFrame:
+    """Corpus document frequencies: per-batch per-doc-DISTINCT term
+    partials → one bucketed sum. The shuffle moves (term, df) partials
+    only, never exploded tokens. Shared by tfidf_top_terms and
+    rare_term_permille so the tokenization/dedup rules can't drift."""
+    from .relational import preagg_sum_count
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tok = batch[["doc_id", "text"]].copy()
+        tok["term"] = tok["text"].str.split(" ")
+        ex = tok[["doc_id", "term"]].explode("term")
+        vc = ex.drop_duplicates()["term"].value_counts()
+        return pd.DataFrame({"term": vc.index.to_numpy(dtype=object),
+                             "df": vc.to_numpy(dtype=np.int64)})
+
+    return preagg_sum_count(
+        docs.map_batches(df_partial, batch_format="pandas"),
+        ["term"], {"df": "df"}, n_buckets=n_buckets).to_pandas()
+
+
+def quality_features(text: pd.Series) -> dict:
+    """The Gopher-style integer feature set (token count, mean token
+    length in milli-chars, stopword permille) — ONE implementation
+    shared by ``doc_quality`` and the curation pipeline's inline gate
+    so thresholds and stopwords can never diverge between them."""
+    n_tokens = (text.str.count(" ") + 1).astype(np.int64)
+    # single-space-separated corpus: token chars = chars - spaces
+    token_chars = text.str.len().astype(np.int64) - (n_tokens - 1)
+    padded = " " + text + " "
+    stop = sum(padded.str.count(rf"(?<= ){w}(?= )")
+               for w in STOPWORDS).astype(np.int64)
+    return {
+        "n_tokens": n_tokens,
+        "mean_len_milli": token_chars * 1000 // n_tokens,
+        "stop_permille": stop * 1000 // n_tokens,
+    }
+
+
+def quality_keep_mask(text: pd.Series,
+                      min_tokens: int = 20, max_tokens: int = 80,
+                      min_mean_len_milli: int = 4300,
+                      max_stop_permille: int = 160) -> pd.Series:
+    f = quality_features(text)
+    return ((f["n_tokens"] >= min_tokens) & (f["n_tokens"] <= max_tokens)
+            & (f["mean_len_milli"] >= min_mean_len_milli)
+            & (f["stop_permille"] <= max_stop_permille))
+
+
 def tfidf_top_terms(docs: rd.Dataset, topn: int = 3,
                     n_buckets: int = 64) -> rd.Dataset:
     """Per-document top-``topn`` TF-IDF terms — the keyword-extraction
@@ -139,22 +187,13 @@ def tfidf_top_terms(docs: rd.Dataset, topn: int = 3,
     ``heavy_hitter_terms``' recount)."""
     import ray
 
-    from .relational import broadcast_get, preagg_sum_count
+    from .relational import _check_broadcast_size, broadcast_get
 
     n_docs = docs.count()
-
-    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        tok = batch[["doc_id", "text"]].copy()
-        tok["term"] = tok["text"].str.split(" ")
-        ex = tok[["doc_id", "term"]].explode("term")
-        vc = ex.drop_duplicates()["term"].value_counts()
-        return pd.DataFrame({"term": vc.index.to_numpy(dtype=object),
-                             "df": vc.to_numpy(dtype=np.int64)})
-
-    df_tbl = preagg_sum_count(
-        docs.map_batches(df_partial, batch_format="pandas"),
-        ["term"], {"df": "df"}, n_buckets=n_buckets).to_pandas()
-    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"])))
+    df_tbl = _df_table(docs, n_buckets)
+    df_map = dict(zip(df_tbl["term"], df_tbl["df"]))
+    _check_broadcast_size(df_tbl, "tfidf_top_terms DF table")
+    df_ref = ray.put(df_map)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         dfm = broadcast_get(df_ref)
@@ -180,25 +219,23 @@ def rare_term_permille(docs: rd.Dataset, max_df: int = 2,
     """Per-document OOV/rarity signal: the permille of a doc's tokens
     whose corpus document frequency is ≤ ``max_df`` — the standard
     'too many never-seen words' quality flag. Same two-pass shape as
-    ``tfidf_top_terms`` (DF table via one bucketed sum, broadcast
-    once, then purely doc-local counting); integer permille so the
-    SQL oracle is bit-exact."""
+    ``tfidf_top_terms`` (shared ``_df_table``, broadcast once, then
+    purely doc-local counting); integer permille so the SQL oracle is
+    bit-exact.
+
+    Size contract: on a Zipfian vocabulary the DF ≤ max_df set is most
+    of the vocabulary, so the broadcast is vocabulary-sized —
+    ``_check_broadcast_size`` warns at 512 MiB; past that, route the
+    membership test through a term-bucketed join (the
+    ``heavy_hitter_terms`` recount shape) instead of a broadcast set."""
     import ray
 
-    from .relational import broadcast_get, preagg_sum_count
+    from .relational import _check_broadcast_size, broadcast_get
 
-    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        tok = batch[["doc_id", "text"]].copy()
-        tok["term"] = tok["text"].str.split(" ")
-        ex = tok[["doc_id", "term"]].explode("term")
-        vc = ex.drop_duplicates()["term"].value_counts()
-        return pd.DataFrame({"term": vc.index.to_numpy(dtype=object),
-                             "df": vc.to_numpy(dtype=np.int64)})
-
-    df_tbl = preagg_sum_count(
-        docs.map_batches(df_partial, batch_format="pandas"),
-        ["term"], {"df": "df"}, n_buckets=n_buckets).to_pandas()
+    df_tbl = _df_table(docs, n_buckets)
     rare = set(df_tbl["term"][df_tbl["df"] <= max_df])
+    _check_broadcast_size(df_tbl[df_tbl["df"] <= max_df],
+                          "rare_term_permille rare-term set")
     rare_ref = ray.put(rare)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
@@ -232,23 +269,14 @@ def doc_quality(docs: rd.Dataset,
     no shuffle."""
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"]
-        n_tokens = (text.str.count(" ") + 1).astype(np.int64)
-        # single-space-separated corpus: token chars = chars - spaces
-        token_chars = text.str.len().astype(np.int64) - (n_tokens - 1)
-        mean_len_milli = token_chars * 1000 // n_tokens
-        padded = " " + text + " "
-        stop = sum(padded.str.count(rf"(?<= ){w}(?= )")
-                   for w in STOPWORDS).astype(np.int64)
-        stop_permille = stop * 1000 // n_tokens
-        keep = ((n_tokens >= min_tokens) & (n_tokens <= max_tokens)
-                & (mean_len_milli >= min_mean_len_milli)
-                & (stop_permille <= max_stop_permille))
+        f = quality_features(batch["text"])
+        keep = quality_keep_mask(batch["text"], min_tokens, max_tokens,
+                                 min_mean_len_milli, max_stop_permille)
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
-            "n_tokens": n_tokens,
-            "mean_len_milli": mean_len_milli,
-            "stop_permille": stop_permille,
+            "n_tokens": f["n_tokens"],
+            "mean_len_milli": f["mean_len_milli"],
+            "stop_permille": f["stop_permille"],
             "keep": keep.astype(np.int64),
         })
 

@@ -60,6 +60,23 @@ def test_cc_empty_pairs():
     assert sorted(cc.schema().names) == ["cluster_id", "doc_id"]
 
 
+def test_curate_documents_survives_pair_free_corpus(tmp_path):
+    # every doc unique and quality-passing, zero near-dup pairs: the
+    # curation pipeline must return ALL docs, not crash on the 0-row
+    # to_pandas of the CC output
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+    words = [f"w{i:03d}" for i in range(25)]
+    texts = [" ".join(f"{w}{d}" for w in words) for d in range(6)]
+    pq.write_table(pa.table({"doc_id": list(range(6)), "text": texts}),
+                   str(tmp_path / "documents.parquet"))
+    out = entrymod.q_curate_documents(str(tmp_path)).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == list(range(6))
+
+
 def test_bloom_semi_join_exact_despite_false_positives():
     # Tiny filter (m_bits=64) forces heavy false positives; the verify
     # join must still return EXACTLY the true matches.
