@@ -10,9 +10,11 @@ generalizes it to true transitive closure.
 Scale posture: label propagation ("min over the closed neighborhood")
 expressed entirely as bucketed Ray Data passes — per iteration ONE
 message shuffle (labels joined to edges) and ONE min-reduce, both moving
-(node, label) pairs only, never documents. Convergence in O(component
-diameter) iterations; near-dup components are shallow (dozens of docs,
-diameter ≤ a few hops), so 3-5 iterations settle real corpora. Labels
+(node, label) pairs only, never documents. Per-block union-find
+contraction collapses in-block paths before any shuffle, and pointer
+doubling (label-pointer edges joined into the same offer pass) makes
+the residual cross-block convergence O(log diameter); near-dup
+components are shallow, so 2-3 iterations settle real corpora. Labels
 are materialized once per iteration — each is a 2-int64-column dataset,
 the one state that MUST persist across iterations (lineage re-execution
 would otherwise re-run every prior iteration per pass).
@@ -113,13 +115,22 @@ def connected_components(pairs: rd.Dataset, col_a: str, col_b: str,
         return pd.DataFrame({"node": b["nbr"].to_numpy(),
                              "label": b["label"].to_numpy()})
 
+    def pointer_edges(b: pd.DataFrame) -> pd.DataFrame:
+        # pointer doubling: an edge (label_u -> u) makes u receive
+        # label(label_u) in the SAME offer join, so convergence is
+        # O(log diameter) instead of O(diameter) — no extra shuffle,
+        # just |labels| more rows in the join input
+        return pd.DataFrame({"node": b["label"].to_numpy(),
+                             "nbr": b["node"].to_numpy()})
+
     prev_sum = None
     converged = False
     for _ in range(max_iters):
         # Offers: co-locate each node's label with its outgoing edges
         # (one bucketed join shuffle), emit (nbr, label); then each
         # node takes the min over its own label and every offer.
-        joined = bucketed_join(edges, labels, on="node",
+        dyn = labels.map_batches(pointer_edges, batch_format="pandas")
+        joined = bucketed_join(edges.union(dyn), labels, on="node",
                                n_buckets=n_buckets, how="inner")
         offers = joined.map_batches(to_offer, batch_format="pandas")
         labels = preagg_reduce(labels.union(offers), ["node"], "label",
