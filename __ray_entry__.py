@@ -446,6 +446,27 @@ def q_median_order_value(sf_dir: str):
                                  q=0.5, alias="median_price")
 
 
+def q_cust_order_stats(sf_dir: str):
+    """Fused multi-aggregate (§ aggregates, LMFAO shape): per customer,
+    COUNT + SUM + MIN + MAX of order cents in ONE scan and ONE shuffle
+    — n aggregates share the pass instead of costing n."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import grouped_multi_agg
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                   rows_per_block=65536)
+    cents = orders.map_batches(
+        lambda b: pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(),
+            "cents": (b["o_totalprice"] * 100).round().astype("int64")}),
+        batch_format="pandas")
+    return grouped_multi_agg(cents, ["o_custkey"], {
+        "n_orders": ("cents", "count"),
+        "sum_cents": ("cents", "sum"),
+        "min_cents": ("cents", "min"),
+        "max_cents": ("cents", "max"),
+    })
+
+
 def q_median_cents_cont(sf_dir: str):
     """Per-group INTERPOLATED quantile (§ aggregates): each customer's
     quantile_cont(0.5) order value in integer cents — the two
@@ -1411,6 +1432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_user_spend": q_running_user_spend,
         "median_order_value": q_median_order_value,
         "median_cents_cont": q_median_cents_cont,
+        "cust_order_stats": q_cust_order_stats,
         "lag_purchase_gap": q_lag_purchase_gap,
         "trailing_hour_spend": q_trailing_hour_spend,
         "favorite_event_type": q_favorite_event_type,
@@ -1659,6 +1681,15 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY epoch_us(ts), event_id) AS BIGINT)
                        AS cum_cents
             FROM events WHERE event_type = 'purchase'
+        """,
+        "cust_order_stats": """
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   CAST(SUM(c) AS BIGINT) AS sum_cents,
+                   MIN(c) AS min_cents, MAX(c) AS max_cents
+            FROM (SELECT o_custkey,
+                         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+                  FROM orders)
+            GROUP BY o_custkey
         """,
         "median_cents_cont": """
             SELECT o_custkey,

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "first_event_per_user_day", "trailing_hour_spend",
     "favorite_event_type", "doc_rarity", "order_price_histogram",
     "curate_documents", "props_value_by_type", "urgent_orders_pruned",
+    "cust_order_stats",
 ]
 
 

@@ -8,4 +8,4 @@ over the driver's TPC-H-ish test tables so each one has a DuckDB oracle
 (see __ray_entry__.py).
 """
 
-from . import relational, textops, dedup, ann  # noqa: F401
+from . import relational, textops, dedup, ann, graph, sketch  # noqa: F401

@@ -527,6 +527,40 @@ def preagg_sum_count(ds: rd.Dataset, keys: list[str], sums: dict[str, str],
         final, batch_format="pandas")
 
 
+def grouped_multi_agg(ds: rd.Dataset, keys: list[str],
+                      specs: dict[str, tuple[str, str]],
+                      batch_size: int = 65536,
+                      n_buckets: int = 64) -> rd.Dataset:
+    """MANY aggregates per group in ONE pass (the batched-aggregate
+    fusion shape, cf. LMFAO VLDB'20): ``specs`` maps output alias →
+    (input column, fn) with fn ∈ sum|min|max|count. Per-batch named-agg
+    partials (one row per key per batch), one bucket shuffle, final
+    combine per bucket (count partials re-combine by SUM). Every
+    aggregate shares the same scan and the same shuffle — n aggregates
+    cost one pass, not n."""
+    combine_fn = {alias: ("sum" if fn == "count" else fn)
+                  for alias, (_, fn) in specs.items()}
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        named = {alias: pd.NamedAgg(column=col,
+                                    aggfunc=("size" if fn == "count"
+                                             else fn))
+                 for alias, (col, fn) in specs.items()}
+        g = batch.groupby(keys, as_index=False, sort=False).agg(**named)
+        g["__bucket"] = stable_bucket_cols(g, keys, n_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        named = {alias: pd.NamedAgg(column=alias, aggfunc=fn)
+                 for alias, fn in combine_fn.items()}
+        r = g.groupby(keys, as_index=False, sort=False).agg(**named)
+        return pa.Table.from_pandas(r, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=batch_size)
+            .groupby("__bucket").map_groups(final, batch_format="pandas"))
+
+
 def preagg_reduce(ds: rd.Dataset, keys: list[str], col: str, how: str,
                   n_buckets: int = 64) -> rd.Dataset:
     """groupby(keys).agg(how(col)) as a two-stage bucketed hash
