@@ -544,6 +544,55 @@ def q_lag_purchase_gap(sf_dir: str):
     return out.select_columns(["user_id", "event_id", "ts_us", "prev_ts_us"])
 
 
+def q_lead_purchase_gap(sf_dir: str):
+    """LEAD window (§ custom operators): each purchase paired with the
+    user's NEXT purchase timestamp (µs), -1 for the last — the forward
+    twin of `lag_purchase_gap`, same single key-bucket shuffle."""
+    from no_fasel_scrapers_ray.ops.relational import windowed_lead
+    purchases = _purchase_events(sf_dir, with_cents=False)
+    out = windowed_lead(purchases, ["user_id"], "ts_us", "ts_us",
+                        alias="next_ts_us", tie_cols=["event_id"],
+                        default=-1)
+    return out.select_columns(["user_id", "event_id", "ts_us",
+                               "next_ts_us"])
+
+
+def q_order_value_pctiles(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST (§ windows): both relative-position
+    statistics of each order's value within its customer, computed in
+    ONE bucket shuffle (`windowed_rank_stats`). Ranks over integer
+    cents; the two ratios are exact IEEE doubles on both engines."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import windowed_rank_stats
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_totalprice"],
+                   rows_per_block=65536)
+    cents = orders.map_batches(
+        lambda b: pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(),
+            "o_orderkey": b["o_orderkey"].to_numpy(),
+            "cents": (b["o_totalprice"] * 100).round().astype("int64")
+                     .to_numpy()}),
+        batch_format="pandas")
+    return windowed_rank_stats(cents, ["o_custkey"], "cents",
+                               pct_alias="pct_rank",
+                               cume_alias="cume_dist")
+
+
+def q_first_last_purchase(sf_dir: str):
+    """FIRST_VALUE/LAST_VALUE as a decomposable aggregate (§ windows):
+    each user's first and last purchase value (cents) by time. Unlike
+    the windowed form, only per-batch argmin/argmax partials cross the
+    shuffle — volume is users × batches, independent of events per
+    user (the hot-key-safe shape)."""
+    from no_fasel_scrapers_ray.ops.relational import grouped_first_last
+    purchases = _purchase_events(sf_dir, with_cents=True)
+    return grouped_first_last(purchases, ["user_id"], "ts_us", "cents",
+                              first_alias="first_cents",
+                              last_alias="last_cents",
+                              tie_cols=["event_id"])
+
+
 def q_props_value_by_type(sf_dir: str):
     """Semi-structured column extraction (§ parsers): pull the integer
     `k` out of the events' JSON `props` string and aggregate per
@@ -1434,6 +1483,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_cents_cont": q_median_cents_cont,
         "cust_order_stats": q_cust_order_stats,
         "lag_purchase_gap": q_lag_purchase_gap,
+        "lead_purchase_gap": q_lead_purchase_gap,
+        "order_value_pctiles": q_order_value_pctiles,
+        "first_last_purchase": q_first_last_purchase,
         "trailing_hour_spend": q_trailing_hour_spend,
         "favorite_event_type": q_favorite_event_type,
         "rolling_user_spend": q_rolling_user_spend,
@@ -1712,6 +1764,37 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY epoch_us(ts), event_id), -1) AS prev_ts_us
             FROM events WHERE event_type = 'purchase'
+        """,
+        "lead_purchase_gap": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   COALESCE(LEAD(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id), -1) AS next_ts_us
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "order_value_pctiles": """
+            SELECT o_custkey, o_orderkey, cents,
+                   PERCENT_RANK() OVER (PARTITION BY o_custkey
+                                        ORDER BY cents) AS pct_rank,
+                   CUME_DIST() OVER (PARTITION BY o_custkey
+                                     ORDER BY cents) AS cume_dist
+            FROM (SELECT o_custkey, o_orderkey,
+                         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders)
+        """,
+        "first_last_purchase": """
+            SELECT DISTINCT user_id,
+                   FIRST_VALUE(cents) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts_us, event_id) AS first_cents,
+                   LAST_VALUE(cents) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS last_cents
+            FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                         CAST(ROUND(value * 100) AS BIGINT) AS cents
+                  FROM events WHERE event_type = 'purchase')
         """,
         "urgent_orders_pruned": """
             SELECT o_orderkey, o_totalprice FROM orders

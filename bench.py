@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "favorite_event_type", "doc_rarity", "order_price_histogram",
     "curate_documents", "props_value_by_type", "urgent_orders_pruned",
     "cust_order_stats",
+    "lead_purchase_gap", "order_value_pctiles", "first_last_purchase",
 ]
 
 

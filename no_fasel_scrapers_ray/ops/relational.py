@@ -896,6 +896,102 @@ def grouped_ntile(ds: rd.Dataset, keys: list[str], order_col: str,
             .groupby("__bucket").map_groups(tile, batch_format="pandas"))
 
 
+def windowed_lead(ds: rd.Dataset, keys: list[str], order_col: str,
+                  val_col: str, alias: str,
+                  tie_cols: list[str] | None = None,
+                  default=None, periods: int = 1,
+                  n_buckets: int = 64) -> rd.Dataset:
+    """``LEAD(val, periods) OVER (PARTITION BY keys ORDER BY order_col,
+    tie_cols)`` — the forward twin of ``windowed_lag``: the same single
+    key-bucket shuffle, with the per-bucket shift negated. ``default``
+    fills the window's TRAILING NULLs (the last ``periods`` rows of
+    each partition)."""
+    return windowed_lag(ds, keys, order_col, val_col, alias,
+                        tie_cols=tie_cols, default=default,
+                        periods=-periods, n_buckets=n_buckets)
+
+
+def windowed_rank_stats(ds: rd.Dataset, keys: list[str], order_col: str,
+                        pct_alias: str, cume_alias: str,
+                        n_buckets: int = 64) -> rd.Dataset:
+    """``PERCENT_RANK()`` and ``CUME_DIST()`` over the same window in
+    ONE pass: one key-bucket shuffle (same topology as
+    ``windowed_rank``), then both statistics from a single per-bucket
+    sort — percent_rank = (rank_min − 1) / (n − 1) (0 when n == 1, the
+    SQL rule) and cume_dist = rank_max / n. Both are ratios of small
+    int64s evaluated in IEEE double, where division is correctly
+    rounded — bit-identical to a SQL engine evaluating the same
+    definition, so these floats survive an exact value-hash check.
+    Ties share rank by value of ``order_col`` alone (SQL peer rows):
+    no tie_cols by design."""
+    add_bucket = _bucket_tagger(keys, n_buckets)
+
+    def stats(g: pd.DataFrame) -> pa.Table:
+        g = (g.drop(columns="__bucket")
+             .sort_values(keys + [order_col], kind="stable"))
+        grp = g.groupby(keys, sort=False)
+        n = grp[order_col].transform("size").to_numpy(dtype=np.float64)
+        rmin = grp[order_col].rank(method="min").to_numpy(dtype=np.float64)
+        rmax = grp[order_col].rank(method="max").to_numpy(dtype=np.float64)
+        g[pct_alias] = np.where(n > 1.0, (rmin - 1.0) / np.maximum(n - 1.0, 1.0), 0.0)
+        g[cume_alias] = rmax / n
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(stats, batch_format="pandas"))
+
+
+def grouped_first_last(ds: rd.Dataset, keys: list[str], order_col: str,
+                       val_col: str, first_alias: str, last_alias: str,
+                       tie_cols: list[str] | None = None,
+                       batch_size: int = 65536,
+                       n_buckets: int = 64) -> rd.Dataset:
+    """FIRST_VALUE / LAST_VALUE of ``val_col`` over each key's WHOLE
+    partition ordered by ``(order_col, tie_cols)``, as a fully
+    DECOMPOSABLE aggregate: each batch contributes one partial row per
+    key (its local first and last, with their order keys), the bucket
+    shuffle moves only those partials, and the final per-bucket pass
+    re-runs the same argmin/argmax combine over partials. Unlike the
+    windowed form (which must co-locate every row of a key), the
+    shuffle volume here is keys × batches, independent of rows per
+    key — the scale shape for hot keys. ``tie_cols`` must make the
+    order total or first/last is engine-dependent."""
+    tie = tie_cols or []
+    order_cols = [order_col] + tie
+    fcols = [f"__f{i}" for i in range(len(order_cols))]
+    lcols = [f"__l{i}" for i in range(len(order_cols))]
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        b = batch.sort_values(keys + order_cols, kind="stable")
+        grp = b.groupby(keys, sort=False)
+        f = grp.head(1).reset_index(drop=True)
+        l = grp.tail(1).reset_index(drop=True)
+        out = f[keys].copy()
+        for fc, lc, c in zip(fcols, lcols, order_cols):
+            out[fc] = f[c].to_numpy()
+            out[lc] = l[c].to_numpy()
+        out["__fv"] = f[val_col].to_numpy()
+        out["__lv"] = l[val_col].to_numpy()
+        out["__bucket"] = stable_bucket_cols(out, keys, n_buckets)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        f = (g.sort_values(keys + fcols, kind="stable")
+             .groupby(keys, sort=False, as_index=False).head(1))
+        l = (g.sort_values(keys + lcols, kind="stable")
+             .groupby(keys, sort=False, as_index=False).tail(1))
+        out = f[keys].copy()
+        out[first_alias] = f["__fv"].to_numpy()
+        out = out.merge(
+            l[keys + ["__lv"]].rename(columns={"__lv": last_alias}),
+            on=keys)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=batch_size)
+            .groupby("__bucket").map_groups(final, batch_format="pandas"))
+
+
 def grouped_corr(ds: rd.Dataset, keys: list[str], xcol: str, ycol: str,
                  alias: str, batch_size: int = 65536,
                  n_buckets: int = 64) -> rd.Dataset:

@@ -215,3 +215,56 @@ def test_rolling_time_sum_inclusive_boundary_and_tie_peers():
     assert got[(150, 1000)] == 1110
     # ts=201: frame [101,201] = 1000+10000 (ts=100 < 101 excluded)
     assert got[(201, 10000)] == 11000
+
+
+def test_windowed_lead_trailing_default_and_single_row_group():
+    from no_fasel_scrapers_ray.ops.relational import windowed_lead
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2],
+        "ts": [1, 2, 3, 9],
+        "v": [10, 20, 30, 7],
+    })
+    out = (windowed_lead(_ds(df), ["k"], "ts", "v", alias="nxt",
+                         default=-1, n_buckets=4)
+           .to_pandas().sort_values(["k", "ts"], ignore_index=True))
+    # last row of each partition gets the default; dtype stays int64
+    assert out["nxt"].tolist() == [20, 30, -1, -1]
+    assert out["nxt"].dtype == np.int64
+
+
+def test_windowed_rank_stats_ties_and_singleton():
+    """PERCENT_RANK: ties share rank_min; singleton partitions get 0
+    (the SQL n==1 rule). CUME_DIST: ties share rank_max / n."""
+    from no_fasel_scrapers_ray.ops.relational import windowed_rank_stats
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2],
+        "v": [5, 5, 7, 9, 3],
+    })
+    out = (windowed_rank_stats(_ds(df), ["k"], "v",
+                               pct_alias="pr", cume_alias="cd",
+                               n_buckets=4)
+           .to_pandas().sort_values(["k", "v"], ignore_index=True))
+    # k=1: values 5,5,7,9 → rank_min 1,1,3,4; pr = (r-1)/3
+    assert out["pr"].tolist() == [0.0, 0.0, 2 / 3, 1.0, 0.0]
+    # cume_dist = rank_max/n: 5s → 2/4, 7 → 3/4, 9 → 1; singleton → 1
+    assert out["cd"].tolist() == [0.5, 0.5, 0.75, 1.0, 1.0]
+
+
+def test_grouped_first_last_combines_partials_across_batches():
+    """Force 1-row batches so every row is its own partial — the final
+    combine must still find the global first/last by (order, tie)."""
+    from no_fasel_scrapers_ray.ops.relational import grouped_first_last
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2],
+        "ts": [10, 5, 10, 7, 1],
+        "tie": [0, 9, 1, 2, 0],
+        "v": [111, 222, 333, 444, 7],
+    })
+    out = (grouped_first_last(_ds(df, blocks=5), ["k"], "ts", "v",
+                              first_alias="f", last_alias="l",
+                              tie_cols=["tie"], batch_size=1,
+                              n_buckets=4)
+           .to_pandas().sort_values("k", ignore_index=True))
+    # k=1: first by (ts,tie) is (5,9)→222; last is (10,1)→333
+    assert out["f"].tolist() == [222, 7]
+    assert out["l"].tolist() == [333, 7]
