@@ -1121,6 +1121,17 @@ def q_kmeans_embeddings(sf_dir: str):
         k=8, iters=5)
 
 
+def q_pca_embeddings(sf_dir: str):
+    """Distributed exact PCA (§ embeddings): one d²-sized moment
+    all-reduce + one broadcast projection pass; no shuffle, no driver
+    materialization of vectors. Rows-only check (eigendecomposition
+    has no SQL form); projection equality vs a full-matrix numpy
+    reference is pinned in tests/test_kmeans.py."""
+    from no_fasel_scrapers_ray.ops.ann import pca_embeddings
+    return pca_embeddings(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=2)
+
+
 def q_curate_documents(sf_dir: str):
     """END-TO-END curation pipeline (§ the training-data flagship):
     quality filter → exact dedup (md5, keep min doc_id) → near-dup
@@ -1523,6 +1534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_histogram": q_order_price_histogram,
         "heavy_hitter_terms": q_heavy_hitter_terms,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "pca_embeddings": q_pca_embeddings,
         "events_hopping": q_events_hopping,
         "stratified_sample_events": q_stratified_sample_events,
         "price_quartiles": q_price_quartiles,

@@ -478,3 +478,59 @@ def kmeans_embeddings(embeddings: rd.Dataset, k: int = 8, iters: int = 5,
         "n_vecs": agg["n_vecs"].astype(np.int64),
         "inertia_milli": np.floor(agg["inertia"] * 1000).astype(np.int64),
     }).sort_values("cluster_id", ignore_index=True)
+
+
+def pca_embeddings(embeddings: rd.Dataset, k: int = 2,
+                   batch_size: int = 4096) -> rd.Dataset:
+    """Distributed exact PCA over the embedding column, two streaming
+    passes and O(d²) driver state (d = embedding dim, tiny):
+
+    1. Moment pass — each batch emits ONE partial row (n, Σx, Σxxᵀ),
+       d + d² floats regardless of batch rows; the driver sums the
+       partials, forms the covariance ``Σxxᵀ/n − μμᵀ`` and
+       eigendecomposes the d×d matrix (numpy ``eigh``, symmetric).
+    2. Projection pass — the top-k eigenvectors (sign-canonicalized:
+       the largest-|coordinate| entry of each component is made
+       positive, so the output is reproducible across runs) are
+       broadcast once via ``ray.put`` and every batch projects
+       ``(x − μ) @ Vᵀ`` vectorized.
+
+    Vectors are never materialized on the driver and no shuffle runs —
+    the only all-reduce is the d²-sized moment combine. Returns a
+    Dataset (vec_id, pc_1..pc_k, float64)."""
+
+    def moments(batch: pd.DataFrame) -> pd.DataFrame:
+        x = _stack(batch["embedding"]).astype(np.float64)
+        return pd.DataFrame({
+            "n": [np.int64(x.shape[0])],
+            "s": [x.sum(axis=0).tolist()],
+            "ss": [(x.T @ x).ravel().tolist()],
+        })
+
+    p = embeddings.map_batches(moments, batch_format="pandas",
+                               batch_size=batch_size).to_pandas()
+    n = int(p["n"].sum())
+    s = np.sum(np.vstack(p["s"].to_numpy()), axis=0)
+    d = s.shape[0]
+    ss = np.sum(np.vstack(p["ss"].to_numpy()), axis=0).reshape(d, d)
+    mu = s / n
+    cov = ss / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)          # ascending eigenvalues
+    comps = evecs[:, ::-1][:, :k].T.copy()      # (k, d), descending
+    for i in range(comps.shape[0]):             # deterministic sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    state = ray.put((mu, comps))
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        m, c = ray.get(state)
+        x = _stack(batch["embedding"]).astype(np.float64)
+        proj = (x - m) @ c.T
+        out = {"vec_id": batch["vec_id"].to_numpy()}
+        for i in range(c.shape[0]):
+            out[f"pc_{i + 1}"] = proj[:, i]
+        return pd.DataFrame(out)
+
+    return embeddings.map_batches(project, batch_format="pandas",
+                                  batch_size=batch_size)

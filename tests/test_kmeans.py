@@ -60,3 +60,35 @@ def test_kmeans_default_init_runs_and_covers_all_rows():
     out = kmeans_embeddings(ds, k=4, iters=2)
     assert out["n_vecs"].sum() == len(pts)
     assert out["n_vecs"].dtype == np.int64
+
+
+def test_pca_matches_numpy_reference():
+    """Distributed moment-sum PCA vs numpy's full-matrix PCA on the
+    same data: projections must agree to float tolerance, components
+    must be orthonormal, and pc_1 must carry the most variance."""
+    from no_fasel_scrapers_ray.ops.ann import pca_embeddings
+    rng = np.random.RandomState(11)
+    # anisotropic cloud: variance concentrated along a known axis
+    base = rng.randn(400, 8) * np.array([10, 5, 1, 1, 1, 1, 1, 1])
+    rot = np.linalg.qr(rng.randn(8, 8))[0]
+    pts = (base @ rot).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(len(pts), dtype=np.int64),
+                       "embedding": list(pts)})
+    out = (pca_embeddings(rd.from_pandas(df).repartition(5), k=2,
+                          batch_size=64)
+           .to_pandas().sort_values("vec_id", ignore_index=True))
+
+    x = pts.astype(np.float64)
+    mu = x.mean(axis=0)
+    cov = (x - mu).T @ (x - mu) / len(x)
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, ::-1][:, :2].T.copy()
+    for i in range(2):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ref = (x - mu) @ comps.T
+
+    got = out[["pc_1", "pc_2"]].to_numpy()
+    assert np.allclose(got, ref, rtol=1e-6, atol=1e-6)
+    assert got[:, 0].var() >= got[:, 1].var()
