@@ -28,9 +28,35 @@ import pyarrow as pa
 import ray.data as rd
 
 
+def _driver_union_find(a: np.ndarray, c: np.ndarray) -> pa.Table:
+    """Union-find over an edge list small enough to hold on the
+    driver; returns the (node, label) table with label = component
+    min. Shared by the small-graph fast path and (conceptually) the
+    per-block contraction."""
+    ids, inv = np.unique(np.concatenate([a, c]), return_inverse=True)
+    parent = np.arange(len(ids))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(inv[:len(a)], inv[len(a):]):
+        ru, rv = find(u), find(v)
+        if ru < rv:
+            parent[rv] = ru
+        elif rv < ru:
+            parent[ru] = rv
+    roots = ids[np.fromiter((find(i) for i in range(len(ids))),
+                            dtype=np.int64, count=len(ids))]
+    return pa.table({"node": ids, "label": roots})
+
+
 def connected_components(pairs: rd.Dataset, col_a: str, col_b: str,
                          n_buckets: int = 64,
-                         max_iters: int = 50) -> rd.Dataset:
+                         max_iters: int = 50,
+                         small_threshold: int = 1 << 18) -> rd.Dataset:
     """Label every node of the undirected pair graph with the MINIMUM
     node id reachable from it: ``(doc_id, cluster_id)`` — one row per
     node that appears in ``pairs``; ``cluster_id`` is the component's
@@ -56,23 +82,9 @@ def connected_components(pairs: rd.Dataset, col_a: str, col_b: str,
         distinct node instead of one per input pair."""
         a = b[col_a].to_numpy(zero_copy_only=False).astype(np.int64)
         c = b[col_b].to_numpy(zero_copy_only=False).astype(np.int64)
-        ids, inv = np.unique(np.concatenate([a, c]), return_inverse=True)
-        parent = np.arange(len(ids))
-
-        def find(x: int) -> int:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]  # path halving
-                x = parent[x]
-            return x
-
-        for u, v in zip(inv[:len(a)], inv[len(a):]):
-            ru, rv = find(u), find(v)
-            if ru < rv:          # union by MIN id → root is the min
-                parent[rv] = ru
-            elif rv < ru:
-                parent[ru] = rv
-        roots = ids[np.fromiter((find(i) for i in range(len(ids))),
-                                dtype=np.int64, count=len(ids))]
+        t = _driver_union_find(a, c)   # union by MIN id → root = min
+        ids = t["node"].to_numpy()
+        roots = t["label"].to_numpy()
         return pa.table({
             "node": np.concatenate([ids, roots]),
             "nbr": np.concatenate([roots, ids]),
@@ -87,6 +99,27 @@ def connected_components(pairs: rd.Dataset, col_a: str, col_b: str,
     # block per stage (measured ~4.5 s/iteration of pure scheduling for
     # a 300-edge graph at 32 CPUs). One 64Ki-row block per ~64Ki edges.
     n_edge_rows = edges.count()
+
+    # SMALL-GRAPH FAST PATH (the broadcast-join-style size cutover):
+    # per-block contraction already shrank the graph to ≤ 2 star edges
+    # per distinct node, so n_edge_rows ≤ small_threshold bounds the
+    # driver pull at ~4 MB of int64 pairs — finishing with one local
+    # union-find there replaces 2+ all-to-all shuffles per iteration
+    # whose cost is pure task-launch overhead at this size (measured
+    # ~10 s for a <1k-edge graph at 32 CPUs). Graphs above the
+    # threshold take the iterative distributed path below, which never
+    # materializes more than (node, label) pairs per bucket.
+    if n_edge_rows <= small_threshold:
+        star = edges.to_pandas()
+        if star.empty:
+            return rd.from_arrow(pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "cluster_id": pa.array([], pa.int64())}))
+        t = _driver_union_find(star["node"].to_numpy(dtype=np.int64),
+                               star["nbr"].to_numpy(dtype=np.int64))
+        return rd.from_arrow(pa.table({"doc_id": t["node"],
+                                       "cluster_id": t["label"]}))
+
     target_blocks = int(max(1, min(64, n_edge_rows // 65536 + 1)))
     if edges.num_blocks() > 2 * target_blocks:
         edges = edges.repartition(target_blocks).materialize()

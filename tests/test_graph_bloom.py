@@ -14,9 +14,12 @@ from no_fasel_scrapers_ray.ops.relational import (
     stratified_hash_sample)
 
 
-def cc_dict(pairs):
+def cc_dict(pairs, **kw):
+    # small_threshold=0 forces the ITERATIVE distributed path — these
+    # tests pin cross-block propagation, not the driver fast path
+    kw.setdefault("small_threshold", 0)
     ds = rd.from_pandas(pd.DataFrame(pairs, columns=["a", "b"]))
-    out = connected_components(ds, "a", "b").to_pandas()
+    out = connected_components(ds, "a", "b", **kw).to_pandas()
     return dict(zip(out["doc_id"], out["cluster_id"]))
 
 
@@ -39,7 +42,7 @@ def test_cc_chain_across_blocks_needs_global_rounds():
     pairs = [(i, i + 1) for i in range(7)]
     ds = rd.from_pandas(pd.DataFrame(pairs, columns=["a", "b"]))
     ds = ds.repartition(len(pairs))   # ~1 edge per block
-    out = connected_components(ds, "a", "b").to_pandas()
+    out = connected_components(ds, "a", "b", small_threshold=0).to_pandas()
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == {i: 0 for i in range(8)}
 
@@ -123,3 +126,14 @@ def test_stratified_sample_unlisted_stratum_dropped():
     # rate 1.0 keeps every 'a'; 'b' has no rate -> dropped entirely
     assert set(out["grp"]) == {"a"}
     assert len(out) == 500
+
+
+def test_cc_fast_path_equals_distributed_path():
+    """The small-graph driver union-find cutover must produce exactly
+    the labels the iterative shuffle path produces."""
+    rng = np.random.RandomState(3)
+    pairs = [(int(a), int(b))
+             for a, b in rng.randint(0, 60, size=(120, 2)) if a != b]
+    fast = cc_dict(pairs, small_threshold=1 << 18)
+    dist = cc_dict(pairs, small_threshold=0)
+    assert fast == dist
