@@ -1121,6 +1121,35 @@ def q_kmeans_embeddings(sf_dir: str):
         k=8, iters=5)
 
 
+def q_overlap_click_purchase(sf_dir: str):
+    """Interval-overlap join (§ temporal joins): clicks held open for
+    2 h paired with purchases held open for 30 min by the same user
+    whose windows intersect — binned replication + one composite-key
+    shuffle, exactly-once via the first-shared-bin rule. Oracle:
+    DuckDB IEJoin on the same overlap predicate."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import interval_join
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"], rows_per_block=65536)
+
+    def side(tp: str, width_us: int):
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["event_type"] == tp]
+            ts = b["ts"].astype("datetime64[us]").astype("int64")
+            return pd.DataFrame({
+                "user_id": b["user_id"].to_numpy(),
+                "eid": b["event_id"].to_numpy(),
+                "s": ts.to_numpy(),
+                "e": (ts + width_us).to_numpy()})
+        return ev.map_batches(prep, batch_format="pandas")
+
+    return interval_join(side("click", 7_200_000_000),
+                         side("purchase", 1_800_000_000),
+                         "user_id", "eid", "s", "e", "eid", "s", "e",
+                         bin_width=3_600_000_000,
+                         l_alias="click_id", r_alias="purchase_id")
+
+
 def q_pca_embeddings(sf_dir: str):
     """Distributed exact PCA (§ embeddings): one d²-sized moment
     all-reduce + one broadcast projection pass; no shuffle, no driver
@@ -1535,6 +1564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_terms": q_heavy_hitter_terms,
         "kmeans_embeddings": q_kmeans_embeddings,
         "pca_embeddings": q_pca_embeddings,
+        "overlap_click_purchase": q_overlap_click_purchase,
         "events_hopping": q_events_hopping,
         "stratified_sample_events": q_stratified_sample_events,
         "price_quartiles": q_price_quartiles,
@@ -1811,6 +1841,18 @@ def oracle_sql() -> dict[str, str]:
         "urgent_orders_pruned": """
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_orderpriority = '1-URGENT'
+        """,
+        "overlap_click_purchase": """
+            WITH c AS (SELECT user_id, event_id AS click_id,
+                              epoch_us(ts) AS cts
+                       FROM events WHERE event_type = 'click'),
+                 p AS (SELECT user_id, event_id AS purchase_id,
+                              epoch_us(ts) AS pts
+                       FROM events WHERE event_type = 'purchase')
+            SELECT click_id, purchase_id
+            FROM c JOIN p ON c.user_id = p.user_id
+             AND p.pts <= c.cts + 7200000000
+             AND c.cts <= p.pts + 1800000000
         """,
         "props_value_by_type": """
             SELECT event_type,

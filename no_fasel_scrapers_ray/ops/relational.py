@@ -1461,3 +1461,69 @@ def sessionize_events(events: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
         })
 
     return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def interval_join(left: rd.Dataset, right: rd.Dataset, by: str,
+                  l_id: str, l_start: str, l_end: str,
+                  r_id: str, r_start: str, r_end: str,
+                  bin_width: int, l_alias: str, r_alias: str,
+                  n_buckets: int = 64) -> rd.Dataset:
+    """Interval-OVERLAP join (the theta-join family ``asof_join`` and
+    ``range_count_join`` don't cover): emit one ``(l_id, r_id)`` pair
+    for every left/right row sharing ``by`` whose CLOSED intervals
+    intersect — ``r_start ≤ l_end AND l_start ≤ r_end``.
+
+    Binned-replication shape (the classic distributed interval join):
+    each row is replicated into every ``bin_width``-wide time bin its
+    interval spans (``span // bin_width + 1`` copies — pick bin_width
+    near the typical interval length to keep that factor ~2), any
+    overlapping pair shares at least one bin, and the pair is emitted
+    ONLY in bin ``max(l_start, r_start) // bin_width`` — the first bin
+    where both are present — so output is exactly-once with no distinct
+    pass. ONE composite-key bucket shuffle on ``hash(by, bin)``; the
+    per-bucket pass is a vectorized pandas merge + predicate filter.
+    Fan-out is bounded by rows-per-(key, bin), so a hot key is spread
+    across its time bins rather than colliding in one group."""
+
+    def replicate(id_col, s_col, e_col, side):
+        def rep(b: pd.DataFrame) -> pd.DataFrame:
+            s = b[s_col].to_numpy(dtype=np.int64)
+            e = b[e_col].to_numpy(dtype=np.int64)
+            b0, b1 = s // bin_width, e // bin_width
+            counts = (b1 - b0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(b)), counts)
+            offs = (np.arange(int(counts.sum()))
+                    - np.repeat(np.cumsum(counts) - counts, counts))
+            out = pd.DataFrame({
+                by: b[by].to_numpy()[idx],
+                "__bin": b0[idx] + offs,
+                "__id": b[id_col].to_numpy()[idx],
+                "__s": s[idx], "__e": e[idx],
+                "__side": side,
+            })
+            out["__bucket"] = stable_bucket_cols(out, [by, "__bin"],
+                                                 n_buckets)
+            return out
+        return rep
+
+    tagged = (left.map_batches(replicate(l_id, l_start, l_end, "l"),
+                               batch_format="pandas")
+              .union(right.map_batches(replicate(r_id, r_start, r_end, "r"),
+                                       batch_format="pandas")))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "l"]
+        r = g[g["__side"] == "r"]
+        if l.empty or r.empty:
+            return pd.DataFrame({l_alias: pd.Series([], dtype="int64"),
+                                 r_alias: pd.Series([], dtype="int64")})
+        m = l.merge(r, on=[by, "__bin"], suffixes=("_l", "_r"))
+        keep = ((m["__s_r"] <= m["__e_l"]) & (m["__s_l"] <= m["__e_r"])
+                & (m["__bin"] == np.maximum(m["__s_l"], m["__s_r"])
+                   // bin_width))
+        out = m.loc[keep]
+        return pd.DataFrame({l_alias: out["__id_l"].to_numpy(),
+                             r_alias: out["__id_r"].to_numpy()})
+
+    return (tagged.groupby("__bucket")
+            .map_groups(join_bucket, batch_format="pandas"))
