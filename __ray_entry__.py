@@ -2095,7 +2095,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_tokens BETWEEN 20 AND 80
                              AND mean_len_milli >= 4300
                              AND stop_permille <= 160
-                        THEN 1 ELSE 0 END AS keep
+                        THEN CAST(1 AS BIGINT) ELSE 0 END AS keep
             FROM f
         """,
         # exact oracle: valid because the MG candidate pass is a
