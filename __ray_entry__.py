@@ -1150,6 +1150,43 @@ def q_overlap_click_purchase(sf_dir: str):
                          l_alias="click_id", r_alias="purchase_id")
 
 
+def q_pagerank_cust_supp(sf_dir: str):
+    """Fixed-iteration PageRank (§ graph operators) over the directed
+    customer→supplier fulfillment graph: distinct (o_custkey,
+    l_suppkey) pairs via the orders⋈lineitem bucketed join, supplier
+    ids offset into their own node space. 5 damped iterations with
+    uniform dangling-mass redistribution — suppliers have no
+    out-edges, so the dangling path is exercised every iteration.
+    Oracle: the same 5 iterations unrolled as chained CTEs in DuckDB;
+    both sides round to 6 dp (cross-engine FP noise ~1e-15)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.graph import pagerank
+    from no_fasel_scrapers_ray.ops.relational import (
+        bucketed_join, preagg_reduce, round_columns)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                   rows_per_block=65536)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"],
+               rows_per_block=65536)
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].to_numpy(),
+            "dst": b["l_suppkey"].to_numpy() + 10_000_000})
+
+    j = bucketed_join(li.map_batches(li_prep, batch_format="pandas"),
+                      orders, on="o_orderkey", how="inner")
+
+    def to_edge(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": b["o_custkey"].to_numpy(),
+                             "dst": b["dst"].to_numpy(),
+                             "one": np.ones(len(b), dtype=np.int64)})
+
+    edges = preagg_reduce(j.map_batches(to_edge, batch_format="pandas"),
+                          ["src", "dst"], "one", "min").drop_columns(["one"])
+    return round_columns(pagerank(edges, damping=0.85, iters=5),
+                         {"rank": 6})
+
+
 def q_pca_embeddings(sf_dir: str):
     """Distributed exact PCA (§ embeddings): one d²-sized moment
     all-reduce + one broadcast projection pass; no shuffle, no driver
@@ -1564,6 +1601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_terms": q_heavy_hitter_terms,
         "kmeans_embeddings": q_kmeans_embeddings,
         "pca_embeddings": q_pca_embeddings,
+        "pagerank_cust_supp": q_pagerank_cust_supp,
         "overlap_click_purchase": q_overlap_click_purchase,
         "events_hopping": q_events_hopping,
         "stratified_sample_events": q_stratified_sample_events,
@@ -1841,6 +1879,85 @@ def oracle_sql() -> dict[str, str]:
         "urgent_orders_pruned": """
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_orderpriority = '1-URGENT'
+        """,
+        # PageRank: the engine's 5 damped iterations unrolled as
+        # chained CTEs — per iteration one dangling-mass anti-join sum
+        # (dK) and one contribution aggregate (cK), exactly the
+        # engine's update rule. round(6) absorbs cross-engine FP
+        # summation-order noise (~1e-15).
+        "pagerank_cust_supp": """
+            WITH e AS (
+                SELECT DISTINCT o_custkey AS src,
+                       10000000 + l_suppkey AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS deg
+                    FROM e GROUP BY src),
+            r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r
+                   FROM nodes),
+            d1 AS (SELECT COALESCE(SUM(r.r), 0) AS dang FROM r0 r
+                   LEFT JOIN deg d ON r.node = d.node
+                   WHERE d.node IS NULL),
+            c1 AS (SELECT e.dst AS node, SUM(r.r / d.deg) AS contrib
+                   FROM e JOIN r0 r ON e.src = r.node
+                   JOIN deg d ON e.src = d.node GROUP BY e.dst),
+            r1 AS (SELECT nd.node,
+                          (1.0 - 0.85) / (SELECT n FROM nn)
+                          + 0.85 * (COALESCE(c.contrib, 0)
+                                    + (SELECT dang FROM d1)
+                                      / (SELECT n FROM nn)) AS r
+                   FROM nodes nd LEFT JOIN c1 c ON nd.node = c.node),
+            d2 AS (SELECT COALESCE(SUM(r.r), 0) AS dang FROM r1 r
+                   LEFT JOIN deg d ON r.node = d.node
+                   WHERE d.node IS NULL),
+            c2 AS (SELECT e.dst AS node, SUM(r.r / d.deg) AS contrib
+                   FROM e JOIN r1 r ON e.src = r.node
+                   JOIN deg d ON e.src = d.node GROUP BY e.dst),
+            r2 AS (SELECT nd.node,
+                          (1.0 - 0.85) / (SELECT n FROM nn)
+                          + 0.85 * (COALESCE(c.contrib, 0)
+                                    + (SELECT dang FROM d2)
+                                      / (SELECT n FROM nn)) AS r
+                   FROM nodes nd LEFT JOIN c2 c ON nd.node = c.node),
+            d3 AS (SELECT COALESCE(SUM(r.r), 0) AS dang FROM r2 r
+                   LEFT JOIN deg d ON r.node = d.node
+                   WHERE d.node IS NULL),
+            c3 AS (SELECT e.dst AS node, SUM(r.r / d.deg) AS contrib
+                   FROM e JOIN r2 r ON e.src = r.node
+                   JOIN deg d ON e.src = d.node GROUP BY e.dst),
+            r3 AS (SELECT nd.node,
+                          (1.0 - 0.85) / (SELECT n FROM nn)
+                          + 0.85 * (COALESCE(c.contrib, 0)
+                                    + (SELECT dang FROM d3)
+                                      / (SELECT n FROM nn)) AS r
+                   FROM nodes nd LEFT JOIN c3 c ON nd.node = c.node),
+            d4 AS (SELECT COALESCE(SUM(r.r), 0) AS dang FROM r3 r
+                   LEFT JOIN deg d ON r.node = d.node
+                   WHERE d.node IS NULL),
+            c4 AS (SELECT e.dst AS node, SUM(r.r / d.deg) AS contrib
+                   FROM e JOIN r3 r ON e.src = r.node
+                   JOIN deg d ON e.src = d.node GROUP BY e.dst),
+            r4 AS (SELECT nd.node,
+                          (1.0 - 0.85) / (SELECT n FROM nn)
+                          + 0.85 * (COALESCE(c.contrib, 0)
+                                    + (SELECT dang FROM d4)
+                                      / (SELECT n FROM nn)) AS r
+                   FROM nodes nd LEFT JOIN c4 c ON nd.node = c.node),
+            d5 AS (SELECT COALESCE(SUM(r.r), 0) AS dang FROM r4 r
+                   LEFT JOIN deg d ON r.node = d.node
+                   WHERE d.node IS NULL),
+            c5 AS (SELECT e.dst AS node, SUM(r.r / d.deg) AS contrib
+                   FROM e JOIN r4 r ON e.src = r.node
+                   JOIN deg d ON e.src = d.node GROUP BY e.dst),
+            r5 AS (SELECT nd.node,
+                          (1.0 - 0.85) / (SELECT n FROM nn)
+                          + 0.85 * (COALESCE(c.contrib, 0)
+                                    + (SELECT dang FROM d5)
+                                      / (SELECT n FROM nn)) AS r
+                   FROM nodes nd LEFT JOIN c5 c ON nd.node = c.node)
+            SELECT node, round(r, 6) AS "rank" FROM r5
         """,
         "overlap_click_purchase": """
             WITH c AS (SELECT user_id, event_id AS click_id,

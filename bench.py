@@ -58,7 +58,7 @@ BENCH_QUERIES = [
     "curate_documents", "props_value_by_type", "urgent_orders_pruned",
     "cust_order_stats",
     "lead_purchase_gap", "order_value_pctiles", "first_last_purchase",
-    "pca_embeddings", "overlap_click_purchase",
+    "pca_embeddings", "overlap_click_purchase", "pagerank_cust_supp",
 ]
 
 

@@ -184,3 +184,129 @@ def connected_components(pairs: rd.Dataset, col_a: str, col_b: str,
     return labels.map_batches(
         lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}),
         batch_format="pyarrow")
+
+
+def _driver_pagerank(src: np.ndarray, dst: np.ndarray, damping: float,
+                     iters: int) -> pa.Table:
+    """Power iteration over an edge list small enough for the driver
+    (the same size cutover as ``connected_components``). Vectorized:
+    per-iteration contribution scatter via ``np.add.at``."""
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    n = len(nodes)
+    s, d = inv[:len(src)], inv[len(src):]
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, s, 1)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = rank[deg == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, d, rank[s] / deg[s])
+        rank = (1.0 - damping) / n + damping * (contrib + dang / n)
+    return pa.table({"node": nodes, "rank": rank})
+
+
+def pagerank(edges: rd.Dataset, damping: float = 0.85, iters: int = 5,
+             n_buckets: int = 64,
+             small_threshold: int = 1 << 18) -> rd.Dataset:
+    """Fixed-iteration PageRank over a directed edge list
+    ``(src, dst)`` — the crawl-native ranking (which pages matter in a
+    link graph). Dangling mass (nodes with no out-edges) is
+    redistributed uniformly each iteration, so total rank mass stays
+    exactly 1; rank of a node with no in-links converges to the
+    teleport floor plus its dangling share.
+
+    Scale shape: degrees and the node universe are built once with
+    bucketed partial aggregates; each iteration is ONE big bucketed
+    join (ranks ⋈ edges on src — moves (node, rank, deg) pairs and
+    edges, never payloads), one bucketed sum-reduce of the
+    contributions, one small left join back to the static node list,
+    and one streaming scalar (the dangling mass). Ranks — the only
+    cross-iteration state — are materialized per iteration, a
+    2-column dataset. Below ``small_threshold`` edges, a driver
+    power iteration replaces ~4 shuffles/iteration of task-launch
+    overhead (same cutover argument as ``connected_components``)."""
+    from .relational import bucketed_join, preagg_reduce
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "rank": pa.array([], pa.float64())}))
+    if n_edges <= small_threshold:
+        df = edges.to_pandas()
+        return rd.from_arrow(_driver_pagerank(
+            df["src"].to_numpy(dtype=np.int64),
+            df["dst"].to_numpy(dtype=np.int64), damping, iters))
+
+    # static: out-degree per src, and the distinct node universe
+    deg = preagg_reduce(
+        edges.map_batches(lambda b: pd.DataFrame({"node": b["src"]}),
+                          batch_format="pandas"),
+        ["node"], "deg", "count", n_buckets=n_buckets)
+
+    def all_nodes(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": pd.unique(np.concatenate(
+            [b["src"].to_numpy(dtype=np.int64),
+             b["dst"].to_numpy(dtype=np.int64)]))})
+
+    nodes = preagg_reduce(
+        edges.map_batches(all_nodes, batch_format="pandas")
+        .map_batches(lambda b: b.assign(one=np.int64(1)),
+                     batch_format="pandas"),
+        ["node"], "one", "min", n_buckets=n_buckets)
+    base = bucketed_join(nodes, deg, on="node",
+                         n_buckets=n_buckets, how="left")
+
+    def init(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": b["node"].to_numpy(dtype=np.int64),
+            "deg": b["deg"].fillna(0).to_numpy(dtype=np.int64)})
+
+    base = base.map_batches(init, batch_format="pandas").materialize()
+    n_nodes = base.count()
+
+    ranks = base.map_batches(
+        lambda b: b.assign(rank=1.0 / n_nodes), batch_format="pandas"
+    ).materialize()
+
+    def to_src_rank(b: pd.DataFrame) -> pd.DataFrame:
+        # only rank-carrying srcs matter for the edge join; deg > 0 by
+        # construction for every src
+        keep = b[b["deg"] > 0]
+        return pd.DataFrame({"node": keep["node"].to_numpy(),
+                             "share": keep["rank"].to_numpy()
+                             / keep["deg"].to_numpy()})
+
+    for _ in range(iters):
+        dang = float(ranks.map_batches(
+            lambda b: pd.DataFrame(
+                {"d": [float(b.loc[b["deg"] == 0, "rank"].sum())]}),
+            batch_format="pandas").sum("d"))
+        shares = ranks.map_batches(to_src_rank, batch_format="pandas")
+        ej = bucketed_join(
+            edges.map_batches(lambda b: pd.DataFrame(
+                {"node": b["src"], "dst": b["dst"]}),
+                batch_format="pandas"),
+            shares, on="node", n_buckets=n_buckets, how="inner")
+        contribs = ej.map_batches(
+            lambda b: pd.DataFrame({"node": b["dst"].to_numpy(),
+                                    "contrib": b["share"].to_numpy()}),
+            batch_format="pandas")
+        agg = preagg_reduce(contribs, ["node"], "contrib", how="sum",
+                            n_buckets=n_buckets)
+        joined = bucketed_join(base, agg, on="node",
+                               n_buckets=n_buckets, how="left")
+
+        def renew(b: pd.DataFrame) -> pd.DataFrame:
+            c = b["contrib"].fillna(0.0).to_numpy(dtype=np.float64)
+            return pd.DataFrame({
+                "node": b["node"].to_numpy(dtype=np.int64),
+                "deg": b["deg"].to_numpy(dtype=np.int64),
+                "rank": (1.0 - damping) / n_nodes
+                        + damping * (c + dang / n_nodes)})
+
+        ranks = joined.map_batches(renew, batch_format="pandas").materialize()
+
+    return ranks.map_batches(
+        lambda b: pa.table({"node": b["node"], "rank": b["rank"]}),
+        batch_format="pyarrow")

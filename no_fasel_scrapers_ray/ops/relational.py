@@ -565,8 +565,8 @@ def preagg_reduce(ds: rd.Dataset, keys: list[str], col: str, how: str,
                   n_buckets: int = 64) -> rd.Dataset:
     """groupby(keys).agg(how(col)) as a two-stage bucketed hash
     aggregate (per-batch partials → bucket shuffle → per-bucket final).
-    ``how``: 'min' | 'max' | 'count' ('count' counts rows per key; the
-    final combine sums partial counts). Use instead of
+    ``how``: 'min' | 'max' | 'sum' | 'count' ('count' counts rows per
+    key; the final combine sums partial counts). Use instead of
     ``Dataset.groupby(...).aggregate(...)`` whenever key cardinality is
     O(rows) — the near-dup pair dedup hit 17 CPU-minutes in Ray's
     sort-based Aggregate on ~2M distinct pair keys; this shape does the

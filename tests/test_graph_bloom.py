@@ -137,3 +137,30 @@ def test_cc_fast_path_equals_distributed_path():
     fast = cc_dict(pairs, small_threshold=1 << 18)
     dist = cc_dict(pairs, small_threshold=0)
     assert fast == dist
+
+
+def test_pagerank_paths_agree_and_handle_dangling():
+    """Distributed PageRank must match the driver power iteration
+    bit-near (same update rule) on a graph with a dangling sink, and
+    rank mass must stay exactly 1."""
+    from no_fasel_scrapers_ray.ops.graph import _driver_pagerank, pagerank
+    # star into node 9 (dangling: no out-edges) + a 2-cycle
+    edges = pd.DataFrame({"src": [1, 2, 3, 4, 5, 6, 6, 7],
+                          "dst": [9, 9, 9, 9, 9, 7, 1, 6]})
+    ref = _driver_pagerank(edges["src"].to_numpy(np.int64),
+                          edges["dst"].to_numpy(np.int64),
+                          0.85, 5).to_pandas().sort_values(
+        "node", ignore_index=True)
+    ds = rd.from_pandas(edges).repartition(3)
+    for kw in ({}, {"small_threshold": 0, "n_buckets": 4}):
+        got = pagerank(ds, 0.85, 5, **kw).to_pandas().sort_values(
+            "node", ignore_index=True)
+        assert got["node"].tolist() == ref["node"].tolist()
+        np.testing.assert_allclose(got["rank"], ref["rank"],
+                                   rtol=0, atol=1e-12)
+        assert abs(got["rank"].sum() - 1.0) < 1e-12
+    # the sink must out-rank every spoke; spokes sit at the teleport
+    # floor + dangling share (no in-links)
+    r = dict(zip(ref["node"], ref["rank"]))
+    assert r[9] == max(r.values())
+    assert r[2] == r[3] == r[4] == r[5]
