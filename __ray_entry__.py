@@ -1150,6 +1150,83 @@ def q_overlap_click_purchase(sf_dir: str):
                          l_alias="click_id", r_alias="purchase_id")
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (§ composed pipelines): users bucketed
+    by FIRST-activity week; for each (cohort_week, week_offset) the
+    number of cohort members active that week. Pure composition of
+    existing bucketed shapes — distinct (user, week) partial-agg,
+    per-user min-reduce for the cohort, one user-key join, one count
+    reduce — all-integer week arithmetic so the hash is exact."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        bucketed_join, preagg_reduce)
+    WEEK_US = 604_800_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts"], rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        wk = (b["ts"].astype("datetime64[us]").astype("int64")
+              // WEEK_US)
+        return pd.DataFrame({"user_id": b["user_id"].to_numpy(),
+                             "wk": wk.to_numpy()})
+
+    weeks = ev.map_batches(prep, batch_format="pandas")
+    # distinct (user, week) once; reuse for BOTH the cohort min and
+    # the activity side of the join
+    active = preagg_reduce(
+        weeks.map_batches(lambda b: b.assign(one=np.int64(1)),
+                          batch_format="pandas"),
+        ["user_id", "wk"], "one", "min").drop_columns(["one"])
+    cohort = preagg_reduce(
+        active.map_batches(
+            lambda b: pd.DataFrame({"user_id": b["user_id"],
+                                    "cohort_wk": b["wk"]}),
+            batch_format="pandas"),
+        ["user_id"], "cohort_wk", "min")
+    j = bucketed_join(active, cohort, on="user_id", how="inner")
+
+    def offs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cohort_wk": b["cohort_wk"].to_numpy(),
+            "week_offset": (b["wk"] - b["cohort_wk"]).to_numpy()})
+
+    return preagg_reduce(j.map_batches(offs, batch_format="pandas"),
+                         ["cohort_wk", "week_offset"], "n_users", "count")
+
+
+def q_triangle_parts(sf_dir: str):
+    """Global triangle count (§ graph operators) over the part
+    co-occurrence graph (parts sharing an order): distinct-pair build
+    via one order-key bucketed self-join, then
+    ``ops/graph.py::triangle_count`` (degree-oriented compact-forward
+    with a two-tier closing check). Oracle: sorted-id 3-way SQL
+    self-join — each triangle counted once on both engines."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.graph import triangle_count
+    from no_fasel_scrapers_ray.ops.relational import (
+        bucketed_join, preagg_reduce)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=65536)
+    op = preagg_reduce(
+        li.map_batches(lambda b: b.assign(one=np.int64(1)),
+                       batch_format="pandas"),
+        ["l_orderkey", "l_partkey"], "one", "min").drop_columns(["one"])
+
+    def side(col: str):
+        def _p(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"k": b["l_orderkey"].to_numpy(),
+                                 col: b["l_partkey"].to_numpy()})
+        return op.map_batches(_p, batch_format="pandas")
+
+    pairs = bucketed_join(side("a"), side("b"), on="k", how="inner")
+    edges = preagg_reduce(
+        pairs.map_batches(
+            lambda b: b.loc[b["a"] < b["b"], ["a", "b"]]
+            .assign(one=np.int64(1)), batch_format="pandas"),
+        ["a", "b"], "one", "min").drop_columns(["one"])
+    return pd.DataFrame({"n_triangles":
+                         np.array([triangle_count(edges)], dtype=np.int64)})
+
+
 def q_pagerank_cust_supp(sf_dir: str):
     """Fixed-iteration PageRank (§ graph operators) over the directed
     customer→supplier fulfillment graph: distinct (o_custkey,
@@ -1602,6 +1679,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "pca_embeddings": q_pca_embeddings,
         "pagerank_cust_supp": q_pagerank_cust_supp,
+        "cohort_retention": q_cohort_retention,
+        "triangle_parts": q_triangle_parts,
         "overlap_click_purchase": q_overlap_click_purchase,
         "events_hopping": q_events_hopping,
         "stratified_sample_events": q_stratified_sample_events,
@@ -1879,6 +1958,33 @@ def oracle_sql() -> dict[str, str]:
         "urgent_orders_pruned": """
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_orderpriority = '1-URGENT'
+        """,
+        # triangle count: sorted-id 3-way self-join — each triangle
+        # (p1<p2<p3) counted once, matching the engine's one-count-per-
+        # minimum-degree-vertex orientation
+        "triangle_parts": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+                 e AS (SELECT DISTINCT a.l_partkey AS pa,
+                              b.l_partkey AS pb
+                       FROM op a JOIN op b
+                         ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey)
+            SELECT COUNT(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+            JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+        """,
+        "cohort_retention": """
+            WITH w AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 604800000000 AS wk
+                       FROM events),
+                 c AS (SELECT user_id, MIN(wk) AS cohort_wk
+                       FROM w GROUP BY user_id)
+            SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset,
+                   COUNT(*) AS n_users
+            FROM w JOIN c ON w.user_id = c.user_id
+            GROUP BY c.cohort_wk, w.wk - c.cohort_wk
         """,
         # PageRank: the engine's 5 damped iterations unrolled as
         # chained CTEs — per iteration one dangling-mass anti-join sum

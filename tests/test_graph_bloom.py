@@ -152,7 +152,12 @@ def test_pagerank_paths_agree_and_handle_dangling():
                           0.85, 5).to_pandas().sort_values(
         "node", ignore_index=True)
     ds = rd.from_pandas(edges).repartition(3)
-    for kw in ({}, {"small_threshold": 0, "n_buckets": 4}):
+    # the three size tiers: driver power iteration, broadcast-ranks
+    # (edges streamed, one shuffle/iter), fully-joined distributed
+    for kw in ({},
+               {"small_threshold": 0, "n_buckets": 4},
+               {"small_threshold": 0, "broadcast_nodes": 0,
+                "n_buckets": 4}):
         got = pagerank(ds, 0.85, 5, **kw).to_pandas().sort_values(
             "node", ignore_index=True)
         assert got["node"].tolist() == ref["node"].tolist()
@@ -164,3 +169,17 @@ def test_pagerank_paths_agree_and_handle_dangling():
     r = dict(zip(ref["node"], ref["rank"]))
     assert r[9] == max(r.values())
     assert r[2] == r[3] == r[4] == r[5]
+
+
+def test_triangle_count_tiers_agree():
+    """Both closing tiers (broadcast membership / bucketed closing
+    join) must count exactly; K4 has 4 triangles, plus a pendant edge
+    and an open wedge contribute none."""
+    from no_fasel_scrapers_ray.ops.graph import triangle_count
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    extra = [(3, 10), (10, 11), (20, 21), (21, 22)]   # pendant + path
+    edges = pd.DataFrame(k4 + extra, columns=["a", "b"])
+    ds = rd.from_pandas(edges).repartition(3)
+    assert triangle_count(ds, n_buckets=4) == 4
+    assert triangle_count(ds, n_buckets=4,
+                          broadcast_edge_threshold=0) == 4
