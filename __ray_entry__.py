@@ -1475,6 +1475,104 @@ def q_price_quartiles(sf_dir: str):
     return pd.DataFrame({"q25": [q25], "q50": [q50], "q75": [q75]})
 
 
+def q_doc_repetition(sf_dir: str):
+    """Intra-document repetition (§ text quality, the Gopher
+    duplicate-n-gram filter): per doc, the permille of word-3-gram
+    occurrences that are repeats of an earlier gram in the SAME doc.
+    Pure per-batch vectorized pandas — explode tokens once, build
+    grams from shifted token columns (no per-doc Python loop), then a
+    per-doc nunique. Integer permille so the oracle hash is exact;
+    docs with <3 tokens score 0."""
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rep(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split(" ")
+        flat = toks.explode()
+        d = pd.DataFrame({"doc": flat.index.to_numpy(),
+                          "t0": flat.to_numpy()})
+        d["t1"] = d["t0"].shift(-1)
+        d["t2"] = d["t0"].shift(-2)
+        dd = d["doc"]
+        same = dd.eq(dd.shift(-1)) & dd.eq(dd.shift(-2))
+        g = d[same].copy()
+        g["gram"] = g["t0"] + " " + g["t1"] + " " + g["t2"]
+        stats = g.groupby("doc")["gram"].agg(["size", "nunique"])
+        total = stats["size"].reindex(range(len(b)), fill_value=0)
+        uniq = stats["nunique"].reindex(range(len(b)), fill_value=0)
+        permille = np.zeros(len(b), dtype=np.int64)
+        nz = total.to_numpy() > 0
+        permille[nz] = (1000 * (total.to_numpy()[nz]
+                                - uniq.to_numpy()[nz])
+                        // total.to_numpy()[nz])
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "rep_permille": permille})
+
+    def rep_reset(b: pd.DataFrame) -> pd.DataFrame:
+        return rep(b.reset_index(drop=True))
+
+    return docs.map_batches(rep_reset, batch_format="pandas")
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted index build (§ text/IR): term → document-frequency +
+    comma-joined sorted postings, for terms in ≥ 20 docs. ONE term-
+    bucket shuffle: per-batch distinct (term, doc) partials prune the
+    map side, the per-bucket pass re-dedupes, counts df and joins
+    postings in doc_id order. Oracle: string_agg(... ORDER BY) with
+    HAVING on the same distinct pairs."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import stable_bucket_cols
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split(" ")
+        flat = toks.explode()
+        d = pd.DataFrame({
+            "term": flat.to_numpy(),
+            "doc_id": b["doc_id"].to_numpy()[
+                flat.index.to_numpy()]}).drop_duplicates()
+        d = d.reset_index(drop=True)
+        return d.assign(__bucket=stable_bucket_cols(d, ["term"], 64))
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns="__bucket").drop_duplicates()
+             .sort_values(["term", "doc_id"], kind="stable"))
+        g["doc_s"] = g["doc_id"].astype(str)
+        r = g.groupby("term", sort=False).agg(
+            df=("doc_id", "size"), postings=("doc_s", ",".join)
+        ).reset_index()
+        return r[r["df"] >= 20]
+
+    def pairs_reset(b: pd.DataFrame) -> pd.DataFrame:
+        return pairs(b.reset_index(drop=True))
+
+    return (docs.map_batches(pairs_reset, batch_format="pandas")
+            .groupby("__bucket").map_groups(build, batch_format="pandas"))
+
+
+def q_approx_price_quartiles(sf_dir: str):
+    """Mergeable quantile DIGEST (§ sketches): the one-pass scale twin
+    of `price_quartiles` — per-batch weighted-centroid compression,
+    one digest-row shuffle, driver final merge; state is k centroids
+    no matter the row count (the HLL-vs-exact-distinct trade, applied
+    to quantiles). No SQL oracle by design (approximate); the rank-
+    error envelope vs the exact selection path is pinned in
+    tests/test_sketch.py."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.sketch import approx_quantiles
+    orders = _read(sf_dir, "orders", ["o_totalprice"], rows_per_block=65536)
+    cents = orders.map_batches(
+        lambda b: pd.DataFrame(
+            {"cents": (b["o_totalprice"] * 100).round().astype("int64")}),
+        batch_format="pandas")
+    q25, q50, q75 = approx_quantiles(cents, "cents", [0.25, 0.5, 0.75])
+    return pd.DataFrame({"q25": [q25], "q50": [q50], "q75": [q75]})
+
+
 def q_cosine_near_dup_exact(sf_dir: str):
     """Exact blocked all-pairs cosine — the hash-verified baseline for
     the approximate cosine_near_dup path (full DuckDB oracle)."""
@@ -1651,6 +1749,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_qty_price": q_corr_qty_price,
         "top_terms": q_top_terms,
         "approx_distinct_users": q_approx_distinct_users,
+        "approx_price_quartiles": q_approx_price_quartiles,
+        "doc_repetition": q_doc_repetition,
+        "inverted_index": q_inverted_index,
         "global_median_price": q_global_median_price,
         "nation_customer_list": q_nation_customer_list,
         "funnel_click_purchase": q_funnel_click_purchase,
@@ -1974,6 +2075,32 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
             JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+        """,
+        "doc_repetition": """
+            WITH s AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+                 g AS (SELECT doc_id,
+                              CASE WHEN len(w) >= 3 THEN
+                                list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' '
+                                       || w[i+2])
+                              ELSE [] END AS grams
+                       FROM s)
+            SELECT doc_id,
+                   CASE WHEN len(grams) > 0 THEN
+                     CAST(1000 * (len(grams) - len(list_distinct(grams)))
+                          // len(grams) AS BIGINT)
+                   ELSE 0 END AS rep_permille
+            FROM g
+        """,
+        "inverted_index": """
+            WITH t AS (SELECT DISTINCT d.doc_id, u.term
+                       FROM documents d,
+                            UNNEST(string_split(d.text, ' ')) AS u(term))
+            SELECT term, COUNT(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM t GROUP BY term HAVING COUNT(*) >= 20
         """,
         "cohort_retention": """
             WITH w AS (SELECT DISTINCT user_id,

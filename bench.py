@@ -59,7 +59,8 @@ BENCH_QUERIES = [
     "cust_order_stats",
     "lead_purchase_gap", "order_value_pctiles", "first_last_purchase",
     "pca_embeddings", "overlap_click_purchase", "pagerank_cust_supp",
-    "cohort_retention", "triangle_parts",
+    "cohort_retention", "triangle_parts", "approx_price_quartiles",
+    "doc_repetition", "inverted_index",
 ]
 
 

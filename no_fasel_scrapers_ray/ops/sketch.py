@@ -229,3 +229,83 @@ def heavy_hitter_terms(docs: rd.Dataset, topn: int = 20,
         docs.map_batches(recount, batch_format="pandas"),
         ["term"], {"n": "n"}, n_buckets=n_buckets)
     return exact.sort(["n", "term"], descending=[True, False]).limit(topn)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile digest (t-digest-style weighted centroids)
+# ---------------------------------------------------------------------------
+#
+# The exact quantile operators (global_quantile_disc/cont) are multi-pass
+# distributed selections — exact, but each refinement pass re-scans the
+# column. At 10^13 rows the scale path is the sketch twin: ONE streaming
+# pass, constant-size mergeable state (<= k weighted centroids per
+# partial), a tree reduce that moves kilobytes, and rank error bounded
+# by W/k per merge level. Same trade as HLL vs exact count-distinct.
+
+def _compress_centroids(vals: np.ndarray, wts: np.ndarray,
+                        k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge sorted weighted centroids down to <= k by equal
+    cumulative-weight slicing (uniform delta; value = weighted mean of
+    the slice). Inputs must be sorted by value."""
+    if len(vals) <= k:
+        return vals, wts
+    cum = np.cumsum(wts)
+    total = cum[-1]
+    # slice boundaries at equal weight; searchsorted keeps slices
+    # contiguous in rank space
+    edges = np.searchsorted(cum, np.linspace(0, total, k + 1)[1:-1],
+                            side="left")
+    slices = [s for s in np.split(np.arange(len(vals)), np.unique(edges))
+              if len(s)]
+    out_v = np.empty(len(slices)); out_w = np.empty(len(slices))
+    for i, s in enumerate(slices):
+        w = wts[s]
+        out_w[i] = w.sum()
+        out_v[i] = float(np.dot(vals[s], w) / out_w[i])
+    return out_v, out_w
+
+
+def approx_quantiles(ds: rd.Dataset, col: str, qs: list[float],
+                     k: int = 256, n_buckets: int = 32) -> list[float]:
+    """Approximate quantiles of ``ds[col]`` from one streaming pass.
+
+    Shape: per-batch sort+compress to <= k centroids (map side), a
+    bucketed merge-compress of the partials (ONE shuffle of digest
+    rows, volume = batches x k rows regardless of data size), and a
+    driver-side final merge of <= n_buckets digests. Rank error is
+    O(W/k) per merge level — the envelope is pinned against the exact
+    selection-based quantiles in tests/test_sketch.py."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(b[col].to_numpy(dtype=np.float64))
+        cv, cw = _compress_centroids(v, np.ones(len(v)), k)
+        # deterministic partial->bucket spread (content-hashed, so the
+        # tree shape is reproducible across runs and worker layouts)
+        tag = int(pd.util.hash_array(cv).sum() % n_buckets)
+        return pd.DataFrame({
+            "v": cv, "w": cw,
+            "__bucket": np.full(len(cv), tag, dtype=np.int64)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["v"].to_numpy(), kind="stable")
+        cv, cw = _compress_centroids(g["v"].to_numpy()[order],
+                                     g["w"].to_numpy()[order], k)
+        return pd.DataFrame({"v": cv, "w": cw})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("__bucket").map_groups(merge, batch_format="pandas")
+             .to_pandas())
+    if parts.empty:
+        return [float("nan")] * len(qs)
+    order = np.argsort(parts["v"].to_numpy(), kind="stable")
+    cv, cw = _compress_centroids(parts["v"].to_numpy()[order],
+                                 parts["w"].to_numpy()[order], k)
+    # midpoint-rank interpolation (t-digest convention)
+    cum = np.cumsum(cw)
+    total = cum[-1]
+    mids = cum - cw / 2.0
+    out = []
+    for q in qs:
+        target = q * total
+        out.append(float(np.interp(target, mids, cv)))
+    return out

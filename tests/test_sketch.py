@@ -106,3 +106,32 @@ def test_heavy_hitters_tie_break_on_boundary():
                              k_counters=1024).to_pandas()
     assert got["term"].tolist() == [f"w{j:03d}" for j in range(5)]
     assert got["n"].tolist() == [3] * 5
+
+
+def test_approx_quantiles_rank_error_envelope():
+    """Digest quantiles must land within 1% rank error of the exact
+    order statistics, on both uniform and heavy-tailed data, across a
+    multi-block layout that forces real merges."""
+    import ray.data as rd
+    from no_fasel_scrapers_ray.ops.sketch import approx_quantiles
+    rng = np.random.RandomState(11)
+    n = 200_000
+    for vals in (rng.uniform(0, 1e6, n),
+                 rng.lognormal(0, 2.5, n)):
+        s = np.sort(vals)
+        ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(16)
+        qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+        got = approx_quantiles(ds, "x", qs, k=256)
+        for q, g in zip(qs, got):
+            # rank of the estimate vs target rank
+            r = np.searchsorted(s, g) / n
+            assert abs(r - q) < 0.01, (q, g, r)
+
+
+def test_approx_quantiles_exact_on_tiny_input():
+    import ray.data as rd
+    from no_fasel_scrapers_ray.ops.sketch import approx_quantiles
+    ds = rd.from_pandas(pd.DataFrame({"x": [10.0, 20.0, 30.0, 40.0]}))
+    got = approx_quantiles(ds, "x", [0.0, 1.0], k=64)
+    # with n << k nothing is compressed: min/max are exact
+    assert got[0] == 10.0 and got[1] == 40.0

@@ -1,0 +1,47 @@
+"""Edge cases for the round-2 text additions (doc_repetition,
+inverted_index, approx quantile digest happy path is in test_sketch).
+The sf-corpus happy paths are oracle-gated in test_queries_vs_duckdb."""
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+import __ray_entry__ as entrymod  # noqa: E402
+
+
+def _write_docs(tmp_path, texts):
+    pq.write_table(pa.table({"doc_id": list(range(len(texts))),
+                             "text": texts}),
+                   str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_doc_repetition_boundaries(tmp_path):
+    sf = _write_docs(tmp_path, [
+        "a a a a a",        # grams "a a a" x3 -> 1000*2//3 = 666
+        "x y",              # <3 tokens -> 0
+        "p q r",            # single gram -> 0
+        "u v u v u v u v",  # grams: 6 total, 2 distinct -> 666
+        "m n o m n o q",    # 5 grams, "m n o" twice -> 1000*1//5=200
+    ])
+    out = (entrymod.q_doc_repetition(sf).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    assert out["rep_permille"].tolist() == [666, 0, 0, 666, 200]
+    assert out["rep_permille"].dtype == np.int64
+
+
+def test_inverted_index_distinct_and_order(tmp_path):
+    # 'hot' is in 25 docs (>= 20 gate), duplicated within each doc
+    # (postings must still list each doc once); 'cold' is in 3 docs
+    texts = [f"hot hot filler{i}" for i in range(25)] + \
+            ["cold only here"] * 3
+    sf = _write_docs(tmp_path, texts)
+    out = entrymod.q_inverted_index(sf).to_pandas()
+    row = out[out["term"] == "hot"]
+    assert len(row) == 1 and int(row["df"].iloc[0]) == 25
+    assert row["postings"].iloc[0] == ",".join(str(i) for i in range(25))
+    assert "cold" not in set(out["term"])
