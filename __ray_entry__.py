@@ -1475,6 +1475,41 @@ def q_price_quartiles(sf_dir: str):
     return pd.DataFrame({"q25": [q25], "q50": [q50], "q75": [q75]})
 
 
+def q_events_nation_spend(sf_dir: str):
+    """Skew-aware join (§ joins): events ⋈ customer on user key with
+    hot-key isolation — keys above 4× a bucket's fair share are
+    detected from per-batch partial counts, their dim rows broadcast
+    and joined map-side, only the cold remainder is hash-partitioned.
+    On this data the hot set is small-or-empty (mild skew) — the hot
+    path itself is pinned with a zipf corpus in
+    tests/test_window_aggs.py. Exact integer cents."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        preagg_sum_count, skew_aware_join)
+    ev = _read(sf_dir, "events", ["user_id", "value"],
+               rows_per_block=65536)
+
+    def prep_ev(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(),
+            "cents": (b["value"] * 100).round().astype("int64").to_numpy(),
+            "one": np.ones(len(b), dtype=np.int64)})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"],
+                 rows_per_block=65536)
+
+    def prep_c(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["c_custkey"].to_numpy(),
+            "c_nationkey": b["c_nationkey"].to_numpy()})
+
+    j = skew_aware_join(ev.map_batches(prep_ev, batch_format="pandas"),
+                        cust.map_batches(prep_c, batch_format="pandas"),
+                        on="user_id")
+    return preagg_sum_count(j, ["c_nationkey"],
+                            {"one": "n_events", "cents": "total_cents"})
+
+
 def q_doc_repetition(sf_dir: str):
     """Intra-document repetition (§ text quality, the Gopher
     duplicate-n-gram filter): per doc, the permille of word-3-gram
@@ -1751,6 +1786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": q_approx_distinct_users,
         "approx_price_quartiles": q_approx_price_quartiles,
         "doc_repetition": q_doc_repetition,
+        "events_nation_spend": q_events_nation_spend,
         "inverted_index": q_inverted_index,
         "global_median_price": q_global_median_price,
         "nation_customer_list": q_nation_customer_list,
@@ -2075,6 +2111,14 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
             JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+        """,
+        "events_nation_spend": """
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_nationkey
         """,
         "doc_repetition": """
             WITH s AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -60,7 +60,7 @@ BENCH_QUERIES = [
     "lead_purchase_gap", "order_value_pctiles", "first_last_purchase",
     "pca_embeddings", "overlap_click_purchase", "pagerank_cust_supp",
     "cohort_retention", "triangle_parts", "approx_price_quartiles",
-    "doc_repetition", "inverted_index",
+    "doc_repetition", "inverted_index", "events_nation_spend",
 ]
 
 

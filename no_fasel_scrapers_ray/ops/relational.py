@@ -1463,6 +1463,58 @@ def sessionize_events(events: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
     return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def detect_hot_keys(ds: rd.Dataset, on: str, hot_threshold: int,
+                    hot_k: int = 64) -> np.ndarray:
+    """Keys of ``ds[on]`` whose row count is >= ``hot_threshold``,
+    found from per-batch top-``hot_k`` partial counts (Misra-Gries-
+    style: a key above the threshold globally is near the top of most
+    batches, so the partial sum is a tight lower bound; cold keys may
+    be undercounted — irrelevant, they stay cold). Driver state is
+    batches x hot_k rows, independent of key cardinality."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[on].value_counts().head(hot_k)
+        return pd.DataFrame({on: vc.index.to_numpy(),
+                             "n": vc.to_numpy()})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return np.array([], dtype=np.int64)
+    counts = parts.groupby(on)["n"].sum()
+    return counts[counts >= hot_threshold].index.to_numpy()
+
+
+def skew_aware_join(left: rd.Dataset, right: rd.Dataset, on: str,
+                    how: str = "inner", n_buckets: int = 16,
+                    hot_k: int = 64,
+                    skew_factor: int = 4) -> rd.Dataset:
+    """``bucketed_join`` with hot-key isolation — the standard skew
+    recipe. A key carrying more than ``skew_factor``× a bucket's fair
+    share of the LEFT side would serialize that bucket's merge (hash
+    partitioning cannot split one key); such keys are detected with
+    per-batch partial counts, their RIGHT-side rows (contract: the
+    right side is dim-like, bounded rows per key) are broadcast and
+    joined map-side with no shuffle at all, and only the cold
+    remainder goes through the hash-partitioned path. Output is the
+    exact same multiset as a plain join; ``how`` supports 'inner' and
+    'left' (both split cleanly across the hot/cold partition of left
+    rows)."""
+    n_left = left.count()
+    hot = detect_hot_keys(
+        left, on, max(1, (n_left * skew_factor) // max(1, n_buckets)),
+        hot_k=hot_k)
+    if len(hot) == 0:
+        return bucketed_join(left, right, on=on,
+                             n_buckets=n_buckets, how=how)
+    right_hot = semi_join(right, hot, on).to_pandas()
+    hot_part = broadcast_join(semi_join(left, hot, on), right_hot,
+                              on, how=how)
+    cold = bucketed_join(anti_join(left, hot, on),
+                         anti_join(right, hot, on), on=on,
+                         n_buckets=n_buckets, how=how)
+    return hot_part.union(cold)
+
+
 def interval_join(left: rd.Dataset, right: rd.Dataset, by: str,
                   l_id: str, l_start: str, l_end: str,
                   r_id: str, r_start: str, r_end: str,

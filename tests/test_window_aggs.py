@@ -268,3 +268,34 @@ def test_grouped_first_last_combines_partials_across_batches():
     # k=1: first by (ts,tie) is (5,9)→222; last is (10,1)→333
     assert out["f"].tolist() == [222, 7]
     assert out["l"].tolist() == [333, 7]
+
+
+def test_skew_aware_join_hot_path_exact():
+    """A zipf-hot key (half of all left rows) must be detected,
+    broadcast-joined, and the combined output must equal the plain
+    bucketed join row-for-row — for inner AND left."""
+    import ray.data as rd
+    from no_fasel_scrapers_ray.ops.relational import (
+        bucketed_join, detect_hot_keys, skew_aware_join)
+    rng = np.random.RandomState(5)
+    keys = np.concatenate([np.zeros(5000, dtype=np.int64),      # hot
+                           rng.randint(1, 200, 5000)])          # cold
+    rng.shuffle(keys)
+    left = pd.DataFrame({"k": keys, "x": np.arange(10000, dtype=np.int64)})
+    # dim side: keys 0..149 only -> some left keys (150..199) dangle
+    right = pd.DataFrame({"k": np.arange(150, dtype=np.int64),
+                          "y": np.arange(150, dtype=np.int64) * 10})
+    lds = rd.from_pandas(left).repartition(8)
+    rds = rd.from_pandas(right).repartition(2)
+    hot = detect_hot_keys(lds, "k", hot_threshold=2500)
+    assert hot.tolist() == [0]
+    for how in ("inner", "left"):
+        got = skew_aware_join(lds, rds, on="k", how=how,
+                              n_buckets=4).to_pandas()
+        ref = bucketed_join(lds, rds, on="k", how=how,
+                            n_buckets=4).to_pandas()
+        cols = sorted(got.columns)
+        assert cols == sorted(ref.columns)
+        a = got[cols].sort_values(cols, ignore_index=True)
+        b = ref[cols].sort_values(cols, ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
