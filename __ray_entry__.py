@@ -1475,6 +1475,86 @@ def q_price_quartiles(sf_dir: str):
     return pd.DataFrame({"q25": [q25], "q50": [q50], "q75": [q75]})
 
 
+def q_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 shape (§ composed relational flagship): revenue from
+    lineitems where customer and supplier share a nation, ASIA
+    region, 1996 orders. ONE bucketed shuffle (orders ⋈ lineitem on
+    orderkey, orders date-pruned AT THE READ); customer / supplier /
+    nation / region are dim-sized → broadcast sorted-key arrays, the
+    nation-match + region filter run map-side with searchsorted
+    lookups. Revenue is exact integer cents×percent
+    (ep_cents × (100 − disc_pct)) so both engines hash identically —
+    no float ROUND on 4-decimal products (banker's vs half-away
+    rounding differs exactly at .5)."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+    from no_fasel_scrapers_ray.ops.relational import (
+        broadcast_get, bucketed_join, preagg_sum_count)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate")
+                >= pd.Timestamp("1996-01-01").date())
+        & (pads.field("o_orderdate") < pd.Timestamp("1997-01-01").date()))
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"], rows_per_block=65536)
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas() \
+        .sort_values("c_custkey", ignore_index=True)
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas() \
+        .sort_values("s_suppkey", ignore_index=True)
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = set(nat.merge(reg, left_on="n_regionkey",
+                         right_on="r_regionkey")
+               .query("r_name == 'ASIA'")["n_nationkey"])
+    names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    dims_ref = ray.put((
+        cust["c_custkey"].to_numpy(np.int64),
+        cust["c_nationkey"].to_numpy(np.int64),
+        supp["s_suppkey"].to_numpy(np.int64),
+        supp["s_nationkey"].to_numpy(np.int64),
+        np.array(sorted(asia), dtype=np.int64), names))
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        ep = (b["l_extendedprice"] * 100).round().astype("int64")
+        dp = (b["l_discount"] * 100).round().astype("int64")
+        return pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].to_numpy(),
+            "l_suppkey": b["l_suppkey"].to_numpy(),
+            "rev": (ep * (100 - dp)).to_numpy()})
+
+    j = bucketed_join(li.map_batches(li_prep, batch_format="pandas"),
+                      orders, on="o_orderkey", how="inner")
+
+    def nation_match(b: pd.DataFrame) -> pd.DataFrame:
+        ck, cn, sk, sn, asia_keys, _ = broadcast_get(dims_ref)
+        c_nat = cn[np.searchsorted(ck, b["o_custkey"].to_numpy())]
+        s_nat = sn[np.searchsorted(sk, b["l_suppkey"].to_numpy())]
+        keep = (c_nat == s_nat) & np.isin(c_nat, asia_keys)
+        return pd.DataFrame({"n_nationkey": c_nat[keep],
+                             "rev": b["rev"].to_numpy()[keep]})
+
+    agg = preagg_sum_count(
+        j.map_batches(nation_match, batch_format="pandas"),
+        ["n_nationkey"], {"rev": "revenue_e4"})
+
+    # names attached on the aggregate (≤ |nation| rows), not per lineitem
+    def name_it(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_name": b["n_nationkey"].map(names).astype(object),
+            "revenue_e4": b["revenue_e4"].to_numpy()})
+
+    return agg.map_batches(name_it, batch_format="pandas")
+
+
 def q_events_nation_spend(sf_dir: str):
     """Skew-aware join (§ joins): events ⋈ customer on user key with
     hot-key isolation — keys above 4× a bucket's fair share are
@@ -1787,6 +1867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_price_quartiles": q_approx_price_quartiles,
         "doc_repetition": q_doc_repetition,
         "events_nation_spend": q_events_nation_spend,
+        "local_supplier_revenue": q_local_supplier_revenue,
         "inverted_index": q_inverted_index,
         "global_median_price": q_global_median_price,
         "nation_customer_list": q_nation_customer_list,
@@ -2111,6 +2192,23 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
             JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+        """,
+        # TPC-H Q5 shape; revenue in exact integer cents×percent so no
+        # float rounding rule can diverge between engines
+        "local_supplier_revenue": """
+            SELECT n_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY n_name
         """,
         "events_nation_spend": """
             SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
