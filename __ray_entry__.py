@@ -1204,25 +1204,32 @@ def q_triangle_parts(sf_dir: str):
     from no_fasel_scrapers_ray.ops.graph import triangle_count
     from no_fasel_scrapers_ray.ops.relational import (
         bucketed_join, preagg_reduce)
+    from no_fasel_scrapers_ray.ops.relational import stable_bucket_cols
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
                rows_per_block=65536)
-    op = preagg_reduce(
-        li.map_batches(lambda b: b.assign(one=np.int64(1)),
-                       batch_format="pandas"),
-        ["l_orderkey", "l_partkey"], "one", "min").drop_columns(["one"])
 
-    def side(col: str):
-        def _p(b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"k": b["l_orderkey"].to_numpy(),
-                                 col: b["l_partkey"].to_numpy()})
-        return op.map_batches(_p, batch_format="pandas")
+    # distinct (order, part) + per-order pair generation FUSED into one
+    # orderkey-bucket pass (an order's rows co-locate by construction),
+    # with per-batch and per-bucket dedup partials pruning the shuffle;
+    # one global edge-dedup reduce follows
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"k": b["l_orderkey"].to_numpy(),
+                          "p": b["l_partkey"].to_numpy()}).drop_duplicates()
+        return d.assign(__bucket=stable_bucket_cols(d, ["k"], 64))
 
-    pairs = bucketed_join(side("a"), side("b"), on="k", how="inner")
-    edges = preagg_reduce(
-        pairs.map_batches(
-            lambda b: b.loc[b["a"] < b["b"], ["a", "b"]]
-            .assign(one=np.int64(1)), batch_format="pandas"),
-        ["a", "b"], "one", "min").drop_columns(["one"])
+    def gen_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["k", "p"]].drop_duplicates()
+        m = d.merge(d.rename(columns={"p": "b"}), on="k")
+        m = m.loc[m["p"] < m["b"], ["p", "b"]].drop_duplicates()
+        return pd.DataFrame({"a": m["p"].to_numpy(),
+                             "b": m["b"].to_numpy(),
+                             "one": np.ones(len(m), dtype=np.int64)})
+
+    raw_pairs = (li.map_batches(tag, batch_format="pandas")
+                 .groupby("__bucket")
+                 .map_groups(gen_pairs, batch_format="pandas"))
+    edges = preagg_reduce(raw_pairs, ["a", "b"], "one",
+                          "min").drop_columns(["one"])
     return pd.DataFrame({"n_triangles":
                          np.array([triangle_count(edges)], dtype=np.int64)})
 
