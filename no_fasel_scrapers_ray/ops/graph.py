@@ -22,10 +22,61 @@ would otherwise re-run every prior iteration per pass).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+
+
+# ---------------------------------------------------------------------------
+# Iteration checkpoints (crash-resume for the iterative operators)
+# ---------------------------------------------------------------------------
+# At 100-TB graph scale an iteration is minutes of all-to-all work; a
+# crash at iteration 40 of 50 must not redo 1-39. State per iteration is
+# node-sized (the same bound the tiers rely on), so a checkpoint is one
+# parquet write of the label/rank dataset. Writes are atomic
+# (tmp + rename), resume picks the highest complete iteration.
+
+def _ckpt_latest(d: str | None, pref: str) -> tuple[int, str | None]:
+    if not d or not os.path.isdir(d):
+        return 0, None
+    best, path = 0, None
+    for name in os.listdir(d):
+        if not name.startswith(pref + "_iter_") or name.endswith(".tmp"):
+            continue
+        tail = name[len(pref + "_iter_"):]
+        tail = tail[:-len(".parquet")] if tail.endswith(".parquet") else tail
+        try:
+            i = int(tail)
+        except ValueError:
+            continue
+        if i > best:
+            best, path = i, os.path.join(d, name)
+    return best, path
+
+
+def _ckpt_write_table(d: str, pref: str, i: int, table: pa.Table) -> None:
+    """Driver-side single-file checkpoint (tier-2 node arrays)."""
+    import pyarrow.parquet as pq
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f"{pref}_iter_{i}.parquet.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(d, f"{pref}_iter_{i}.parquet"))
+
+
+def _ckpt_write_ds(d: str, pref: str, i: int, ds: rd.Dataset) -> None:
+    """Distributed multi-fragment checkpoint (tier-3 datasets) —
+    workers write fragments to a tmp dir, one atomic rename commits."""
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f"{pref}_iter_{i}.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    final = os.path.join(d, f"{pref}_iter_{i}")
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
 
 
 def _driver_union_find(a: np.ndarray, c: np.ndarray) -> pa.Table:
@@ -56,7 +107,8 @@ def _driver_union_find(a: np.ndarray, c: np.ndarray) -> pa.Table:
 def connected_components(pairs: rd.Dataset, col_a: str, col_b: str,
                          n_buckets: int = 64,
                          max_iters: int = 50,
-                         small_threshold: int = 1 << 18) -> rd.Dataset:
+                         small_threshold: int = 1 << 18,
+                         checkpoint_dir: str | None = None) -> rd.Dataset:
     """Label every node of the undirected pair graph with the MINIMUM
     node id reachable from it: ``(doc_id, cluster_id)`` — one row per
     node that appears in ``pairs``; ``cluster_id`` is the component's
@@ -158,7 +210,14 @@ def connected_components(pairs: rd.Dataset, col_a: str, col_b: str,
 
     prev_sum = None
     converged = False
-    for _ in range(max_iters):
+    start_iter, ck_path = _ckpt_latest(checkpoint_dir, "cc")
+    if ck_path and start_iter > 0:
+        # resume: labels are the ONLY loop state; the monotone label
+        # sum doubles as the convergence cursor, so it restores from
+        # the checkpoint itself
+        labels = rd.read_parquet(ck_path).materialize()
+        prev_sum = int(labels.sum("label"))
+    for _it in range(start_iter, max_iters):
         # Offers: co-locate each node's label with its outgoing edges
         # (one bucketed join shuffle), emit (nbr, label); then each
         # node takes the min over its own label and every offer.
@@ -168,6 +227,8 @@ def connected_components(pairs: rd.Dataset, col_a: str, col_b: str,
         offers = joined.map_batches(to_offer, batch_format="pandas")
         labels = preagg_reduce(labels.union(offers), ["node"], "label",
                                how="min", n_buckets=n_buckets).materialize()
+        if checkpoint_dir:
+            _ckpt_write_ds(checkpoint_dir, "cc", _it + 1, labels)
         cur_sum = int(labels.sum("label"))
         if cur_sum == prev_sum:
             converged = True
@@ -186,7 +247,57 @@ def connected_components(pairs: rd.Dataset, col_a: str, col_b: str,
         batch_format="pyarrow")
 
 
+def _driver_triangle_count(a: np.ndarray, b: np.ndarray) -> int:
+    """Vectorized compact-forward on the driver: orient by (degree,
+    id), generate all out-neighbor pairs via repeat/concatenate, count
+    closures with one searchsorted membership test. Memory is
+    O(edges + wedges); wedges ≤ m·sqrt(2m) under the orientation."""
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[:len(a)], inv[len(a):]
+    deg = np.zeros(len(ids), dtype=np.int64)
+    np.add.at(deg, ia, 1)
+    np.add.at(deg, ib, 1)
+    key = deg * (len(ids) + 1) + np.arange(len(ids))   # (deg, id) order
+    a_first = key[ia] < key[ib]
+    u = np.where(a_first, ia, ib)
+    v = np.where(a_first, ib, ia)
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    ekey = np.sort(np.where(u < v, u * len(ids) + v, v * len(ids) + u))
+    # out-neighbor pair generation: for each u-run of length c,
+    # all c*(c-1)/2 pairs (vectorized over the whole edge list)
+    uniq, starts, counts = np.unique(u, return_index=True,
+                                     return_counts=True)
+    total = 0
+    # process in u-chunks to bound the wedge array
+    CHUNK = 1 << 22
+    wl, wr = [], []
+    budget = 0
+    for s, c in zip(starts, counts):
+        if c < 2:
+            continue
+        nb = v[s:s + c]
+        iu, iv_ = np.triu_indices(c, k=1)
+        wl.append(nb[iu]); wr.append(nb[iv_])
+        budget += len(iu)
+        if budget >= CHUNK:
+            x, y = np.concatenate(wl), np.concatenate(wr)
+            wk = np.where(x < y, x * len(ids) + y, y * len(ids) + x)
+            pos = np.searchsorted(ekey, wk)
+            pos[pos >= len(ekey)] = len(ekey) - 1
+            total += int((ekey[pos] == wk).sum())
+            wl, wr, budget = [], [], 0
+    if wl:
+        x, y = np.concatenate(wl), np.concatenate(wr)
+        wk = np.where(x < y, x * len(ids) + y, y * len(ids) + x)
+        pos = np.searchsorted(ekey, wk)
+        pos[pos >= len(ekey)] = len(ekey) - 1
+        total += int((ekey[pos] == wk).sum())
+    return total
+
+
 def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
+                   small_threshold: int = 1 << 18,
                    broadcast_edge_threshold: int = 1 << 25) -> int:
     """Global triangle count of the undirected graph given as a
     DISTINCT canonical edge list (columns ``a`` < ``b``).
@@ -210,6 +321,16 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
                              stable_bucket_cols)
 
     edges = edges.materialize()
+    n_input_edges = edges.count()
+    if n_input_edges == 0:
+        return 0
+    if n_input_edges <= small_threshold:
+        # driver compact-forward — same size cutover as CC/pagerank:
+        # a few MB of int64 pairs, shuffling them is pure task-launch
+        # overhead
+        df = edges.to_pandas()
+        return _driver_triangle_count(df["a"].to_numpy(np.int64),
+                                      df["b"].to_numpy(np.int64))
 
     # degree lookup is node-sized (one int64 per distinct node) — the
     # broadcast-small-side pattern; swap for two bucketed deg joins
@@ -314,7 +435,8 @@ def _driver_pagerank(src: np.ndarray, dst: np.ndarray, damping: float,
 
 def _broadcast_pagerank(edges: rd.Dataset, node_ds: rd.Dataset,
                         damping: float, iters: int, n_buckets: int,
-                        broadcast_get) -> rd.Dataset:
+                        broadcast_get,
+                        checkpoint_dir: str | None = None) -> rd.Dataset:
     """Tier-2 PageRank: node state (ids / deg / rank, ~24 B per node)
     lives as driver arrays broadcast via ``ray.put``; edges stay
     distributed and are streamed ONCE per iteration. Per iteration:
@@ -343,7 +465,15 @@ def _broadcast_pagerank(edges: rd.Dataset, node_ds: rd.Dataset,
     deg_ref = ray.put(deg)
     rank = np.full(n, 1.0 / n)
 
-    for _ in range(iters):
+    start_iter, ck_path = _ckpt_latest(checkpoint_dir, "pagerank")
+    if ck_path and start_iter > 0:
+        import pyarrow.parquet as pq
+        t = pq.read_table(ck_path)
+        rank[np.searchsorted(ids, t["node"].to_numpy())] = \
+            t["rank"].to_numpy()
+        start_iter = min(start_iter, iters)
+
+    for _it in range(start_iter, iters):
         rank_ref = ray.put(rank)
 
         def contrib_batch(b: pd.DataFrame) -> pd.DataFrame:
@@ -366,6 +496,9 @@ def _broadcast_pagerank(edges: rd.Dataset, node_ds: rd.Dataset,
             agg["contrib"].to_numpy()
         dang = rank[deg == 0].sum()
         rank = (1.0 - damping) / n + damping * (contrib + dang / n)
+        if checkpoint_dir:
+            _ckpt_write_table(checkpoint_dir, "pagerank", _it + 1,
+                              pa.table({"node": ids, "rank": rank}))
 
     return rd.from_arrow(pa.table({"node": ids, "rank": rank}))
 
@@ -373,7 +506,8 @@ def _broadcast_pagerank(edges: rd.Dataset, node_ds: rd.Dataset,
 def pagerank(edges: rd.Dataset, damping: float = 0.85, iters: int = 5,
              n_buckets: int = 64,
              small_threshold: int = 1 << 18,
-             broadcast_nodes: int = 1 << 23) -> rd.Dataset:
+             broadcast_nodes: int = 1 << 23,
+             checkpoint_dir: str | None = None) -> rd.Dataset:
     """Fixed-iteration PageRank over a directed edge list
     ``(src, dst)`` — the crawl-native ranking (which pages matter in a
     link graph). Dangling mass (nodes with no out-edges) is
@@ -427,7 +561,8 @@ def pagerank(edges: rd.Dataset, damping: float = 0.85, iters: int = 5,
 
     if n_nodes <= broadcast_nodes:
         return _broadcast_pagerank(edges, node_ds, damping, iters,
-                                   n_buckets, broadcast_get)
+                                   n_buckets, broadcast_get,
+                                   checkpoint_dir=checkpoint_dir)
 
     # static: out-degree per src, and the distinct node universe.
     # Materialized: every bucketed_join SCHEMA-PROBES its inputs, and
@@ -455,6 +590,11 @@ def pagerank(edges: rd.Dataset, damping: float = 0.85, iters: int = 5,
         lambda b: b.assign(rank=1.0 / n_nodes), batch_format="pandas"
     ).materialize()
 
+    start_iter, ck_path = _ckpt_latest(checkpoint_dir, "pagerank3")
+    if ck_path and start_iter > 0:
+        ranks = rd.read_parquet(ck_path).materialize()
+        start_iter = min(start_iter, iters)
+
     def to_src_rank(b: pd.DataFrame) -> pd.DataFrame:
         # only rank-carrying srcs matter for the edge join; deg > 0 by
         # construction for every src
@@ -463,7 +603,7 @@ def pagerank(edges: rd.Dataset, damping: float = 0.85, iters: int = 5,
                              "share": keep["rank"].to_numpy()
                              / keep["deg"].to_numpy()})
 
-    for _ in range(iters):
+    for _it in range(start_iter, iters):
         dang = float(ranks.map_batches(
             lambda b: pd.DataFrame(
                 {"d": [float(b.loc[b["deg"] == 0, "rank"].sum())]}),
@@ -494,6 +634,8 @@ def pagerank(edges: rd.Dataset, damping: float = 0.85, iters: int = 5,
                         + damping * (c + dang / n_nodes)})
 
         ranks = joined.map_batches(renew, batch_format="pandas").materialize()
+        if checkpoint_dir:
+            _ckpt_write_ds(checkpoint_dir, "pagerank3", _it + 1, ranks)
 
     return ranks.map_batches(
         lambda b: pa.table({"node": b["node"], "rank": b["rank"]}),

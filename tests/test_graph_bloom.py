@@ -180,6 +180,71 @@ def test_triangle_count_tiers_agree():
     extra = [(3, 10), (10, 11), (20, 21), (21, 22)]   # pendant + path
     edges = pd.DataFrame(k4 + extra, columns=["a", "b"])
     ds = rd.from_pandas(edges).repartition(3)
+    # tier 1: driver compact-forward (default cutover)
     assert triangle_count(ds, n_buckets=4) == 4
-    assert triangle_count(ds, n_buckets=4,
+    # tier 2: distributed, broadcast-membership closing pass
+    assert triangle_count(ds, n_buckets=4, small_threshold=0) == 4
+    # tier 3: distributed, bucketed wedge⋈edge closing join
+    assert triangle_count(ds, n_buckets=4, small_threshold=0,
                           broadcast_edge_threshold=0) == 4
+
+
+def test_pagerank_checkpoint_resume(tmp_path):
+    """Killing pagerank mid-run and re-invoking with the same
+    checkpoint_dir must resume from the last complete iteration and
+    produce EXACTLY the uninterrupted result — tier 2 and tier 3."""
+    import os
+    import shutil
+    from no_fasel_scrapers_ray.ops.graph import pagerank
+    rng = np.random.RandomState(7)
+    edges = pd.DataFrame({"src": rng.randint(0, 60, 300),
+                          "dst": rng.randint(0, 80, 300)}).drop_duplicates()
+    ds = rd.from_pandas(edges).repartition(3)
+    for tier_kw, pref in (
+            ({"small_threshold": 0, "n_buckets": 4}, "pagerank"),
+            ({"small_threshold": 0, "broadcast_nodes": 0,
+              "n_buckets": 4}, "pagerank3")):
+        full = pagerank(ds, 0.85, 5, **tier_kw).to_pandas() \
+            .sort_values("node", ignore_index=True)
+        ck = tmp_path / f"ck_{pref}"
+        pagerank(ds, 0.85, 5, **tier_kw,
+                 checkpoint_dir=str(ck)).to_pandas()
+        names = sorted(os.listdir(ck))
+        assert len(names) == 5, names
+        # simulate a crash after iteration 3: drop checkpoints 4, 5
+        for n in names:
+            if "_iter_4" in n or "_iter_5" in n:
+                p = ck / n
+                shutil.rmtree(p) if p.is_dir() else p.unlink()
+        resumed = pagerank(ds, 0.85, 5, **tier_kw,
+                           checkpoint_dir=str(ck)).to_pandas() \
+            .sort_values("node", ignore_index=True)
+        assert resumed["node"].tolist() == full["node"].tolist()
+        np.testing.assert_allclose(resumed["rank"], full["rank"],
+                                   rtol=0, atol=1e-15)
+
+
+def test_cc_checkpoint_resume(tmp_path):
+    """CC resume: labels are the only state; dropping the last
+    checkpoint and re-running converges to the identical labeling."""
+    import os
+    import shutil
+    from no_fasel_scrapers_ray.ops.graph import connected_components
+    pairs = [(i, i + 1) for i in range(7)] + [(20, 21), (21, 22)]
+    ds = rd.from_pandas(pd.DataFrame(pairs, columns=["a", "b"])) \
+        .repartition(len(pairs))
+    full = connected_components(ds, "a", "b",
+                                small_threshold=0).to_pandas()
+    ck = tmp_path / "cc_ck"
+    connected_components(ds, "a", "b", small_threshold=0,
+                         checkpoint_dir=str(ck)).to_pandas()
+    names = sorted(os.listdir(ck))
+    assert names, "no checkpoints written"
+    last = names[-1]
+    p = ck / last
+    shutil.rmtree(p) if p.is_dir() else p.unlink()
+    resumed = connected_components(ds, "a", "b", small_threshold=0,
+                                   checkpoint_dir=str(ck)).to_pandas()
+    a = dict(zip(full["doc_id"], full["cluster_id"]))
+    b = dict(zip(resumed["doc_id"], resumed["cluster_id"]))
+    assert a == b
