@@ -231,6 +231,32 @@ def q_events_hourly(sf_dir: str):
     return round_columns(out, {"total_value": 2})
 
 
+def q_events_hourly_dense(sf_dir: str):
+    """Gap-filled time series (§ windows): hourly event counts
+    INCLUDING zero rows for empty hours — the generate-series +
+    left-join resample pattern. Counts are a distributed bucketed
+    reduce; the hour axis is time-bounded (span/3600s rows, ~3.4k
+    here, <100k even for years of data), so the dense reindex runs on
+    the driver over the AGGREGATE, never the events."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import preagg_reduce
+    ev = _read(sf_dir, "events", ["ts"], rows_per_block=65536)
+
+    def hours(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour_id": (b["ts"].astype("datetime64[us]").astype("int64")
+                        // 3_600_000_000).to_numpy()})
+
+    counts = preagg_reduce(ev.map_batches(hours, batch_format="pandas"),
+                           ["hour_id"], "n_events", "count").to_pandas()
+    full = pd.DataFrame({"hour_id": np.arange(counts["hour_id"].min(),
+                                              counts["hour_id"].max() + 1,
+                                              dtype=np.int64)})
+    out = full.merge(counts, on="hour_id", how="left")
+    out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
+    return out
+
+
 def q_sessionize(sf_dir: str):
     """Session windows (30-min gap) per user — groupby.map_groups."""
     from no_fasel_scrapers_ray.ops.relational import sessionize_events
@@ -1875,6 +1901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q_doc_repetition,
         "events_nation_spend": q_events_nation_spend,
         "local_supplier_revenue": q_local_supplier_revenue,
+        "events_hourly_dense": q_events_hourly_dense,
         "inverted_index": q_inverted_index,
         "global_median_price": q_global_median_price,
         "nation_customer_list": q_nation_customer_list,
@@ -2199,6 +2226,16 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
             JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+        """,
+        "events_hourly_dense": """
+            WITH b AS (SELECT epoch_us(ts) // 3600000000 AS h,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1),
+                 r AS (SELECT UNNEST(range((SELECT MIN(h) FROM b),
+                                           (SELECT MAX(h) FROM b) + 1))
+                              AS h)
+            SELECT r.h AS hour_id, COALESCE(b.n, 0) AS n_events
+            FROM r LEFT JOIN b ON r.h = b.h
         """,
         # TPC-H Q5 shape; revenue in exact integer cents×percent so no
         # float rounding rule can diverge between engines

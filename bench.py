@@ -61,7 +61,7 @@ BENCH_QUERIES = [
     "pca_embeddings", "overlap_click_purchase", "pagerank_cust_supp",
     "cohort_retention", "triangle_parts", "approx_price_quartiles",
     "doc_repetition", "inverted_index", "events_nation_spend",
-    "local_supplier_revenue",
+    "local_supplier_revenue", "events_hourly_dense",
 ]
 
 
