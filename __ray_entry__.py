@@ -1729,6 +1729,148 @@ def q_cosine_near_dup_exact(sf_dir: str):
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.35)
 
 
+def q_cust_order_distribution(sf_dir: str):
+    """Count-of-counts distribution (TPC-H Q13 shape): how many
+    customers placed exactly k orders, INCLUDING the zero-order bucket.
+    Two chained distributed reduces — orders→per-cust counts (bucketed
+    partial agg), counts→histogram (second tiny reduce) — plus an
+    anti-join key count for the k=0 row; the customer table itself
+    never joins row-wise, only its key set is probed."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import preagg_reduce
+    orders = _read(sf_dir, "orders", ["o_custkey"], rows_per_block=65536)
+    cust = _read(sf_dir, "customer", ["c_custkey"], rows_per_block=65536)
+    per_cust = preagg_reduce(orders, ["o_custkey"], "n_orders", "count")
+    hist = preagg_reduce(per_cust, ["n_orders"], "n_custs", "count") \
+        .to_pandas()
+    n_cust_total = cust.count()
+    n_with_orders = int(hist["n_custs"].sum())
+    zero = n_cust_total - n_with_orders
+    if zero > 0:
+        hist = pd.concat([hist, pd.DataFrame(
+            {"n_orders": [0], "n_custs": [zero]})], ignore_index=True)
+    return hist.astype({"n_orders": "int64", "n_custs": "int64"})
+
+
+def q_large_volume_orders(sf_dir: str):
+    """HAVING-then-join-back (TPC-H Q18 shape): orders whose total
+    lineitem quantity exceeds a threshold, joined back to the order
+    row. The per-order SUM is a distributed bucketed reduce; the
+    survivors (rare by construction) broadcast-join back to the
+    streaming orders scan — the Q18 plan DuckDB itself picks."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        broadcast_join, preagg_reduce, round_columns)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"],
+               rows_per_block=65536)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"],
+                   rows_per_block=65536)
+    li = li.map_batches(
+        lambda b: b.rename(columns={"l_quantity": "sum_qty"}),
+        batch_format="pandas")
+    per_order = preagg_reduce(li, ["l_orderkey"], "sum_qty", "sum") \
+        .filter(lambda r: r["sum_qty"] > 180.0)
+    big = per_order.to_pandas().rename(columns={"l_orderkey": "o_orderkey"})
+    out = broadcast_join(orders, big, on="o_orderkey", how="inner")
+    return round_columns(out, {"sum_qty": 2, "o_totalprice": 2})
+
+
+def q_priority_late_orders(sf_dir: str):
+    """Correlated-inequality EXISTS (TPC-H Q4 shape): count orders per
+    priority having at least one lineitem shipped AFTER the order date.
+    The correlated predicate needs a column from EACH side, so it can't
+    be a key-set semi-join: lineitem reduces to max(l_shipdate) per
+    order (bucketed partial agg), big-big bucketed join to orders, then
+    the inequality filter and a tiny count rollup."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        bucketed_join, preagg_reduce)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"],
+               rows_per_block=65536)
+
+    def us(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].to_numpy(),
+            "ship_us": b["l_shipdate"].astype("datetime64[us]")
+                       .astype("int64").to_numpy()})
+
+    max_ship = preagg_reduce(li.map_batches(us, batch_format="pandas"),
+                             ["o_orderkey"], "ship_us", "max")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"],
+                   rows_per_block=65536)
+
+    def ord_us(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy(),
+            "o_orderpriority": b["o_orderpriority"].to_numpy(),
+            "order_us": b["o_orderdate"].astype("datetime64[us]")
+                        .astype("int64").to_numpy()})
+
+    joined = bucketed_join(orders.map_batches(ord_us, batch_format="pandas"),
+                           max_ship, on="o_orderkey", how="inner")
+    late = joined.filter(lambda r: r["ship_us"] > r["order_us"])
+    return preagg_reduce(late, ["o_orderpriority"], "n_orders", "count")
+
+
+def q_price_moments(sf_dir: str):
+    """Distributed skewness + excess kurtosis (§ statistical
+    aggregates) of lineitem quantity per return flag, from exact int64
+    raw-moment partials (grouped_moments) — the closed form evaluated
+    once in float64, bit-identical to the oracle's mirrored
+    expression."""
+    from no_fasel_scrapers_ray.ops.relational import grouped_moments
+    import pandas as pd
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"],
+               rows_per_block=65536)
+
+    def as_int(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_numpy(),
+            "qty": b["l_quantity"].round().astype("int64").to_numpy()})
+
+    return grouped_moments(li.map_batches(as_int, batch_format="pandas"),
+                           ["l_returnflag"], "qty",
+                           skew_alias="qty_skew", kurt_alias="qty_kurt")
+
+
+def q_doc_chunks(sf_dir: str):
+    """Fixed-width token chunking (§ LLM training-data prep): split
+    every document into 32-token windows — the map that feeds a
+    tokenizer/packer in a pretraining pipeline. Pure flat-map: each
+    batch expands independently (np.repeat on chunk counts, no Python
+    per-token loop), no shuffle at all; output is (doc_id, chunk_id,
+    n_tokens, first_tok). Splitting is single-space (str.split(' '))
+    to match SQL string_split semantics exactly."""
+    import pandas as pd
+    W = 32
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(b: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, n_chunks, n_last, firsts = [], [], [], []
+        for did, text in zip(b["doc_id"].to_numpy(), b["text"]):
+            toks = text.split(" ")
+            n = len(toks)
+            k = (n + W - 1) // W
+            doc_ids.append(did)
+            n_chunks.append(k)
+            n_last.append(n - W * (k - 1))
+            firsts.append(toks[::W])
+        k_arr = np.asarray(n_chunks, dtype=np.int64)
+        out_doc = np.repeat(np.asarray(doc_ids, dtype=np.int64), k_arr)
+        chunk_id = np.concatenate([np.arange(k) for k in k_arr])
+        n_tokens = np.full(len(out_doc), W, dtype=np.int64)
+        ends = np.cumsum(k_arr) - 1
+        n_tokens[ends] = np.asarray(n_last, dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": out_doc, "chunk_id": chunk_id, "n_tokens": n_tokens,
+            "first_tok": np.concatenate(firsts) if firsts else
+            np.array([], dtype=object)})
+
+    return docs.map_batches(chunks, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # Crawl-engine queries (rows-only: the reference-semantics oracle — not
 # SQL — is their correctness authority; covered by tests/test_crawl_e2e
@@ -1902,6 +2044,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_nation_spend": q_events_nation_spend,
         "local_supplier_revenue": q_local_supplier_revenue,
         "events_hourly_dense": q_events_hourly_dense,
+        "cust_order_distribution": q_cust_order_distribution,
+        "large_volume_orders": q_large_volume_orders,
+        "priority_late_orders": q_priority_late_orders,
+        "price_moments": q_price_moments,
+        "doc_chunks": q_doc_chunks,
         "inverted_index": q_inverted_index,
         "global_median_price": q_global_median_price,
         "nation_customer_list": q_nation_customer_list,
@@ -2226,6 +2373,65 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
             JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+        """,
+        "cust_order_distribution": """
+            SELECT n_orders, COUNT(*) AS n_custs
+            FROM (SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+                  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                  GROUP BY c_custkey)
+            GROUP BY n_orders
+        """,
+        "large_volume_orders": """
+            SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2)
+                       AS o_totalprice,
+                   ROUND(sum_qty, 2) AS sum_qty
+            FROM orders JOIN (
+                SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(l_quantity) > 180.0) q
+            ON o_orderkey = q.l_orderkey
+        """,
+        "priority_late_orders": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "price_moments": """
+            -- expression order mirrors grouped_moments (bit-identical)
+            WITH s AS (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS DOUBLE) AS nf,
+                       CAST(SUM(x) AS DOUBLE) AS s1,
+                       CAST(SUM(x*x) AS DOUBLE) AS s2,
+                       CAST(SUM(x*x*x) AS DOUBLE) AS s3,
+                       CAST(SUM(x*x*x*x) AS DOUBLE) AS s4
+                FROM (SELECT l_returnflag,
+                             CAST(ROUND(l_quantity) AS BIGINT) AS x
+                      FROM lineitem)
+                GROUP BY l_returnflag),
+            m AS (
+                SELECT l_returnflag, nf, s1, s2, s3, s4,
+                       s2 - s1*s1/nf AS m2,
+                       s3 - 3.0*s2*s1/nf + 2.0*s1*s1*s1/(nf*nf) AS m3,
+                       s4 - 4.0*s3*s1/nf + 6.0*s2*s1*s1/(nf*nf)
+                          - 3.0*s1*s1*s1*s1/(nf*nf*nf) AS m4
+                FROM s)
+            SELECT l_returnflag,
+                   SQRT(nf) * m3 / POW(m2, 1.5) AS qty_skew,
+                   nf * m4 / (m2*m2) - 3.0 AS qty_kurt
+            FROM m
+        """,
+        "doc_chunks": """
+            SELECT doc_id, u.chunk_id,
+                   LEAST(32, len(toks) - 32*u.chunk_id) AS n_tokens,
+                   toks[32*u.chunk_id + 1] AS first_tok
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+                 UNNEST(range(CAST(CEIL(len(toks)/32.0) AS BIGINT)))
+                     AS u(chunk_id)
         """,
         "events_hourly_dense": """
             WITH b AS (SELECT epoch_us(ts) // 3600000000 AS h,

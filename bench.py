@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "cohort_retention", "triangle_parts", "approx_price_quartiles",
     "doc_repetition", "inverted_index", "events_nation_spend",
     "local_supplier_revenue", "events_hourly_dense",
+    "cust_order_distribution", "large_volume_orders",
+    "priority_late_orders", "price_moments", "doc_chunks",
 ]
 
 

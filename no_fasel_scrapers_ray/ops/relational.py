@@ -1040,6 +1040,59 @@ def grouped_corr(ds: rd.Dataset, keys: list[str], xcol: str, ycol: str,
         final, batch_format="pandas")
 
 
+def grouped_moments(ds: rd.Dataset, keys: list[str], xcol: str,
+                    skew_alias: str, kurt_alias: str,
+                    batch_size: int = 65536,
+                    n_buckets: int = 64) -> rd.Dataset:
+    """Per-group skewness and excess kurtosis of an INTEGER column from
+    exact raw-moment sums (n, Σx, Σx², Σx³, Σx⁴) — the same
+    decomposable-moments shape as ``grouped_corr``: int64 per-batch
+    partials, bucket shuffle of one partial row per key per batch, a
+    final combine in Python-int (object) space so Σx⁴ never overflows,
+    then ONE float64 closed-form evaluation whose expression order is
+    mirrored verbatim in the SQL oracle (IEEE ops are deterministic
+    given the operands, so the bits match).
+
+    skew = √n · M3 / M2^1.5 ; kurt = n · M4 / M2² − 3  (population
+    central moments M_k from the raw sums). Caller must pass small
+    integers: batch_size × max(x⁴) must fit int64 (x ≤ 5000 is safe at
+    the default batch size)."""
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        x = batch[xcol].to_numpy(dtype=np.int64)
+        t = pd.DataFrame({k: batch[k].to_numpy() for k in keys})
+        x2 = x * x
+        t["__n"] = np.int64(1)
+        t["__s1"], t["__s2"] = x, x2
+        t["__s3"], t["__s4"] = x2 * x, x2 * x2
+        g = t.groupby(keys, as_index=False, sort=False).sum()
+        g["__bucket"] = stable_bucket_cols(g, keys, n_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    moment_cols = ["__n", "__s1", "__s2", "__s3", "__s4"]
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = pd.concat(  # object dtype → exact big-int accumulation
+            [g[keys], g[moment_cols].astype(object)], axis=1)
+        r = g.groupby(keys, as_index=False, sort=False)[moment_cols].sum()
+        nf, s1, s2, s3, s4 = (
+            r[c].astype(np.float64).to_numpy() for c in moment_cols)
+        # expression order mirrored in the oracle SQL — keep in sync
+        m2 = s2 - s1 * s1 / nf
+        m3 = s3 - 3.0 * s2 * s1 / nf + 2.0 * s1 * s1 * s1 / (nf * nf)
+        m4 = (s4 - 4.0 * s3 * s1 / nf + 6.0 * s2 * s1 * s1 / (nf * nf)
+              - 3.0 * s1 * s1 * s1 * s1 / (nf * nf * nf))
+        out = r[keys].copy()
+        out[skew_alias] = np.sqrt(nf) * m3 / np.power(m2, 1.5)
+        out[kurt_alias] = nf * m4 / (m2 * m2) - 3.0
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size)
+    return partials.groupby("__bucket").map_groups(
+        final, batch_format="pandas")
+
+
 def cube_counts(ds: rd.Dataset, coarse: str, fine: str, alias: str,
                 n_buckets: int = 64) -> rd.Dataset:
     """``COUNT(*) GROUP BY CUBE (coarse, fine)`` = the ROLLUP levels
