@@ -1835,6 +1835,17 @@ def q_price_moments(sf_dir: str):
                            skew_alias="qty_skew", kurt_alias="qty_kurt")
 
 
+def q_doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination (§ LLM training-data prep): training
+    docs sharing any 4-token shingle with the benchmark subset
+    (doc_id % 10 == 0). The benchmark shingle set broadcasts once
+    (eval suites are small even at 100 TB corpora); the corpus streams
+    through one vectorized np.isin membership probe — no shuffle."""
+    from no_fasel_scrapers_ray.ops.textops import decontaminate
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return decontaminate(docs, bench_mod=10, shingle=4)
+
+
 def q_doc_chunks(sf_dir: str):
     """Fixed-width token chunking (§ LLM training-data prep): split
     every document into 32-token windows — the map that feeds a
@@ -2049,6 +2060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_late_orders": q_priority_late_orders,
         "price_moments": q_price_moments,
         "doc_chunks": q_doc_chunks,
+        "doc_decontaminate": q_doc_decontaminate,
         "inverted_index": q_inverted_index,
         "global_median_price": q_global_median_price,
         "nation_customer_list": q_nation_customer_list,
@@ -2423,6 +2435,17 @@ def oracle_sql() -> dict[str, str]:
                    SQRT(nf) * m3 / POW(m2, 1.5) AS qty_skew,
                    nf * m4 / (m2*m2) - 3.0 AS qty_kurt
             FROM m
+        """,
+        "doc_decontaminate": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            sh AS (SELECT doc_id, array_to_string(t[i+1:i+4], ' ') AS s
+                   FROM toks, UNNEST(range(len(t) - 3)) AS u(i)),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0)
+            SELECT doc_id, COUNT(DISTINCT s) AS n_hits
+            FROM sh
+            WHERE doc_id % 10 <> 0 AND s IN (SELECT s FROM bench)
+            GROUP BY doc_id
         """,
         "doc_chunks": """
             SELECT doc_id, u.chunk_id,

@@ -297,3 +297,64 @@ def fingerprint(docs: rd.Dataset) -> rd.Dataset:
         return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": keys})
 
     return docs.map_batches(fp, batch_format="pandas")
+
+
+def decontaminate(docs: rd.Dataset, bench_mod: int = 10,
+                  shingle: int = 4) -> rd.Dataset:
+    """Benchmark decontamination (§ LLM training-data prep): flag every
+    training document sharing at least one ``shingle``-token window
+    with the held-out benchmark set (here: docs with
+    ``doc_id % bench_mod == 0``), returning (doc_id, n_hits) where
+    n_hits counts the doc's DISTINCT contaminated shingles.
+
+    Scale contract: the BENCHMARK side is small by definition (eval
+    suites are MBs even when the corpus is 100 TB), so its distinct
+    shingle set is collected once and broadcast via ``ray.put``; the
+    training corpus STREAMS through one map_batches whose membership
+    probe is a vectorized ``np.isin`` against the sorted broadcast
+    array — no shuffle, no join, no driver pass over the big side.
+    Shingles are raw token strings (single-space split) so the SQL
+    oracle (string_split + UNNEST(range) + array_to_string) evaluates
+    the identical windows.
+    """
+    import ray
+
+    from .relational import broadcast_get
+
+    def _shingles(text: str) -> np.ndarray:
+        toks = text.split(" ")
+        n = len(toks) - shingle + 1
+        if n <= 0:
+            return np.array([], dtype=object)
+        return np.array([" ".join(toks[i:i + shingle]) for i in range(n)],
+                        dtype=object)
+
+    def bench_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[(batch["doc_id"] % bench_mod) == 0]
+        if not len(b):
+            return pd.DataFrame({"s": pd.array([], dtype="string")})
+        sh = np.concatenate([_shingles(t) for t in b["text"]])
+        return pd.DataFrame({"s": pd.unique(sh)})
+
+    bench = docs.map_batches(bench_partial, batch_format="pandas")
+    bench_arr = np.sort(pd.unique(
+        bench.to_pandas()["s"].to_numpy(dtype=object)))
+    bench_ref = ray.put(bench_arr)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        arr = broadcast_get(bench_ref)
+        ids, hits = [], []
+        for did, text in zip(batch["doc_id"].to_numpy(), batch["text"]):
+            if did % bench_mod == 0:
+                continue
+            sh = pd.unique(_shingles(text))
+            if not len(sh):
+                continue
+            n = int(np.isin(sh, arr).sum())
+            if n:
+                ids.append(did)
+                hits.append(n)
+        return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                             "n_hits": np.asarray(hits, dtype=np.int64)})
+
+    return docs.map_batches(probe, batch_format="pandas")
