@@ -1835,6 +1835,77 @@ def q_price_moments(sf_dir: str):
                            skew_alias="qty_skew", kurt_alias="qty_kurt")
 
 
+def q_user_spend_zscore(sf_dir: str):
+    """Per-group z-score normalization (§ ML feature prep): every
+    purchase event's value standardized against ITS USER's mean/std.
+    Agg-then-join-back shape: per-user exact int64 moment sums (n, Σx,
+    Σx²) via bucketed partial agg, big-big bucketed join back onto the
+    streaming events, then z = (n·x − s) / √(n·ssq − s²) — one float64
+    expression mirrored in the oracle, so bits match (same contract as
+    grouped_corr: values go to cents; n·ssq must fit int64). Zero-
+    variance users are excluded on both sides."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        bucketed_join, preagg_sum_count)
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"],
+               rows_per_block=65536)
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        x = (b["value"] * 100).round().astype("int64")
+        return pd.DataFrame({"event_id": b["event_id"].to_numpy(),
+                             "user_id": b["user_id"].to_numpy(),
+                             "x": x.to_numpy(), "x2": (x * x).to_numpy()})
+
+    evc = ev.map_batches(cents, batch_format="pandas")
+    moments = preagg_sum_count(
+        evc.map_batches(lambda b: b[["user_id", "x", "x2"]],
+                        batch_format="pandas"),
+        ["user_id"], {"x": "s", "x2": "ssq"}, count_alias="n")
+    joined = bucketed_join(
+        evc.map_batches(lambda b: b[["event_id", "user_id", "x"]],
+                        batch_format="pandas"),
+        moments, on="user_id", how="inner")
+
+    def z(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.int64)
+        s = b["s"].to_numpy(np.int64)
+        ssq = b["ssq"].to_numpy(np.int64)
+        x = b["x"].to_numpy(np.int64)
+        den2 = n * ssq - s * s
+        keep = den2 > 0
+        num = (n * x - s)[keep].astype(np.float64)
+        den = np.sqrt(den2[keep].astype(np.float64))
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy()[keep],
+            "zscore": num / den})
+
+    return joined.map_batches(z, batch_format="pandas")
+
+
+def q_orders_above_p99(sf_dir: str):
+    """Global-order-statistic filter (§ composition): orders priced
+    above the exact P99 of o_totalprice. The P99 comes from the
+    distributed selection operator (one count pass + one bracketing
+    collect, never a full sort); the scalar threshold then prunes the
+    streaming scan — the 'compute a corpus statistic, filter by it'
+    shape every data-curation pipeline runs. Prices compared in exact
+    cents so the discrete quantile is bit-unambiguous."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        global_quantile_disc, round_columns)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"],
+                   rows_per_block=65536)
+    cents = orders.map_batches(
+        lambda b: pd.DataFrame(
+            {"cents": (b["o_totalprice"] * 100).round().astype("int64")}),
+        batch_format="pandas")
+    p99 = float(global_quantile_disc(cents, "cents", 0.99))
+    out = orders.filter(
+        lambda r: round(r["o_totalprice"] * 100) > p99)
+    return round_columns(out, {"o_totalprice": 2})
+
+
 def q_doc_decontaminate(sf_dir: str):
     """Benchmark decontamination (§ LLM training-data prep): training
     docs sharing any 4-token shingle with the benchmark subset
@@ -2061,6 +2132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_moments": q_price_moments,
         "doc_chunks": q_doc_chunks,
         "doc_decontaminate": q_doc_decontaminate,
+        "user_spend_zscore": q_user_spend_zscore,
+        "orders_above_p99": q_orders_above_p99,
         "inverted_index": q_inverted_index,
         "global_median_price": q_global_median_price,
         "nation_customer_list": q_nation_customer_list,
@@ -2435,6 +2508,30 @@ def oracle_sql() -> dict[str, str]:
                    SQRT(nf) * m3 / POW(m2, 1.5) AS qty_skew,
                    nf * m4 / (m2*m2) - 3.0 AS qty_kurt
             FROM m
+        """,
+        "user_spend_zscore": """
+            -- z = (n·x − s)/√(n·ssq − s²): expression mirrors the
+            -- engine's single float64 evaluation over exact int sums
+            WITH c AS (SELECT event_id, user_id,
+                              CAST(ROUND(value * 100) AS BIGINT) AS x
+                       FROM events),
+            m AS (SELECT user_id, COUNT(*) AS n, SUM(x) AS s,
+                         SUM(x*x) AS ssq
+                  FROM c GROUP BY user_id)
+            SELECT c.event_id,
+                   CAST(m.n*c.x - m.s AS DOUBLE)
+                       / SQRT(CAST(m.n*m.ssq - m.s*m.s AS DOUBLE)) AS zscore
+            FROM c JOIN m ON c.user_id = m.user_id
+            WHERE m.n*m.ssq - m.s*m.s > 0
+        """,
+        "orders_above_p99": """
+            SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2)
+                       AS o_totalprice
+            FROM orders
+            WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >
+                  (SELECT quantile_disc(CAST(ROUND(o_totalprice * 100)
+                                             AS BIGINT), 0.99)
+                   FROM orders)
         """,
         "doc_decontaminate": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t

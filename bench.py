@@ -64,7 +64,7 @@ BENCH_QUERIES = [
     "local_supplier_revenue", "events_hourly_dense",
     "cust_order_distribution", "large_volume_orders",
     "priority_late_orders", "price_moments", "doc_chunks",
-    "doc_decontaminate",
+    "doc_decontaminate", "user_spend_zscore", "orders_above_p99",
 ]
 
 
