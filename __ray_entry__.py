@@ -1835,6 +1835,38 @@ def q_price_moments(sf_dir: str):
                            skew_alias="qty_skew", kurt_alias="qty_kurt")
 
 
+def q_weighted_avg_discount(sf_dir: str):
+    """Ratio-of-sums aggregate (§ statistical): price-weighted mean
+    discount per return flag. Decomposes into two exact int64 sums
+    (Σ cents·disc_pct, Σ cents) via one bucketed partial agg; the
+    single float64 division is mirrored in the oracle so bits match —
+    the 'weighted mean without a second pass' shape."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import preagg_sum_count
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_discount"],
+               rows_per_block=65536)
+
+    def ints(b: pd.DataFrame) -> pd.DataFrame:
+        cents = (b["l_extendedprice"] * 100).round().astype("int64")
+        pct = (b["l_discount"] * 100).round().astype("int64")
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_numpy(),
+            "wd": (cents * pct).to_numpy(), "w": cents.to_numpy()})
+
+    sums = preagg_sum_count(li.map_batches(ints, batch_format="pandas"),
+                            ["l_returnflag"],
+                            {"wd": "sum_wd", "w": "sum_w"})
+
+    def ratio(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_numpy(),
+            "wavg_discount": b["sum_wd"].to_numpy(np.float64)
+            / b["sum_w"].to_numpy(np.float64) / 100.0})
+
+    return sums.map_batches(ratio, batch_format="pandas")
+
+
 def q_user_spend_zscore(sf_dir: str):
     """Per-group z-score normalization (§ ML feature prep): every
     purchase event's value standardized against ITS USER's mean/std.
@@ -2134,6 +2166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": q_doc_decontaminate,
         "user_spend_zscore": q_user_spend_zscore,
         "orders_above_p99": q_orders_above_p99,
+        "weighted_avg_discount": q_weighted_avg_discount,
         "inverted_index": q_inverted_index,
         "global_median_price": q_global_median_price,
         "nation_customer_list": q_nation_customer_list,
@@ -2508,6 +2541,19 @@ def oracle_sql() -> dict[str, str]:
                    SQRT(nf) * m3 / POW(m2, 1.5) AS qty_skew,
                    nf * m4 / (m2*m2) - 3.0 AS qty_kurt
             FROM m
+        """,
+        "weighted_avg_discount": """
+            -- exact int sums; ONE float division mirrored in the engine
+            SELECT l_returnflag,
+                   CAST(SUM(cents * pct) AS DOUBLE)
+                       / CAST(SUM(cents) AS DOUBLE) / 100.0
+                       AS wavg_discount
+            FROM (SELECT l_returnflag,
+                         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                             AS cents,
+                         CAST(ROUND(l_discount * 100) AS BIGINT) AS pct
+                  FROM lineitem)
+            GROUP BY l_returnflag
         """,
         "user_spend_zscore": """
             -- z = (n·x − s)/√(n·ssq − s²): expression mirrors the

@@ -45,3 +45,46 @@ def test_inverted_index_distinct_and_order(tmp_path):
     assert len(row) == 1 and int(row["df"].iloc[0]) == 25
     assert row["postings"].iloc[0] == ",".join(str(i) for i in range(25))
     assert "cold" not in set(out["term"])
+
+
+def test_decontaminate_short_docs_and_hits(tmp_path):
+    # benchmark doc 0 ("w1 w2 w3 w4 w5"); doc 1 shares shingle
+    # "w2 w3 w4 w5"; doc 2 shares none; doc 3 too short (<4 tokens);
+    # doc 11 repeats a contaminated shingle -> still counted ONCE
+    texts = ["w1 w2 w3 w4 w5",
+             "zz w2 w3 w4 w5 yy",
+             "a b c d e f",
+             "x y",
+             "q r s t u v w",  # padding so ids line up (doc 4..9)
+             "k l m n o p",
+             "f g h i j k2",
+             "aa bb cc dd",
+             "ee ff gg hh",
+             "ii jj kk ll",
+             "mm nn oo pp",   # doc 10: benchmark (10 % 10 == 0)
+             "w1 w2 w3 w4 w1 w2 w3 w4"]  # doc 11: shingle twice
+    sf = _write_docs(tmp_path, texts)
+    out = (entrymod.q_doc_decontaminate(sf).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    got = dict(zip(out["doc_id"], out["n_hits"]))
+    # doc 1 hits "w2 w3 w4 w5"; doc 11 hits "w1 w2 w3 w4" (distinct=1)
+    assert got == {1: 1, 11: 1}
+
+
+def test_doc_chunks_window_edges(tmp_path):
+    # exactly 32 tokens -> one full chunk; 33 -> second chunk of 1;
+    # 1 token -> single 1-token chunk
+    t32 = " ".join(f"t{i}" for i in range(32))
+    t33 = " ".join(f"s{i}" for i in range(33))
+    sf = _write_docs(tmp_path, [t32, t33, "solo"])
+    out = (entrymod.q_doc_chunks(sf).to_pandas()
+           .sort_values(["doc_id", "chunk_id"], ignore_index=True))
+    d0 = out[out["doc_id"] == 0]
+    assert d0["n_tokens"].tolist() == [32]
+    assert d0["first_tok"].tolist() == ["t0"]
+    d1 = out[out["doc_id"] == 1]
+    assert d1["n_tokens"].tolist() == [32, 1]
+    assert d1["first_tok"].tolist() == ["s0", "s32"]
+    d2 = out[out["doc_id"] == 2]
+    assert d2["n_tokens"].tolist() == [1]
+    assert d2["first_tok"].tolist() == ["solo"]
