@@ -1835,6 +1835,46 @@ def q_price_moments(sf_dir: str):
                            skew_alias="qty_skew", kurt_alias="qty_kurt")
 
 
+def q_promo_revenue_ratio(sf_dir: str):
+    """Conditional-sum ratio over a dimension join (TPC-H Q14 shape):
+    percent of discounted revenue coming from ECONOMY-type parts. The
+    part dimension collapses to a dense partkey→is_promo BITMAP
+    broadcast once (O(#parts) bytes — 100 MB even at 10^8 parts, vs
+    shuffling the fact table); lineitem streams through one map_batches
+    computing exact int64 revenue (cents × (100−disc_pct)) partials;
+    the driver combines the per-batch sums in PYTHON-INT space (exact,
+    unbounded) and evaluates ONE mirrored float64 expression."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import broadcast_get
+    parts = _read(sf_dir, "part", ["p_partkey", "p_type"],
+                  rows_per_block=65536).to_pandas()
+    bitmap = np.zeros(int(parts["p_partkey"].max()) + 1, dtype=bool)
+    bitmap[parts.loc[parts["p_type"] == "ECONOMY", "p_partkey"]
+           .to_numpy()] = True
+    bm_ref = ray.put(bitmap)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"],
+               rows_per_block=65536)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bm = broadcast_get(bm_ref)
+        cents = (b["l_extendedprice"] * 100).round().astype("int64") \
+            .to_numpy()
+        pct = (b["l_discount"] * 100).round().astype("int64").to_numpy()
+        v = cents * (100 - pct)
+        promo = bm[b["l_partkey"].to_numpy()]
+        return pd.DataFrame({"promo_v": [int(v[promo].sum())],
+                             "total_v": [int(v.sum())]})
+
+    sums = li.map_batches(partial, batch_format="pandas").to_pandas()
+    promo_v = int(sums["promo_v"].astype(object).sum())
+    total_v = int(sums["total_v"].astype(object).sum())
+    return pd.DataFrame(
+        {"promo_ratio": [100.0 * float(promo_v) / float(total_v)]})
+
+
 def q_weighted_avg_discount(sf_dir: str):
     """Ratio-of-sums aggregate (§ statistical): price-weighted mean
     discount per return flag. Decomposes into two exact int64 sums
@@ -2167,6 +2207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_spend_zscore": q_user_spend_zscore,
         "orders_above_p99": q_orders_above_p99,
         "weighted_avg_discount": q_weighted_avg_discount,
+        "promo_revenue_ratio": q_promo_revenue_ratio,
         "inverted_index": q_inverted_index,
         "global_median_price": q_global_median_price,
         "nation_customer_list": q_nation_customer_list,
@@ -2541,6 +2582,18 @@ def oracle_sql() -> dict[str, str]:
                    SQRT(nf) * m3 / POW(m2, 1.5) AS qty_skew,
                    nf * m4 / (m2*m2) - 3.0 AS qty_kurt
             FROM m
+        """,
+        "promo_revenue_ratio": """
+            -- exact int64 revenue units; ONE mirrored float expression
+            SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                                         THEN v ELSE 0 END) AS DOUBLE)
+                         / CAST(SUM(v) AS DOUBLE) AS promo_ratio
+            FROM (SELECT l_partkey,
+                         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                             AS v
+                  FROM lineitem) li
+            JOIN part ON p_partkey = li.l_partkey
         """,
         "weighted_avg_discount": """
             -- exact int sums; ONE float division mirrored in the engine

@@ -65,7 +65,7 @@ BENCH_QUERIES = [
     "cust_order_distribution", "large_volume_orders",
     "priority_late_orders", "price_moments", "doc_chunks",
     "doc_decontaminate", "user_spend_zscore", "orders_above_p99",
-    "weighted_avg_discount",
+    "weighted_avg_discount", "promo_revenue_ratio",
 ]
 
 
@@ -397,37 +397,37 @@ def scaling_fair() -> None:
     Appends to BENCH_SCALING.json as "multi_node_fair"."""
     import subprocess as sp
     base_port = int(os.environ.get("BENCH_FAIR_PORT", "6431"))
-    base_env = {k: v for k, v in os.environ.items() if k != "RAY_ADDRESS"}
-    store = str(4_000_000_000)
+    base_env = {k: v for k, v in os.environ.items()
+                if k not in ("RAY_ADDRESS", "RAY_TMPDIR")}
 
     def stop_all():
         sp.run(["ray", "stop", "--force"], env=base_env,
                capture_output=True)
 
-    # Phase A: 4 independent 1-node clusters, 4 CPUs each, the same
-    # crawl launched simultaneously → sum of throughputs.
+    # Phase A: 4 independent single-node Rays (plain local mode — no
+    # `ray start`, so no shared GCS and no shared /tmp/ray session
+    # dir; a first attempt with 4 `ray start --head` clusters hung on
+    # driver session-dir contention), 4 CPUs each, the same crawl
+    # launched simultaneously → sum of throughputs.
     stop_all()
-    for i in range(4):
-        sp.run(["ray", "start", "--head", f"--port={base_port + i}",
-                "--num-cpus=4", "--include-dashboard=false",
-                f"--object-store-memory={store}",
-                f"--temp-dir=/tmp/ray_fair_{i}"],
-               env=base_env, check=True, capture_output=True)
     procs = []
     for i in range(4):
-        env = dict(base_env,
-                   BENCH_RAY_ADDRESS=f"127.0.0.1:{base_port + i}",
-                   BENCH_CRAWL_ONLY="1", BENCH_CRAWL_REPEATS="1",
-                   RAY_GRAFT_CPUS="4")
+        env = dict(base_env, BENCH_CRAWL_ONLY="1",
+                   BENCH_CRAWL_REPEATS="1", RAY_GRAFT_CPUS="4",
+                   RAY_TMPDIR=f"/tmp/ray_fair_{i}")
+        os.makedirs(f"/tmp/ray_fair_{i}", exist_ok=True)
         procs.append(sp.Popen([sys.executable,
                                os.path.join(REPO, "bench.py")],
                               env=env, stdout=sp.PIPE, stderr=sp.DEVNULL,
                               text=True))
     indep = []
     for p in procs:
-        out, _ = p.communicate()
-        indep.append(json.loads(out.strip().splitlines()[-1]))
-    stop_all()
+        try:
+            out, _ = p.communicate(timeout=1800)
+            indep.append(json.loads(out.strip().splitlines()[-1]))
+        except sp.TimeoutExpired:
+            p.kill()
+            raise
     thr_indep = sum(r["crawl_pages_per_sec"] for r in indep)
 
     # Phase B: ONE coordinated 4-node cluster (4 raylets × 4 CPUs),
@@ -447,7 +447,7 @@ def scaling_fair() -> None:
                    RAY_GRAFT_CPUS="16")
         out = sp.run([sys.executable, os.path.join(REPO, "bench.py")],
                      env=env, capture_output=True, text=True,
-                     check=True).stdout
+                     check=True, timeout=1800).stdout
         best = _best_run(best, json.loads(out.strip().splitlines()[-1]))
         stop_all()
     thr_coord = best["crawl_pages_per_sec"]
