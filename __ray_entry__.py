@@ -1770,7 +1770,8 @@ def q_large_volume_orders(sf_dir: str):
         lambda b: b.rename(columns={"l_quantity": "sum_qty"}),
         batch_format="pandas")
     per_order = preagg_reduce(li, ["l_orderkey"], "sum_qty", "sum") \
-        .filter(lambda r: r["sum_qty"] > 180.0)
+        .map_batches(lambda b: b[b["sum_qty"].to_numpy() > 180.0],
+                     batch_format="pandas")
     big = per_order.to_pandas().rename(columns={"l_orderkey": "o_orderkey"})
     out = broadcast_join(orders, big, on="o_orderkey", how="inner")
     return round_columns(out, {"sum_qty": 2, "o_totalprice": 2})
@@ -1810,7 +1811,9 @@ def q_priority_late_orders(sf_dir: str):
 
     joined = bucketed_join(orders.map_batches(ord_us, batch_format="pandas"),
                            max_ship, on="o_orderkey", how="inner")
-    late = joined.filter(lambda r: r["ship_us"] > r["order_us"])
+    late = joined.map_batches(
+        lambda b: b[b["ship_us"].to_numpy() > b["order_us"].to_numpy()],
+        batch_format="pandas")
     return preagg_reduce(late, ["o_orderpriority"], "n_orders", "count")
 
 
@@ -1973,8 +1976,9 @@ def q_orders_above_p99(sf_dir: str):
             {"cents": (b["o_totalprice"] * 100).round().astype("int64")}),
         batch_format="pandas")
     p99 = float(global_quantile_disc(cents, "cents", 0.99))
-    out = orders.filter(
-        lambda r: round(r["o_totalprice"] * 100) > p99)
+    out = orders.map_batches(
+        lambda b: b[(b["o_totalprice"] * 100).round().to_numpy() > p99],
+        batch_format="pandas")
     return round_columns(out, {"o_totalprice": 2})
 
 

@@ -337,23 +337,31 @@ def decontaminate(docs: rd.Dataset, bench_mod: int = 10,
         return pd.DataFrame({"s": pd.unique(sh)})
 
     bench = docs.map_batches(bench_partial, batch_format="pandas")
-    bench_arr = np.sort(pd.unique(
-        bench.to_pandas()["s"].to_numpy(dtype=object)))
-    bench_ref = ray.put(bench_arr)
+    # a SET so the probe's membership check is O(1) per shingle —
+    # np.isin against the raw array re-sorts the whole benchmark side
+    # once per call (measured: 36.6 s for 45k docs at sf0.1; the set
+    # probe does the same batch in ~2 s)
+    bench_set = frozenset(bench.to_pandas()["s"].to_numpy(dtype=object))
+    bench_ref = ray.put(bench_set)
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
-        arr = broadcast_get(bench_ref)
+        bset = broadcast_get(bench_ref)
         ids, hits = [], []
         for did, text in zip(batch["doc_id"].to_numpy(), batch["text"]):
             if did % bench_mod == 0:
                 continue
-            sh = pd.unique(_shingles(text))
-            if not len(sh):
+            toks = text.split(" ")
+            span = len(toks) - shingle + 1
+            if span <= 0:
                 continue
-            n = int(np.isin(sh, arr).sum())
-            if n:
+            matched: set = set()
+            for i in range(span):
+                s = " ".join(toks[i:i + shingle])
+                if s in bset:
+                    matched.add(s)
+            if matched:
                 ids.append(did)
-                hits.append(n)
+                hits.append(len(matched))
         return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
                              "n_hits": np.asarray(hits, dtype=np.int64)})
 
