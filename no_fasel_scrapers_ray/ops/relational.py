@@ -1055,8 +1055,11 @@ def grouped_moments(ds: rd.Dataset, keys: list[str], xcol: str,
 
     skew = √n · M3 / M2^1.5 ; kurt = n · M4 / M2² − 3  (population
     central moments M_k from the raw sums). Caller must pass small
-    integers: batch_size × max(x⁴) must fit int64 (x ≤ 5000 is safe at
-    the default batch size)."""
+    integers: the PER-BATCH partial sums in int64, so
+    batch_size × max(x⁴) must stay below 2⁶³ — x ≤ 3400 at the
+    default batch size, x ≤ 50 is comfortable at any batch size
+    (quantities, counts, ratings). GROUP totals may exceed int64
+    freely: the final combine runs in object/big-int space."""
 
     def partial(batch: pd.DataFrame) -> pa.Table:
         x = batch[xcol].to_numpy(dtype=np.int64)

@@ -299,3 +299,27 @@ def test_skew_aware_join_hot_path_exact():
         a = got[cols].sort_values(cols, ignore_index=True)
         b = ref[cols].sort_values(cols, ignore_index=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_grouped_moments_multibatch_bigint_combine():
+    from no_fasel_scrapers_ray.ops.relational import grouped_moments
+    rng = np.random.RandomState(11)
+    # x ≈ 9e3 → per-batch Σx⁴ partial ≈ 6.6e16 at batch_size=10 (fits
+    # int64), but the GROUP total ≈ 1.3e19 overflows int64: only the
+    # object/big-int final combine across MANY partials gets the
+    # closed form right (the sf0.001/0.01 oracle runs are single-
+    # block, so this path is otherwise unexercised)
+    x = rng.randint(8 * 10 ** 3, 10 ** 4, size=2000).astype(np.int64)
+    df = pd.DataFrame({"k": np.repeat(["a", "b"], 1000), "x": x})
+    out = (grouped_moments(_ds(df, 6), ["k"], "x",
+                           skew_alias="sk", kurt_alias="ku",
+                           batch_size=10, n_buckets=2)
+           .to_pandas().sort_values("k", ignore_index=True))
+    for i, k in enumerate(["a", "b"]):
+        g = df.loc[df["k"] == k, "x"].to_numpy(np.float64)
+        m = g.mean()
+        m2 = ((g - m) ** 2).mean()
+        m3 = ((g - m) ** 3).mean()
+        m4 = ((g - m) ** 4).mean()
+        assert out["sk"][i] == pytest.approx(m3 / m2 ** 1.5, rel=1e-9)
+        assert out["ku"][i] == pytest.approx(m4 / m2 ** 2 - 3.0, rel=1e-9)
