@@ -2092,6 +2092,20 @@ def q_crawl_all_content(sf_dir: str):
         for r in rows])
 
 
+def q_crawl_host_stats(sf_dir: str):
+    """Per-site frontier audit: pages popped, depth reach, and the
+    pop-order span per site — the politeness/ordering summary a crawl
+    operator watches. Derived from the same frontier log whose exact
+    (site, depth, order_key) order is oracle-pinned in
+    tests/test_crawl_e2e.py; rows-only at the driver gate."""
+    _, _, log = _crawl_run()
+    df = log.select(["site", "depth", "order_key"]).to_pandas()
+    g = df.groupby("site", as_index=False).agg(
+        n_pages=("order_key", "size"), max_depth=("depth", "max"),
+        first_pop=("order_key", "min"), last_pop=("order_key", "max"))
+    return g.sort_values("site", ignore_index=True)
+
+
 def q_scrape_all(sf_dir: str):
     """One-shot orchestrated run (ScrapeAll.py:5-39 parity): crawl →
     assemble → trending → postprocess → all-content → image blobs →
@@ -2252,6 +2266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_all_content": q_crawl_all_content,
         "crawl_trending": q_crawl_trending,
         "crawl_scrape_all": q_scrape_all,
+        "crawl_host_stats": q_crawl_host_stats,
     }
 
 
