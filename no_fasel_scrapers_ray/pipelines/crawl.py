@@ -3,21 +3,25 @@ fetch actor pool → stateless extract → records sink + links back to the
 frontier (SURVEY.md §7.0 stage layout).
 
 Each round:
-1. the driver pops every ready frontier row from all shards (one
-   politeness tick) and merges them in (site, depth, order_key) order —
-   this merged sequence is the frontier log used by the order-
-   equivalence tests;
+1. every shard pops its ready frontier rows (one politeness tick) and
+   publishes the table straight to the object store; only compact
+   planning columns — dictionary-encoded hosts + uint64 url hashes —
+   and the ObjectRefs return to the driver (the full rows never transit
+   driver memory; the merged (site, depth, order_key)-ordered pop log
+   is materialized per round by the checkpoint task, not the driver);
 2. rows are partitioned by (host, salt) — the groupby-host shuffle with
    explicit hot-host salting: a host holding more than ``1/hot_frac``
    of the round is split into ⌈share×salts⌉ sub-buckets so one hot site
    (fasel, ~80% of pages) cannot serialize the fetch pool;
-3. ``map_batches(Fetcher, concurrency=N)`` joins URLs against the
-   broadcast corpus (the sandbox fetch);
-4. a stateless ``map_batches`` extract runs the site adapters; links
-   are pushed to the frontier shards from INSIDE the tasks (batched per
-   shard — no driver round-trip for discoveries), records stream to a
-   per-round parquet partition (resumable layout);
-5. the shards checkpoint (heap + exact seen set) → exact resume.
+3. ``_crawl_block`` tasks fetch each block against the corpus with a
+   BOUNDED retry loop (the reference retries its GET in-process forever,
+   Common.py:110-136; the engine caps at ``max_attempts`` and routes
+   exhausted/missing rows to a per-round dead-letter parquet sink);
+4. a stateless extract runs the site adapters; links are pushed to the
+   frontier shards from INSIDE the tasks (batched per shard — no driver
+   round-trip for discoveries), records stream to a per-round parquet
+   partition (resumable layout);
+5. the shards checkpoint (heap + spilled exact seen set) → exact resume.
 
 The loop ends when every shard's heap is empty.
 """
@@ -27,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from collections import OrderedDict
 
 import numpy as np
 import pyarrow as pa
@@ -40,7 +45,7 @@ from ..corpus.storage import CORPUS_SALTS
 from ..functions.hashing import stable_hash64
 from ..functions.urls import canonicalize_url
 from ..state.frontier import (
-    PUSH_SCHEMA, FrontierShard, PolitenessConfig, push_table)
+    _SORT_KEYS, PUSH_SCHEMA, FrontierShard, PolitenessConfig, push_table)
 from ..stages.adapters import extract_page, seed_rows
 # top-level (not inside the remote fns): workers resolve these through
 # the by-value-pickled module globals — a runtime relative import inside
@@ -53,14 +58,34 @@ RECORD_COLS = ["catalog", "record_type", "key", "series_key", "season_key",
                "order_key", "payload"]
 RECORD_SCHEMA_FLAT = pa.schema([(c, pa.string()) for c in RECORD_COLS])
 
+DEAD_COLS = ["url", "host", "site", "category", "depth"]
+DEAD_SCHEMA = pa.schema([
+    ("url", pa.string()), ("host", pa.string()), ("site", pa.string()),
+    ("category", pa.string()), ("depth", pa.int64()),
+    ("reason", pa.string()), ("attempts", pa.int32())])
+
+# pinned per-worker broadcasts (corpus + crawl state: live for the run)
 _BCAST: dict = {}
+# round-scoped per-worker cache (per-round shard tables): bounded LRU so
+# long crawls don't accumulate every round's tables in worker heaps
+_BCAST_LRU: "OrderedDict[str, object]" = OrderedDict()
+_BCAST_LRU_CAP = 16
 
 
-def _bget(ref):
+def _bget(ref, pin: bool = True):
     key = ref.hex()
-    if key not in _BCAST:
-        _BCAST[key] = ray.get(ref)
-    return _BCAST[key]
+    if pin:
+        if key not in _BCAST:
+            _BCAST[key] = ray.get(ref)
+        return _BCAST[key]
+    if key in _BCAST_LRU:
+        _BCAST_LRU.move_to_end(key)
+        return _BCAST_LRU[key]
+    val = ray.get(ref)
+    _BCAST_LRU[key] = val
+    while len(_BCAST_LRU) > _BCAST_LRU_CAP:
+        _BCAST_LRU.popitem(last=False)
+    return val
 
 
 def link_hashes(links: list[dict]) -> np.ndarray:
@@ -91,12 +116,12 @@ def push_links(links: list[dict], shards, n_shards: int) -> None:
     ray.get(refs)
 
 
-def partition_by_host(table: pa.Table, n_salts: int) -> list[np.ndarray]:
-    """The groupby-host shuffle with hot-host salting: one ROW-INDEX
-    array per (host, salt) bucket, sized so each bucket holds ~target
-    rows (~2 blocks per fetch slot). Returning indices (not sub-tables)
-    lets the round table be ray.put ONCE and sliced inside the tasks —
-    per-block sub-table serialization on the driver measured ~1-2 s/round.
+def partition_blocks(codes: np.ndarray, h: np.ndarray | None,
+                     n_salts: int) -> list[np.ndarray]:
+    """The groupby-host shuffle with hot-host salting, over the compact
+    planning columns (int host codes + uint64 url hashes): one
+    ROW-INDEX array per (host, salt) bucket, sized so each bucket holds
+    ~target rows (~2 blocks per fetch slot).
 
     Salt ALIGNMENT: the primary split inside a host follows
     ``h % CORPUS_SALTS`` — the same url hash that partitioned the
@@ -107,13 +132,8 @@ def partition_by_host(table: pa.Table, n_salts: int) -> list[np.ndarray]:
     block touches the few partitions it carries — the fetcher prunes
     per row-group either way). Broadcast mode is indifferent to block
     composition, so one scheme serves both."""
-    import pyarrow.compute as pc
-    n = table.num_rows
+    n = len(codes)
     target = max(256, -(-n // (2 * n_salts)))
-    codes = pc.dictionary_encode(
-        table.column("host")).combine_chunks().indices.to_numpy()
-    h = (table.column("h").to_numpy()
-         if "h" in table.column_names else None)
     out = []
     for code in np.unique(codes):
         rows = np.flatnonzero(codes == code)
@@ -144,33 +164,107 @@ def partition_by_host(table: pa.Table, n_salts: int) -> list[np.ndarray]:
     return [ix for ix in out if len(ix)]
 
 
+def partition_by_host(table: pa.Table, n_salts: int) -> list[np.ndarray]:
+    """Table-input wrapper over :func:`partition_blocks`."""
+    import pyarrow.compute as pc
+    codes = pc.dictionary_encode(
+        table.column("host")).combine_chunks().indices.to_numpy()
+    h = (table.column("h").to_numpy()
+         if "h" in table.column_names else None)
+    return partition_blocks(np.asarray(codes), h, n_salts)
+
+
+def _fetch_with_retry(fetcher, batch: pa.Table, fail_plan: dict | None,
+                      max_attempts: int) -> tuple[pa.Table, list[dict]]:
+    """Bounded in-task retry around the fetch (the reference's
+    ``get_website_safe`` loops its GET forever, Common.py:110-136; the
+    engine caps at ``max_attempts`` per SURVEY §4.1). Returns the
+    fetched rows in ORIGINAL batch order (late retry successes are
+    re-sorted back, so extraction order — and hence record/link
+    ordering — is independent of the retry schedule) plus dead-letter
+    rows: ``missing`` = URL not in the corpus (permanent, the 404
+    analogue), ``transient`` = simulated failures that exhausted the
+    budget. ``fail_plan`` (url → #transient failures before success) is
+    the sandbox's deterministic stand-in for flaky HTTP."""
+    dead: list[dict] = []
+    pend = batch.append_column(
+        "_ix", pa.array(np.arange(batch.num_rows, dtype=np.int64)))
+    fetched_parts: list[pa.Table] = []
+    for attempt in range(max_attempts):
+        if fail_plan:
+            urls = pend.column("url").to_pylist()
+            fmask = np.fromiter(
+                (attempt < fail_plan.get(u, 0) for u in urls),
+                dtype=bool, count=len(urls))
+        else:
+            fmask = None
+        trial = pend.filter(pa.array(~fmask)) if fmask is not None \
+            and fmask.any() else pend
+        if trial.num_rows:
+            got = fetcher(trial)
+            fetched_parts.append(got)
+            if got.num_rows < trial.num_rows:   # permanent misses
+                hit = set(got.column("url").to_pylist())
+                for r in trial.select(DEAD_COLS).to_pylist():
+                    if r["url"] not in hit:
+                        dead.append({**r, "reason": "missing",
+                                     "attempts": attempt + 1})
+        if fmask is None or not fmask.any():
+            pend = pend.slice(0, 0)
+            break
+        pend = pend.filter(pa.array(fmask))
+    if pend.num_rows:
+        for r in pend.select(DEAD_COLS).to_pylist():
+            dead.append({**r, "reason": "transient",
+                         "attempts": max_attempts})
+    if not fetched_parts:
+        return batch.slice(0, 0), dead
+    fetched = pa.concat_tables(fetched_parts)
+    if len(fetched_parts) > 1:
+        fetched = fetched.sort_by([("_ix", "ascending")])
+    return fetched.drop_columns(["_ix"]), dead
+
+
 @ray.remote
-def _crawl_block(block_idx: np.ndarray, refs: list, shards,
-                 n_shards: int, challenge_every: int, out_path: str,
-                 pages_path: str) -> int:
+def _crawl_block(parts: list, refs: list, shards, n_shards: int,
+                 challenge_every: int, out_path: str, pages_path: str,
+                 dead_path: str, max_attempts: int) -> tuple[int, int]:
     """One (host, salt) block of a crawl round: fetch+extract every
     row, write this block's records parquet part, push discovered
-    links once. Runs as a raw Ray task: a crawl round is a small,
-    latency-sensitive barrier over shared mutable frontier state — the
-    case the design brief reserves for raw tasks. Per-round Dataset
-    executions measured 8+ s of pure startup/teardown dead time across
-    a 6-round crawl; the batch-level transform itself is unchanged.
+    links once. ``parts`` is a list of (shard-slot, row-index array)
+    pairs into the per-shard popped tables — the block gathers its rows
+    worker-side from the shard-published objects (no driver funnel).
+    Runs as a raw Ray task: a crawl round is a small, latency-sensitive
+    barrier over shared mutable frontier state — the case the design
+    brief reserves for raw tasks. Per-round Dataset executions measured
+    8+ s of pure startup/teardown dead time across a 6-round crawl; the
+    batch-level transform itself is unchanged.
 
     Catalog records and per-page parse stats go to SEPARATE parquet
     prefixes: assembly reads only catalog rows (never the ~3× larger
-    page-stat stream), page analytics read only pages/."""
+    page-stat stream), page analytics read only pages/; dead-letter
+    rows (bounded-retry exhaustion / permanent misses) to a third.
+    """
     # refs wrapped in a list so Ray does NOT auto-dereference them —
     # the workers resolve them once via the per-process caches
-    ready_ref, corpus_ref, state_ref = refs
-    block = _bget(ready_ref).take(pa.array(block_idx))
+    table_refs, corpus_ref, state_ref = refs
+    block = pa.concat_tables([
+        _bget(table_refs[slot], pin=False).take(pa.array(loc))
+        for slot, loc in parts])
     fetcher = get_fetcher(corpus_ref, challenge_every)
     state = _bget(state_ref)
+    fail_plan = state.get("fail_plan")
     records: list[dict] = []
     pages: list[dict] = []
     links: list[dict] = []
+    dead: list[dict] = []
     for lo in range(0, block.num_rows, 2048):
         batch = block.slice(lo, 2048)
-        fetched = fetcher(batch)
+        fetched, dead_rows = _fetch_with_retry(
+            fetcher, batch, fail_plan, max_attempts)
+        dead.extend(dead_rows)
+        if fetched.num_rows == 0:   # whole sub-batch dead-lettered
+            continue
         frontier_cols = {c: fetched.column(c).to_pylist()
                          for c in FRONTIER_SCHEMA.names
                          if c in fetched.column_names}
@@ -190,14 +284,24 @@ def _crawl_block(block_idx: np.ndarray, refs: list, shards,
         arrays = {c: pa.array([r[c] for r in rows], type=pa.string())
                   for c in RECORD_COLS}
         pq.write_table(pa.table(arrays, schema=RECORD_SCHEMA_FLAT), path)
-    return len(records) + len(pages)
+    if dead:
+        pq.write_table(pa.table(
+            {c.name: pa.array([r[c.name] for r in dead], type=c.type)
+             for c in DEAD_SCHEMA}, schema=DEAD_SCHEMA), dead_path)
+    return len(records) + len(pages), len(dead)
 
 
 @ray.remote
-def _write_round_ckpt(ready: pa.Table, ckpt_dir: str, manifest: dict) -> int:
-    """Round-checkpoint writer (runs off the driver): popped.parquet
-    first, MANIFEST.json last — MANIFEST is resume()'s completeness
-    marker, so a crash mid-write leaves an ignorable partial dir."""
+def _write_round_ckpt(ready_refs: list, ckpt_dir: str,
+                      manifest: dict) -> int:
+    """Round-checkpoint writer (runs off the driver): merges the
+    shard-published popped tables into the round's canonical
+    (site, depth, order_key)-ordered log slice → popped.parquet first,
+    MANIFEST.json last — MANIFEST is resume()'s completeness marker, so
+    a crash mid-write leaves an ignorable partial dir."""
+    tables = [t for t in ray.get(list(ready_refs)) if t.num_rows]
+    ready = (pa.concat_tables(tables).sort_by(_SORT_KEYS)
+             if tables else PUSH_SCHEMA.empty_table())
     pq.write_table(ready, os.path.join(ckpt_dir, "popped.parquet"))
     with open(os.path.join(ckpt_dir, "MANIFEST.json"), "w") as fp:
         json.dump(manifest, fp)
@@ -223,7 +327,10 @@ class CrawlEngine:
                  image_sources: dict | None = None,
                  fetch_concurrency: int = 4,
                  challenge_every: int = 0,
-                 max_pop_per_round: int = 1 << 30):
+                 max_pop_per_round: int = 1 << 30,
+                 max_attempts: int = 3,
+                 fail_plan: dict | None = None,
+                 seen_buffer_cap: int = 1 << 20):
         self.run_dir = run_dir
         os.makedirs(os.path.join(run_dir, "records"), exist_ok=True)
         os.makedirs(os.path.join(run_dir, "ckpt"), exist_ok=True)
@@ -232,9 +339,13 @@ class CrawlEngine:
         # placement packs them onto the submitting node, which in
         # multi-node runs funnels every hash-routed push/pop RPC and
         # its plasma traffic through ONE raylet (no-op on one node).
+        # Each shard spills its exact seen-set runs under the run dir
+        # (shared storage in a real deployment, like the records sink).
         self.shards = [
             FrontierShard.options(scheduling_strategy="SPREAD")
-            .remote(i, n_shards, politeness)
+            .remote(i, n_shards, politeness,
+                    spill_dir=os.path.join(run_dir, "state", f"shard-{i}"),
+                    seen_buffer_cap=seen_buffer_cap)
             for i in range(n_shards)
         ]
         # corpus: broadcast table (combined to single chunks so worker
@@ -245,12 +356,14 @@ class CrawlEngine:
         self.state_ref = ray.put({
             "old": _old_digests(old_catalogs or {}),
             "images": image_sources or {},
+            "fail_plan": fail_plan,
         })
         self.fetch_concurrency = fetch_concurrency
         self.challenge_every = challenge_every
         self.max_pop = max_pop_per_round
-        self.frontier_log: list[pa.Table] = []
+        self.max_attempts = max_attempts
         self.metrics = {"rounds": 0, "popped": 0, "records": 0,
+                        "dead_lettered": 0,
                         "round_secs": [], "driver_secs": []}
         self._push_rows(seed_rows(seeds))
         self.round_idx = 0
@@ -259,28 +372,14 @@ class CrawlEngine:
         """Spawn ~one worker per CPU and build each worker's fetch
         state. Optional; bench.py calls it so throughput timing starts
         from a warm cluster."""
-        if isinstance(self.corpus_ref, str):
-            refs = [_warm_worker.remote([self.corpus_ref])
-                    for _ in range(int(ray.cluster_resources().get("CPU", 4)))]
-        else:
-            refs = [_warm_worker.remote([self.corpus_ref])
-                    for _ in range(int(ray.cluster_resources().get("CPU", 4)))]
+        refs = [_warm_worker.remote([self.corpus_ref])
+                for _ in range(int(ray.cluster_resources().get("CPU", 4)))]
         return len(set(ray.get(refs)))
 
     # -- frontier I/O ------------------------------------------------------
 
     def _push_rows(self, rows: list[dict]):
         push_links(rows, self.shards, self.n_shards)
-
-    def _pop_round(self) -> pa.Table | None:
-        results = ray.get([s.pop_ready.remote(self.max_pop)
-                           for s in self.shards])
-        tables = [t for t in results if t.num_rows]
-        if not tables:
-            return None
-        return pa.concat_tables(tables).sort_by(
-            [("site", "ascending"), ("depth", "ascending"),
-             ("order_key", "ascending"), ("url", "ascending")])
 
     # -- the round ---------------------------------------------------------
 
@@ -297,23 +396,51 @@ class CrawlEngine:
                     ray.get(self._ckpt_refs)
                 return self.metrics
             t0 = time.perf_counter()
-            ready = self._pop_round()
-            if ready is None:
+            metas = ray.get([s.pop_ready_meta.remote(self.max_pop)
+                             for s in self.shards])
+            popped = sum(m["rows"] for m in metas)
+            if popped == 0:
                 break
-            self.frontier_log.append(ready)
-            n_records = self._execute_round(ready)
-            self._checkpoint_round(ready)
+            n_records, n_dead = self._execute_round(metas)
+            self._checkpoint_round(metas, popped)
             dt = time.perf_counter() - t0
             self.metrics["rounds"] += 1
-            self.metrics["popped"] += ready.num_rows
-            if n_records >= 0:
-                self.metrics["records"] += n_records
+            self.metrics["popped"] += popped
+            self.metrics["records"] += max(n_records, 0)
+            self.metrics["dead_lettered"] += n_dead
             self.metrics["round_secs"].append(round(dt, 3))
             self.round_idx += 1
         self._finalize()
         return self.metrics
 
-    def _execute_round(self, ready: pa.Table) -> int:
+    def _plan_round(self, metas: list[dict]) -> tuple[list, list]:
+        """(host, salt) block planning over the compact columns the
+        shards returned; each block maps back to (shard-slot, local
+        row-index) parts — the only per-row driver state this round is
+        two int codes + one uint64 per URL."""
+        live = [m for m in metas if m["rows"]]
+        host_map: dict[str, int] = {}
+        codes_p, h_p, slot_p, local_p = [], [], [], []
+        for slot, m in enumerate(live):
+            remap = np.array([host_map.setdefault(hn, len(host_map))
+                              for hn in m["host_dict"]], dtype=np.int64)
+            codes_p.append(remap[m["host_codes"]])
+            h_p.append(np.asarray(m["h"], dtype=np.uint64))
+            slot_p.append(np.full(m["rows"], slot, dtype=np.int64))
+            local_p.append(np.arange(m["rows"], dtype=np.int64))
+        codes = np.concatenate(codes_p)
+        h = np.concatenate(h_p)
+        slots = np.concatenate(slot_p)
+        locs = np.concatenate(local_p)
+        blocks = partition_blocks(codes, h, n_salts=self.fetch_concurrency)
+        parts_blocks = []
+        for idx in blocks:
+            sl, lc = slots[idx], locs[idx]
+            parts_blocks.append(
+                [(int(s), lc[sl == s]) for s in np.unique(sl)])
+        return parts_blocks, [m["ref"][0] for m in live]
+
+    def _execute_round(self, metas: list[dict]) -> tuple[int, int]:
         """One round: host-partition the ready set (with hot-host
         salting) and run one raw _crawl_block task per block — the
         fused fetch+extract+sink+push transform. Fetch state (corpus
@@ -325,26 +452,30 @@ class CrawlEngine:
                                f"round={self.round_idx:04d}")
         pages_dir = os.path.join(self.run_dir, "pages",
                                  f"round={self.round_idx:04d}")
+        dead_dir = os.path.join(self.run_dir, "dead_letter",
+                                f"round={self.round_idx:04d}")
         os.makedirs(out_dir, exist_ok=True)
         os.makedirs(pages_dir, exist_ok=True)
-        blocks = partition_by_host(ready, n_salts=self.fetch_concurrency)
-        ready_ref = ray.put(ready.combine_chunks())
-        self._last_ready_ref = ready_ref
+        os.makedirs(dead_dir, exist_ok=True)
+        parts_blocks, table_refs = self._plan_round(metas)
         refs = [
             _crawl_block.remote(
-                idx, [ready_ref, self.corpus_ref, self.state_ref],
+                parts, [table_refs, self.corpus_ref, self.state_ref],
                 self.shards, self.n_shards, self.challenge_every,
                 os.path.join(out_dir, f"part-{k:05d}.parquet"),
-                os.path.join(pages_dir, f"part-{k:05d}.parquet"))
-            for k, idx in enumerate(blocks)
+                os.path.join(pages_dir, f"part-{k:05d}.parquet"),
+                os.path.join(dead_dir, f"part-{k:05d}.parquet"),
+                self.max_attempts)
+            for k, parts in enumerate(parts_blocks)
         ]
         self.metrics["driver_secs"].append(
             round(time.perf_counter() - t0, 3))
-        return sum(ray.get(refs))
+        results = ray.get(refs)
+        return (sum(r[0] for r in results), sum(r[1] for r in results))
 
     # -- checkpoint / resume (per-partition lineage, north_rule) -----------
 
-    def _checkpoint_round(self, ready: pa.Table):
+    def _checkpoint_round(self, metas: list[dict], popped: int):
         ckpt = os.path.join(self.run_dir, "ckpt", f"round-{self.round_idx:04d}")
         os.makedirs(ckpt, exist_ok=True)
         # non-blocking: settle the previous round's checkpoint instead
@@ -352,17 +483,16 @@ class CrawlEngine:
         if getattr(self, "_ckpt_refs", None):
             ray.get(self._ckpt_refs)
         self._ckpt_refs = [s.checkpoint.remote(ckpt) for s in self.shards]
-        # popped.parquet + MANIFEST written from a task (the round table
-        # is already in the object store as _last_ready_ref) — a serial
-        # driver-side parquet write per round was dead time in the
-        # barrier loop. MANIFEST lands only after popped.parquet, so
-        # resume's completeness marker is unchanged.
+        # popped.parquet (the merged, priority-ordered pop log slice) +
+        # MANIFEST written from a task over the shard-published tables —
+        # the driver never holds the round's rows. MANIFEST lands only
+        # after popped.parquet, so resume's completeness marker holds.
         manifest = {"round": self.round_idx,
-                    "popped": ready.num_rows,
+                    "popped": popped,
                     "n_shards": self.n_shards,
                     "metrics": json.loads(json.dumps(self.metrics))}
-        self._ckpt_refs.append(
-            _write_round_ckpt.remote(self._last_ready_ref, ckpt, manifest))
+        self._ckpt_refs.append(_write_round_ckpt.remote(
+            [m["ref"][0] for m in metas if m["rows"]], ckpt, manifest))
 
     def resume(self) -> int:
         """Restore frontier state from the latest complete checkpoint;
@@ -378,19 +508,16 @@ class CrawlEngine:
         ray.get([s.restore.remote(last) for s in self.shards])
         with open(os.path.join(last, "MANIFEST.json")) as fp:
             manifest = json.load(fp)
-        # rebuild the frontier log from the popped tables
-        self.frontier_log = [
-            pq.read_table(os.path.join(ckpt_root, r, "popped.parquet"))
-            for r in rounds]
         self.metrics = manifest["metrics"]
         return manifest["round"] + 1
 
-    def _finalize(self):
+    def _settle(self):
         if getattr(self, "_ckpt_refs", None):
             ray.get(self._ckpt_refs)
-        log = (pa.concat_tables(self.frontier_log)
-               if self.frontier_log else PUSH_SCHEMA.empty_table())
-        pq.write_table(log, os.path.join(self.run_dir, "frontier_log.parquet"))
+            self._ckpt_refs = []
+
+    def _finalize(self):
+        self._settle()
         stats = ray.get([s.stats.remote() for s in self.shards])
         self.metrics["shards"] = stats
         with open(os.path.join(self.run_dir, "metrics.json"), "w") as fp:
@@ -409,11 +536,40 @@ class CrawlEngine:
         from ..corpus.storage import read_parquet_sized
         return read_parquet_sized(os.path.join(self.run_dir, "pages"))
 
+    def dead_letter_dataset(self) -> rd.Dataset:
+        """Bounded-retry exhaustions + permanent fetch misses, with the
+        frontier row, reason and attempt count (SURVEY §4.1; replaces
+        the reference's infinite retry, Common.py:110-136)."""
+        from ..corpus.storage import read_parquet_sized
+        root = os.path.join(self.run_dir, "dead_letter")
+        has_rows = os.path.isdir(root) and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(root) for f in fs)
+        if not has_rows:
+            return rd.from_arrow(DEAD_SCHEMA.empty_table())
+        return read_parquet_sized(root)
+
     def frontier_log_table(self) -> pa.Table:
-        return pa.concat_tables(self.frontier_log) if self.frontier_log \
-            else PUSH_SCHEMA.empty_table()
+        """The merged (site, depth, order_key)-ordered pop log, read
+        back from the per-round checkpoint dirs — the driver holds no
+        round data during the crawl (r02 kept every popped table in
+        driver RAM for the run's lifetime). Test/driver-gate API:
+        materializes O(total popped) in the CALLER; at scale consume
+        ``ckpt/round-*/popped.parquet`` as a Dataset instead."""
+        self._settle()
+        ckpt_root = os.path.join(self.run_dir, "ckpt")
+        tables = []
+        if os.path.isdir(ckpt_root):
+            for r in sorted(os.listdir(ckpt_root)):
+                mf = os.path.join(ckpt_root, r, "MANIFEST.json")
+                p = os.path.join(ckpt_root, r, "popped.parquet")
+                if os.path.exists(mf) and os.path.exists(p):
+                    tables.append(pq.read_table(p))
+        return (pa.concat_tables(tables) if tables
+                else PUSH_SCHEMA.empty_table())
 
     def seen_urls(self) -> set[int]:
+        """TEST-ONLY: gathers every shard's exact key set (O(n))."""
         hashes = ray.get([s.seen_hashes.remote() for s in self.shards])
         return set(np.concatenate(hashes).tolist()) if hashes else set()
 
@@ -426,6 +582,7 @@ class CrawlEngine:
         (measured 534 s vs 71 s for the same assemble at bench scale).
         The engine is unusable for further rounds after release; resume
         via a fresh engine + ``resume()``."""
+        self._settle()
         for s in self.shards:
             ray.kill(s)
         self.shards = []

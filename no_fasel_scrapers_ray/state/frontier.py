@@ -39,6 +39,7 @@ import ray
 
 from ..corpus.schema import FRONTIER_SCHEMA
 from .cuckoo import CuckooFilter
+from .spillset import SpilledKeySet
 
 FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA]
 
@@ -91,12 +92,19 @@ class PolitenessConfig:
 class FrontierShard:
     def __init__(self, shard_id: int, n_shards: int,
                  politeness: PolitenessConfig | None = None,
-                 capacity: int = 1 << 23):
+                 capacity: int = 1 << 23,
+                 spill_dir: str | None = None,
+                 seen_buffer_cap: int = 1 << 20):
         self.shard_id = shard_id
         self.n_shards = n_shards
         self.politeness = politeness or PolitenessConfig()
         self.filter = CuckooFilter(capacity=capacity)
-        self.exact: set[int] = set()
+        # exact seen-set: bounded-memory (cuckoo is the hot path; the
+        # exact tier spills sorted uint64 runs to disk — state/spillset)
+        self._spill_dir = spill_dir
+        self._seen_buffer_cap = seen_buffer_cap
+        self.exact = SpilledKeySet(spill_dir=spill_dir,
+                                   buffer_cap=seen_buffer_cap)
         self.pending: list[pa.Table] = []
         self.n_pending = 0
         self.robots_blocked = 0
@@ -128,9 +136,11 @@ class FrontierShard:
                 return 0
         contains = self.filter.contains_many(h)
         new_mask = ~contains
-        for i in np.flatnonzero(contains):
-            if int(h[i]) not in self.exact:  # cuckoo false positive
-                new_mask[i] = True
+        pos = np.flatnonzero(contains)
+        if len(pos):
+            # verify the (rare) cuckoo positives against the exact tier
+            truly = self.exact.contains_many(h[pos])
+            new_mask[pos[~truly]] = True
         # within-batch dedup: first occurrence of each hash wins
         idx_new = np.flatnonzero(new_mask)
         if len(idx_new) == 0:
@@ -139,7 +149,7 @@ class FrontierShard:
         keep = idx_new[np.sort(first)]
         accepted = table.take(pa.array(keep))
         h_kept = h[keep]
-        self.exact.update(h_kept.tolist())
+        self.exact.add_many(h_kept)
         self.filter.add_many(h_kept)
         self.pending.append(accepted)
         self.n_pending += accepted.num_rows
@@ -175,11 +185,33 @@ class FrontierShard:
         self.stats_popped += ready.num_rows
         return ready
 
+    def pop_ready_meta(self, max_rows: int = 1 << 30) -> dict:
+        """Pop + publish: the ready table goes straight to the object
+        store (owned by this shard actor); only the compact planning
+        columns — dictionary-encoded hosts + the uint64 url hashes —
+        and the ObjectRef return to the driver, so the round's full
+        rows never transit driver memory (the r02 whole-round driver
+        funnel). The ref is wrapped in a list so Ray does not inline
+        the table into the reply."""
+        import pyarrow.compute as pc
+        t = self.pop_ready(max_rows)
+        if t.num_rows == 0:
+            return {"rows": 0}
+        d = pc.dictionary_encode(t.column("host")).combine_chunks()
+        return {
+            "rows": t.num_rows,
+            "ref": [ray.put(t)],
+            "host_codes": d.indices.to_numpy().astype(np.int64),
+            "host_dict": d.dictionary.to_pylist(),
+            "h": t.column("h").to_numpy(),
+        }
+
     def pending_count(self) -> int:
         return self.n_pending
 
     def seen_hashes(self) -> np.ndarray:
-        return np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
+        """TEST-ONLY: materializes the full exact set (O(n))."""
+        return self.exact.to_array()
 
     def stats(self) -> dict:
         return {
@@ -195,27 +227,34 @@ class FrontierShard:
     # -- checkpoint (per-partition lineage, north_rule) --------------------
 
     def checkpoint(self, ckpt_dir: str) -> str:
+        """Heap → parquet; exact seen-set → hardlinked immutable run
+        files + buffer + manifest (spillset.checkpoint) — never
+        materializes the full key set."""
         os.makedirs(ckpt_dir, exist_ok=True)
         t = (pa.concat_tables(self.pending).sort_by(_SORT_KEYS)
              if self.pending else PUSH_SCHEMA.empty_table())
         pq.write_table(t, os.path.join(
             ckpt_dir, f"heap-{self.shard_id}.parquet"))
-        pq.write_table(
-            pa.table({"h": pa.array(self.seen_hashes(), type=pa.uint64())}),
-            os.path.join(ckpt_dir, f"seen-{self.shard_id}.parquet"))
+        self.exact.checkpoint(ckpt_dir, str(self.shard_id))
         return ckpt_dir
 
     def restore(self, ckpt_dir: str) -> int:
         heap_t = pq.read_table(os.path.join(
             ckpt_dir, f"heap-{self.shard_id}.parquet"))
-        seen_t = pq.read_table(os.path.join(
-            ckpt_dir, f"seen-{self.shard_id}.parquet"))
-        self.exact = set(seen_t["h"].to_numpy().tolist())
-        if self.exact:
+        # restore into a fresh generation subdir — never collide with
+        # run files a previous life of this shard left in spill_dir
+        self._restore_gen = getattr(self, "_restore_gen", 0) + 1
+        sdir = (os.path.join(self._spill_dir, f"gen-{self._restore_gen}")
+                if self._spill_dir else None)
+        self.exact = SpilledKeySet.restore(
+            ckpt_dir, str(self.shard_id), spill_dir=sdir,
+            buffer_cap=self._seen_buffer_cap)
+        if len(self.exact):
+            # rebuild the filter by streaming bounded chunks of runs
             self.filter = CuckooFilter(capacity=max(1 << 21,
                                                     2 * len(self.exact)))
-            self.filter.add_many(np.fromiter(
-                self.exact, dtype=np.uint64, count=len(self.exact)))
+            for chunk in self.exact.iter_chunks():
+                self.filter.add_many(chunk)
         self.pending = [heap_t] if heap_t.num_rows else []
         self.n_pending = heap_t.num_rows
         return self.n_pending
