@@ -1279,9 +1279,13 @@ def q_pagerank_cust_supp(sf_dir: str):
                rows_per_block=65536)
 
     def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        # supplier node-space offset: 2^40 keeps the spaces disjoint
+        # for any realistic custkey domain (a 10M offset would merge
+        # customers and suppliers past sf~67 — and the mirrored oracle
+        # would silently agree)
         return pd.DataFrame({
             "o_orderkey": b["l_orderkey"].to_numpy(),
-            "dst": b["l_suppkey"].to_numpy() + 10_000_000})
+            "dst": b["l_suppkey"].to_numpy() + (1 << 40)})
 
     j = bucketed_join(li.map_batches(li_prep, batch_format="pandas"),
                       orders, on="o_orderkey", how="inner")
@@ -2751,7 +2755,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_cust_supp": """
             WITH e AS (
                 SELECT DISTINCT o_custkey AS src,
-                       10000000 + l_suppkey AS dst
+                       1099511627776 + l_suppkey AS dst
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
             nodes AS (SELECT src AS node FROM e
                       UNION SELECT dst FROM e),

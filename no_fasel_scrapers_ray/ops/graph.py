@@ -22,6 +22,7 @@ would otherwise re-run every prior iteration per pass).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -55,6 +56,40 @@ def _ckpt_latest(d: str | None, pref: str) -> tuple[int, str | None]:
             continue
         if i > best:
             best, path = i, os.path.join(d, name)
+    return best, path
+
+
+def _ckpt_resume(d: str | None, pref: str, fingerprint: dict,
+                 max_iters: int | None = None) -> tuple[int, str | None]:
+    """Validated resume: checkpoints in ``d`` are only trusted when the
+    run fingerprint (input sizes + result-shaping params) matches the
+    ``{pref}_meta.json`` manifest written by the run that created them —
+    reusing a dir across different inputs/params must NOT silently
+    resume from foreign state (labels from another graph misalign the
+    tier-2 searchsorted scatter; a stale iter ≥ max_iters would make
+    connected_components raise a spurious non-convergence error).
+    Mismatch raises; a missing manifest (pre-manifest dirs) writes one
+    and starts fresh; a matching checkpoint at iter ≥ max_iters is
+    ignored (fresh start) rather than clamped past the loop."""
+    if not d:
+        return 0, None
+    os.makedirs(d, exist_ok=True)
+    meta_path = os.path.join(d, f"{pref}_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fp:
+            old = json.load(fp)
+        if old != fingerprint:
+            raise ValueError(
+                f"checkpoint_dir {d!r} holds {pref} state for a "
+                f"different input/params (manifest {old} != "
+                f"{fingerprint}); point the run at a fresh dir")
+    else:
+        with open(meta_path, "w") as fp:
+            json.dump(fingerprint, fp)
+        return 0, None
+    best, path = _ckpt_latest(d, pref)
+    if max_iters is not None and best >= max_iters:
+        return 0, None
     return best, path
 
 
@@ -210,7 +245,10 @@ def connected_components(pairs: rd.Dataset, col_a: str, col_b: str,
 
     prev_sum = None
     converged = False
-    start_iter, ck_path = _ckpt_latest(checkpoint_dir, "cc")
+    start_iter, ck_path = _ckpt_resume(
+        checkpoint_dir, "cc",
+        {"op": "cc", "n_edge_rows": n_edge_rows, "n_nodes": n_nodes,
+         "n_buckets": n_buckets}, max_iters=max_iters)
     if ck_path and start_iter > 0:
         # resume: labels are the ONLY loop state; the monotone label
         # sum doubles as the convergence cursor, so it restores from
@@ -344,15 +382,30 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
         .sort_values("node", ignore_index=True)
     deg_ref = ray.put((deg_df["node"].to_numpy(dtype=np.int64),
                        deg_df["deg"].to_numpy(dtype=np.int64)))
+    # COMPACT node ids before any key packing: the wedge/edge keys
+    # below pack two ids into one int64, which silently collides for
+    # raw ids ≥ 2^32 (and overflows signed for ≥ 2^31). Compacted
+    # indices (searchsorted into the sorted distinct-node array, which
+    # this tier already broadcasts for degrees) make the packing exact
+    # for any id domain up to ~3e9 DISTINCT nodes — same approach as
+    # _driver_triangle_count.
+    n_nodes = len(deg_df)
+    if n_nodes * n_nodes >= 1 << 63:
+        raise ValueError(
+            f"triangle_count key packing supports < 2^31.5 distinct "
+            f"nodes (got {n_nodes}); shard the graph first")
 
     def orient(b: pd.DataFrame) -> pd.DataFrame:
         ids, dg = broadcast_get(deg_ref)
         a, bb = b["a"].to_numpy(), b["b"].to_numpy()
-        da = dg[np.searchsorted(ids, a)]
-        db = dg[np.searchsorted(ids, bb)]
+        ia = np.searchsorted(ids, a)
+        ib = np.searchsorted(ids, bb)
+        da, db = dg[ia], dg[ib]
+        # raw-id tiebreak == compact-index tiebreak (searchsorted into
+        # a sorted array is monotone)
         a_first = (da < db) | ((da == db) & (a < bb))
-        return pd.DataFrame({"u": np.where(a_first, a, bb),
-                             "v": np.where(a_first, bb, a)})
+        return pd.DataFrame({"u": np.where(a_first, ia, ib),
+                             "v": np.where(a_first, ib, ia)})
 
     directed = edges.map_batches(orient, batch_format="pandas").materialize()
 
@@ -362,8 +415,8 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
     if n_edge_rows <= broadcast_edge_threshold:
         ek = directed.to_pandas()
         u, v = ek["u"].to_numpy(), ek["v"].to_numpy()
-        keys_ref = ray.put(np.sort(np.where(u < v, (u << 32) | v,
-                                            (v << 32) | u)))
+        keys_ref = ray.put(np.sort(np.where(u < v, u * n_nodes + v,
+                                            v * n_nodes + u)))
 
         def tag(b: pd.DataFrame) -> pd.DataFrame:
             return b.assign(
@@ -375,7 +428,7 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
             m = l.merge(l.rename(columns={"v": "w"}), on="u")
             vv, ww = m["v"].to_numpy(), m["w"].to_numpy()
             keep = vv < ww
-            wkey = (vv[keep] << 32) | ww[keep]
+            wkey = vv[keep] * n_nodes + ww[keep]
             pos = np.searchsorted(keys, wkey)
             pos[pos >= len(keys)] = len(keys) - 1
             n = int((keys[pos] == wkey).sum()) if len(keys) else 0
@@ -398,7 +451,7 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
         # v < w keeps each unordered out-neighbor pair exactly once
         v, w = b["v"].to_numpy(), b["w"].to_numpy()
         keep = v < w
-        return pd.DataFrame({"key": (v[keep] << 32) | w[keep]})
+        return pd.DataFrame({"key": v[keep] * n_nodes + w[keep]})
 
     # materialized so the closing join's schema probe doesn't re-run
     # the wedge self-join (the expensive stage)
@@ -406,8 +459,8 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
     ekeys = directed.map_batches(
         lambda b: pd.DataFrame({"key": np.where(
             b["u"] < b["v"],
-            (b["u"].to_numpy() << 32) | b["v"].to_numpy(),
-            (b["v"].to_numpy() << 32) | b["u"].to_numpy())}),
+            b["u"].to_numpy() * n_nodes + b["v"].to_numpy(),
+            b["v"].to_numpy() * n_nodes + b["u"].to_numpy())}),
         batch_format="pandas")
     closed = bucketed_join(wedges, ekeys, on="key",
                            n_buckets=n_buckets, how="inner")
@@ -465,13 +518,15 @@ def _broadcast_pagerank(edges: rd.Dataset, node_ds: rd.Dataset,
     deg_ref = ray.put(deg)
     rank = np.full(n, 1.0 / n)
 
-    start_iter, ck_path = _ckpt_latest(checkpoint_dir, "pagerank")
+    start_iter, ck_path = _ckpt_resume(
+        checkpoint_dir, "pagerank",
+        {"op": "pagerank2", "n_nodes": n, "damping": damping,
+         "iters": iters}, max_iters=iters)
     if ck_path and start_iter > 0:
         import pyarrow.parquet as pq
         t = pq.read_table(ck_path)
         rank[np.searchsorted(ids, t["node"].to_numpy())] = \
             t["rank"].to_numpy()
-        start_iter = min(start_iter, iters)
 
     for _it in range(start_iter, iters):
         rank_ref = ray.put(rank)
@@ -590,10 +645,12 @@ def pagerank(edges: rd.Dataset, damping: float = 0.85, iters: int = 5,
         lambda b: b.assign(rank=1.0 / n_nodes), batch_format="pandas"
     ).materialize()
 
-    start_iter, ck_path = _ckpt_latest(checkpoint_dir, "pagerank3")
+    start_iter, ck_path = _ckpt_resume(
+        checkpoint_dir, "pagerank3",
+        {"op": "pagerank3", "n_nodes": n_nodes, "damping": damping,
+         "iters": iters}, max_iters=iters)
     if ck_path and start_iter > 0:
         ranks = rd.read_parquet(ck_path).materialize()
-        start_iter = min(start_iter, iters)
 
     def to_src_rank(b: pd.DataFrame) -> pd.DataFrame:
         # only rank-carrying srcs matter for the edge join; deg > 0 by

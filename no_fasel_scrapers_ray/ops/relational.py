@@ -191,6 +191,32 @@ def bloom_semi_join(big: rd.Dataset, keys_ds: rd.Dataset, column: str,
 # explicit big-big join pattern; salt hot keys by raising B.
 # --------------------------------------------------------------------------
 
+def _resolve_fields(ds: rd.Dataset) -> dict:
+    """Arrow field types of a Dataset's columns. A side built from
+    pandas blocks reports numpy dtypes (PandasBlockSchema); normalize
+    so null padding and int-restore checks always see Arrow types.
+    numpy object columns are ambiguous (text? list? bytes?) — infer
+    from one actual row (a limit-1 probe) instead of guessing string."""
+    schema = ds.schema()
+    fields, unresolved = {}, []
+    for name, typ in zip(schema.names, schema.types):
+        if isinstance(typ, pa.DataType):
+            fields[name] = typ
+            continue
+        try:
+            fields[name] = pa.from_numpy_dtype(typ)
+        except (pa.ArrowNotImplementedError, TypeError):
+            unresolved.append(name)
+    if unresolved:
+        rows = ds.limit(1).take(1)
+        for name in unresolved:
+            try:
+                fields[name] = pa.array([rows[0][name]]).type
+            except (IndexError, pa.ArrowInvalid):
+                fields[name] = pa.string()
+    return fields
+
+
 def bucketed_join(left: rd.Dataset, right: rd.Dataset, on: str,
                   n_buckets: int = 16, how: str = "inner") -> rd.Dataset:
     """Hash-partitioned join: ONE shuffle per side (the groupby), then a
@@ -199,32 +225,6 @@ def bucketed_join(left: rd.Dataset, right: rd.Dataset, on: str,
     are padded to a COMMON schema before the union — unioning datasets
     with different schemas sends the shuffle down a pathological slow
     path (measured 550 s for a 150k⋈150k join at sf0.1)."""
-
-    def _resolve_fields(ds: rd.Dataset) -> dict:
-        # a side built from pandas blocks reports numpy dtypes
-        # (PandasBlockSchema); normalize so the null padding and the
-        # int-restore check below always see Arrow types. numpy object
-        # columns are ambiguous (text? list? bytes?) — infer from one
-        # actual row (a limit-1 probe) instead of guessing string.
-        schema = ds.schema()
-        fields, unresolved = {}, []
-        for name, typ in zip(schema.names, schema.types):
-            if isinstance(typ, pa.DataType):
-                fields[name] = typ
-                continue
-            try:
-                fields[name] = pa.from_numpy_dtype(typ)
-            except (pa.ArrowNotImplementedError, TypeError):
-                unresolved.append(name)
-        if unresolved:
-            rows = ds.limit(1).take(1)
-            for name in unresolved:
-                try:
-                    fields[name] = pa.array([rows[0][name]]).type
-                except (IndexError, pa.ArrowInvalid):
-                    fields[name] = pa.string()
-        return fields
-
     left_fields = _resolve_fields(left)
     right_fields = _resolve_fields(right)
     left_cols = list(left_fields)
@@ -233,11 +233,23 @@ def bucketed_join(left: rd.Dataset, right: rd.Dataset, on: str,
     for name, typ in right_fields.items():
         all_fields.setdefault(name, typ)
 
+    key_is_int = pa.types.is_integer(all_fields[on])
+
     def tag(side: str):
         def _tag(batch: pa.Table) -> pa.Table:
             key = batch[on]
-            bucket = pc.bit_wise_and(
-                pc.cast(key, pa.int64()), pa.scalar(n_buckets - 1, pa.int64()))
+            if key_is_int:
+                bucket = pc.bit_wise_and(
+                    pc.cast(key, pa.int64()),
+                    pa.scalar(n_buckets - 1, pa.int64()))
+            else:
+                # string/other keys: pandas' deterministic content hash
+                # (fixed default hash_key → identical buckets on every
+                # worker for both sides)
+                hv = pd.util.hash_array(
+                    key.to_numpy(zero_copy_only=False).astype(object))
+                bucket = pa.array(
+                    (hv % np.uint64(n_buckets)).astype(np.int64))
             cols = {}
             for name, typ in all_fields.items():
                 cols[name] = (batch[name] if name in batch.column_names
@@ -1562,9 +1574,33 @@ def skew_aware_join(left: rd.Dataset, right: rd.Dataset, on: str,
     if len(hot) == 0:
         return bucketed_join(left, right, on=on,
                              n_buckets=n_buckets, how=how)
+    right_fields = _resolve_fields(right)
     right_hot = semi_join(right, hot, on).to_pandas()
-    hot_part = broadcast_join(semi_join(left, hot, on), right_hot,
-                              on, how=how)
+    if right_hot.empty:
+        # an empty pandas pull loses the right side's dtypes (object
+        # columns) — under how='left' the broadcast merge would then
+        # emit right columns with a schema the cold bucketed branch
+        # doesn't produce, and the union fails; conjure the empty
+        # frame from the right side's true Arrow schema instead
+        right_hot = pa.schema(
+            list(right_fields.items())).empty_table().to_pandas()
+    _check_broadcast_size(right_hot, "skew_aware_join hot side")
+    ref = ray.put(right_hot)
+    # same int-restore policy as bucketed_join's per-bucket merge, so
+    # the two branches emit union-compatible blocks
+    int_cols = [n for n, t in right_fields.items()
+                if pa.types.is_integer(t)]
+
+    def merge_hot(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.merge(broadcast_get(ref), on=on, how=how)
+        for c in int_cols:
+            if (c in out.columns and out[c].dtype.kind == "f"
+                    and not out[c].isna().any()):
+                out[c] = out[c].astype("int64")
+        return out
+
+    hot_part = semi_join(left, hot, on).map_batches(
+        merge_hot, batch_format="pandas")
     cold = bucketed_join(anti_join(left, hot, on),
                          anti_join(right, hot, on), on=on,
                          n_buckets=n_buckets, how=how)

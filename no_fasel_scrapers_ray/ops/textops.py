@@ -118,11 +118,13 @@ def top_terms(docs: rd.Dataset, k: int = 50,
     return survivors.sort(["n", "term"], descending=[True, False]).limit(k)
 
 
-def _df_table(docs: rd.Dataset, n_buckets: int) -> pd.DataFrame:
-    """Corpus document frequencies: per-batch per-doc-DISTINCT term
-    partials → one bucketed sum. The shuffle moves (term, df) partials
-    only, never exploded tokens. Shared by tfidf_top_terms and
-    rare_term_permille so the tokenization/dedup rules can't drift."""
+def _df_dataset(docs: rd.Dataset, n_buckets: int) -> rd.Dataset:
+    """Corpus document frequencies as a DATASET: per-batch per-doc-
+    DISTINCT term partials → one bucketed sum. The shuffle moves
+    (term, df) partials only, never exploded tokens. Shared by
+    tfidf_top_terms and rare_term_permille so the tokenization/dedup
+    rules can't drift. Stays distributed — callers choose whether to
+    broadcast it (small vocab) or join against it (the scale tier)."""
     from .relational import preagg_sum_count
 
     def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -135,7 +137,23 @@ def _df_table(docs: rd.Dataset, n_buckets: int) -> pd.DataFrame:
 
     return preagg_sum_count(
         docs.map_batches(df_partial, batch_format="pandas"),
-        ["term"], {"df": "df"}, n_buckets=n_buckets).to_pandas()
+        ["term"], {"df": "df"}, n_buckets=n_buckets)
+
+
+def _tf_dataset(docs: rd.Dataset) -> rd.Dataset:
+    """Per-document term frequencies (doc_id, term, tf) — exact per
+    batch because a document never spans batches; no shuffle."""
+
+    def tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tok = batch[["doc_id", "text"]].copy()
+        tok["term"] = tok["text"].str.split(" ")
+        ex = tok[["doc_id", "term"]].explode("term")
+        tf = (ex.groupby(["doc_id", "term"], as_index=False, sort=False)
+              .size().rename(columns={"size": "tf"}))
+        tf["tf"] = tf["tf"].astype(np.int64)
+        return tf
+
+    return docs.map_batches(tf_partial, batch_format="pandas")
 
 
 def quality_features(text: pd.Series) -> dict:
@@ -167,91 +185,168 @@ def quality_keep_mask(text: pd.Series,
 
 
 def tfidf_top_terms(docs: rd.Dataset, topn: int = 3,
-                    n_buckets: int = 64) -> rd.Dataset:
+                    n_buckets: int = 64,
+                    broadcast_vocab_limit: int = 1 << 22) -> rd.Dataset:
     """Per-document top-``topn`` TF-IDF terms — the keyword-extraction
-    stage of a curation pipeline, in two passes:
+    stage of a curation pipeline. Document frequencies come from ONE
+    bucketed sum over per-batch per-doc-DISTINCT partials (the shuffle
+    moves (term, df) partials only, never tokens); scoring then runs in
+    one of two tiers, cut over on the measured vocabulary size:
 
-    1. document frequencies: per-batch per-doc-DISTINCT term partials →
-       one bucketed sum (the shuffle moves distinct (term, df) partials
-       only, never tokens);
-    2. DF table broadcast once (``ray.put``); scoring is then purely
-       doc-local — tf from a per-batch groupby, per-doc top-n with no
-       second shuffle at all.
+    1. **broadcast** (vocab ≤ ``broadcast_vocab_limit``): DF table
+       broadcast once (``ray.put``); scoring is purely doc-local — tf
+       from a per-batch groupby, per-doc top-n with no further shuffle.
+    2. **distributed** (beyond): the per-doc (doc_id, term, tf) stream
+       goes through a term-bucketed join onto the DF dataset (the
+       ``heavy_hitter_terms``-recount shape; the r02 full-vocab
+       ``to_pandas``+broadcast was unbounded on a 100-TB corpus), then
+       a doc-bucketed group pass takes each document's top-n. Two
+       shuffles, both over (doc, term, int) rows — never document text.
 
     The score is the INTEGER surrogate ``tf * N_docs // df`` (floor
     division) — monotone in tf/idf, and bit-exact in SQL, so the whole
     ranking sits under the DuckDB oracle gate. Ties break (score DESC,
-    term ASC). Size contract: the broadcast DF table is
-    vocabulary-sized; a 10^9-term vocabulary would route scoring
-    through a term-bucketed join instead (same pattern as
-    ``heavy_hitter_terms``' recount)."""
+    term ASC); both tiers produce identical rows."""
     import ray
 
-    from .relational import _check_broadcast_size, broadcast_get
+    from .relational import (_check_broadcast_size, broadcast_get,
+                             bucketed_join)
+    from .util import stable_bucket_cols
 
     n_docs = docs.count()
-    df_tbl = _df_table(docs, n_buckets)
-    df_map = dict(zip(df_tbl["term"], df_tbl["df"]))
-    _check_broadcast_size(df_tbl, "tfidf_top_terms DF table")
-    df_ref = ray.put(df_map)
+    df_ds = _df_dataset(docs, n_buckets).materialize()
+    n_terms = df_ds.count()
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        dfm = broadcast_get(df_ref)
-        tok = batch[["doc_id", "text"]].copy()
-        tok["term"] = tok["text"].str.split(" ")
-        ex = tok[["doc_id", "term"]].explode("term")
-        tf = (ex.groupby(["doc_id", "term"], as_index=False, sort=False)
-              .size().rename(columns={"size": "tf"}))
-        dfv = tf["term"].map(dfm).to_numpy(dtype=np.int64)
-        tf["score"] = (tf["tf"].to_numpy(dtype=np.int64) * n_docs) // dfv
-        tf = tf.sort_values(["doc_id", "score", "term"],
-                            ascending=[True, False, True], kind="stable")
-        out = tf.groupby("doc_id", sort=False).head(topn)
-        return pd.DataFrame({"doc_id": out["doc_id"].to_numpy(),
-                             "term": out["term"].to_numpy(dtype=object),
-                             "score": out["score"].to_numpy(dtype=np.int64)})
+    if n_terms <= broadcast_vocab_limit:
+        df_tbl = df_ds.to_pandas()
+        df_map = dict(zip(df_tbl["term"], df_tbl["df"]))
+        _check_broadcast_size(df_tbl, "tfidf_top_terms DF table")
+        df_ref = ray.put(df_map)
 
-    return docs.map_batches(score, batch_format="pandas")
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            dfm = broadcast_get(df_ref)
+            tok = batch[["doc_id", "text"]].copy()
+            tok["term"] = tok["text"].str.split(" ")
+            ex = tok[["doc_id", "term"]].explode("term")
+            tf = (ex.groupby(["doc_id", "term"], as_index=False,
+                             sort=False)
+                  .size().rename(columns={"size": "tf"}))
+            dfv = tf["term"].map(dfm).to_numpy(dtype=np.int64)
+            tf["score"] = (tf["tf"].to_numpy(dtype=np.int64)
+                           * n_docs) // dfv
+            tf = tf.sort_values(["doc_id", "score", "term"],
+                                ascending=[True, False, True],
+                                kind="stable")
+            out = tf.groupby("doc_id", sort=False).head(topn)
+            return pd.DataFrame({
+                "doc_id": out["doc_id"].to_numpy(),
+                "term": out["term"].to_numpy(dtype=object),
+                "score": out["score"].to_numpy(dtype=np.int64)})
+
+        return docs.map_batches(score, batch_format="pandas")
+
+    joined = bucketed_join(_tf_dataset(docs), df_ds, on="term",
+                           n_buckets=n_buckets, how="inner")
+
+    def score_rows(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "term": b["term"].to_numpy(dtype=object),
+            "score": (b["tf"].to_numpy(dtype=np.int64) * n_docs)
+            // b["df"].to_numpy(dtype=np.int64)})
+        out["__bucket"] = stable_bucket_cols(out, ["doc_id"], n_buckets)
+        return out
+
+    def topn_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True], kind="stable")
+        out = g.groupby("doc_id", sort=False).head(topn)
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(),
+            "term": out["term"].to_numpy(dtype=object),
+            "score": out["score"].to_numpy(dtype=np.int64)})
+
+    return (joined.map_batches(score_rows, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(topn_bucket, batch_format="pandas"))
 
 
 def rare_term_permille(docs: rd.Dataset, max_df: int = 2,
-                       n_buckets: int = 64) -> rd.Dataset:
+                       n_buckets: int = 64,
+                       broadcast_vocab_limit: int = 1 << 22) -> rd.Dataset:
     """Per-document OOV/rarity signal: the permille of a doc's tokens
     whose corpus document frequency is ≤ ``max_df`` — the standard
-    'too many never-seen words' quality flag. Same two-pass shape as
-    ``tfidf_top_terms`` (shared ``_df_table``, broadcast once, then
-    purely doc-local counting); integer permille so the SQL oracle is
-    bit-exact.
+    'too many never-seen words' quality flag. Integer permille so the
+    SQL oracle is bit-exact. Two tiers, cut over on the measured
+    RARE-set size (on a Zipfian vocabulary the DF ≤ max_df set is most
+    of the vocabulary — the hard case):
 
-    Size contract: on a Zipfian vocabulary the DF ≤ max_df set is most
-    of the vocabulary, so the broadcast is vocabulary-sized —
-    ``_check_broadcast_size`` warns at 512 MiB; past that, route the
-    membership test through a term-bucketed join (the
-    ``heavy_hitter_terms`` recount shape) instead of a broadcast set."""
+    1. **broadcast** (rare set ≤ ``broadcast_vocab_limit``): rare-term
+       set broadcast once, counting purely doc-local;
+    2. **distributed**: the per-doc (doc_id, term, tf) stream joins the
+       rare-term dataset term-bucketed (inner — only rare occurrences
+       survive), per-doc hits come from one doc-keyed sum, and a final
+       doc-bucketed left join onto the per-doc token counts fills
+       zero-hit docs. Three shuffles over int rows, no text movement,
+       no vocabulary-sized driver state."""
     import ray
 
-    from .relational import _check_broadcast_size, broadcast_get
+    from .relational import (_check_broadcast_size, broadcast_get,
+                             bucketed_join, preagg_sum_count)
 
-    df_tbl = _df_table(docs, n_buckets)
-    rare = set(df_tbl["term"][df_tbl["df"] <= max_df])
-    _check_broadcast_size(df_tbl[df_tbl["df"] <= max_df],
-                          "rare_term_permille rare-term set")
-    rare_ref = ray.put(rare)
+    rare_ds = _df_dataset(docs, n_buckets).filter(
+        expr=f"df <= {int(max_df)}").materialize()
+    n_rare = rare_ds.count()
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        rset = broadcast_get(rare_ref)
-        toks = batch["text"].str.split(" ")
-        n_tokens = toks.str.len().to_numpy(dtype=np.int64)
-        hits = toks.map(
-            lambda ts: sum(1 for t in ts if t in rset)).to_numpy(
-            dtype=np.int64)
+    def base(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
+            "n_tokens": (batch["text"].str.count(" ") + 1)
+            .astype(np.int64)})
+
+    if n_rare <= broadcast_vocab_limit:
+        rare = (set(rare_ds.to_pandas()["term"]) if n_rare else set())
+        _check_broadcast_size(rare, "rare_term_permille rare-term set")
+        rare_ref = ray.put(rare)
+
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            rset = broadcast_get(rare_ref)
+            toks = batch["text"].str.split(" ")
+            n_tokens = toks.str.len().to_numpy(dtype=np.int64)
+            hits = toks.map(
+                lambda ts: sum(1 for t in ts if t in rset)).to_numpy(
+                dtype=np.int64)
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tokens,
+                "rare_permille": hits * 1000 // n_tokens,
+            })
+
+        return docs.map_batches(score, batch_format="pandas")
+
+    rare_tf = bucketed_join(_tf_dataset(docs),
+                            rare_ds.drop_columns(["df"]), on="term",
+                            n_buckets=n_buckets, how="inner")
+    hits_ds = preagg_sum_count(
+        rare_tf.map_batches(
+            lambda b: pd.DataFrame({"doc_id": b["doc_id"],
+                                    "hits": b["tf"]}),
+            batch_format="pandas"),
+        ["doc_id"], {"hits": "hits"}, n_buckets=n_buckets).materialize()
+    joined = bucketed_join(docs.map_batches(base, batch_format="pandas"),
+                           hits_ds, on="doc_id",
+                           n_buckets=n_buckets, how="left")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        hits = b["hits"].fillna(0).to_numpy(dtype=np.int64)
+        n_tokens = b["n_tokens"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
             "n_tokens": n_tokens,
             "rare_permille": hits * 1000 // n_tokens,
         })
 
-    return docs.map_batches(score, batch_format="pandas")
+    return joined.map_batches(finish, batch_format="pandas")
 
 
 def doc_quality(docs: rd.Dataset,

@@ -209,7 +209,7 @@ def test_pagerank_checkpoint_resume(tmp_path):
         ck = tmp_path / f"ck_{pref}"
         pagerank(ds, 0.85, 3, **tier_kw,
                  checkpoint_dir=str(ck)).to_pandas()
-        names = sorted(os.listdir(ck))
+        names = sorted(n for n in os.listdir(ck) if "_iter_" in n)
         assert len(names) == 3, names
         # simulate a crash after iteration 2: drop checkpoint 3
         for n in names:
@@ -238,7 +238,7 @@ def test_cc_checkpoint_resume(tmp_path):
     ck = tmp_path / "cc_ck"
     connected_components(ds, "a", "b", small_threshold=0,
                          checkpoint_dir=str(ck)).to_pandas()
-    names = sorted(os.listdir(ck))
+    names = sorted(n for n in os.listdir(ck) if "_iter_" in n)
     assert names, "no checkpoints written"
     last = names[-1]
     p = ck / last
@@ -248,3 +248,55 @@ def test_cc_checkpoint_resume(tmp_path):
     a = dict(zip(full["doc_id"], full["cluster_id"]))
     b = dict(zip(resumed["doc_id"], resumed["cluster_id"]))
     assert a == b
+
+
+def test_triangle_count_large_node_ids():
+    """Node ids ≥ 2^32 must count exactly in every tier: the key
+    packing compacts ids first (raw (u<<32)|v packing silently
+    collided / overflowed for such ids)."""
+    from no_fasel_scrapers_ray.ops.graph import triangle_count
+    B = 1 << 33
+    nodes = [B, B + 7, B + 13, B + 29]
+    k4 = [(nodes[a], nodes[b]) for a in range(4) for b in range(a + 1, 4)]
+    extra = [(nodes[3], 5), (5, 6)]                   # pendant + wedge
+    ds = rd.from_pandas(pd.DataFrame(k4 + extra, columns=["a", "b"]))
+    assert triangle_count(ds, n_buckets=4) == 4
+    assert triangle_count(ds, n_buckets=4, small_threshold=0) == 4
+    assert triangle_count(ds, n_buckets=4, small_threshold=0,
+                          broadcast_edge_threshold=0) == 4
+
+
+def test_ckpt_manifest_rejects_foreign_state(tmp_path):
+    """Reusing a checkpoint dir with a DIFFERENT input must fail
+    loudly instead of silently resuming from foreign ranks/labels."""
+    import pytest
+    from no_fasel_scrapers_ray.ops.graph import pagerank
+    rng = np.random.RandomState(3)
+    mk = lambda n: rd.from_pandas(pd.DataFrame(
+        {"src": rng.randint(0, n, 200),
+         "dst": rng.randint(0, n, 200)}).drop_duplicates())
+    ck = str(tmp_path / "ck")
+    kw = {"small_threshold": 0, "n_buckets": 4, "checkpoint_dir": ck}
+    pagerank(mk(40), 0.85, 2, **kw).to_pandas()
+    with pytest.raises(ValueError, match="different input"):
+        pagerank(mk(70), 0.85, 2, **kw)
+
+
+def test_cc_stale_checkpoint_beyond_max_iters_ignored(tmp_path):
+    """A prior run's checkpoints at iter ≥ this run's max_iters are
+    ignored (fresh start), not resumed into a spurious
+    'did not converge' error."""
+    import os
+    from no_fasel_scrapers_ray.ops.graph import connected_components
+    pairs = [(i, i + 1) for i in range(4)] + [(20, 21)]
+    ds = rd.from_pandas(pd.DataFrame(pairs, columns=["a", "b"])) \
+        .repartition(len(pairs))
+    ck = str(tmp_path / "ck")
+    full = connected_components(ds, "a", "b", small_threshold=0,
+                                checkpoint_dir=ck).to_pandas()
+    n_iters = len([n for n in os.listdir(ck) if "_iter_" in n])
+    again = connected_components(
+        ds, "a", "b", small_threshold=0, checkpoint_dir=ck,
+        max_iters=n_iters).to_pandas()
+    assert dict(zip(full["doc_id"], full["cluster_id"])) == \
+        dict(zip(again["doc_id"], again["cluster_id"]))

@@ -88,3 +88,45 @@ def test_doc_chunks_window_edges(tmp_path):
     d2 = out[out["doc_id"] == 2]
     assert d2["n_tokens"].tolist() == [1]
     assert d2["first_tok"].tolist() == ["solo"]
+
+
+def test_tfidf_tiers_identical(tmp_path):
+    """The distributed term-join tier (broadcast_vocab_limit=0) must
+    emit row-identical top terms to the broadcast tier."""
+    import ray.data as rd
+    from no_fasel_scrapers_ray.ops.textops import tfidf_top_terms
+    rng = np.random.RandomState(4)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(5, 25)))
+             for _ in range(300)]
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(300, dtype=np.int64),
+         "text": texts})).repartition(6)
+    cols = ["doc_id", "term", "score"]
+    a = (tfidf_top_terms(docs, topn=3, n_buckets=8).to_pandas()[cols]
+         .sort_values(cols, ignore_index=True))
+    b = (tfidf_top_terms(docs, topn=3, n_buckets=8,
+                         broadcast_vocab_limit=0).to_pandas()[cols]
+         .sort_values(cols, ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_rare_term_tiers_identical(tmp_path):
+    """The distributed rare-term join tier must match the broadcast
+    tier, including zero-hit documents (the left-join fill)."""
+    import ray.data as rd
+    from no_fasel_scrapers_ray.ops.textops import rare_term_permille
+    texts = (["common common words here"] * 40           # zero rare hits
+             + [f"common unique{i} words" for i in range(25)])
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64),
+         "text": texts})).repartition(5)
+    cols = ["doc_id", "n_tokens", "rare_permille"]
+    a = (rare_term_permille(docs, max_df=2, n_buckets=8)
+         .to_pandas()[cols].sort_values("doc_id", ignore_index=True))
+    b = (rare_term_permille(docs, max_df=2, n_buckets=8,
+                            broadcast_vocab_limit=0)
+         .to_pandas()[cols].sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.loc[a["doc_id"] < 40, "rare_permille"] == 0).all()
+    assert (a.loc[a["doc_id"] >= 40, "rare_permille"] > 0).all()

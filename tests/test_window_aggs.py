@@ -301,6 +301,38 @@ def test_skew_aware_join_hot_path_exact():
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_skew_aware_join_hot_key_absent_from_right():
+    """A hot key with NO right-side match under how='left': the hot
+    branch merges against an EMPTY broadcast frame; its output schema
+    must stay union-compatible with the cold bucketed branch and the
+    result must equal the plain bucketed join (r02 emitted mismatched
+    right-column dtypes here and the union failed at execution)."""
+    import ray.data as rd
+    from no_fasel_scrapers_ray.ops.relational import (
+        bucketed_join, skew_aware_join)
+    rng = np.random.RandomState(8)
+    keys = np.concatenate([np.full(5000, 999, dtype=np.int64),   # hot
+                           rng.randint(1, 100, 3000)])           # cold
+    rng.shuffle(keys)
+    left = pd.DataFrame({"k": keys, "x": np.arange(8000, dtype=np.int64)})
+    # right side: string + int payloads, hot key 999 ABSENT
+    right = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                          "y": np.arange(100, dtype=np.int64) * 10,
+                          "s": [f"v{i}" for i in range(100)]})
+    lds = rd.from_pandas(left).repartition(8)
+    rds = rd.from_pandas(right).repartition(2)
+    for how in ("left", "inner"):
+        got = skew_aware_join(lds, rds, on="k", how=how,
+                              n_buckets=4).to_pandas()
+        ref = bucketed_join(lds, rds, on="k", how=how,
+                            n_buckets=4).to_pandas()
+        cols = sorted(ref.columns)
+        assert sorted(got.columns) == cols
+        a = got[cols].sort_values(cols, ignore_index=True)
+        b = ref[cols].sort_values(cols, ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_grouped_moments_multibatch_bigint_combine():
     from no_fasel_scrapers_ray.ops.relational import grouped_moments
     rng = np.random.RandomState(11)
