@@ -306,36 +306,86 @@ def _jaccard_verify(uniq_pairs: rd.Dataset, extra_cols: list[str],
 
 def ngram_jaccard_pairs(docs: rd.Dataset, shingle: int = 3,
                         jaccard_threshold: float = 0.5,
-                        n_buckets: int = 32) -> rd.Dataset:
+                        n_buckets: int = 32,
+                        hot_df_threshold: int | None = 1024,
+                        hot_k: int = 128) -> rd.Dataset:
     """EXACT n-gram Jaccard near-duplicate pairs via prefix filtering —
     no probabilistic recall gap (unlike MinHash banding), no all-pairs
     scan, and a full DuckDB SQL oracle (cross-join Jaccard) at test sf.
 
-    Prefix-filter guarantee (hash order as the global total order):
-    J(A,B) ≥ t ⇒ |A∩B| ≥ ceil(t·max(|A|,|B|)), so the ascending-hash
-    prefixes of length |X| − ceil(t·|X|) + 1 must intersect — emitting
-    candidates from shared PREFIX shingles finds every qualifying pair.
-    Topology: prefix rows → one bucketed groupby emits candidate pairs
-    → pair dedup (preagg) → exact Jaccard via bucketed set joins. All
-    wide steps move prefix rows and pair keys, never documents.
+    Prefix-filter guarantee: J(A,B) ≥ t ⇒ |A∩B| ≥ ceil(t·max(|A|,|B|)),
+    so under ANY global total order of shingles the prefixes of length
+    |X| − ceil(t·|X|) + 1 must intersect — emitting candidates from
+    shared PREFIX shingles finds every qualifying pair. Topology:
+    prefix rows → one bucketed groupby emits candidate pairs → pair
+    dedup (preagg) → exact Jaccard via bucketed set joins. All wide
+    steps move prefix rows and pair keys, never documents.
 
-    Scale note: hot shingles (boilerplate n-grams in many prefixes)
-    inflate one group's O(k²) emission; measured max document frequency
-    on the bench corpus is 25. The standard extension if a corpus
-    misbehaves is df-ordered prefixes (rare shingles first — any global
-    total order preserves exactness), which needs one extra DF count
-    pass + a broadcast hot-set."""
+    Hot-shingle guard (df-ordered prefixes): a boilerplate shingle in
+    many prefixes inflates one group's O(k²) emission. One cheap
+    detection pass (per-batch top-``hot_k`` distinct-doc partial
+    counts, Misra-Gries-style lower bound) finds shingles with
+    df ≥ ``hot_df_threshold``; the broadcast hot set then defines the
+    order "non-hot (hash asc), THEN hot (hash asc)" — still a global
+    total order, so exactness is untouched, but hot shingles fall out
+    of prefixes unless a doc is nearly all boilerplate, bounding
+    candidate groups by ~hot_df_threshold. Approximate detection only
+    moves shingles between the two order classes — correctness never
+    depends on it. ``hot_df_threshold=None`` skips the pass (plain
+    hash order, the r02 behavior)."""
+    import ray
+
+    from .relational import broadcast_get
 
     def tokenset_batch(batch: pd.DataFrame) -> pd.DataFrame:
         return cached_instance(("tokenset", shingle),
                                lambda: TokenSetter(shingle))(batch)
 
+    hot_arr = np.empty(0, dtype=np.uint64)
+    if hot_df_threshold is not None:
+        def hot_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            sets = [_token_hashes(t, shingle) for t in batch["text"]]
+            sets = [s for s in sets if len(s)]
+            if not sets:
+                return pd.DataFrame(
+                    {"shingle": np.zeros(0, np.int64),
+                     "n": np.zeros(0, np.int64)})
+            vals, cnts = np.unique(np.concatenate(sets),
+                                   return_counts=True)
+            k = min(hot_k, len(vals))
+            top = np.argpartition(cnts, -k)[-k:]
+            return pd.DataFrame({"shingle": vals[top].view(np.int64),
+                                 "n": cnts[top].astype(np.int64)})
+
+        parts = docs.map_batches(hot_partial,
+                                 batch_format="pandas").to_pandas()
+        if len(parts):
+            tot = parts.groupby("shingle")["n"].sum()
+            hot_arr = np.sort(tot[tot >= hot_df_threshold]
+                              .index.to_numpy(dtype=np.int64)
+                              .view(np.uint64))
+    hot_ref = ray.put(hot_arr)
+
     def prefix_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        hotset = broadcast_get(hot_ref)
+        sets = [_token_hashes(txt, shingle) for txt in batch["text"]]
+        sets = [s if len(s) else np.zeros(1, np.uint64) for s in sets]
+        if len(hotset):
+            # ONE batch-wide membership probe (sorted hot set +
+            # searchsorted), then per-doc slicing — no per-doc isin
+            flat = np.concatenate(sets)
+            pos = np.searchsorted(hotset, flat)
+            pos[pos >= len(hotset)] = len(hotset) - 1
+            hot_flat = hotset[pos] == flat
+            offs = np.concatenate(
+                [[0], np.cumsum([len(s) for s in sets])])
         doc_cols, sh_cols = [], []
-        for d, txt in zip(batch["doc_id"].to_numpy(), batch["text"]):
-            s = _token_hashes(txt, shingle)     # sorted ascending
-            if not len(s):
-                s = np.zeros(1, np.uint64)
+        for i, (d, s) in enumerate(zip(batch["doc_id"].to_numpy(),
+                                       sets)):
+            if len(hotset):
+                ih = hot_flat[offs[i]:offs[i + 1]]
+                if ih.any():
+                    s = np.concatenate([s[~ih], s[ih]])  # rare-first
             p = len(s) - int(np.ceil(jaccard_threshold * len(s))) + 1
             sh_cols.append(s[:max(p, 1)])
             doc_cols.append(np.full(max(p, 1), d, dtype=np.int64))
@@ -447,26 +497,33 @@ class SimHasher:
         })
 
 
-def simhash_candidates(docs: rd.Dataset, max_hamming: int = 8,
-                       concurrency: int = 4,
-                       bucket_cap: int = 20000) -> rd.Dataset:
-    """SimHash near-dup pairs: 4 block-tables (16 bits each) → groupby
-    (table_id, block) → Hamming-verify within each bucket (vectorized
-    popcount) → final (doc_a, doc_b) groupby dedups across tables.
-    Pigeonhole guarantee: every pair within Hamming ≤ 3 shares at least
-    one exact block, so close-pair recall is 1.0 by construction.
+def make_simhash_verifier(max_hamming: int, bucket_cap: int):
+    """The per-(table_id, block) bucket verifier used by
+    ``simhash_candidates`` — module-level factory so the capped-bucket
+    recall guarantee is directly unit-testable on crafted hash values
+    (tests/test_neardup_quality.py).
 
-    Skew guard: a bucket larger than ``bucket_cap`` (boilerplate-heavy
-    corpora collapse many docs into one block value) is re-split on an
-    8-bit slice of a DIFFERENT block and verified per sub-bucket, so
-    the O(k²) verify stays bounded by the cap."""
-    def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        return cached_instance("simhasher", SimHasher)(batch)
+    Uncapped buckets: full pairwise Hamming verify (vectorized byte-LUT
+    popcount). Buckets over ``bucket_cap`` (boilerplate corpora
+    collapse many docs into one block value) re-apply the PIGEONHOLE
+    scheme one level down instead of an arbitrary re-split: the bucket
+    agrees exactly on its own 16-bit block, so any pair within
+    Hamming ≤ 3 differs in ≤ 3 of the REMAINING 48 bits — split those
+    into four 12-bit sub-blocks and the pair must agree exactly on at
+    least one. Each doc is indexed under all 4 sub-blocks; verification
+    runs per (sub-table, sub-code) group with first-match dedup across
+    sub-tables — so the h ≤ 3 guarantee survives the cap path intact
+    (the r02 cap path re-split on 8 bits of a DIFFERENT block, which
+    silently dropped pairs whose differing bits fell in that slice).
+    Pairs with 3 < hamming ≤ max_hamming remain best-effort under the
+    cap (the skew-guard trade-off); uncapped buckets verify them all.
+    A sub-group still over the cap falls back to full verify — at that
+    point the docs agree on 28 bits and the group size is governed by
+    the corpus's true near-dup mass, which IS the output size."""
 
-    sigs = docs.map_batches(simhash_batch, batch_format="pandas")
-
-    def verify_block(ids: np.ndarray, hs: np.ndarray,
-                     table_id: int) -> pd.DataFrame:
+    def verify_block(ids: np.ndarray, hs: np.ndarray, table_id: int,
+                     rem: np.ndarray | None = None,
+                     sub_id: int = 0) -> pd.DataFrame:
         a, b = np.triu_indices(len(ids), k=1)
         x = (hs[a] ^ hs[b])
         # byte-LUT popcount: unpackbits on the same pairs measured
@@ -481,6 +538,12 @@ def simhash_candidates(docs: rd.Dataset, max_hamming: int = 8,
         # stream and measured a 6.3 s skewed partial at sf0.1)
         for tp in range(table_id):
             keep &= ((x >> np.uint64(16 * tp)) & np.uint64(0xFFFF)) != 0
+        if rem is not None:
+            # first-match across the in-bucket SUB-tables too
+            xr = rem[a] ^ rem[b]
+            for sp in range(sub_id):
+                keep &= ((xr >> np.uint64(12 * sp))
+                         & np.uint64(0xFFF)) != 0
         return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep],
                              "hamming": ham[keep]})
 
@@ -498,18 +561,44 @@ def simhash_candidates(docs: rd.Dataset, max_hamming: int = 8,
         t = int(g["table_id"].iloc[0])
         if len(ids) <= bucket_cap:
             return verify_block(ids, hs, t)
-        # re-split on bits of another block (this group's own block is
-        # constant): table_id is constant per group
-        other = (t + 1) % 4
-        sub = ((hs >> np.uint64(16 * other)) & np.uint64(0xFF)).astype(np.int64)
+        # capped: concatenate the three OTHER 16-bit blocks into the
+        # 48-bit remainder, pigeonhole it into four 12-bit sub-blocks
+        others = [o for o in range(4) if o != t]
+        rem = np.zeros(len(hs), dtype=np.uint64)
+        for j, o in enumerate(others):
+            rem |= ((hs >> np.uint64(16 * o)) & np.uint64(0xFFFF)) \
+                << np.uint64(16 * j)
         outs = []
-        for code in np.unique(sub):
-            m = sub == code
-            if m.sum() >= 2:
-                outs.append(verify_block(ids[m], hs[m], t))
+        for sb in range(4):
+            code = ((rem >> np.uint64(12 * sb))
+                    & np.uint64(0xFFF)).astype(np.int64)
+            for c in np.unique(code):
+                m = code == c
+                if m.sum() >= 2:
+                    outs.append(verify_block(ids[m], hs[m], t,
+                                             rem=rem[m], sub_id=sb))
         return pd.concat(outs, ignore_index=True) if outs else empty
 
-    # first-match emission above makes the pair stream globally unique
-    # already — no cross-table pair-dedup shuffle needed
+    return verify
+
+
+def simhash_candidates(docs: rd.Dataset, max_hamming: int = 8,
+                       concurrency: int = 4,
+                       bucket_cap: int = 20000) -> rd.Dataset:
+    """SimHash near-dup pairs: 4 block-tables (16 bits each) → groupby
+    (table_id, block) → Hamming-verify within each bucket (vectorized
+    popcount). Pigeonhole guarantee: every pair within Hamming ≤ 3
+    shares at least one exact block, so close-pair recall is 1.0 by
+    construction — INCLUDING oversized buckets, which re-apply the
+    pigeonhole on the remaining 48 bits instead of an arbitrary
+    re-split (see ``make_simhash_verifier``)."""
+    def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return cached_instance("simhasher", SimHasher)(batch)
+
+    sigs = docs.map_batches(simhash_batch, batch_format="pandas")
+    verify = make_simhash_verifier(max_hamming, bucket_cap)
+
+    # first-match emission inside verify makes the pair stream globally
+    # unique already — no cross-table pair-dedup shuffle needed
     return sigs.groupby(["table_id", "block"]).map_groups(
         verify, batch_format="pandas")

@@ -198,3 +198,86 @@ def test_cosine_exact_allpairs(emb_ds, emb_mat):
     approx = cosine_near_dup(emb_ds, threshold=COSINE_T).to_pandas()
     ap = {(int(a), int(b)) for a, b in zip(approx["vec_a"], approx["vec_b"])}
     assert ap <= set(brute), "approx emitted a pair the exact kernel rejects"
+
+
+def test_simhash_capped_bucket_keeps_h3_guarantee():
+    """An oversized (table 0, block) bucket where a planted pair
+    differs by exactly one bit in EACH of blocks 1, 2, 3 (h=3 — no
+    other 16-bit block agrees, so only this bucket can emit it). The
+    capped path must still find the pair: the r02 re-split on 8 bits
+    of a different block dropped exactly this shape."""
+    from no_fasel_scrapers_ray.ops.dedup import make_simhash_verifier
+    rng = np.random.RandomState(13)
+    base = np.uint64(0x1234ABCD5678EF90) & np.uint64(0xFFFFFFFFFFFF0000) \
+        | np.uint64(0xBEEF)                       # block 0 = 0xBEEF
+    n_filler = 40
+    # filler docs share block 0, random elsewhere -> bucket size 42
+    fillers = (rng.randint(0, 2**48, size=n_filler).astype(np.uint64)
+               << np.uint64(16)) | np.uint64(0xBEEF)
+    x = np.uint64(base)
+    # differ in bit 0 of block 1 (bit 16), block 2 (bit 32), block 3
+    # (bit 48) -> h=3, and the differing bits straddle every possible
+    # 8-bit slice re-split of a single other block
+    y = x ^ np.uint64((1 << 16) | (1 << 32) | (1 << 48))
+    hs = np.concatenate([fillers, [x, y]])
+    g = pd.DataFrame({
+        "doc_id": np.arange(len(hs), dtype=np.int64),
+        "simhash": hs.view(np.int64),
+        "table_id": np.zeros(len(hs), dtype=np.int64),
+        "block": np.full(len(hs), 0xBEEF, dtype=np.int64)})
+    # force the cap path
+    verify = make_simhash_verifier(max_hamming=8, bucket_cap=8)
+    out = verify(g)
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (n_filler, n_filler + 1) in pairs, (
+        "h=3 pair lost on the capped path")
+    # and the capped path must emit each found pair exactly once
+    assert len(pairs) == len(out)
+    # uncapped reference finds a superset (best-effort 3<h<=8 allowed
+    # to shrink under the cap, h<=3 never)
+    full = make_simhash_verifier(max_hamming=8, bucket_cap=10**9)(g)
+    close = full[full["hamming"] <= 3]
+    close_pairs = set(zip(close["doc_a"], close["doc_b"]))
+    assert close_pairs <= pairs
+
+
+def test_ngram_jaccard_hot_shingle_guard_exact():
+    """A planted boilerplate shingle spanning >10% of docs: the
+    df-ordered (hot-last) prefix path must stay EXACT vs brute-force
+    Jaccard and identical to the plain hash-order path."""
+    from no_fasel_scrapers_ray.ops.dedup import (
+        _token_hashes, ngram_jaccard_pairs)
+    rng = np.random.RandomState(21)
+    vocab = [f"tok{i}" for i in range(400)]
+    boiler = "subscribe to our channel now"       # hot 3-gram source
+    texts = []
+    for i in range(120):
+        body = " ".join(rng.choice(vocab, size=12))
+        texts.append(body + " " + boiler if i % 3 == 0 else body)
+    # planted near-dup pair: one token differs out of 12
+    texts[5] = " ".join([f"dup{j}" for j in range(12)])
+    texts[77] = " ".join([f"dup{j}" for j in range(11)] + ["other"])
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64),
+         "text": texts})).repartition(4)
+    t = 0.5
+    # brute-force oracle over the same shingle hash sets
+    sets = [_token_hashes(x, 3) for x in texts]
+    exp = set()
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            inter = len(np.intersect1d(sets[a], sets[b],
+                                       assume_unique=True))
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and round(inter / union, 6) >= t:
+                exp.add((a, b))
+    assert (5, 77) in exp                       # the planted pair
+    got_hot = ngram_jaccard_pairs(docs, shingle=3, jaccard_threshold=t,
+                                  hot_df_threshold=10).to_pandas()
+    got_plain = ngram_jaccard_pairs(docs, shingle=3, jaccard_threshold=t,
+                                    hot_df_threshold=None).to_pandas()
+    assert set(zip(got_hot["doc_a"], got_hot["doc_b"])) == exp
+    assert set(zip(got_plain["doc_a"], got_plain["doc_b"])) == exp
+    a = got_hot.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    b = got_plain.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
