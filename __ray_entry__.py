@@ -2140,6 +2140,34 @@ def q_scrape_all(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_crawl_dead_letter(sf_dir: str):
+    """Bounded-retry + dead-letter path (SURVEY §4.1; replaces the
+    reference's infinite retry, Common.py:110-136): a tiny crawl with a
+    deterministic injected failure plan — one URL recovers within the
+    budget (absent below), one exhausts it (reason='transient'), one
+    seed points at a page missing from the corpus (reason='missing').
+    Deterministic rows; correctness pinned by tests/test_dead_letter.py
+    (catalog/pop-log/seen-set equality vs the no-failure run)."""
+    import tempfile
+    from no_fasel_scrapers_ray.corpus.synth import generate, tiny_config
+    from no_fasel_scrapers_ray.pipelines.crawl import CrawlEngine
+    if "dead_letter" not in _CRAWL_MEMO:
+        corpus, seeds = generate(tiny_config())
+        run_dir = tempfile.mkdtemp(prefix="entry_dead_letter_")
+        extra = seeds.to_pylist() + [{
+            "url": "https://fasel.test/movies/not-a-real-page",
+            "site": "fasel", "category": "movies"}]
+        eng = CrawlEngine(corpus, extra, run_dir, n_shards=2,
+                          max_attempts=3,
+                          fail_plan={"https://fasel.test/movies/m3": 2,
+                                     "https://fasel.test/movies/m5": 99})
+        eng.run()
+        _CRAWL_MEMO["dead_letter"] = (
+            eng.dead_letter_dataset().to_pandas()
+            .sort_values(["url"], ignore_index=True))
+    return _CRAWL_MEMO["dead_letter"]
+
+
 def q_crawl_trending(sf_dir: str):
     """Trending joins (J3 first-match title join, J4 id semi-joins, J5
     featured projection)."""
@@ -2271,6 +2299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_trending": q_crawl_trending,
         "crawl_scrape_all": q_scrape_all,
         "crawl_host_stats": q_crawl_host_stats,
+        "crawl_dead_letter": q_crawl_dead_letter,
     }
 
 

@@ -176,6 +176,7 @@ def run_crawl(corpus, seeds, num_cpus: int, run_dir: str,
     assemble_sec = time.perf_counter() - t1
     import shutil
     shutil.rmtree(run_dir, ignore_errors=True)  # bench runs are throwaway
+    import resource
     return {
         "crawl_sec": round(crawl_sec, 3),
         "setup_sec": round(setup_sec, 3),
@@ -186,6 +187,12 @@ def run_crawl(corpus, seeds, num_cpus: int, run_dir: str,
         "pages_per_sec": round(metrics["popped"] / crawl_sec, 1),
         "catalog_entries": n_entries,
         "rounds": metrics["rounds"],
+        # driver-flatness evidence (VERDICT r02 #1): peak driver RSS —
+        # since r3 the driver holds only planning columns per round, so
+        # this must stay flat in popped-row count (the r02 loop kept
+        # every popped table + funneled each round through driver RAM)
+        "driver_peak_rss_mb": round(resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss / 1024, 1),
     }
 
 
@@ -271,6 +278,7 @@ def main() -> None:
         "crawl_pages": crawl["pages"],
         "crawl_rounds": crawl["rounds"],
         "catalog_entries": crawl["catalog_entries"],
+        "driver_peak_rss_mb": crawl.get("driver_peak_rss_mb"),
     }
     ray.shutdown()
     print(json.dumps(out))
@@ -394,7 +402,16 @@ def scaling_fair() -> None:
     coordination actually costs (cross-raylet object transfer,
     frontier-actor RPC, driver round-trips) — the quantity that exists
     on a real N→4N cluster, where each node brings its own cores.
-    Appends to BENCH_SCALING.json as "multi_node_fair"."""
+
+    Same-window pairing (the r02 lesson: a baseline measured minutes
+    away from its coordinated phase catches a different host window
+    and skews the ratio either way): each sample runs the A-B-A
+    bracket — independent baseline, coordinated cluster, independent
+    baseline again, back-to-back — and the efficiency divides B by the
+    MEAN of the two brackets, with the min/max bracket reported so a
+    window shift is visible in the record. ``BENCH_FAIR_SAMPLES``
+    samples (default 2) append to BENCH_SCALING.json as
+    "multi_node_fair"."""
     import subprocess as sp
     base_port = int(os.environ.get("BENCH_FAIR_PORT", "6431"))
     base_env = {k: v for k, v in os.environ.items()
@@ -404,36 +421,36 @@ def scaling_fair() -> None:
         sp.run(["ray", "stop", "--force"], env=base_env,
                capture_output=True)
 
-    # Phase A: 4 independent single-node Rays (plain local mode — no
-    # `ray start`, so no shared GCS and no shared /tmp/ray session
-    # dir; a first attempt with 4 `ray start --head` clusters hung on
-    # driver session-dir contention), 4 CPUs each, the same crawl
-    # launched simultaneously → sum of throughputs.
-    stop_all()
-    procs = []
-    for i in range(4):
-        env = dict(base_env, BENCH_CRAWL_ONLY="1",
-                   BENCH_CRAWL_REPEATS="1", RAY_GRAFT_CPUS="4",
-                   RAY_TMPDIR=f"/tmp/ray_fair_{i}")
-        os.makedirs(f"/tmp/ray_fair_{i}", exist_ok=True)
-        procs.append(sp.Popen([sys.executable,
-                               os.path.join(REPO, "bench.py")],
-                              env=env, stdout=sp.PIPE, stderr=sp.DEVNULL,
-                              text=True))
-    indep = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=1800)
-            indep.append(json.loads(out.strip().splitlines()[-1]))
-        except sp.TimeoutExpired:
-            p.kill()
-            raise
-    thr_indep = sum(r["crawl_pages_per_sec"] for r in indep)
+    def phase_a() -> list[float]:
+        # 4 independent single-node Rays (plain local mode — no
+        # `ray start`, so no shared GCS and no shared /tmp/ray session
+        # dir; a first attempt with 4 `ray start --head` clusters hung
+        # on driver session-dir contention), 4 CPUs each, the same
+        # crawl launched simultaneously → per-cluster throughputs.
+        stop_all()
+        procs = []
+        for i in range(4):
+            env = dict(base_env, BENCH_CRAWL_ONLY="1",
+                       BENCH_CRAWL_REPEATS="1", RAY_GRAFT_CPUS="4",
+                       RAY_TMPDIR=f"/tmp/ray_fair_{i}")
+            os.makedirs(f"/tmp/ray_fair_{i}", exist_ok=True)
+            procs.append(sp.Popen([sys.executable,
+                                   os.path.join(REPO, "bench.py")],
+                                  env=env, stdout=sp.PIPE,
+                                  stderr=sp.DEVNULL, text=True))
+        out = []
+        for p in procs:
+            try:
+                o, _ = p.communicate(timeout=1800)
+                out.append(json.loads(
+                    o.strip().splitlines()[-1])["crawl_pages_per_sec"])
+            except sp.TimeoutExpired:
+                p.kill()
+                raise
+        return out
 
-    # Phase B: ONE coordinated 4-node cluster (4 raylets × 4 CPUs),
-    # same crawl — best of 2 (variance shield).
-    best = None
-    for _ in range(2):
+    def phase_b() -> dict:
+        # ONE coordinated 4-node cluster (4 raylets × 4 CPUs)
         stop_all()
         sp.run(["ray", "start", "--head", f"--port={base_port}",
                 "--num-cpus=4", "--include-dashboard=false"],
@@ -448,18 +465,38 @@ def scaling_fair() -> None:
         out = sp.run([sys.executable, os.path.join(REPO, "bench.py")],
                      env=env, capture_output=True, text=True,
                      check=True, timeout=1800).stdout
-        best = _best_run(best, json.loads(out.strip().splitlines()[-1]))
+        r = json.loads(out.strip().splitlines()[-1])
         stop_all()
-    thr_coord = best["crawl_pages_per_sec"]
+        return r
+
+    n_samples = int(os.environ.get("BENCH_FAIR_SAMPLES", "2"))
+    samples = []
+    for _ in range(n_samples):
+        a_pre = phase_a()
+        coord = phase_b()
+        a_post = phase_a()
+        s_pre, s_post = sum(a_pre), sum(a_post)
+        base = (s_pre + s_post) / 2
+        thr_coord = coord["crawl_pages_per_sec"]
+        samples.append({
+            "independent_sum_pre": round(s_pre, 1),
+            "independent_sum_post": round(s_post, 1),
+            "per_cluster_pre": a_pre,
+            "per_cluster_post": a_post,
+            "pages_per_sec_coordinated_4node": thr_coord,
+            "coordination_efficiency": round(thr_coord / base, 3),
+            "efficiency_bracket": [
+                round(thr_coord / max(s_pre, s_post), 3),
+                round(thr_coord / min(s_pre, s_post), 3)],
+            "pages": coord["crawl_pages"],
+        })
 
     report = {
         "mode": "contention_matched_4node",
-        "pages_per_sec_4x_independent_1node": round(thr_indep, 1),
-        "per_cluster_independent": [r["crawl_pages_per_sec"]
-                                    for r in indep],
-        "pages_per_sec_coordinated_4node": thr_coord,
-        "coordination_efficiency": round(thr_coord / thr_indep, 3),
-        "pages": best["crawl_pages"],
+        "pairing": "A-B-A bracket, efficiency = B / mean(A_pre, A_post)",
+        "samples": samples,
+        "coordination_efficiency_min": min(
+            s["coordination_efficiency"] for s in samples),
     }
     try:
         with open(os.path.join(REPO, "BENCH_SCALING.json")) as fp:

@@ -15,6 +15,8 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 # Tiny deterministic stopword set used by the quality score; chosen from
@@ -24,43 +26,71 @@ STOPWORDS = ("the", "a", "value", "table")
 TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+"
 
 
+def _pad_doubled(text_col):
+    """``' ' + text.replace(' ', '  ') + ' '`` — every token boundary
+    becomes a DOUBLE space, so a non-overlapping
+    ``count_substring(' w ')`` counts whole-token occurrences exactly,
+    including adjacent repeats (' the the '). Replaces the pandas
+    zero-width-lookaround trick: Arrow's re2 has no lookarounds, and
+    these kernels run zero-copy on the Arrow string buffers instead of
+    copying every batch into python-object pandas Series."""
+    doubled = pc.replace_substring(text_col, pattern=" ",
+                                   replacement="  ")
+    return pc.binary_join_element_wise(
+        pa.scalar(" "), doubled, pa.scalar(" "), pa.scalar(""))
+
+
+def _stop_token_counts(text_col, words) -> np.ndarray:
+    """Exact whole-token hit counts for each word, summed — one Arrow
+    substring-count pass per stopword over the doubled padding."""
+    padded = _pad_doubled(text_col)
+    out = np.zeros(len(padded), dtype=np.int64)
+    for w in words:
+        out += pc.count_substring(
+            padded, f" {w} ").to_numpy(zero_copy_only=False).astype(np.int64)
+    return out
+
+
 def doc_stats(docs: rd.Dataset) -> rd.Dataset:
     """Per-document: whitespace token count, char count, stopword ratio.
 
     SQL-mirrorable: tokens = single-space split (documents are
-    single-space separated); ratio rounded to 6 decimals.
+    single-space separated); ratio rounded to 6 decimals. Arrow-native
+    (zero-copy string kernels; the pandas version copied every text
+    batch into object Series — measured conversion tax on doc streams).
     """
 
-    def stats(batch: pd.DataFrame) -> pd.DataFrame:
-        n_tokens = (batch["text"].str.count(" ") + 1).astype(np.int64)
-        # exact whole-token stopword hits, fully vectorized: zero-width
-        # boundaries so adjacent stopwords (" the the ") all count
-        padded = " " + batch["text"] + " "
-        stop = sum(padded.str.count(rf"(?<= ){w}(?= )")
-                   for w in STOPWORDS).astype(np.int64)
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"],
-            "n_tokens": n_tokens,
-            "n_chars": batch["text"].str.len().astype(np.int64),
-            "stopword_ratio": (stop / n_tokens).round(6),
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_tokens = pc.count_substring(text, " ").to_numpy(
+            zero_copy_only=False).astype(np.int64) + 1
+        stop = _stop_token_counts(text, STOPWORDS)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens),
+            "n_chars": pa.array(pc.utf8_length(text).to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "stopword_ratio": pa.array(np.round(stop / n_tokens, 6)),
         })
 
-    return docs.map_batches(stats, batch_format="pandas")
+    return docs.map_batches(stats, batch_format="pyarrow")
 
 
 def token_counts(docs: rd.Dataset) -> rd.Dataset:
     """Token counting with a regex (BPE-ish word/number splits) via
-    pandas ``str.count`` (vectorized C loop; pattern compiled once per
-    worker process by pandas' internal regex cache). Stateless → task-
-    based stage."""
+    Arrow's ``count_substring_regex`` (re2, zero-copy over the string
+    buffers). Stateless → task-based stage."""
 
-    def count(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"],
-            "n_regex_tokens": batch["text"].str.count(TOKEN_PATTERN).astype(np.int64),
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            batch.column("text"), TOKEN_PATTERN).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_regex_tokens": pa.array(n),
         })
 
-    return docs.map_batches(count, batch_format="pandas")
+    return docs.map_batches(count, batch_format="pyarrow")
 
 
 def lang_score(docs: rd.Dataset) -> rd.Dataset:
@@ -68,22 +98,27 @@ def lang_score(docs: rd.Dataset) -> rd.Dataset:
 
     A deterministic n-gram/stopword heuristic (the shape of real lang-ID
     at crawl scale) that is exactly expressible in SQL: counts of the
-    ' the ' and ' data ' markers, and the predicted class.
-    """
+    ' the ' and ' data ' markers (single-padding, non-overlapping —
+    the SQL oracle mirrors this exact scan), and the predicted class.
+    Arrow-native string kernels throughout."""
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        padded = " " + batch["text"] + " "
-        the_hits = padded.str.count(" the ").astype(np.int64)
-        data_hits = padded.str.count(" data ").astype(np.int64)
+    def score(batch: pa.Table) -> pa.Table:
+        padded = pc.binary_join_element_wise(
+            pa.scalar(" "), batch.column("text"), pa.scalar(" "),
+            pa.scalar(""))
+        the_hits = pc.count_substring(padded, " the ").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        data_hits = pc.count_substring(padded, " data ").to_numpy(
+            zero_copy_only=False).astype(np.int64)
         pred = np.where(the_hits > data_hits, "en-like", "other")
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"],
-            "the_hits": the_hits,
-            "data_hits": data_hits,
-            "lang_pred": pred,
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "the_hits": pa.array(the_hits),
+            "data_hits": pa.array(data_hits),
+            "lang_pred": pa.array(pred),
         })
 
-    return docs.map_batches(score, batch_format="pandas")
+    return docs.map_batches(score, batch_format="pyarrow")
 
 
 def top_terms(docs: rd.Dataset, k: int = 50,
@@ -156,17 +191,18 @@ def _tf_dataset(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(tf_partial, batch_format="pandas")
 
 
-def quality_features(text: pd.Series) -> dict:
+def quality_features_arrow(text) -> dict:
     """The Gopher-style integer feature set (token count, mean token
-    length in milli-chars, stopword permille) — ONE implementation
-    shared by ``doc_quality`` and the curation pipeline's inline gate
-    so thresholds and stopwords can never diverge between them."""
-    n_tokens = (text.str.count(" ") + 1).astype(np.int64)
+    length in milli-chars, stopword permille) over an Arrow string
+    array/chunked-array — ONE implementation shared by ``doc_quality``
+    and the curation pipeline's inline gate so thresholds and stopwords
+    can never diverge between them. Returns int64 numpy arrays."""
+    n_tokens = pc.count_substring(text, " ").to_numpy(
+        zero_copy_only=False).astype(np.int64) + 1
     # single-space-separated corpus: token chars = chars - spaces
-    token_chars = text.str.len().astype(np.int64) - (n_tokens - 1)
-    padded = " " + text + " "
-    stop = sum(padded.str.count(rf"(?<= ){w}(?= )")
-               for w in STOPWORDS).astype(np.int64)
+    token_chars = pc.utf8_length(text).to_numpy(
+        zero_copy_only=False).astype(np.int64) - (n_tokens - 1)
+    stop = _stop_token_counts(text, STOPWORDS)
     return {
         "n_tokens": n_tokens,
         "mean_len_milli": token_chars * 1000 // n_tokens,
@@ -174,14 +210,21 @@ def quality_features(text: pd.Series) -> dict:
     }
 
 
+def quality_features(text: pd.Series) -> dict:
+    """pandas-batch shim over :func:`quality_features_arrow` (the one
+    kernel) for callers in pandas stages (the curation gate)."""
+    return quality_features_arrow(pa.array(text, type=pa.string()))
+
+
 def quality_keep_mask(text: pd.Series,
                       min_tokens: int = 20, max_tokens: int = 80,
                       min_mean_len_milli: int = 4300,
                       max_stop_permille: int = 160) -> pd.Series:
     f = quality_features(text)
-    return ((f["n_tokens"] >= min_tokens) & (f["n_tokens"] <= max_tokens)
+    mask = ((f["n_tokens"] >= min_tokens) & (f["n_tokens"] <= max_tokens)
             & (f["mean_len_milli"] >= min_mean_len_milli)
             & (f["stop_permille"] <= max_stop_permille))
+    return pd.Series(mask, index=text.index)
 
 
 def tfidf_top_terms(docs: rd.Dataset, topn: int = 3,
@@ -360,22 +403,24 @@ def doc_quality(docs: rd.Dataset,
 
     All features are INTEGER (length milliunits, density permille via
     floor division) so the SQL oracle reproduces them bit-exactly —
-    no float rounding at the decision boundary. Pure per-batch map,
-    no shuffle."""
+    no float rounding at the decision boundary. Pure per-batch map
+    over zero-copy Arrow string buffers, no shuffle."""
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        f = quality_features(batch["text"])
-        keep = quality_keep_mask(batch["text"], min_tokens, max_tokens,
-                                 min_mean_len_milli, max_stop_permille)
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"],
-            "n_tokens": f["n_tokens"],
-            "mean_len_milli": f["mean_len_milli"],
-            "stop_permille": f["stop_permille"],
-            "keep": keep.astype(np.int64),
+    def score(batch: pa.Table) -> pa.Table:
+        f = quality_features_arrow(batch.column("text"))
+        keep = ((f["n_tokens"] >= min_tokens)
+                & (f["n_tokens"] <= max_tokens)
+                & (f["mean_len_milli"] >= min_mean_len_milli)
+                & (f["stop_permille"] <= max_stop_permille))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(f["n_tokens"]),
+            "mean_len_milli": pa.array(f["mean_len_milli"]),
+            "stop_permille": pa.array(f["stop_permille"]),
+            "keep": pa.array(keep.astype(np.int64)),
         })
 
-    return docs.map_batches(score, batch_format="pandas")
+    return docs.map_batches(score, batch_format="pyarrow")
 
 
 def fingerprint(docs: rd.Dataset) -> rd.Dataset:
