@@ -292,20 +292,27 @@ def _crawl_block(parts: list, refs: list, shards, n_shards: int,
 
 
 @ray.remote
-def _write_round_ckpt(ready_refs: list, ckpt_dir: str,
-                      manifest: dict) -> int:
-    """Round-checkpoint writer (runs off the driver): merges the
-    shard-published popped tables into the round's canonical
-    (site, depth, order_key)-ordered log slice → popped.parquet first,
-    MANIFEST.json last — MANIFEST is resume()'s completeness marker, so
-    a crash mid-write leaves an ignorable partial dir."""
-    tables = [t for t in ray.get(list(ready_refs)) if t.num_rows]
-    ready = (pa.concat_tables(tables).sort_by(_SORT_KEYS)
-             if tables else PUSH_SCHEMA.empty_table())
-    pq.write_table(ready, os.path.join(ckpt_dir, "popped.parquet"))
+def _write_popped(table: pa.Table, path: str) -> int:
+    """One shard's popped slice of the round (already priority-sorted
+    by pop_ready) → parquet. Runs as a plain task over the
+    shard-published object — parallel across shards and OFF the shard
+    actors, whose next pop would otherwise queue behind the write."""
+    pq.write_table(table, path)
+    return table.num_rows
+
+
+@ray.remote
+def _write_manifest(ckpt_dir: str, manifest: dict, *shard_ckpts) -> int:
+    """MANIFEST.json is resume()'s completeness marker; passing the
+    shard checkpoint results as args makes Ray schedule this AFTER
+    every shard has written its heap / seen runs / popped slice, so a
+    crash mid-round leaves an ignorable partial dir. (The round's
+    merged pop log is NOT materialized here: each shard's popped slice
+    is already priority-sorted, and re-sorting the whole round in one
+    task every round measured as the loop's dominant cost.)"""
     with open(os.path.join(ckpt_dir, "MANIFEST.json"), "w") as fp:
         json.dump(manifest, fp)
-    return ready.num_rows
+    return len(shard_ckpts)
 
 
 @ray.remote
@@ -482,17 +489,18 @@ class CrawlEngine:
         # of stalling this round on shard serialization
         if getattr(self, "_ckpt_refs", None):
             ray.get(self._ckpt_refs)
-        self._ckpt_refs = [s.checkpoint.remote(ckpt) for s in self.shards]
-        # popped.parquet (the merged, priority-ordered pop log slice) +
-        # MANIFEST written from a task over the shard-published tables —
-        # the driver never holds the round's rows. MANIFEST lands only
-        # after popped.parquet, so resume's completeness marker holds.
+        ck_refs = [s.checkpoint.remote(ckpt) for s in self.shards]
+        ck_refs += [
+            _write_popped.remote(
+                m["ref"][0],
+                os.path.join(ckpt, f"popped-{i}.parquet"))
+            for i, m in enumerate(metas) if m["rows"]]
         manifest = {"round": self.round_idx,
                     "popped": popped,
                     "n_shards": self.n_shards,
                     "metrics": json.loads(json.dumps(self.metrics))}
-        self._ckpt_refs.append(_write_round_ckpt.remote(
-            [m["ref"][0] for m in metas if m["rows"]], ckpt, manifest))
+        self._ckpt_refs = ck_refs + [
+            _write_manifest.remote(ckpt, manifest, *ck_refs)]
 
     def resume(self) -> int:
         """Restore frontier state from the latest complete checkpoint;
@@ -550,21 +558,34 @@ class CrawlEngine:
         return read_parquet_sized(root)
 
     def frontier_log_table(self) -> pa.Table:
-        """The merged (site, depth, order_key)-ordered pop log, read
-        back from the per-round checkpoint dirs — the driver holds no
-        round data during the crawl (r02 kept every popped table in
-        driver RAM for the run's lifetime). Test/driver-gate API:
-        materializes O(total popped) in the CALLER; at scale consume
-        ``ckpt/round-*/popped.parquet`` as a Dataset instead."""
+        """The merged (site, depth, order_key)-ordered pop log,
+        assembled at READ time from the per-round per-shard popped
+        slices in the checkpoint dirs — the driver holds no round data
+        during the crawl, and the crawl loop never merges or re-sorts a
+        round (each shard slice is already priority-sorted; the r02
+        loop kept every popped table in driver RAM, and an interim r3
+        design that merge-sorted each round in a checkpoint task
+        measured as the loop's dominant cost). Rounds concatenate in
+        order; rows merge by sort key WITHIN each round only.
+        Test/driver-gate API: materializes O(total popped) in the
+        CALLER; at scale consume the popped slices as a Dataset."""
         self._settle()
         ckpt_root = os.path.join(self.run_dir, "ckpt")
         tables = []
         if os.path.isdir(ckpt_root):
             for r in sorted(os.listdir(ckpt_root)):
                 mf = os.path.join(ckpt_root, r, "MANIFEST.json")
-                p = os.path.join(ckpt_root, r, "popped.parquet")
-                if os.path.exists(mf) and os.path.exists(p):
-                    tables.append(pq.read_table(p))
+                if not os.path.exists(mf):
+                    continue
+                slices = sorted(
+                    f for f in os.listdir(os.path.join(ckpt_root, r))
+                    if f.startswith("popped-"))
+                parts = [pq.read_table(os.path.join(ckpt_root, r, f))
+                         for f in slices]
+                parts = [t for t in parts if t.num_rows]
+                if parts:
+                    tables.append(
+                        pa.concat_tables(parts).sort_by(_SORT_KEYS))
         return (pa.concat_tables(tables) if tables
                 else PUSH_SCHEMA.empty_table())
 

@@ -229,7 +229,10 @@ class FrontierShard:
     def checkpoint(self, ckpt_dir: str) -> str:
         """Heap → parquet; exact seen-set → hardlinked immutable run
         files + buffer + manifest (spillset.checkpoint) — never
-        materializes the full key set."""
+        materializes the full key set. The shard's popped slice of the
+        round is written by a SEPARATE task from the shard-published
+        object (pipelines/crawl.py::_write_popped) so this actor-serial
+        call stays off the next pop's critical path."""
         os.makedirs(ckpt_dir, exist_ok=True)
         t = (pa.concat_tables(self.pending).sort_by(_SORT_KEYS)
              if self.pending else PUSH_SCHEMA.empty_table())
