@@ -151,9 +151,12 @@ def run_crawl(corpus, seeds, num_cpus: int, run_dir: str,
                       fetch_concurrency=max(4, 2 * num_cpus))
     n_warm = eng.warmup()
     setup_sec = time.perf_counter() - t_setup0
+    import resource
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     t0 = time.perf_counter()
     metrics = eng.run()
     crawl_sec = time.perf_counter() - t0
+    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     if do_assemble:
         # staged job 2: distributed end-to-end assembly — nesting +
         # precedence in the bucket pass, reference-shaped JSON catalogs
@@ -176,7 +179,6 @@ def run_crawl(corpus, seeds, num_cpus: int, run_dir: str,
     assemble_sec = time.perf_counter() - t1
     import shutil
     shutil.rmtree(run_dir, ignore_errors=True)  # bench runs are throwaway
-    import resource
     return {
         "crawl_sec": round(crawl_sec, 3),
         "setup_sec": round(setup_sec, 3),
@@ -187,12 +189,15 @@ def run_crawl(corpus, seeds, num_cpus: int, run_dir: str,
         "pages_per_sec": round(metrics["popped"] / crawl_sec, 1),
         "catalog_entries": n_entries,
         "rounds": metrics["rounds"],
-        # driver-flatness evidence (VERDICT r02 #1): peak driver RSS —
-        # since r3 the driver holds only planning columns per round, so
-        # this must stay flat in popped-row count (the r02 loop kept
-        # every popped table + funneled each round through driver RAM)
-        "driver_peak_rss_mb": round(resource.getrusage(
-            resource.RUSAGE_SELF).ru_maxrss / 1024, 1),
+        # driver-flatness evidence (VERDICT r02 #1): peak-RSS growth
+        # across eng.run() — since r3 the driver holds only planning
+        # columns per round (host codes + hashes), so this must stay
+        # flat in popped-row count. (Total process peak is dominated
+        # by the UNTIMED driver-side corpus generation before the
+        # crawl; the r02 loop additionally kept every popped table +
+        # funneled each round's rows through driver RAM here.)
+        "driver_peak_rss_mb": round(rss_after / 1024, 1),
+        "driver_rss_growth_mb": round((rss_after - rss_before) / 1024, 1),
     }
 
 
@@ -240,16 +245,22 @@ def main() -> None:
     # after the last repeat. BENCH_CRAWL_REPEATS=1 restores single-shot.
     repeats = int(os.environ.get("BENCH_CRAWL_REPEATS", "2"))
     crawl = None
+    first_growth = None
     for i in range(repeats):
         run_dir = tempfile.mkdtemp(prefix="bench_crawl_")
         last = i == repeats - 1
         r = run_crawl(corpus, seeds, num_cpus, run_dir,
                       do_assemble=(not crawl_only) and last)
+        if i == 0:
+            # ru_maxrss is peak-so-far (monotone): only the FIRST
+            # repeat's growth isolates the crawl loop's footprint
+            first_growth = r["driver_rss_growth_mb"]
         if crawl is None or r["pages_per_sec"] > crawl["pages_per_sec"]:
             crawl = dict(r)
         if last:  # crawl timings from the best repeat; assembly from
             crawl["assemble_sec"] = r["assemble_sec"]      # the last
             crawl["catalog_entries"] = r["catalog_entries"]
+    crawl["driver_rss_growth_mb"] = first_growth
 
     queries: dict[str, float] = {"crawl": crawl["crawl_sec"],
                                  "crawl_assemble": crawl["assemble_sec"]}
@@ -279,6 +290,7 @@ def main() -> None:
         "crawl_rounds": crawl["rounds"],
         "catalog_entries": crawl["catalog_entries"],
         "driver_peak_rss_mb": crawl.get("driver_peak_rss_mb"),
+        "driver_rss_growth_mb": crawl.get("driver_rss_growth_mb"),
     }
     ray.shutdown()
     print(json.dumps(out))
@@ -329,8 +341,16 @@ def scaling() -> None:
         "crawl_sec_N": results[4]["queries"]["crawl"],
         "crawl_sec_4N": results[16]["queries"]["crawl"],
     }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as fp:
-        json.dump(report, fp, indent=2)
+    # merge: keep multi_node / multi_node_fair sections from prior runs
+    path = os.path.join(REPO, "BENCH_SCALING.json")
+    try:
+        with open(path) as fp:
+            existing = json.load(fp)
+    except Exception:
+        existing = {}
+    existing.update(report)
+    with open(path, "w") as fp:
+        json.dump(existing, fp, indent=2)
     print(json.dumps(report))
 
 
