@@ -1219,18 +1219,19 @@ def q_cohort_retention(sf_dir: str):
                          ["cohort_wk", "week_offset"], "n_users", "count")
 
 
-def q_triangle_parts(sf_dir: str):
-    """Global triangle count (§ graph operators) over the part
-    co-occurrence graph (parts sharing an order): distinct-pair build
-    via one order-key bucketed self-join, then
-    ``ops/graph.py::triangle_count`` (degree-oriented compact-forward
-    with a two-tier closing check). Oracle: sorted-id 3-way SQL
-    self-join — each triangle counted once on both engines."""
+# k for the fulfillment-graph k-core: validated against peeling
+# simulations at sf0.001/0.01/0.1 — k=10 peels a real multi-round cut
+# at every sf without cascading to empty (the part co-occurrence graph
+# is near-regular and admits no such k)
+_KCORE_K = 10
+
+
+def _part_cooccurrence_edges(sf_dir: str):
+    """Distinct canonical part co-occurrence edges (parts sharing an
+    order, a < b) — shared by the triangle and k-core queries."""
     import pandas as pd
-    from no_fasel_scrapers_ray.ops.graph import triangle_count
     from no_fasel_scrapers_ray.ops.relational import (
-        bucketed_join, preagg_reduce)
-    from no_fasel_scrapers_ray.ops.relational import stable_bucket_cols
+        preagg_reduce, stable_bucket_cols)
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
                rows_per_block=65536)
 
@@ -1254,8 +1255,20 @@ def q_triangle_parts(sf_dir: str):
     raw_pairs = (li.map_batches(tag, batch_format="pandas")
                  .groupby("__bucket")
                  .map_groups(gen_pairs, batch_format="pandas"))
-    edges = preagg_reduce(raw_pairs, ["a", "b"], "one",
-                          "min").drop_columns(["one"])
+    return preagg_reduce(raw_pairs, ["a", "b"], "one",
+                         "min").drop_columns(["one"])
+
+
+def q_triangle_parts(sf_dir: str):
+    """Global triangle count (§ graph operators) over the part
+    co-occurrence graph (parts sharing an order): distinct-pair build
+    via one order-key bucketed self-join, then
+    ``ops/graph.py::triangle_count`` (degree-oriented compact-forward
+    with a two-tier closing check). Oracle: sorted-id 3-way SQL
+    self-join — each triangle counted once on both engines."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.graph import triangle_count
+    edges = _part_cooccurrence_edges(sf_dir)
     return pd.DataFrame({"n_triangles":
                          np.array([triangle_count(edges)], dtype=np.int64)})
 
@@ -2033,6 +2046,294 @@ def q_doc_chunks(sf_dir: str):
     return docs.map_batches(chunks, batch_format="pandas")
 
 
+def q_small_qty_revenue(sf_dir: str):
+    """Correlated-scalar-subquery join-back (TPC-H Q17 shape): revenue
+    from lineitems whose quantity is below 20% of THEIR PART's average
+    quantity, for one brand's parts. The per-part average is the
+    correlated scalar; distributed it becomes a pruned bucketed
+    aggregate whose survivors broadcast back over the streaming scan.
+    The threshold compare is kept in exact integers —
+    ``5·qty·cnt < Σqty`` is algebraically ``qty < 0.2·avg`` with no
+    division — so no float rounding rule can diverge between engines;
+    the revenue total combines per-batch int64 cent partials in
+    Python-int space (the promo_revenue_ratio contract)."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import broadcast_get
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand"],
+                  rows_per_block=65536).to_pandas()
+    brand_keys = np.sort(parts.loc[parts["p_brand"] == "Brand#1",
+                                   "p_partkey"].to_numpy(np.int64))
+    keys_ref = ray.put(brand_keys)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"],
+               rows_per_block=65536)
+
+    def part_sums(b: pd.DataFrame) -> pd.DataFrame:
+        ks = broadcast_get(keys_ref)
+        pk = b["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(ks, pk)
+        hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == pk)
+        qty = b["l_quantity"].round().astype("int64").to_numpy()[hit]
+        g = pd.DataFrame({"l_partkey": pk[hit], "sum_qty": qty,
+                          "cnt": np.ones(hit.sum(), dtype=np.int64)})
+        return g.groupby("l_partkey", as_index=False).sum()
+
+    per_part = li.map_batches(part_sums, batch_format="pandas") \
+        .to_pandas().groupby("l_partkey", as_index=False).sum() \
+        .sort_values("l_partkey", ignore_index=True)
+    stats_ref = ray.put((per_part["l_partkey"].to_numpy(np.int64),
+                         per_part["sum_qty"].to_numpy(np.int64),
+                         per_part["cnt"].to_numpy(np.int64)))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ks, sums, cnts = broadcast_get(stats_ref)
+        pk = b["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(ks, pk)
+        hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == pk)
+        pos = np.minimum(pos, len(ks) - 1)
+        qty = b["l_quantity"].round().astype("int64").to_numpy()
+        small = hit & (5 * qty * cnts[pos] < sums[pos])
+        cents = (b["l_extendedprice"] * 100).round().astype("int64") \
+            .to_numpy()[small]
+        return pd.DataFrame({"c": [int(cents.sum())]})
+
+    parts_sum = li.map_batches(partial, batch_format="pandas").to_pandas()
+    total = int(parts_sum["c"].astype(object).sum())
+    return pd.DataFrame({"revenue_cents": np.array([total], np.int64)})
+
+
+def q_late_sole_supplier(sf_dir: str):
+    """EXISTS + NOT-EXISTS on the same fact table (TPC-H Q21 shape):
+    suppliers who were the ONLY late shipper on a multi-supplier order
+    (late = shipped >45 days after the order date). The two correlated
+    quantifiers collapse into ONE per-order distinct aggregate —
+    |suppliers| ≥ 2 and |late suppliers| = 1 — so the whole query is a
+    single big-big orderkey-bucketed join plus one per-order pass; the
+    oracle keeps DuckDB's literal EXISTS/NOT-EXISTS form so the two
+    formulations check each other."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        bucketed_join, preagg_reduce, stable_bucket_cols)
+    LATE_US = 45 * 86400 * 1_000_000
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"],
+                   rows_per_block=65536).map_batches(
+        lambda b: pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy(),
+            "order_us": b["o_orderdate"].astype("datetime64[us]")
+                        .astype("int64").to_numpy()}),
+        batch_format="pandas")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"],
+               rows_per_block=65536).map_batches(
+        lambda b: pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].to_numpy(),
+            "l_suppkey": b["l_suppkey"].to_numpy(),
+            "ship_us": b["l_shipdate"].astype("datetime64[us]")
+                       .astype("int64").to_numpy()}),
+        batch_format="pandas")
+    j = bucketed_join(li, orders, on="o_orderkey", how="inner")
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__bucket=stable_bucket_cols(
+            b, ["o_orderkey"], 64))
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        n_supp = g.groupby("o_orderkey")["l_suppkey"].nunique()
+        late = g[g["ship_us"].to_numpy()
+                 > g["order_us"].to_numpy() + LATE_US]
+        if late.empty:
+            return pd.DataFrame({"s_suppkey": np.array([], np.int64)})
+        lg = late.groupby("o_orderkey")["l_suppkey"]
+        n_late, sole = lg.nunique(), lg.min()
+        ok = (n_late == 1) & (n_supp.reindex(n_late.index) >= 2)
+        return pd.DataFrame({"s_suppkey": sole[ok].to_numpy(np.int64)})
+
+    charged = (j.map_batches(tag, batch_format="pandas")
+               .groupby("__bucket")
+               .map_groups(per_order, batch_format="pandas"))
+    return preagg_reduce(charged, ["s_suppkey"], "numwait", "count")
+
+
+def q_stock_value_parts(sf_dir: str):
+    """Group-HAVING against a GLOBAL aggregate scalar (TPC-H Q11
+    shape): parts whose total lineitem value exceeds 1.1× the average
+    part's (a relative threshold — a fixed corpus-share cutoff goes
+    empty as the part count grows with sf). Per-part values come from
+    one bucketed sum; the global total and part count are the
+    Python-int combine of that aggregate's own partials (part-sized,
+    never row-sized); the filter then prunes the aggregate stream
+    against the broadcast scalars. All compares in exact integer cents
+    (``value·n·10 > 11·total`` ⇔ value > 1.1·avg, no division)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import preagg_sum_count
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"],
+               rows_per_block=65536)
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(),
+            "v": (b["l_extendedprice"] * 100).round().astype("int64")
+            .to_numpy()})
+
+    per_part = preagg_sum_count(li.map_batches(cents,
+                                               batch_format="pandas"),
+                                ["l_partkey"], {"v": "value_cents"}) \
+        .materialize()
+    partials = per_part.map_batches(
+        lambda b: pd.DataFrame({"s": [int(b["value_cents"].sum())],
+                                "n": [len(b)]}),
+        batch_format="pandas").to_pandas()
+    total = int(partials["s"].astype(object).sum())
+    n_parts = int(partials["n"].sum())
+    return per_part.map_batches(
+        lambda b: b[b["value_cents"].to_numpy(np.int64) * n_parts * 10
+                    > 11 * total],
+        batch_format="pandas")
+
+
+def q_shuffle_corpus(sf_dir: str):
+    """Deterministic global corpus shuffle (§ LLM training-data prep):
+    every doc gets a shard and a dense position within it — the
+    'shuffle 100 TB reproducibly, resume mid-epoch' op a pretraining
+    loader needs. Shard and order come from two mirrored multiplicative
+    hashes (Knuth / xxhash primes, exact in int64 for ids < 2^31), so
+    the shuffle is a pure map + ONE shard-bucket shuffle for the dense
+    rank (`windowed_rank` row_number) — no RNG, no driver state, and
+    the SQL oracle reproduces it bit-for-bit via ROW_NUMBER."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import windowed_rank
+    N_SHARDS = 8
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def hashes(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].to_numpy(np.int64)
+        if len(did) and int(did.max()) >= 1 << 31:
+            raise ValueError("shuffle hash needs doc_id < 2^31")
+        h1 = (did * 2654435761) % 4294967296
+        h2 = (did * 2246822519) % 4294967296
+        return pd.DataFrame({"doc_id": did, "shard_id": h1 % N_SHARDS,
+                             "h2": h2})
+
+    ranked = windowed_rank(docs.map_batches(hashes,
+                                            batch_format="pandas"),
+                           ["shard_id"], "h2", "pos",
+                           method="row_number", tie_cols=["doc_id"])
+    return ranked.map_batches(lambda b: b[["doc_id", "shard_id", "pos"]],
+                              batch_format="pandas")
+
+
+def q_pack_token_windows(sf_dir: str):
+    """Token-stream sequence packing (§ LLM training-data prep): lay
+    every document's tokens on ONE global concatenated stream in
+    doc_id order and cut fixed 256-token training windows across doc
+    boundaries — the GPT-style packer. The global token offset is a
+    distributed ordered PREFIX SUM (`ops/relational.py::
+    ordered_prefix_sum` — range partitions, per-range sums to the
+    driver, broadcast base offsets; driver state is n_buckets ints).
+    Token counts are zero-copy Arrow (count_substring), single-space
+    split to mirror SQL's string_split exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from no_fasel_scrapers_ray.ops.relational import ordered_prefix_sum
+    W = 256
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring(batch.column("text"), " ").to_numpy(
+            zero_copy_only=False).astype(np.int64) + 1
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pa.array(n)})
+
+    toks = docs.map_batches(counts, batch_format="pyarrow")
+    offs = ordered_prefix_sum(toks, "doc_id", "n_tokens", "start_tok")
+
+    def windows(b: "pd.DataFrame") -> "pd.DataFrame":
+        s = b["start_tok"].to_numpy(np.int64)
+        n = b["n_tokens"].to_numpy(np.int64)
+        return b.assign(first_window=s // W,
+                        last_window=(s + n - 1) // W)
+
+    return offs.map_batches(windows, batch_format="pandas")
+
+
+def q_graph_walks(sf_dir: str):
+    """Deterministic pseudo-random graph walks (§ graph sampling):
+    3-hop walks customer→supplier→customer→supplier over the distinct
+    fulfillment adjacency, hop h moving to the out-neighbor minimizing
+    a mirrored integer hash (`ops/graph.py::deterministic_walks`). Per
+    hop ONE bucketed join + one packed-int64 min-reduce; the oracle
+    unrolls the same three hops as chained CTE argmin joins."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.graph import deterministic_walks
+    from no_fasel_scrapers_ray.ops.relational import (
+        bucketed_join, preagg_reduce)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                   rows_per_block=65536)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"],
+               rows_per_block=65536).map_batches(
+        lambda b: pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].to_numpy(),
+            "l_suppkey": b["l_suppkey"].to_numpy()}),
+        batch_format="pandas")
+    j = bucketed_join(li, orders, on="o_orderkey", how="inner")
+    cs = preagg_reduce(j.map_batches(
+        lambda b: pd.DataFrame({"c": b["o_custkey"].to_numpy(),
+                                "s": b["l_suppkey"].to_numpy(),
+                                "one": np.ones(len(b), np.int64)}),
+        batch_format="pandas"), ["c", "s"], "one", "min") \
+        .drop_columns(["one"]).materialize()
+    fwd = cs.map_batches(lambda b: pd.DataFrame(
+        {"src": b["c"].to_numpy(np.int64),
+         "dst": b["s"].to_numpy(np.int64)}), batch_format="pandas")
+    rev = cs.map_batches(lambda b: pd.DataFrame(
+        {"src": b["s"].to_numpy(np.int64),
+         "dst": b["c"].to_numpy(np.int64)}), batch_format="pandas")
+    starts = preagg_reduce(cs.map_batches(
+        lambda b: pd.DataFrame({"node": b["c"].to_numpy(np.int64),
+                                "one": np.ones(len(b), np.int64)}),
+        batch_format="pandas"), ["node"], "one", "min") \
+        .drop_columns(["one"])
+    return deterministic_walks([fwd, rev, fwd], starts)
+
+
+def q_kcore_fulfillment(sf_dir: str):
+    """Iterative k-core peeling (§ graph operators) on the bipartite
+    customer–supplier fulfillment graph: 4 rounds of 'delete nodes
+    with degree < 10 and their incident edges'
+    (`ops/graph.py::kcore_nodes`) — the density-pruning pass community
+    detection and near-dup graph cleanup start with. The part
+    co-occurrence graph is near-regular (any threshold either peels
+    nothing or cascades to empty); the bipartite graph's skewed
+    customer degrees give real multi-round peeling at every sf. Per
+    round one bucketed degree reduce + one edge anti-join against the
+    round's dropped-node set; the oracle unrolls the same 4 rounds as
+    chained CTEs. Customers offset by 2^40 into their own node space
+    (the pagerank contract)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.graph import kcore_nodes
+    from no_fasel_scrapers_ray.ops.relational import (
+        bucketed_join, preagg_reduce)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                   rows_per_block=65536)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"],
+               rows_per_block=65536).map_batches(
+        lambda b: pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].to_numpy(),
+            "l_suppkey": b["l_suppkey"].to_numpy()}),
+        batch_format="pandas")
+    j = bucketed_join(li, orders, on="o_orderkey", how="inner")
+    edges = preagg_reduce(j.map_batches(
+        lambda b: pd.DataFrame({
+            "a": b["l_suppkey"].to_numpy(np.int64),
+            "b": b["o_custkey"].to_numpy(np.int64) + (1 << 40),
+            "one": np.ones(len(b), np.int64)}),
+        batch_format="pandas"), ["a", "b"], "one", "min") \
+        .drop_columns(["one"])
+    return kcore_nodes(edges, k=_KCORE_K, rounds=4)
+
+
 # --------------------------------------------------------------------------
 # Crawl-engine queries (rows-only: the reference-semantics oracle — not
 # SQL — is their correctness authority; covered by tests/test_crawl_e2e
@@ -2293,6 +2594,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "stratified_sample_events": q_stratified_sample_events,
         "price_quartiles": q_price_quartiles,
+        "small_qty_revenue": q_small_qty_revenue,
+        "late_sole_supplier": q_late_sole_supplier,
+        "stock_value_parts": q_stock_value_parts,
+        "shuffle_corpus": q_shuffle_corpus,
+        "pack_token_windows": q_pack_token_windows,
+        "graph_walks": q_graph_walks,
+        "kcore_fulfillment": q_kcore_fulfillment,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -2703,6 +3011,145 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents),
                  UNNEST(range(CAST(CEIL(len(toks)/32.0) AS BIGINT)))
                      AS u(chunk_id)
+        """,
+        # TPC-H Q17 shape; the 0.2·avg threshold kept in exact integers
+        # (5·qty·cnt < Σqty) so no division/rounding rule can diverge
+        "small_qty_revenue": """
+            SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100)
+                                          AS BIGINT)), 0) AS BIGINT)
+                   AS revenue_cents
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#1'
+              AND 5 * CAST(ROUND(l_quantity) AS BIGINT)
+                  * (SELECT COUNT(*) FROM lineitem l2
+                     WHERE l2.l_partkey = lineitem.l_partkey)
+                < (SELECT SUM(CAST(ROUND(l2.l_quantity) AS BIGINT))
+                   FROM lineitem l2
+                   WHERE l2.l_partkey = lineitem.l_partkey)
+        """,
+        # TPC-H Q21 shape in DuckDB's literal EXISTS / NOT-EXISTS form
+        # — the engine's per-order distinct-aggregate formulation and
+        # this quantifier form check each other
+        "late_sole_supplier": """
+            SELECT l1.l_suppkey AS s_suppkey,
+                   COUNT(DISTINCT l1.l_orderkey) AS numwait
+            FROM lineitem l1 JOIN orders o
+                 ON o.o_orderkey = l1.l_orderkey
+            WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate >
+                                    o.o_orderdate + INTERVAL 45 DAY)
+            GROUP BY 1
+        """,
+        # TPC-H Q11 shape: HAVING against a global aggregate scalar,
+        # all-integer compare (value·1000 > total ⇔ value > 0.1%·total)
+        "stock_value_parts": """
+            WITH v AS (SELECT l_partkey,
+                              CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                                            AS BIGINT)) AS BIGINT)
+                              AS value_cents
+                       FROM lineitem GROUP BY 1)
+            SELECT l_partkey, value_cents FROM v
+            WHERE value_cents * (SELECT COUNT(*) FROM v) * 10
+                  > 11 * (SELECT SUM(value_cents) FROM v)
+        """,
+        "shuffle_corpus": """
+            WITH h AS (SELECT doc_id,
+                              ((doc_id * 2654435761) % 4294967296) % 8
+                                  AS shard_id,
+                              (doc_id * 2246822519) % 4294967296 AS h2
+                       FROM documents)
+            SELECT doc_id, shard_id,
+                   ROW_NUMBER() OVER (PARTITION BY shard_id
+                                      ORDER BY h2, doc_id) AS pos
+            FROM h
+        """,
+        "pack_token_windows": """
+            WITH t AS (SELECT doc_id,
+                              len(string_split(text, ' ')) AS n_tokens
+                       FROM documents),
+            s AS (SELECT doc_id, n_tokens,
+                         CAST(COALESCE(SUM(n_tokens) OVER (
+                              ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS BIGINT)
+                         AS start_tok
+                  FROM t)
+            SELECT doc_id, n_tokens, start_tok,
+                   start_tok // 256 AS first_window,
+                   (start_tok + n_tokens - 1) // 256 AS last_window
+            FROM s
+        """,
+        # the same three argmin hops as the engine, unrolled; the
+        # packed-int64 MIN (hash·2^31 + node, hash < 2^31, ids < 2^31)
+        # keeps every product under 2^62 — exact on both engines
+        "graph_walks": """
+            WITH adj AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                         FROM orders JOIN lineitem
+                              ON o_orderkey = l_orderkey),
+            h1 AS (SELECT c AS walk,
+                          MIN((((s + 1) * 1103515245 + 1 * 12345)
+                               % 2147483647) * 2147483648 + s) AS pk
+                   FROM adj GROUP BY 1),
+            n1 AS (SELECT walk, pk % 2147483648 AS hop1 FROM h1),
+            h2 AS (SELECT n1.walk,
+                          MIN((((a.c + 1) * 1103515245 + 2 * 12345)
+                               % 2147483647) * 2147483648 + a.c) AS pk
+                   FROM n1 JOIN adj a ON a.s = n1.hop1 GROUP BY 1),
+            n2 AS (SELECT walk, pk % 2147483648 AS hop2 FROM h2),
+            h3 AS (SELECT n2.walk,
+                          MIN((((a.s + 1) * 1103515245 + 3 * 12345)
+                               % 2147483647) * 2147483648 + a.s) AS pk
+                   FROM n2 JOIN adj a ON a.c = n2.hop2 GROUP BY 1),
+            n3 AS (SELECT walk, pk % 2147483648 AS hop3 FROM h3)
+            SELECT n1.walk, hop1, hop2, hop3
+            FROM n1 JOIN n2 ON n1.walk = n2.walk
+                 JOIN n3 ON n2.walk = n3.walk
+        """,
+        # the engine's 4 peel rounds unrolled; k = 10, customers offset
+        # by 2^40 (the pagerank node-space contract)
+        "kcore_fulfillment": """
+            WITH e0 AS (SELECT DISTINCT l_suppkey AS a,
+                               o_custkey + 1099511627776 AS b
+                        FROM orders JOIN lineitem
+                             ON o_orderkey = l_orderkey),
+            d0 AS (SELECT node, COUNT(*) AS deg FROM
+                   (SELECT a AS node FROM e0
+                    UNION ALL SELECT b FROM e0) GROUP BY 1),
+            x0 AS (SELECT node FROM d0 WHERE deg < 10),
+            e1 AS (SELECT * FROM e0
+                   WHERE a NOT IN (SELECT node FROM x0)
+                     AND b NOT IN (SELECT node FROM x0)),
+            d1 AS (SELECT node, COUNT(*) AS deg FROM
+                   (SELECT a AS node FROM e1
+                    UNION ALL SELECT b FROM e1) GROUP BY 1),
+            x1 AS (SELECT node FROM d1 WHERE deg < 10),
+            e2 AS (SELECT * FROM e1
+                   WHERE a NOT IN (SELECT node FROM x1)
+                     AND b NOT IN (SELECT node FROM x1)),
+            d2 AS (SELECT node, COUNT(*) AS deg FROM
+                   (SELECT a AS node FROM e2
+                    UNION ALL SELECT b FROM e2) GROUP BY 1),
+            x2 AS (SELECT node FROM d2 WHERE deg < 10),
+            e3 AS (SELECT * FROM e2
+                   WHERE a NOT IN (SELECT node FROM x2)
+                     AND b NOT IN (SELECT node FROM x2)),
+            d3 AS (SELECT node, COUNT(*) AS deg FROM
+                   (SELECT a AS node FROM e3
+                    UNION ALL SELECT b FROM e3) GROUP BY 1),
+            x3 AS (SELECT node FROM d3 WHERE deg < 10),
+            e4 AS (SELECT * FROM e3
+                   WHERE a NOT IN (SELECT node FROM x3)
+                     AND b NOT IN (SELECT node FROM x3)),
+            d4 AS (SELECT node, COUNT(*) AS deg FROM
+                   (SELECT a AS node FROM e4
+                    UNION ALL SELECT b FROM e4) GROUP BY 1)
+            SELECT node, deg FROM d4 WHERE deg >= 10
         """,
         "events_hourly_dense": """
             WITH b AS (SELECT epoch_us(ts) // 3600000000 AS h,

@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "priority_late_orders", "price_moments", "doc_chunks",
     "doc_decontaminate", "user_spend_zscore", "orders_above_p99",
     "weighted_avg_discount", "promo_revenue_ratio",
+    "small_qty_revenue", "late_sole_supplier", "stock_value_parts",
+    "shuffle_corpus", "pack_token_windows", "graph_walks",
+    "kcore_fulfillment",
 ]
 
 
@@ -469,19 +472,30 @@ def scaling_fair() -> None:
                 raise
         return out
 
-    def phase_b() -> dict:
-        # ONE coordinated 4-node cluster (4 raylets × 4 CPUs)
+    def phase_b(single_raylet: bool = False) -> dict:
+        # ONE coordinated cluster at 16 CPUs: 4 raylets × 4 CPUs, or —
+        # for the residual DECOMPOSITION (BENCH_FAIR_SINGLE=1) — one
+        # raylet × 16 CPUs. The single-raylet variant inside the same
+        # A-B-A bracket separates the coordinated engine's driver/
+        # barrier Amdahl share (present in both variants) from the
+        # raylet-boundary object-transfer cost (multi-raylet only).
         stop_all()
-        sp.run(["ray", "start", "--head", f"--port={base_port}",
-                "--num-cpus=4", "--include-dashboard=false"],
-               env=base_env, check=True, capture_output=True)
-        for _ in range(3):
-            sp.run(["ray", "start", f"--address=127.0.0.1:{base_port}",
-                    "--num-cpus=4"],
+        if single_raylet:
+            env = dict(base_env, BENCH_CRAWL_ONLY="1",
+                       BENCH_CRAWL_REPEATS="1", RAY_GRAFT_CPUS="16")
+        else:
+            sp.run(["ray", "start", "--head", f"--port={base_port}",
+                    "--num-cpus=4", "--include-dashboard=false"],
                    env=base_env, check=True, capture_output=True)
-        env = dict(base_env, BENCH_RAY_ADDRESS=f"127.0.0.1:{base_port}",
-                   BENCH_CRAWL_ONLY="1", BENCH_CRAWL_REPEATS="1",
-                   RAY_GRAFT_CPUS="16")
+            for _ in range(3):
+                sp.run(["ray", "start",
+                        f"--address=127.0.0.1:{base_port}",
+                        "--num-cpus=4"],
+                       env=base_env, check=True, capture_output=True)
+            env = dict(base_env,
+                       BENCH_RAY_ADDRESS=f"127.0.0.1:{base_port}",
+                       BENCH_CRAWL_ONLY="1", BENCH_CRAWL_REPEATS="1",
+                       RAY_GRAFT_CPUS="16")
         out = sp.run([sys.executable, os.path.join(REPO, "bench.py")],
                      env=env, capture_output=True, text=True,
                      check=True, timeout=1800).stdout
@@ -490,10 +504,11 @@ def scaling_fair() -> None:
         return r
 
     n_samples = int(os.environ.get("BENCH_FAIR_SAMPLES", "2"))
+    single = os.environ.get("BENCH_FAIR_SINGLE", "") == "1"
     samples = []
     for _ in range(n_samples):
         a_pre = phase_a()
-        coord = phase_b()
+        coord = phase_b(single_raylet=single)
         a_post = phase_a()
         s_pre, s_post = sum(a_pre), sum(a_post)
         base = (s_pre + s_post) / 2
@@ -512,7 +527,8 @@ def scaling_fair() -> None:
         })
 
     report = {
-        "mode": "contention_matched_4node",
+        "mode": ("contention_matched_1raylet16cpu" if single
+                 else "contention_matched_4node"),
         "pairing": "A-B-A bracket, efficiency = B / mean(A_pre, A_post)",
         "samples": samples,
         "coordination_efficiency_min": min(
@@ -523,7 +539,8 @@ def scaling_fair() -> None:
             existing = json.load(fp)
     except Exception:
         existing = {}
-    existing["multi_node_fair"] = report
+    existing["multi_node_fair_single" if single
+             else "multi_node_fair"] = report
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as fp:
         json.dump(existing, fp, indent=2)
     print(json.dumps(report))

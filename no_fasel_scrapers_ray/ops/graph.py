@@ -697,3 +697,145 @@ def pagerank(edges: rd.Dataset, damping: float = 0.85, iters: int = 5,
     return ranks.map_batches(
         lambda b: pa.table({"node": b["node"], "rank": b["rank"]}),
         batch_format="pyarrow")
+
+
+def kcore_nodes(edges: rd.Dataset, k: int, rounds: int,
+                n_buckets: int = 64) -> rd.Dataset:
+    """Iterative k-core peeling over a canonical undirected edge list
+    (columns ``a`` < ``b``): each round computes node degrees over the
+    SURVIVING edges and deletes every node with degree < k together
+    with its incident edges. With ``rounds`` fixed, the result is a
+    deterministic overapproximation of the k-core that an unrolled SQL
+    CTE chain reproduces exactly (the same contract as the fixed-
+    iteration pagerank); peeling converges when a round deletes
+    nothing, and real graphs settle in a few rounds.
+
+    Scale posture: per round ONE bucketed degree reduce over (node)
+    pairs and one anti-join of the edge stream against the DROPPED
+    node set. The dropped set shrinks round over round (round 1 is the
+    big cut), so it is broadcast as a sorted key array here; swap the
+    filter for `bloom_semi_join`/a bucketed anti-join when a round's
+    cut outgrows a broadcast — the edge pass itself never changes.
+    Returns (node, deg) of survivors with degrees over the final
+    surviving edge set."""
+    from .relational import preagg_reduce
+
+    def degrees(es: rd.Dataset) -> rd.Dataset:
+        both = es.map_batches(
+            lambda b: pd.DataFrame({
+                "node": np.concatenate([b["a"].to_numpy(np.int64),
+                                        b["b"].to_numpy(np.int64)])}),
+            batch_format="pandas")
+        return preagg_reduce(both, ["node"], "deg", "count",
+                             n_buckets=n_buckets)
+
+    cur = edges.materialize()
+    deg = degrees(cur).materialize()
+    for _ in range(rounds):
+        dd = deg.map_batches(
+            lambda b: b[b["deg"].to_numpy() < k][["node"]],
+            batch_format="pandas").to_pandas()
+        # an all-empty filter result loses its schema in to_pandas()
+        dropped = (dd["node"].to_numpy(np.int64) if "node" in dd.columns
+                   else np.array([], dtype=np.int64))
+        if len(dropped) == 0:
+            break
+        drop_sorted = np.sort(dropped)
+        import ray
+        drop_ref = ray.put(drop_sorted)
+
+        def keep_edges(b: pd.DataFrame) -> pd.DataFrame:
+            from .relational import broadcast_get
+            d = broadcast_get(drop_ref)
+            a = b["a"].to_numpy(np.int64)
+            bb = b["b"].to_numpy(np.int64)
+            ina = np.searchsorted(d, a)
+            inb = np.searchsorted(d, bb)
+            hit_a = (ina < len(d)) & (d[np.minimum(ina, len(d) - 1)] == a)
+            hit_b = (inb < len(d)) & (d[np.minimum(inb, len(d) - 1)] == bb)
+            return b[~(hit_a | hit_b)]
+
+        cur = cur.map_batches(keep_edges,
+                              batch_format="pandas").materialize()
+        if cur.count() == 0:
+            import pyarrow as _pa
+            return rd.from_arrow(_pa.table({
+                "node": _pa.array([], type=_pa.int64()),
+                "deg": _pa.array([], type=_pa.int64())}))
+        deg = degrees(cur).materialize()
+    return deg.map_batches(lambda b: b[b["deg"].to_numpy() >= k],
+                           batch_format="pandas")
+
+
+_WALK_A = 1103515245
+_WALK_B = 12345
+_WALK_P = 2147483647          # 2^31 - 1: hash modulus
+_WALK_BASE = 2147483648       # 2^31: packing base (hash << 31 | node)
+
+
+def deterministic_walks(adjs: list[rd.Dataset], starts: rd.Dataset,
+                        n_buckets: int = 64) -> rd.Dataset:
+    """Deterministic pseudo-random walks: one walk per start node,
+    hop ``h`` moving from the current node to the out-neighbor
+    minimizing ``hash(neighbor, h)`` — graph sampling (node2vec-style
+    corpus walks) made reproducible and therefore SQL-oracle-checkable.
+    ``adjs[h]`` is the (src, dst) adjacency used by hop ``h`` (a list
+    so bipartite graphs can alternate direction without remapping node
+    ids into one packed space).
+
+    The hash is ``(dst*A + (h+1)*B) mod (2^31-1)`` and the argmin is
+    carried through the shuffle as ONE packed int64
+    ``hash * 2^31 + dst`` min-reduced per walk (hash < 2^31 and
+    dst < 2^31 asserted — products stay under 2^62, exact in int64 and
+    in the mirrored SQL). Per hop: one bucketed frontier⋈adjacency
+    join + one min-reduce, both moving (walk, int64) pairs only; hop
+    results re-assemble via walk-keyed bucketed joins. Walks that hit
+    a node with no out-edge in some hop drop out (inner-join
+    semantics), mirrored by the oracle's chained joins."""
+    from .relational import bucketed_join, preagg_reduce
+
+    frontier = starts.map_batches(
+        lambda b: pd.DataFrame({"walk": b["node"].to_numpy(np.int64),
+                                "src": b["node"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    hops: list[rd.Dataset] = []
+    for h, adj in enumerate(adjs):
+        joined = bucketed_join(frontier, adj, on="src", how="inner",
+                               n_buckets=n_buckets)
+        step = h + 1
+
+        def pack(b: pd.DataFrame, step=step) -> pd.DataFrame:
+            dst = b["dst"].to_numpy(np.int64)
+            if len(dst) and int(dst.max()) >= _WALK_BASE:
+                raise ValueError("walk packing needs node ids < 2^31; "
+                                 "compact ids first")
+            # (dst+1)·A: node 0 would otherwise hash to the tiny
+            # step·B and win every argmin it appears in
+            hsh = ((dst + 1) * _WALK_A + step * _WALK_B) % _WALK_P
+            return pd.DataFrame({"walk": b["walk"].to_numpy(np.int64),
+                                 "pk": hsh * _WALK_BASE + dst})
+
+        best = preagg_reduce(joined.map_batches(pack,
+                                                batch_format="pandas"),
+                             ["walk"], "pk", "min", n_buckets=n_buckets)
+        alias = f"hop{step}"
+
+        def unpack(b: pd.DataFrame, alias=alias) -> pd.DataFrame:
+            return pd.DataFrame({
+                "walk": b["walk"].to_numpy(np.int64),
+                alias: b["pk"].to_numpy(np.int64) % _WALK_BASE})
+
+        hop = best.map_batches(unpack,
+                               batch_format="pandas").materialize()
+        hops.append(hop)
+        frontier = hop.map_batches(
+            lambda b, a=alias: pd.DataFrame({
+                "walk": b["walk"].to_numpy(np.int64),
+                "src": b[a].to_numpy(np.int64)}),
+            batch_format="pandas")
+
+    out = hops[0]
+    for hop in hops[1:]:
+        out = bucketed_join(out, hop, on="walk", how="inner",
+                            n_buckets=n_buckets)
+    return out

@@ -1671,3 +1671,65 @@ def interval_join(left: rd.Dataset, right: rd.Dataset, by: str,
 
     return (tagged.groupby("__bucket")
             .map_groups(join_bucket, batch_format="pandas"))
+
+
+def ordered_prefix_sum(ds: rd.Dataset, order_col: str, val_col: str,
+                       alias: str, n_buckets: int = 64) -> rd.Dataset:
+    """GLOBAL exclusive prefix sum: ``SUM(val) OVER (ORDER BY order_col
+    ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`` with COALESCE(..., 0) —
+    the distributed SCAN primitive (token-offset assignment in a
+    pretraining packer, byte offsets in a file assembler).
+
+    A global ordered cumsum cannot hash-bucket (order crosses every
+    bucket), so it range-partitions instead — the classic two-phase
+    scan:
+
+    1. one tiny min/max pass over ``order_col`` fixes ``n_buckets``
+       CONTIGUOUS key ranges (range id is monotone in the key, so the
+       ranges ARE the global order);
+    2. per-range sums (``n_buckets`` rows — independent of row count)
+       come to the driver, which exclusive-cumsums them into per-range
+       base offsets and broadcasts the tiny array back;
+    3. ONE range shuffle; each range sorts locally and emits
+       ``base[range] + local exclusive cumsum``.
+
+    ``order_col`` must be int64 and unique (ids); ``val_col`` int64 for
+    bit-exactness. At 100 TB, skewed key ranges are the hazard: ranges
+    are equal-width in KEY space, so pick an id domain that is roughly
+    dense (doc ids are), or re-range on sampled quantiles."""
+    import ray
+
+    mm = ds.map_batches(
+        lambda b: pd.DataFrame({"lo": [b[order_col].min()],
+                                "hi": [b[order_col].max()]}),
+        batch_format="pandas").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    width = max(1, -(-(hi - lo + 1) // n_buckets))
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        k = b[order_col].to_numpy(np.int64)
+        return pa.Table.from_pandas(
+            b.assign(__bucket=(k - lo) // width), preserve_index=False)
+
+    tagged = ds.map_batches(tag, batch_format="pandas").materialize()
+
+    partials = tagged.map_batches(
+        lambda b: b.groupby("__bucket", as_index=False)[val_col].sum(),
+        batch_format="pandas").to_pandas()
+    per_range = partials.groupby("__bucket")[val_col].sum()
+    base = np.zeros(n_buckets + 1, dtype=np.int64)
+    np.add.at(base, per_range.index.to_numpy(np.int64) + 1,
+              per_range.to_numpy(np.int64))
+    base = np.cumsum(base)
+    base_ref = ray.put(base)
+
+    def scan(g: pd.DataFrame) -> pa.Table:
+        b = int(g["__bucket"].iloc[0])
+        g = g.drop(columns="__bucket").sort_values(order_col,
+                                                   kind="stable")
+        v = g[val_col].to_numpy(np.int64)
+        g[alias] = broadcast_get(base_ref)[b] + np.cumsum(v) - v
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return tagged.groupby("__bucket").map_groups(scan,
+                                                 batch_format="pandas")
