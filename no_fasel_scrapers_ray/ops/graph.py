@@ -419,20 +419,51 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
                                             v * n_nodes + u)))
 
         def tag(b: pd.DataFrame) -> pd.DataFrame:
+            # u is a COMPACTED dense index (searchsorted into the
+            # distinct-node array), so low bits partition uniformly —
+            # no content hash needed
             return b.assign(
-                __bucket=stable_bucket_cols(b, ["u"], n_buckets))
+                __bucket=b["u"].to_numpy(np.int64) & (n_buckets - 1))
 
         def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            # run-based wedge generation + fused membership count
+            # (the _driver_triangle_count shape, per bucket): sort by
+            # (u, v), each u's out-neighbors form a contiguous
+            # ascending run, triu pairs per run in bounded chunks —
+            # replaces a pandas self-merge that materialized 2× the
+            # wedge rows before filtering v < w
             keys = broadcast_get(keys_ref)
-            l = g[["u", "v"]]
-            m = l.merge(l.rename(columns={"v": "w"}), on="u")
-            vv, ww = m["v"].to_numpy(), m["w"].to_numpy()
-            keep = vv < ww
-            wkey = vv[keep] * n_nodes + ww[keep]
-            pos = np.searchsorted(keys, wkey)
-            pos[pos >= len(keys)] = len(keys) - 1
-            n = int((keys[pos] == wkey).sum()) if len(keys) else 0
-            return pd.DataFrame({"n": np.array([n], dtype=np.int64)})
+            u = g["u"].to_numpy(np.int64)
+            v = g["v"].to_numpy(np.int64)
+            order = np.lexsort((v, u))
+            u, v = u[order], v[order]
+            _, starts, counts = np.unique(u, return_index=True,
+                                          return_counts=True)
+            CHUNK = 1 << 22
+            total = 0
+            wl, wr, budget = [], [], 0
+
+            def flush(wl, wr):
+                x, y = np.concatenate(wl), np.concatenate(wr)
+                wk = x * n_nodes + y
+                pos = np.searchsorted(keys, wk)
+                pos[pos >= len(keys)] = len(keys) - 1
+                return int((keys[pos] == wk).sum()) if len(keys) else 0
+
+            for st, c in zip(starts, counts):
+                if c < 2:
+                    continue
+                nb = v[st:st + c]
+                iu, iv_ = np.triu_indices(c, k=1)
+                wl.append(nb[iu])
+                wr.append(nb[iv_])
+                budget += len(iu)
+                if budget >= CHUNK:
+                    total += flush(wl, wr)
+                    wl, wr, budget = [], [], 0
+            if wl:
+                total += flush(wl, wr)
+            return pd.DataFrame({"n": np.array([total], dtype=np.int64)})
 
         return int(directed.map_batches(tag, batch_format="pandas")
                    .groupby("__bucket")
@@ -718,7 +749,11 @@ def kcore_nodes(edges: rd.Dataset, k: int, rounds: int,
     cut outgrows a broadcast — the edge pass itself never changes.
     Returns (node, deg) of survivors with degrees over the final
     surviving edge set."""
-    from .relational import preagg_reduce
+    # broadcast_get imported HERE (not inside the closure): an import
+    # statement inside the worker-executed function would re-import the
+    # package in the worker process, which fails under portable
+    # pickling when the driver's cwd is not on the worker's path
+    from .relational import broadcast_get, preagg_reduce
 
     def degrees(es: rd.Dataset) -> rd.Dataset:
         both = es.map_batches(
@@ -745,7 +780,6 @@ def kcore_nodes(edges: rd.Dataset, k: int, rounds: int,
         drop_ref = ray.put(drop_sorted)
 
         def keep_edges(b: pd.DataFrame) -> pd.DataFrame:
-            from .relational import broadcast_get
             d = broadcast_get(drop_ref)
             a = b["a"].to_numpy(np.int64)
             bb = b["b"].to_numpy(np.int64)
