@@ -2288,17 +2288,17 @@ def q_pack_token_windows(sf_dir: str):
     return offs.map_batches(windows, batch_format="pandas")
 
 
-def q_graph_walks(sf_dir: str):
-    """Deterministic pseudo-random graph walks (§ graph sampling):
-    3-hop walks customer→supplier→customer→supplier over the distinct
-    fulfillment adjacency, hop h moving to the out-neighbor minimizing
-    a mirrored integer hash (`ops/graph.py::deterministic_walks`). Per
-    hop ONE bucketed join + one packed-int64 min-reduce; the oracle
-    unrolls the same three hops as chained CTE argmin joins."""
+def _fulfillment_edges(sf_dir: str):
+    """Distinct (customer, supplier) fulfillment pairs — shared by the
+    walk and k-core queries. Same packed-int64 np.unique dedup as the
+    part co-occurrence builder (custkey/suppkey < 2^31 asserted): the
+    orders⋈lineitem join streams through one per-batch unique + one
+    key-bucket unique pass instead of a two-column pandas groupby."""
+    import pyarrow as pa
     import pandas as pd
-    from no_fasel_scrapers_ray.ops.graph import deterministic_walks
-    from no_fasel_scrapers_ray.ops.relational import (
-        bucketed_join, preagg_reduce)
+    from no_fasel_scrapers_ray.ops.relational import bucketed_join
+    HALF = np.int64(1 << 31)
+    B = 64
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
                    rows_per_block=65536)
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"],
@@ -2308,24 +2308,46 @@ def q_graph_walks(sf_dir: str):
             "l_suppkey": b["l_suppkey"].to_numpy()}),
         batch_format="pandas")
     j = bucketed_join(li, orders, on="o_orderkey", how="inner")
-    cs = preagg_reduce(j.map_batches(
-        lambda b: pd.DataFrame({"c": b["o_custkey"].to_numpy(),
-                                "s": b["l_suppkey"].to_numpy(),
-                                "one": np.ones(len(b), np.int64)}),
-        batch_format="pandas"), ["c", "s"], "one", "min") \
-        .drop_columns(["one"]).materialize()
+
+    def pack(b: pd.DataFrame) -> pa.Table:
+        c = b["o_custkey"].to_numpy(np.int64)
+        s = b["l_suppkey"].to_numpy(np.int64)
+        if len(c) and (int(c.max()) >= HALF or int(s.max()) >= HALF):
+            raise ValueError("edge key packing needs ids < 2^31; "
+                             "compact ids first")
+        cs = np.unique(c * HALF + s)
+        return pa.table({"cs": cs, "__bucket": cs & (B - 1)})
+
+    def dedup(g: "pd.DataFrame") -> pa.Table:
+        cs = np.unique(g["cs"].to_numpy(np.int64))
+        return pa.table({"c": cs // HALF, "s": cs & (HALF - 1)})
+
+    return (j.map_batches(pack, batch_format="pandas")
+            .groupby("__bucket").map_groups(dedup,
+                                            batch_format="pandas")
+            .materialize())
+
+
+def q_graph_walks(sf_dir: str):
+    """Deterministic pseudo-random graph walks (§ graph sampling):
+    3-hop walks customer→supplier→customer→supplier over the distinct
+    fulfillment adjacency, hop h moving to the out-neighbor minimizing
+    a mirrored integer hash (`ops/graph.py::deterministic_walks`).
+    Each adjacency direction is reduced ONCE into fused per-step
+    best-next tables; walks from all customers chain through
+    node-keyed bucketed joins (hop 1 is the fwd best table itself).
+    The oracle unrolls the same three hops as chained CTE argmin
+    joins."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.graph import deterministic_walks
+    cs = _fulfillment_edges(sf_dir)
     fwd = cs.map_batches(lambda b: pd.DataFrame(
         {"src": b["c"].to_numpy(np.int64),
          "dst": b["s"].to_numpy(np.int64)}), batch_format="pandas")
     rev = cs.map_batches(lambda b: pd.DataFrame(
         {"src": b["s"].to_numpy(np.int64),
          "dst": b["c"].to_numpy(np.int64)}), batch_format="pandas")
-    starts = preagg_reduce(cs.map_batches(
-        lambda b: pd.DataFrame({"node": b["c"].to_numpy(np.int64),
-                                "one": np.ones(len(b), np.int64)}),
-        batch_format="pandas"), ["node"], "one", "min") \
-        .drop_columns(["one"])
-    return deterministic_walks([fwd, rev, fwd], starts)
+    return deterministic_walks([fwd, rev, fwd], starts=None)
 
 
 def q_kcore_fulfillment(sf_dir: str):
@@ -2343,24 +2365,11 @@ def q_kcore_fulfillment(sf_dir: str):
     (the pagerank contract)."""
     import pandas as pd
     from no_fasel_scrapers_ray.ops.graph import kcore_nodes
-    from no_fasel_scrapers_ray.ops.relational import (
-        bucketed_join, preagg_reduce)
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
-                   rows_per_block=65536)
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"],
-               rows_per_block=65536).map_batches(
+    edges = _fulfillment_edges(sf_dir).map_batches(
         lambda b: pd.DataFrame({
-            "o_orderkey": b["l_orderkey"].to_numpy(),
-            "l_suppkey": b["l_suppkey"].to_numpy()}),
+            "a": b["s"].to_numpy(np.int64),
+            "b": b["c"].to_numpy(np.int64) + (1 << 40)}),
         batch_format="pandas")
-    j = bucketed_join(li, orders, on="o_orderkey", how="inner")
-    edges = preagg_reduce(j.map_batches(
-        lambda b: pd.DataFrame({
-            "a": b["l_suppkey"].to_numpy(np.int64),
-            "b": b["o_custkey"].to_numpy(np.int64) + (1 << 40),
-            "one": np.ones(len(b), np.int64)}),
-        batch_format="pandas"), ["a", "b"], "one", "min") \
-        .drop_columns(["one"])
     return kcore_nodes(edges, k=_KCORE_K, rounds=4)
 
 

@@ -807,8 +807,9 @@ _WALK_P = 2147483647          # 2^31 - 1: hash modulus
 _WALK_BASE = 2147483648       # 2^31: packing base (hash << 31 | node)
 
 
-def deterministic_walks(adjs: list[rd.Dataset], starts: rd.Dataset,
-                        n_buckets: int = 64) -> rd.Dataset:
+def deterministic_walks(adjs: list[rd.Dataset],
+                        starts: rd.Dataset | None,
+                        n_buckets: int = 16) -> rd.Dataset:
     """Deterministic pseudo-random walks: one walk per start node,
     hop ``h`` moving from the current node to the out-neighbor
     minimizing ``hash(neighbor, h)`` — graph sampling (node2vec-style
@@ -817,59 +818,86 @@ def deterministic_walks(adjs: list[rd.Dataset], starts: rd.Dataset,
     so bipartite graphs can alternate direction without remapping node
     ids into one packed space).
 
-    The hash is ``(dst*A + (h+1)*B) mod (2^31-1)`` and the argmin is
-    carried through the shuffle as ONE packed int64
-    ``hash * 2^31 + dst`` min-reduced per walk (hash < 2^31 and
-    dst < 2^31 asserted — products stay under 2^62, exact in int64 and
-    in the mirrored SQL). Per hop: one bucketed frontier⋈adjacency
-    join + one min-reduce, both moving (walk, int64) pairs only; hop
-    results re-assemble via walk-keyed bucketed joins. Walks that hit
-    a node with no out-edge in some hop drop out (inner-join
-    semantics), mirrored by the oracle's chained joins."""
-    from .relational import bucketed_join, preagg_reduce
+    The hash is ``((dst+1)·A + (h+1)·B) mod (2^31-1)`` (the +1 keeps
+    node 0 off the degenerate tiny hash) and the argmin is carried as
+    ONE packed int64 ``hash·2^31 + dst`` min-reduced per src node —
+    hash < 2^31 and dst < 2^31 asserted, so every product stays under
+    2^62, exact in int64 and in the mirrored SQL.
 
-    frontier = starts.map_batches(
-        lambda b: pd.DataFrame({"walk": b["node"].to_numpy(np.int64),
-                                "src": b["node"].to_numpy(np.int64)}),
-        batch_format="pandas")
-    hops: list[rd.Dataset] = []
+    The argmin depends only on (node, step) — NOT on which walks sit
+    there — so each distinct adjacency dataset is reduced ONCE, in one
+    fused multi-min bucket pass producing that direction's best-next
+    table for EVERY step that uses it (`grouped_multi_agg`). The walk
+    chain is then per hop one node-keyed bucketed join of walk state
+    against a node-sized best table: the adjacency is never
+    re-shuffled per hop (the v1 shape re-shuffled it every hop —
+    20 s → 4 s at sf0.1). Walks that hit a node with no out-edge in
+    some hop drop out (inner-join semantics), mirrored by the
+    oracle's chained joins. ``starts=None`` walks from EVERY source
+    node of ``adjs[0]`` — hop 1 then needs no join at all: the fused
+    best-next table IS the initial walk state."""
+    from .relational import bucketed_join, grouped_multi_agg
+
+    # one fused reduce per DISTINCT adjacency: (src, pk_h…) minima
+    steps_of = {}
     for h, adj in enumerate(adjs):
-        joined = bucketed_join(frontier, adj, on="src", how="inner",
-                               n_buckets=n_buckets)
-        step = h + 1
+        steps_of.setdefault(id(adj), (adj, []))[1].append(h + 1)
 
-        def pack(b: pd.DataFrame, step=step) -> pd.DataFrame:
+    best: dict[int, rd.Dataset] = {}   # step -> (src, hop{step})
+    for adj, steps in steps_of.values():
+
+        def pack(b: pd.DataFrame, steps=tuple(steps)) -> pd.DataFrame:
             dst = b["dst"].to_numpy(np.int64)
             if len(dst) and int(dst.max()) >= _WALK_BASE:
                 raise ValueError("walk packing needs node ids < 2^31; "
                                  "compact ids first")
-            # (dst+1)·A: node 0 would otherwise hash to the tiny
-            # step·B and win every argmin it appears in
-            hsh = ((dst + 1) * _WALK_A + step * _WALK_B) % _WALK_P
-            return pd.DataFrame({"walk": b["walk"].to_numpy(np.int64),
-                                 "pk": hsh * _WALK_BASE + dst})
+            cols = {"src": b["src"].to_numpy(np.int64)}
+            for st in steps:
+                hsh = ((dst + 1) * _WALK_A + st * _WALK_B) % _WALK_P
+                cols[f"pk{st}"] = hsh * _WALK_BASE + dst
+            return pd.DataFrame(cols)
 
-        best = preagg_reduce(joined.map_batches(pack,
-                                                batch_format="pandas"),
-                             ["walk"], "pk", "min", n_buckets=n_buckets)
-        alias = f"hop{step}"
+        reduced = grouped_multi_agg(
+            adj.map_batches(pack, batch_format="pandas"), ["src"],
+            {f"pk{st}": (f"pk{st}", "min") for st in steps},
+            n_buckets=n_buckets).materialize()
+        for st in steps:
+            best[st] = reduced.map_batches(
+                lambda b, st=st: pd.DataFrame({
+                    "src": b["src"].to_numpy(np.int64),
+                    f"hop{st}": b[f"pk{st}"].to_numpy(np.int64)
+                    % _WALK_BASE}),
+                batch_format="pandas")
 
-        def unpack(b: pd.DataFrame, alias=alias) -> pd.DataFrame:
-            return pd.DataFrame({
-                "walk": b["walk"].to_numpy(np.int64),
-                alias: b["pk"].to_numpy(np.int64) % _WALK_BASE})
-
-        hop = best.map_batches(unpack,
-                               batch_format="pandas").materialize()
-        hops.append(hop)
-        frontier = hop.map_batches(
-            lambda b, a=alias: pd.DataFrame({
-                "walk": b["walk"].to_numpy(np.int64),
-                "src": b[a].to_numpy(np.int64)}),
+    n_hops = len(adjs)
+    if starts is None:
+        first = 2
+        state = best[1].map_batches(
+            lambda b: pd.DataFrame({
+                "walk": b["src"].to_numpy(np.int64),
+                "hop1": b["hop1"].to_numpy(np.int64),
+                "src": b["hop1"].to_numpy(np.int64)}),
             batch_format="pandas")
-
-    out = hops[0]
-    for hop in hops[1:]:
-        out = bucketed_join(out, hop, on="walk", how="inner",
-                            n_buckets=n_buckets)
-    return out
+        if n_hops == 1:
+            return state.map_batches(lambda b: b[["walk", "hop1"]],
+                                     batch_format="pandas")
+    else:
+        first = 1
+        state = starts.map_batches(
+            lambda b: pd.DataFrame({"walk": b["node"].to_numpy(np.int64),
+                                    "src": b["node"].to_numpy(np.int64)}),
+            batch_format="pandas")
+    for st in range(first, n_hops + 1):
+        state = bucketed_join(state, best[st], on="src", how="inner",
+                              n_buckets=n_buckets)
+        keep = ["walk"] + [f"hop{i}" for i in range(1, st + 1)]
+        if st < n_hops:
+            state = state.map_batches(
+                lambda b, keep=tuple(keep), nxt=f"hop{st}":
+                b[list(keep)].assign(src=b[nxt].to_numpy(np.int64)),
+                batch_format="pandas")
+        else:
+            state = state.map_batches(
+                lambda b, keep=tuple(keep): b[list(keep)],
+                batch_format="pandas")
+    return state
