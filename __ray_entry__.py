@@ -2373,6 +2373,107 @@ def q_kcore_fulfillment(sf_dir: str):
     return kcore_nodes(edges, k=_KCORE_K, rounds=4)
 
 
+def q_weighted_sample_docs(sf_dir: str):
+    """Weighted deterministic Bernoulli sampling (§ LLM training-data
+    prep): keep each doc with probability proportional to its token
+    count — the 'sample the corpus ∝ quality weight' subsampling a
+    data-mixture pipeline runs, reproducible with no RNG. Keep rule in
+    EXACT integers: ``hash(doc)·w_max < 2^32·w_doc`` ⇔ u < w/w_max
+    with u = hash/2^32 (all products < 2^63, mirrored in SQL). The
+    global max weight is a scalar from the token pass's own partials;
+    the filter is then one streaming map — the weighted twin of
+    `hash_sample`."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pandas as pd
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring(batch.column("text"), " ").to_numpy(
+            zero_copy_only=False).astype(np.int64) + 1
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pa.array(n)})
+
+    toks = docs.map_batches(counts, batch_format="pyarrow").materialize()
+    partials = toks.map_batches(
+        lambda b: pd.DataFrame({"m": [int(b["n_tokens"].max())]}),
+        batch_format="pandas").to_pandas()
+    w_max = int(partials["m"].max())
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].to_numpy(np.int64)
+        if len(did) and int(did.max()) >= 1 << 31:
+            raise ValueError("sampling hash needs doc_id < 2^31")
+        h = (did * 3266489917) % 4294967296
+        w = b["n_tokens"].to_numpy(np.int64)
+        return b[h * w_max < w * 4294967296]
+
+    return toks.map_batches(keep, batch_format="pandas")
+
+
+def q_user_event_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution (§
+    statistical aggregates) — the behavioral-diversity feature a
+    curation/abuse pipeline computes per source. Integer (user, type)
+    counts from one bucketed partial agg, then per-user
+    ``H = ln(n) − Σ nᵢ·ln(nᵢ)/n`` evaluated in ONE float64 expression
+    and rounded to 6 dp on both engines (the pagerank float contract —
+    ln is correctly rounded on both, residue is ~1e-16)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        preagg_reduce, stable_bucket_cols)
+    ev = _read(sf_dir, "events", ["user_id", "event_type"],
+               rows_per_block=65536)
+    counts = preagg_reduce(ev, ["user_id", "event_type"], "n_i",
+                           "count")
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__bucket=stable_bucket_cols(
+            b, ["user_id"], 64))
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        n_i = g["n_i"].to_numpy(np.int64).astype(np.float64)
+        # Σ nᵢ·ln(nᵢ) summed FIRST, divided by n ONCE — the same
+        # association as the oracle's SUM(n_i*LN(n_i))/SUM(n_i)
+        s = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                          "t": n_i * np.log(n_i),
+                          "n_i": g["n_i"].to_numpy(np.int64)}) \
+            .groupby("user_id", as_index=False).agg(t=("t", "sum"),
+                                                    n=("n_i", "sum"))
+        n = s["n"].to_numpy(np.int64).astype(np.float64)
+        return pd.DataFrame({
+            "user_id": s["user_id"].to_numpy(),
+            "entropy": np.round(np.log(n) - s["t"].to_numpy() / n, 6)})
+
+    return (counts.map_batches(tag, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(entropy, batch_format="pandas"))
+
+
+def q_cms_part_counts(sf_dir: str):
+    """Count-min sketch point-frequency estimates (§ sketches,
+    rows-only): per-batch (depth×width) counter partials merged by
+    addition — constant driver state regardless of key cardinality,
+    the frequency twin of the HLL blob. Estimates are one-sided
+    (est ≥ true, est ≤ true + (e/width)·N w.h.p. — envelope pinned in
+    tests/test_sketch.py); queried here for the 20 most frequent
+    partkeys found by the exact Misra-Gries pass, so the output is
+    deterministic but intentionally NOT SQL-equal (overestimates by
+    design → no oracle entry)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import preagg_reduce
+    from no_fasel_scrapers_ray.ops.sketch import cms_query, cms_sketch
+    li = _read(sf_dir, "lineitem", ["l_partkey"], rows_per_block=65536)
+    m = cms_sketch(li, "l_partkey", depth=4, width=4096)
+    exact = preagg_reduce(li, ["l_partkey"], "n", "count").to_pandas() \
+        .sort_values(["n", "l_partkey"], ascending=[False, True],
+                     ignore_index=True).head(20)
+    keys = exact["l_partkey"].to_numpy(np.int64)
+    return pd.DataFrame({"l_partkey": keys,
+                         "est": cms_query(m, keys),
+                         "n": exact["n"].to_numpy(np.int64)})
+
+
 # --------------------------------------------------------------------------
 # Crawl-engine queries (rows-only: the reference-semantics oracle — not
 # SQL — is their correctness authority; covered by tests/test_crawl_e2e
@@ -2640,6 +2741,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_token_windows": q_pack_token_windows,
         "graph_walks": q_graph_walks,
         "kcore_fulfillment": q_kcore_fulfillment,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "user_event_entropy": q_user_event_entropy,
+        "cms_part_counts": q_cms_part_counts,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -3149,6 +3253,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT n1.walk, hop1, hop2, hop3
             FROM n1 JOIN n2 ON n1.walk = n2.walk
                  JOIN n3 ON n2.walk = n3.walk
+        """,
+        # keep rule mirrored in exact integers: hash·w_max < 2^32·w
+        "weighted_sample_docs": """
+            WITH t AS (SELECT doc_id,
+                              len(string_split(text, ' ')) AS n_tokens
+                       FROM documents)
+            SELECT doc_id, n_tokens FROM t
+            WHERE ((doc_id * 3266489917) % 4294967296)
+                  * (SELECT MAX(n_tokens) FROM t)
+                < n_tokens * 4294967296
+        """,
+        # H = ln(n) − Σ nᵢ·ln(nᵢ)/n, one mirrored float64 expression,
+        # rounded 6 dp on both engines (the pagerank float contract)
+        "user_event_entropy": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS n_i
+                       FROM events GROUP BY 1, 2)
+            SELECT user_id,
+                   ROUND(LN(SUM(n_i)) -
+                         SUM(n_i * LN(n_i)) / SUM(n_i), 6) AS entropy
+            FROM c GROUP BY user_id
         """,
         # the engine's 4 peel rounds unrolled; k = 10, customers offset
         # by 2^40 (the pagerank node-space contract)

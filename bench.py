@@ -68,7 +68,8 @@ BENCH_QUERIES = [
     "weighted_avg_discount", "promo_revenue_ratio",
     "small_qty_revenue", "late_sole_supplier", "stock_value_parts",
     "shuffle_corpus", "pack_token_windows", "graph_walks",
-    "kcore_fulfillment",
+    "kcore_fulfillment", "weighted_sample_docs", "user_event_entropy",
+    "cms_part_counts",
 ]
 
 

@@ -309,3 +309,72 @@ def approx_quantiles(ds: rd.Dataset, col: str, qs: list[float],
         target = q * total
         out.append(float(np.interp(target, mids, cv)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005, "An improved data
+# stream summary: the count-min sketch and its applications")
+# ---------------------------------------------------------------------------
+# Misra-Gries (above) answers "what are the heavy keys" with an exact
+# recount; count-min answers POINT FREQUENCY queries for ANY key with a
+# one-sided error bound — est >= true and est <= true + (e/width)·N
+# with probability 1 - exp(-depth) — from depth·width int64 counters
+# per batch, mergeable by ADDITION. The reduce moves one fixed-size
+# matrix per batch regardless of key cardinality: the frequency twin
+# of the HLL register blob.
+
+_CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                       0x85EBCA77C2B2AE63], dtype=np.uint64)
+
+
+def _cms_rows(keys: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) column indices — one pairwise-independent-ish hash
+    row per seed (xxhash-style avalanche over uint64)."""
+    out = np.empty((depth, len(keys)), dtype=np.int64)
+    k = keys.astype(np.uint64)
+    for d in range(depth):
+        h = (k + _CMS_SEEDS[d]) * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+        out[d] = (h % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def cms_sketch(ds: rd.Dataset, col: str, depth: int = 4,
+               width: int = 2048) -> np.ndarray:
+    """Build the merged (depth, width) count-min matrix for a string or
+    integer column: per-batch partial matrices (np.add.at over the hash
+    rows), summed on the driver — depth·width·8 bytes of driver state,
+    independent of rows and cardinality."""
+    assert depth <= len(_CMS_SEEDS)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vals = b[col].to_numpy()
+        if vals.dtype.kind not in "iu":
+            vals = pd.util.hash_array(vals.astype(object))
+        rows = _cms_rows(vals, depth, width)
+        m = np.zeros((depth, width), dtype=np.int64)
+        for d in range(depth):
+            np.add.at(m[d], rows[d], 1)
+        return pd.DataFrame({"m": [m.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    total = np.zeros((depth, width), dtype=np.int64)
+    for blob in parts["m"]:
+        total += np.frombuffer(blob, dtype=np.int64).reshape(depth,
+                                                             width)
+    return total
+
+
+def cms_query(matrix: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point-frequency estimates: min over the depth rows (the
+    count-min estimator; always >= the true count)."""
+    depth, width = matrix.shape
+    k = keys
+    if k.dtype.kind not in "iu":
+        k = pd.util.hash_array(k.astype(object))
+    rows = _cms_rows(k, depth, width)
+    return np.min(np.stack([matrix[d, rows[d]] for d in range(depth)]),
+                  axis=0)

@@ -135,3 +135,35 @@ def test_approx_quantiles_exact_on_tiny_input():
     got = approx_quantiles(ds, "x", [0.0, 1.0], k=64)
     # with n << k nothing is compressed: min/max are exact
     assert got[0] == 10.0 and got[1] == 40.0
+
+
+def test_cms_one_sided_and_bounded():
+    """Count-min estimates are one-sided (est >= true for EVERY key)
+    and within the e/width·N additive envelope on zipf-skewed data
+    across a multi-block layout that forces real partial merges."""
+    from no_fasel_scrapers_ray.ops.sketch import cms_query, cms_sketch
+    rng = np.random.RandomState(3)
+    vals = rng.zipf(1.3, 100_000).astype(np.int64)
+    vals = vals[vals < 50_000]
+    n = len(vals)
+    ds = rd.from_pandas(pd.DataFrame({"k": vals})).repartition(8)
+    width, depth = 2048, 4
+    m = cms_sketch(ds, "k", depth=depth, width=width)
+    assert m.shape == (depth, width) and m.sum() == n * depth
+    keys, true = np.unique(vals, return_counts=True)
+    est = cms_query(m, keys)
+    assert (est >= true).all()
+    bound = np.e / width * n
+    assert (est - true <= bound).all(), int((est - true).max())
+
+
+def test_cms_string_keys_roundtrip():
+    from no_fasel_scrapers_ray.ops.sketch import cms_query, cms_sketch
+    words = np.array(["alpha"] * 50 + ["beta"] * 7 + ["gamma"] * 1)
+    ds = rd.from_pandas(pd.DataFrame({"w": words}))
+    m = cms_sketch(ds, "w", depth=4, width=512)
+    est = cms_query(m, np.array(["alpha", "beta", "gamma", "absent"],
+                                dtype=object))
+    assert est[0] >= 50 and est[1] >= 7 and est[2] >= 1
+    # 58 items in 512·4 counters: collisions are ~impossible here
+    assert est.tolist() == [50, 7, 1, 0]
