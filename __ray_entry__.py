@@ -2450,6 +2450,26 @@ def q_user_event_entropy(sf_dir: str):
             .map_groups(entropy, batch_format="pandas"))
 
 
+def q_orders_page(sf_dir: str):
+    """ORDER BY + LIMIT/OFFSET pagination WITHOUT a global sort (§
+    sorts/limits): page [101, 120] of orders by (price, orderkey) via
+    `ops/relational.py::global_order_page` — two exact rank selections
+    bracket the page's value range, only that bracket is collected and
+    ordered locally. Prices in exact cents so the bracket bounds are
+    unambiguous; orderkey tie-break makes the page deterministic."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import global_order_page
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"],
+                   rows_per_block=65536).map_batches(
+        lambda b: pd.DataFrame({
+            "cents": (b["o_totalprice"] * 100).round().astype("int64")
+            .to_numpy(),
+            "o_orderkey": b["o_orderkey"].to_numpy()}),
+        batch_format="pandas")
+    return global_order_page(orders, "cents", "o_orderkey",
+                             offset=100, limit=20)
+
+
 def q_cms_part_counts(sf_dir: str):
     """Count-min sketch point-frequency estimates (§ sketches,
     rows-only): per-batch (depth×width) counter partials merged by
@@ -2744,6 +2764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": q_weighted_sample_docs,
         "user_event_entropy": q_user_event_entropy,
         "cms_part_counts": q_cms_part_counts,
+        "orders_page": q_orders_page,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -3253,6 +3274,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT n1.walk, hop1, hop2, hop3
             FROM n1 JOIN n2 ON n1.walk = n2.walk
                  JOIN n3 ON n2.walk = n3.walk
+        """,
+        "orders_page": """
+            SELECT cents, o_orderkey, pos FROM (
+                SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           AS cents,
+                       o_orderkey,
+                       ROW_NUMBER() OVER (
+                           ORDER BY ROUND(o_totalprice * 100),
+                                    o_orderkey) AS pos
+                FROM orders)
+            WHERE pos BETWEEN 101 AND 120
         """,
         # keep rule mirrored in exact integers: hash·w_max < 2^32·w
         "weighted_sample_docs": """

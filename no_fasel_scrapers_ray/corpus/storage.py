@@ -195,3 +195,57 @@ def read_corpus_table(path: str) -> pa.Table:
             tables.append(t)
         return pa.concat_tables(tables)
     return pq.read_table(path)
+
+
+def write_partitioned_resumable(ds, root: str, part_col: str,
+                                rows_per_file: int = 1 << 20) -> "pa.Table":
+    """Resumable partitioned parquet sink: one directory per distinct
+    ``part_col`` value, each finalized by an atomic ``_SUCCESS`` marker
+    written AFTER its data files. A re-run after a crash skips every
+    partition whose marker exists and rewrites only unfinished ones —
+    the 'failed 100-TB job resumes, not restarts' output contract
+    (SURVEY §7: resumable output; same discipline as the crawl's
+    per-round checkpoints and the graph operators' iteration
+    checkpoints).
+
+    One partition-bucket shuffle, then each partition writes from its
+    own worker task (the parallel per-catalog writer shape) with
+    deterministic file names, so a partial rewrite converges to the
+    same layout. Returns a (partition, rows, skipped) summary table —
+    row counts of SKIPPED partitions are read from their footers, not
+    recomputed."""
+    import pandas as pd
+
+    os.makedirs(root, exist_ok=True)
+
+    def write_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        val = str(g[part_col].iloc[0])
+        pdir = os.path.join(root, f"{part_col}={val}")
+        marker = os.path.join(pdir, "_SUCCESS")
+        if os.path.exists(marker):
+            n = 0
+            for name in sorted(os.listdir(pdir)):
+                if name.endswith(".parquet"):
+                    n += pq.ParquetFile(
+                        os.path.join(pdir, name)).metadata.num_rows
+            return pd.DataFrame({"partition": [val], "rows": [n],
+                                 "skipped": [True]})
+        os.makedirs(pdir, exist_ok=True)
+        # hive layout: the partition value lives in the dir name only
+        # (keeping the column in the files too makes readers' inferred
+        # dictionary type clash with the stored string type)
+        t = pa.Table.from_pandas(g.drop(columns=[part_col]),
+                                 preserve_index=False)
+        for i, lo in enumerate(range(0, len(t), rows_per_file)):
+            pq.write_table(t.slice(lo, rows_per_file),
+                           os.path.join(pdir, f"part-{i:05d}.parquet"))
+        with open(marker + ".tmp", "w") as fp:
+            fp.write(str(len(t)))
+        os.replace(marker + ".tmp", marker)
+        return pd.DataFrame({"partition": [val], "rows": [len(t)],
+                             "skipped": [False]})
+
+    out = (ds.groupby(part_col)
+           .map_groups(write_group, batch_format="pandas").to_pandas()
+           .sort_values("partition", ignore_index=True))
+    return pa.Table.from_pandas(out, preserve_index=False)

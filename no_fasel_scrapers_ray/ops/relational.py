@@ -1694,22 +1694,27 @@ def ordered_prefix_sum(ds: rd.Dataset, order_col: str, val_col: str,
        ``base[range] + local exclusive cumsum``.
 
     ``order_col`` must be int64 and unique (ids); ``val_col`` int64 for
-    bit-exactness. At 100 TB, skewed key ranges are the hazard: ranges
-    are equal-width in KEY space, so pick an id domain that is roughly
-    dense (doc ids are), or re-range on sampled quantiles."""
+    bit-exactness. Ranges come from SAMPLED QUANTILES of the key (a
+    deterministic per-batch stride sample), so a skewed or sparse id
+    domain still spreads across buckets — the boundaries affect only
+    parallelism, never the result, because any monotone partition of
+    the key space yields the same global order."""
     import ray
 
-    mm = ds.map_batches(
-        lambda b: pd.DataFrame({"lo": [b[order_col].min()],
-                                "hi": [b[order_col].max()]}),
-        batch_format="pandas").to_pandas()
-    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
-    width = max(1, -(-(hi - lo + 1) // n_buckets))
+    samp = ds.map_batches(
+        lambda b: pd.DataFrame({"k": np.sort(
+            b[order_col].to_numpy(np.int64))[::max(1, len(b) // 64)]}),
+        batch_format="pandas").to_pandas()["k"].to_numpy(np.int64)
+    qs = np.linspace(0.0, 1.0, n_buckets + 1)[1:-1]
+    bounds = np.unique(np.quantile(samp, qs).astype(np.int64))         if len(samp) else np.array([], dtype=np.int64)
+    bounds_ref = ray.put(bounds)
 
     def tag(b: pd.DataFrame) -> pa.Table:
         k = b[order_col].to_numpy(np.int64)
+        bd = broadcast_get(bounds_ref)
         return pa.Table.from_pandas(
-            b.assign(__bucket=(k - lo) // width), preserve_index=False)
+            b.assign(__bucket=np.searchsorted(bd, k, side="right")),
+            preserve_index=False)
 
     tagged = ds.map_batches(tag, batch_format="pandas").materialize()
 
@@ -1717,7 +1722,7 @@ def ordered_prefix_sum(ds: rd.Dataset, order_col: str, val_col: str,
         lambda b: b.groupby("__bucket", as_index=False)[val_col].sum(),
         batch_format="pandas").to_pandas()
     per_range = partials.groupby("__bucket")[val_col].sum()
-    base = np.zeros(n_buckets + 1, dtype=np.int64)
+    base = np.zeros(len(bounds) + 2, dtype=np.int64)
     np.add.at(base, per_range.index.to_numpy(np.int64) + 1,
               per_range.to_numpy(np.int64))
     base = np.cumsum(base)
@@ -1733,3 +1738,45 @@ def ordered_prefix_sum(ds: rd.Dataset, order_col: str, val_col: str,
 
     return tagged.groupby("__bucket").map_groups(scan,
                                                  batch_format="pandas")
+
+
+def global_order_page(ds: rd.Dataset, col: str, tie_col: str,
+                      offset: int, limit: int) -> pd.DataFrame:
+    """``ORDER BY col, tie_col LIMIT limit OFFSET offset`` WITHOUT a
+    global sort — the pagination shape. Two exact rank values on
+    ``col`` come from the distributed selection operator
+    (`_select_order_stats`: splitter sample → range counts → bracket
+    collect); rows outside ``[v_lo, v_hi]`` can't be on the page, so
+    only that value bracket (≈ limit + tie mass) is collected and
+    ordered locally, with one extra streaming COUNT of rows strictly
+    below ``v_lo`` fixing the page's first position across ties.
+    ``col`` must be integer-valued for exact bracketing (use cents);
+    ``tie_col`` makes the page deterministic. Returns the page as a
+    driver DataFrame with a 1-indexed global ``pos`` column — pages
+    are driver-sized by definition."""
+    n, vals = _select_order_stats(
+        ds, col,
+        lambda n: [min(offset + 1, n), min(offset + limit, n)])
+    if n == 0 or offset >= n:
+        return pd.DataFrame({col: [], tie_col: [], "pos": []})
+    v_lo = vals[min(offset + 1, n)]
+    v_hi = vals[min(offset + limit, n)]
+
+    def bracket(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy()
+        return b[(v >= v_lo) & (v <= v_hi)]
+
+    def below(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"c": [int((b[col].to_numpy() < v_lo).sum())]})
+
+    n_below = int(ds.map_batches(below, batch_format="pandas")
+                  .to_pandas()["c"].sum())
+    page = (ds.map_batches(bracket, batch_format="pandas").to_pandas()
+            .sort_values([col, tie_col], kind="stable",
+                         ignore_index=True))
+    skip = offset - n_below
+    page = page.iloc[skip:skip + limit].reset_index(drop=True)
+    page["pos"] = np.arange(offset + 1, offset + 1 + len(page),
+                            dtype=np.int64)
+    return page

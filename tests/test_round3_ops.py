@@ -143,3 +143,40 @@ def test_walks_reject_ids_beyond_packing_range():
     adj = [(0, 1 << 31)]
     with pytest.raises(Exception):
         walks_df([adj], [0])
+
+
+# ---------------------------------------------------------------------------
+# write_partitioned_resumable
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_sink_resumes_skipping_finished(tmp_path):
+    import os
+    import pyarrow.parquet as pq
+
+    from no_fasel_scrapers_ray.corpus.storage import (
+        write_partitioned_resumable)
+    df = pd.DataFrame({"cat": ["a"] * 5 + ["b"] * 3 + ["c"] * 2,
+                       "x": np.arange(10, dtype=np.int64)})
+    root = str(tmp_path / "out")
+    ds = rd.from_pandas(df).repartition(4)
+    s1 = write_partitioned_resumable(ds, root, "cat").to_pandas()
+    assert s1["skipped"].tolist() == [False, False, False]
+    assert dict(zip(s1["partition"], s1["rows"])) == {"a": 5, "b": 3,
+                                                      "c": 2}
+    # simulate a crash that lost partition b's marker (unfinished)
+    os.remove(os.path.join(root, "cat=b", "_SUCCESS"))
+    files_a = {f: os.path.getmtime(os.path.join(root, "cat=a", f))
+               for f in os.listdir(os.path.join(root, "cat=a"))}
+    s2 = write_partitioned_resumable(rd.from_pandas(df), root,
+                                     "cat").to_pandas()
+    assert dict(zip(s2["partition"], s2["skipped"])) == {
+        "a": True, "b": False, "c": True}
+    assert dict(zip(s2["partition"], s2["rows"])) == {"a": 5, "b": 3,
+                                                      "c": 2}
+    # finished partitions were NOT rewritten
+    for f, mt in files_a.items():
+        assert os.path.getmtime(os.path.join(root, "cat=a", f)) == mt
+    # the resumed output reads back complete and equal
+    got = pq.read_table(root).to_pandas()
+    assert sorted(got["x"].tolist()) == list(range(10))
