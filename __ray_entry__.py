@@ -2450,6 +2450,25 @@ def q_user_event_entropy(sf_dir: str):
             .map_groups(entropy, batch_format="pandas"))
 
 
+def q_doc_decontaminate_neardup(sf_dir: str):
+    """Cross-set EXACT near-dup decontamination (§ LLM training-data
+    prep): training docs whose 3-gram Jaccard with ANY benchmark doc
+    (doc_id % 10 == 0) is ≥ 0.5 — the near-dup generalization of the
+    exact-shingle `doc_decontaminate` probe, catching paraphrased /
+    partially-copied contamination. `ops/dedup.py::ngram_jaccard_cross`:
+    the prefix-filter guarantee holds per pair, but pair emission is
+    CROSS-ONLY (|eval|×|train| within a shared-prefix group, never the
+    self-join triangle, and train-train pairs never exist as keys)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.dedup import ngram_jaccard_cross
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: b.assign(
+            side=(b["doc_id"].to_numpy() % 10 != 0).astype(np.int64)),
+        batch_format="pandas")
+    return ngram_jaccard_cross(docs, "side", shingle=3,
+                               jaccard_threshold=0.5)
+
+
 def q_orders_page(sf_dir: str):
     """ORDER BY + LIMIT/OFFSET pagination WITHOUT a global sort (§
     sorts/limits): page [101, 120] of orders by (price, orderkey) via
@@ -2765,6 +2784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_entropy": q_user_event_entropy,
         "cms_part_counts": q_cms_part_counts,
         "orders_page": q_orders_page,
+        "doc_decontaminate_neardup": q_doc_decontaminate_neardup,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -3274,6 +3294,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT n1.walk, hop1, hop2, hop3
             FROM n1 JOIN n2 ON n1.walk = n2.walk
                  JOIN n3 ON n2.walk = n3.walk
+        """,
+        # cross-set exact Jaccard: eval side × train side only
+        "doc_decontaminate_neardup": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            sh AS (SELECT doc_id,
+                    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                         ELSE list_distinct(list_transform(
+                                generate_series(1, len(t) - 2),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    END AS s
+                   FROM toks),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         len(list_intersect(a.s, b.s)) AS i,
+                         len(a.s) AS la, len(b.s) AS lb
+                  FROM sh a JOIN sh b
+                       ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+            SELECT doc_a, doc_b, round(i / (la + lb - i), 6) AS jaccard
+            FROM p WHERE round(i / (la + lb - i), 6) >= 0.5
         """,
         "orders_page": """
             SELECT cents, o_orderkey, pos FROM (

@@ -69,7 +69,7 @@ BENCH_QUERIES = [
     "small_qty_revenue", "late_sole_supplier", "stock_value_parts",
     "shuffle_corpus", "pack_token_windows", "graph_walks",
     "kcore_fulfillment", "weighted_sample_docs", "user_event_entropy",
-    "cms_part_counts", "orders_page",
+    "cms_part_counts", "orders_page", "doc_decontaminate_neardup",
 ]
 
 

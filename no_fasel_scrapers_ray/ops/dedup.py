@@ -304,6 +304,99 @@ def _jaccard_verify(uniq_pairs: rd.Dataset, extra_cols: list[str],
     return with_ab.map_batches(verify, batch_format="pandas")
 
 
+def _emit_cross_pairs_bucketed(ds: rd.Dataset,
+                               key_cols: list[str]) -> rd.Dataset:
+    """CROSS-ONLY candidate pairs from rows sharing a key: within each
+    key group, every side-0 doc pairs with every side-1 doc (|A|×|B|),
+    never the self-join's full triangle — the R-S join emitter for
+    cross-corpus decontamination. Same bucketed topology as
+    `_emit_dup_pairs_bucketed`."""
+
+    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated(key_cols, keep=False)]
+        if dup.empty:
+            return _EMPTY_DOC_PAIRS
+        dup = dup.sort_values(key_cols + ["doc_id"])
+        change = np.zeros(len(dup) - 1, dtype=bool)
+        for c in key_cols:
+            change |= np.diff(dup[c].to_numpy().astype(np.int64)) != 0
+        starts = np.flatnonzero(np.concatenate([[True], change]))
+        bounds = np.append(starts, len(dup))
+        ids_all = dup["doc_id"].to_numpy()
+        side_all = dup["side"].to_numpy()
+        outs_a, outs_b = [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            ids = ids_all[lo:hi]
+            sd = side_all[lo:hi]
+            a = np.unique(ids[sd == 0])
+            b = np.unique(ids[sd == 1])
+            if len(a) == 0 or len(b) == 0:
+                continue
+            outs_a.append(np.repeat(a, len(b)))
+            outs_b.append(np.tile(b, len(a)))
+        if not outs_a:
+            return _EMPTY_DOC_PAIRS
+        return pd.DataFrame({"doc_a": np.concatenate(outs_a),
+                             "doc_b": np.concatenate(outs_b)})
+
+    return ds.groupby("__bucket").map_groups(
+        emit_bucket, batch_format="pandas")
+
+
+def ngram_jaccard_cross(docs: rd.Dataset, side_col: str,
+                        shingle: int = 3,
+                        jaccard_threshold: float = 0.5,
+                        n_buckets: int = 32) -> rd.Dataset:
+    """EXACT cross-set n-gram Jaccard near-dup join (R-S, not self):
+    pairs (doc_a from side 0, doc_b from side 1) with J ≥ t — NEAR-DUP
+    decontamination, generalizing the exact-shingle `decontaminate`
+    probe to paraphrased/partial contamination. ``side_col`` is an
+    int column: 0 = the protected set (eval benchmark), 1 = the
+    candidate set (training corpus).
+
+    Same prefix-filter guarantee as `ngram_jaccard_pairs` (the bound
+    is a property of the PAIR, independent of sides), but pair
+    emission is cross-only — a shared-prefix group of a eval docs and
+    b train docs emits a·b candidates, never the self-join's full
+    (a+b)² triangle, and train-train near-dups never exist as pair
+    keys at all. Exactness: every qualifying cross pair shares a
+    prefix shingle, so candidates are a superset and the exact-Jaccard
+    verify (`_jaccard_verify`) makes the result precise — full SQL
+    oracle at test sf."""
+
+    def tokenset_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return cached_instance(("tokenset", shingle),
+                               lambda: TokenSetter(shingle))(batch)
+
+    def prefix_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        sets = [_token_hashes(txt, shingle) for txt in batch["text"]]
+        sets = [np.sort(s) if len(s) else np.zeros(1, np.uint64)
+                for s in sets]
+        doc_cols, sh_cols, side_cols = [], [], []
+        for d, sd, s in zip(batch["doc_id"].to_numpy(),
+                            batch[side_col].to_numpy(), sets):
+            p = len(s) - int(np.ceil(jaccard_threshold * len(s))) + 1
+            p = max(p, 1)
+            sh_cols.append(s[:p])
+            doc_cols.append(np.full(p, d, dtype=np.int64))
+            side_cols.append(np.full(p, sd, dtype=np.int64))
+        sh = np.concatenate(sh_cols)
+        return pd.DataFrame({
+            "doc_id": np.concatenate(doc_cols),
+            "side": np.concatenate(side_cols),
+            "shingle": sh.view(np.int64),
+            "__bucket": (sh % np.uint64(64)).astype(np.int64),
+        })
+
+    pref = docs.map_batches(prefix_batch, batch_format="pandas")
+    pairs = _emit_cross_pairs_bucketed(pref, ["shingle"])
+
+    from .relational import preagg_reduce
+    uniq = preagg_reduce(pairs, ["doc_a", "doc_b"], "n_shared", "count")
+    return _jaccard_verify(uniq, ["n_shared"], docs, tokenset_batch,
+                           jaccard_threshold, n_buckets)
+
+
 def ngram_jaccard_pairs(docs: rd.Dataset, shingle: int = 3,
                         jaccard_threshold: float = 0.5,
                         n_buckets: int = 32,
