@@ -540,8 +540,18 @@ def scaling_fair() -> None:
             existing = json.load(fp)
     except Exception:
         existing = {}
-    existing["multi_node_fair_single" if single
-             else "multi_node_fair"] = report
+    key = "multi_node_fair_single" if single else "multi_node_fair"
+    prior = existing.get(key)
+    if isinstance(prior, dict) and isinstance(prior.get("samples"),
+                                              list):
+        # append new samples to the running record (keep any analysis
+        # fields like "headline" intact)
+        prior["samples"].extend(report["samples"])
+        prior["coordination_efficiency_min"] = min(
+            x["coordination_efficiency"] for x in prior["samples"])
+        existing[key] = prior
+    else:
+        existing[key] = report
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as fp:
         json.dump(existing, fp, indent=2)
     print(json.dumps(report))
