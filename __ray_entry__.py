@@ -2450,6 +2450,21 @@ def q_user_event_entropy(sf_dir: str):
             .map_groups(entropy, batch_format="pandas"))
 
 
+def q_approx_type_value_quantiles(sf_dir: str):
+    """PER-GROUP approximate quantiles from mergeable digests (§
+    sketches, rows-only): p50/p95 of event value per event type —
+    the per-host-latency-percentile monitor shape. Per-key state is
+    ≤ k centroids regardless of the key's row count (the hot-key-safe
+    twin of the exact grouped quantiles); rank-error envelope incl. a
+    100× hot group pinned in tests/test_sketch.py — approximate by
+    design, so no SQL oracle."""
+    from no_fasel_scrapers_ray.ops.sketch import grouped_approx_quantiles
+    ev = _read(sf_dir, "events", ["event_type", "value"],
+               rows_per_block=65536)
+    return grouped_approx_quantiles(ev, ["event_type"], "value",
+                                    [0.5, 0.95], k=128)
+
+
 def q_doc_decontaminate_neardup(sf_dir: str):
     """Cross-set EXACT near-dup decontamination (§ LLM training-data
     prep): training docs whose 3-gram Jaccard with ANY benchmark doc
@@ -2785,6 +2800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_part_counts": q_cms_part_counts,
         "orders_page": q_orders_page,
         "doc_decontaminate_neardup": q_doc_decontaminate_neardup,
+        "approx_type_value_quantiles": q_approx_type_value_quantiles,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,

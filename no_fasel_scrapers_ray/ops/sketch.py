@@ -378,3 +378,61 @@ def cms_query(matrix: np.ndarray, keys: np.ndarray) -> np.ndarray:
     rows = _cms_rows(k, depth, width)
     return np.min(np.stack([matrix[d, rows[d]] for d in range(depth)]),
                   axis=0)
+
+
+def grouped_approx_quantiles(ds: rd.Dataset, keys: list[str], col: str,
+                             qs: list[float], k: int = 128,
+                             n_buckets: int = 32) -> rd.Dataset:
+    """PER-GROUP approximate quantiles from mergeable digests — the
+    grouped twin of ``approx_quantiles`` and the scale path next to the
+    exact ``grouped_quantile_disc/cont``: per-key state is ≤ k
+    centroids no matter how many rows the key has, so a hot key (the
+    per-host latency-p95 case in a crawl monitor) costs the shuffle
+    k rows per batch instead of its row count.
+
+    Shape: per-batch per-key sort+compress partials (one (key,
+    centroid) row set per key per batch) → ONE key-bucket shuffle →
+    per-key merge-compress + midpoint-rank interpolation. Rank-error
+    envelope pinned per group in tests/test_sketch.py. Output: one row
+    per key with a column ``q_<percent>`` per requested quantile."""
+    aliases = [f"q_{int(round(q * 100))}" for q in qs]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_v, out_w = {kc: [] for kc in keys}, [], []
+        for kv, g in b.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            v = np.sort(g[col].to_numpy(dtype=np.float64))
+            cv, cw = _compress_centroids(v, np.ones(len(v)), k)
+            for kc, x in zip(keys, kv):
+                out_k[kc].append(np.full(len(cv), x, dtype=object))
+            out_v.append(cv)
+            out_w.append(cw)
+        cols = {kc: np.concatenate(out_k[kc]) for kc in keys}
+        cols["v"] = np.concatenate(out_v)
+        cols["w"] = np.concatenate(out_w)
+        g = pd.DataFrame(cols)
+        g["__bucket"] = stable_bucket_cols(g, keys, n_buckets)
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {kc: [] for kc in keys}
+        q_cols = {a: [] for a in aliases}
+        for kv, gg in g.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            order = np.argsort(gg["v"].to_numpy(), kind="stable")
+            cv, cw = _compress_centroids(gg["v"].to_numpy()[order],
+                                         gg["w"].to_numpy()[order], k)
+            cum = np.cumsum(cw)
+            mids = cum - cw / 2.0
+            for kc, x in zip(keys, kv):
+                rows[kc].append(x)
+            for q, a in zip(qs, aliases):
+                q_cols[a].append(float(np.interp(q * cum[-1], mids,
+                                                 cv)))
+        out = {kc: rows[kc] for kc in keys}
+        out.update(q_cols)
+        return pd.DataFrame(out)
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("__bucket").map_groups(final,
+                                            batch_format="pandas"))

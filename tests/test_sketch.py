@@ -167,3 +167,39 @@ def test_cms_string_keys_roundtrip():
     assert est[0] >= 50 and est[1] >= 7 and est[2] >= 1
     # 58 items in 512·4 counters: collisions are ~impossible here
     assert est.tolist() == [50, 7, 1, 0]
+
+
+def test_grouped_approx_quantiles_rank_envelope():
+    """Per-group digest quantiles stay within 2% rank error of each
+    group's exact order statistics, including a HOT group 100× the
+    others (the per-host skew case), across a multi-block layout."""
+    from no_fasel_scrapers_ray.ops.sketch import grouped_approx_quantiles
+    rng = np.random.RandomState(5)
+    frames = []
+    sizes = {"a": 100_000, "b": 1_000, "c": 1_000}
+    for g, n in sizes.items():
+        frames.append(pd.DataFrame({
+            "g": g, "x": rng.lognormal(0, 2.0, n)}))
+    df = pd.concat(frames, ignore_index=True).sample(
+        frac=1.0, random_state=7).reset_index(drop=True)
+    ds = rd.from_pandas(df).repartition(16)
+    got = grouped_approx_quantiles(ds, ["g"], "x", [0.5, 0.95],
+                                   k=128).to_pandas()
+    assert sorted(got["g"]) == ["a", "b", "c"]
+    for _, row in got.iterrows():
+        vals = np.sort(df.loc[df["g"] == row["g"], "x"].to_numpy())
+        for q, col in ((0.5, "q_50"), (0.95, "q_95")):
+            r = np.searchsorted(vals, row[col]) / len(vals)
+            assert abs(r - q) < 0.02, (row["g"], q, r)
+
+
+def test_grouped_approx_quantiles_exact_on_small_groups():
+    from no_fasel_scrapers_ray.ops.sketch import grouped_approx_quantiles
+    df = pd.DataFrame({"g": ["x"] * 3 + ["y"] * 2,
+                       "x": [1.0, 2.0, 3.0, 10.0, 20.0]})
+    got = grouped_approx_quantiles(rd.from_pandas(df), ["g"], "x",
+                                   [0.5]).to_pandas().set_index("g")
+    # n << k: nothing compressed, midpoint interpolation hits the
+    # true median for odd n and the midpoint for even n
+    assert got.loc["x", "q_50"] == 2.0
+    assert got.loc["y", "q_50"] == 15.0
