@@ -2450,6 +2450,77 @@ def q_user_event_entropy(sf_dir: str):
             .map_groups(entropy, batch_format="pandas"))
 
 
+def q_idle_rich_customers(sf_dir: str):
+    """Global-scalar filter + anti-join (TPC-H Q22 shape): customers
+    with a strictly-above-average positive balance who never placed an
+    URGENT order (every customer has SOME order in the synthetic data,
+    so the classic no-orders predicate would be legitimately empty).
+    The average is the Python-int combine of the balance scan's own
+    partials (``cents·n > total``, no division); the anti side is the
+    broadcast-key-set anti-join — swap for `bloom_semi_join`'s
+    bit-array when the key set outgrows a broadcast."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import anti_join
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"],
+                 rows_per_block=65536).map_batches(
+        lambda b: pd.DataFrame({
+            "c_custkey": b["c_custkey"].to_numpy(),
+            "cents": (b["c_acctbal"] * 100).round().astype("int64")
+            .to_numpy()}),
+        batch_format="pandas").map_batches(
+        lambda b: b[b["cents"].to_numpy() > 0],
+        batch_format="pandas").materialize()
+    partials = cust.map_batches(
+        lambda b: pd.DataFrame({"s": [int(b["cents"].sum())],
+                                "n": [len(b)]}),
+        batch_format="pandas").to_pandas()
+    total, n = int(partials["s"].astype(object).sum()), \
+        int(partials["n"].sum())
+    rich = cust.map_batches(
+        lambda b: b[b["cents"].to_numpy(np.int64) * n > total],
+        batch_format="pandas")
+    urgent = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderpriority"],
+                   rows_per_block=65536).map_batches(
+        lambda b: b[b["o_orderpriority"].to_numpy() == "1-URGENT"]
+        [["o_custkey"]],
+        batch_format="pandas").to_pandas()
+    return anti_join(rich, np.unique(urgent["o_custkey"].to_numpy()),
+                     "c_custkey")
+
+
+def q_winsorized_user_spend(sf_dir: str):
+    """Per-group winsorization (§ data cleaning): every purchase
+    clipped at ITS USER's exact p90 spend — outlier capping before a
+    mean/feature pass. Agg-then-join-back: exact per-user discrete
+    quantile (`grouped_quantile_disc`, DuckDB's element rule) →
+    bucketed join onto the streaming events → LEAST in exact cents."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        bucketed_join, grouped_quantile_disc)
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value",
+                                  "event_type"],
+               rows_per_block=65536).map_batches(
+        lambda b: pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(),
+            "user_id": b["user_id"].to_numpy(),
+            "cents": (b["value"] * 100).round().astype("int64")
+            .to_numpy()})
+        [b["event_type"].to_numpy() == "purchase"],
+        batch_format="pandas").materialize()
+    p90 = grouped_quantile_disc(ev.map_batches(
+        lambda b: b[["user_id", "cents"]], batch_format="pandas"),
+        ["user_id"], "cents", 0.9, "p90")
+    joined = bucketed_join(ev, p90, on="user_id", how="inner")
+    return joined.map_batches(
+        lambda b: pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(),
+            "clipped_cents": np.minimum(
+                b["cents"].to_numpy(np.int64),
+                b["p90"].to_numpy(np.int64))}),
+        batch_format="pandas")
+
+
 def q_approx_type_value_quantiles(sf_dir: str):
     """PER-GROUP approximate quantiles from mergeable digests (§
     sketches, rows-only): p50/p95 of event value per event type —
@@ -2801,6 +2872,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_page": q_orders_page,
         "doc_decontaminate_neardup": q_doc_decontaminate_neardup,
         "approx_type_value_quantiles": q_approx_type_value_quantiles,
+        "idle_rich_customers": q_idle_rich_customers,
+        "winsorized_user_spend": q_winsorized_user_spend,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -3310,6 +3383,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT n1.walk, hop1, hop2, hop3
             FROM n1 JOIN n2 ON n1.walk = n2.walk
                  JOIN n3 ON n2.walk = n3.walk
+        """,
+        # TPC-H Q22 shape: strictly-above-average compare in exact
+        # integers (cents·n > total), anti-join to orders
+        "idle_rich_customers": """
+            WITH pos AS (SELECT c_custkey,
+                                CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                                AS cents
+                         FROM customer
+                         WHERE ROUND(c_acctbal * 100) > 0)
+            SELECT c_custkey, cents FROM pos
+            WHERE cents * (SELECT COUNT(*) FROM pos)
+                  > (SELECT SUM(cents) FROM pos)
+              AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+        """,
+        "winsorized_user_spend": """
+            WITH p AS (SELECT event_id, user_id,
+                              CAST(ROUND(value * 100) AS BIGINT)
+                              AS cents
+                       FROM events WHERE event_type = 'purchase'),
+            q AS (SELECT user_id, quantile_disc(cents, 0.9) AS p90
+                  FROM p GROUP BY 1)
+            SELECT p.event_id, LEAST(p.cents, q.p90) AS clipped_cents
+            FROM p JOIN q USING (user_id)
         """,
         # cross-set exact Jaccard: eval side × train side only
         "doc_decontaminate_neardup": """

@@ -70,7 +70,8 @@ BENCH_QUERIES = [
     "shuffle_corpus", "pack_token_windows", "graph_walks",
     "kcore_fulfillment", "weighted_sample_docs", "user_event_entropy",
     "cms_part_counts", "orders_page", "doc_decontaminate_neardup",
-    "approx_type_value_quantiles",
+    "approx_type_value_quantiles", "idle_rich_customers",
+    "winsorized_user_spend",
 ]
 
 
