@@ -2450,6 +2450,56 @@ def q_user_event_entropy(sf_dir: str):
             .map_groups(entropy, batch_format="pandas"))
 
 
+def q_hits_suppliers(sf_dir: str):
+    """HITS hubs/authorities (§ graph operators) on the bipartite
+    customer→supplier fulfillment graph: 3 alternating iterations
+    (authority ← Σ hub over in-edges, hub ← Σ authority over
+    out-edges, each side sum-normalized) — PageRank's two-sided
+    sibling, ranking suppliers by how concentrated their demand is
+    among high-fan-out customers. State per iteration is one
+    node-sized float vector per side (the pagerank tier-2
+    broadcast-ranks contract: one edge pass + one node-sized reduce
+    per half-step; the fully-bucketed tier-3 shape applies unchanged
+    when nodes outgrow a broadcast). Oracle: the same 3 iterations
+    unrolled as chained CTEs, both sides rounded to 6 dp (the
+    pagerank float contract)."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import broadcast_get
+    cs = _fulfillment_edges(sf_dir)
+    mm = cs.map_batches(
+        lambda b: pd.DataFrame({"mc": [int(b["c"].max())],
+                                "ms": [int(b["s"].max())]}),
+        batch_format="pandas").to_pandas()
+    n_c, n_s = int(mm["mc"].max()) + 1, int(mm["ms"].max()) + 1
+
+    def edge_sum(vec_ref, src_col, dst_col, out_size):
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            v = broadcast_get(vec_ref)
+            acc = np.zeros(out_size, dtype=np.float64)
+            np.add.at(acc, b[dst_col].to_numpy(np.int64),
+                      v[b[src_col].to_numpy(np.int64)])
+            return pd.DataFrame({"acc": [acc.tobytes()]})
+        parts = cs.map_batches(partial,
+                               batch_format="pandas").to_pandas()
+        out = np.zeros(out_size, dtype=np.float64)
+        for blob in parts["acc"]:
+            out += np.frombuffer(blob, dtype=np.float64)
+        return out
+
+    hub = np.ones(n_c, dtype=np.float64)
+    auth = np.zeros(n_s, dtype=np.float64)
+    for it in range(3):
+        raw_a = edge_sum(ray.put(hub), "c", "s", n_s)
+        auth = raw_a / raw_a.sum()
+        if it < 2:   # the final hub half-step feeds nothing
+            raw_h = edge_sum(ray.put(auth), "s", "c", n_c)
+            hub = raw_h / raw_h.sum()
+    keys = np.flatnonzero(auth > 0)
+    return pd.DataFrame({"s_suppkey": keys.astype(np.int64),
+                         "authority": np.round(auth[keys], 6)})
+
+
 def q_idle_rich_customers(sf_dir: str):
     """Global-scalar filter + anti-join (TPC-H Q22 shape): customers
     with a strictly-above-average positive balance who never placed an
@@ -2872,6 +2922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_page": q_orders_page,
         "doc_decontaminate_neardup": q_doc_decontaminate_neardup,
         "approx_type_value_quantiles": q_approx_type_value_quantiles,
+        "hits_suppliers": q_hits_suppliers,
         "idle_rich_customers": q_idle_rich_customers,
         "winsorized_user_spend": q_winsorized_user_spend,
         "crawl_catalogs": q_crawl_catalogs,
@@ -3383,6 +3434,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT n1.walk, hop1, hop2, hop3
             FROM n1 JOIN n2 ON n1.walk = n2.walk
                  JOIN n3 ON n2.walk = n3.walk
+        """,
+        # 3 HITS iterations unrolled; sum-normalized each half-step;
+        # round-6 on both engines (the pagerank float contract)
+        "hits_suppliers": """
+            WITH adj AS (SELECT DISTINCT o_custkey AS c,
+                                l_suppkey AS s
+                         FROM orders JOIN lineitem
+                              ON o_orderkey = l_orderkey),
+            a1r AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS v
+                    FROM adj GROUP BY s),
+            a1 AS (SELECT s, v / (SELECT SUM(v) FROM a1r) AS auth
+                   FROM a1r),
+            h1r AS (SELECT c, SUM(a1.auth) AS v
+                    FROM adj JOIN a1 USING (s) GROUP BY c),
+            h1 AS (SELECT c, v / (SELECT SUM(v) FROM h1r) AS hub
+                   FROM h1r),
+            a2r AS (SELECT s, SUM(h1.hub) AS v
+                    FROM adj JOIN h1 USING (c) GROUP BY s),
+            a2 AS (SELECT s, v / (SELECT SUM(v) FROM a2r) AS auth
+                   FROM a2r),
+            h2r AS (SELECT c, SUM(a2.auth) AS v
+                    FROM adj JOIN a2 USING (s) GROUP BY c),
+            h2 AS (SELECT c, v / (SELECT SUM(v) FROM h2r) AS hub
+                   FROM h2r),
+            a3r AS (SELECT s, SUM(h2.hub) AS v
+                    FROM adj JOIN h2 USING (c) GROUP BY s),
+            a3 AS (SELECT s, v / (SELECT SUM(v) FROM a3r) AS auth
+                   FROM a3r)
+            SELECT s AS s_suppkey, ROUND(auth, 6) AS authority
+            FROM a3
         """,
         # TPC-H Q22 shape: strictly-above-average compare in exact
         # integers (cents·n > total), anti-join to orders

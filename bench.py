@@ -71,7 +71,7 @@ BENCH_QUERIES = [
     "kcore_fulfillment", "weighted_sample_docs", "user_event_entropy",
     "cms_part_counts", "orders_page", "doc_decontaminate_neardup",
     "approx_type_value_quantiles", "idle_rich_customers",
-    "winsorized_user_spend",
+    "winsorized_user_spend", "hits_suppliers",
 ]
 
 
