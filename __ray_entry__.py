@@ -2450,6 +2450,46 @@ def q_user_event_entropy(sf_dir: str):
             .map_groups(entropy, batch_format="pandas"))
 
 
+def q_top_suppliers_per_nation(sf_dir: str):
+    """Aggregate-then-top-k (§ composition): the 3 highest-revenue
+    suppliers per nation — the 'leaderboard per segment' analytics
+    shape. One bucketed revenue sum per supplier (exact cents), the
+    nation comes from a broadcast dim lookup map-side, then
+    `topk_per_group` prunes the shuffle to ≤ k partial rows per
+    (nation, batch). ROW_NUMBER oracle with suppkey tie-break."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (
+        broadcast_get, preagg_sum_count, topk_per_group)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"],
+                 rows_per_block=65536).to_pandas() \
+        .sort_values("s_suppkey", ignore_index=True)
+    nat_ref = ray.put((supp["s_suppkey"].to_numpy(np.int64),
+                       supp["s_nationkey"].to_numpy(np.int64)))
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"],
+               rows_per_block=65536)
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "s_suppkey": b["l_suppkey"].to_numpy(),
+            "v": (b["l_extendedprice"] * 100).round().astype("int64")
+            .to_numpy()})
+
+    rev = preagg_sum_count(li.map_batches(cents,
+                                          batch_format="pandas"),
+                           ["s_suppkey"], {"v": "revenue_cents"})
+
+    def add_nation(b: pd.DataFrame) -> pd.DataFrame:
+        ks, nk = broadcast_get(nat_ref)
+        pos = np.searchsorted(ks, b["s_suppkey"].to_numpy(np.int64))
+        return b.assign(s_nationkey=nk[pos])
+
+    return topk_per_group(rev.map_batches(add_nation,
+                                          batch_format="pandas"),
+                          ["s_nationkey"], "revenue_cents", 3,
+                          ascending=False, tie_cols=["s_suppkey"])
+
+
 def q_hits_suppliers(sf_dir: str):
     """HITS hubs/authorities (§ graph operators) on the bipartite
     customer→supplier fulfillment graph: 3 alternating iterations
@@ -2923,6 +2963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate_neardup": q_doc_decontaminate_neardup,
         "approx_type_value_quantiles": q_approx_type_value_quantiles,
         "hits_suppliers": q_hits_suppliers,
+        "top_suppliers_per_nation": q_top_suppliers_per_nation,
         "idle_rich_customers": q_idle_rich_customers,
         "winsorized_user_spend": q_winsorized_user_spend,
         "crawl_catalogs": q_crawl_catalogs,
@@ -3434,6 +3475,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT n1.walk, hop1, hop2, hop3
             FROM n1 JOIN n2 ON n1.walk = n2.walk
                  JOIN n3 ON n2.walk = n3.walk
+        """,
+        "top_suppliers_per_nation": """
+            WITH rev AS (SELECT l_suppkey AS s_suppkey,
+                                CAST(SUM(CAST(ROUND(l_extendedprice
+                                                    * 100) AS BIGINT))
+                                     AS BIGINT) AS revenue_cents
+                         FROM lineitem GROUP BY 1)
+            SELECT s_nationkey, s_suppkey, revenue_cents FROM (
+                SELECT s_nationkey, rev.s_suppkey, revenue_cents,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s_nationkey
+                           ORDER BY revenue_cents DESC,
+                                    rev.s_suppkey) AS rn
+                FROM rev JOIN supplier
+                     ON supplier.s_suppkey = rev.s_suppkey)
+            WHERE rn <= 3
         """,
         # 3 HITS iterations unrolled; sum-normalized each half-step;
         # round-6 on both engines (the pagerank float contract)

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "cms_part_counts", "orders_page", "doc_decontaminate_neardup",
     "approx_type_value_quantiles", "idle_rich_customers",
     "winsorized_user_spend", "hits_suppliers",
+    "top_suppliers_per_nation",
 ]
 
 
