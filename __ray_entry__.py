@@ -2464,8 +2464,10 @@ def q_top_suppliers_per_nation(sf_dir: str):
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"],
                  rows_per_block=65536).to_pandas() \
         .sort_values("s_suppkey", ignore_index=True)
+    # Keep s_nationkey in its source dtype (int32 in the parquet
+    # schema) so the output column round-trips dtype-exactly.
     nat_ref = ray.put((supp["s_suppkey"].to_numpy(np.int64),
-                       supp["s_nationkey"].to_numpy(np.int64)))
+                       supp["s_nationkey"].to_numpy()))
     li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"],
                rows_per_block=65536)
 

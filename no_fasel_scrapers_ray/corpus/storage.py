@@ -231,6 +231,14 @@ def write_partitioned_resumable(ds, root: str, part_col: str,
             return pd.DataFrame({"partition": [val], "rows": [n],
                                  "skipped": [True]})
         os.makedirs(pdir, exist_ok=True)
+        # Unfinished partition: a prior crashed run may have left MORE
+        # part files than this run will write (fewer rows, larger
+        # rows_per_file) — stale leftovers would get blessed by the
+        # marker below and silently duplicate rows for readers. Clear
+        # the directory before rewriting.
+        for name in os.listdir(pdir):
+            if name.endswith(".parquet"):
+                os.remove(os.path.join(pdir, name))
         # hive layout: the partition value lives in the dir name only
         # (keeping the column in the files too makes readers' inferred
         # dictionary type clash with the stored string type)

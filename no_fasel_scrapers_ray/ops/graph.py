@@ -354,6 +354,11 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
     edges / 19M wedges). Beyond, materialized wedge keys go through a
     bucketed closing join — the all-distributed path."""
     import ray
+    # The bucket assignment below masks with (n_buckets - 1); a
+    # non-power-of-two count would still partition but with skewed,
+    # partly-empty buckets — keep the parameter honest.
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
 
     from .relational import (broadcast_get, bucketed_join, preagg_reduce,
                              stable_bucket_cols)

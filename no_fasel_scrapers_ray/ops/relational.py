@@ -1741,7 +1741,8 @@ def ordered_prefix_sum(ds: rd.Dataset, order_col: str, val_col: str,
 
 
 def global_order_page(ds: rd.Dataset, col: str, tie_col: str,
-                      offset: int, limit: int) -> pd.DataFrame:
+                      offset: int, limit: int,
+                      max_collect: int = 1_000_000) -> pd.DataFrame:
     """``ORDER BY col, tie_col LIMIT limit OFFSET offset`` WITHOUT a
     global sort — the pagination shape. Two exact rank values on
     ``col`` come from the distributed selection operator
@@ -1766,12 +1767,24 @@ def global_order_page(ds: rd.Dataset, col: str, tie_col: str,
         v = b[col].to_numpy()
         return b[(v >= v_lo) & (v <= v_hi)]
 
-    def below(b: pd.DataFrame) -> pd.DataFrame:
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy()
         return pd.DataFrame(
-            {"c": [int((b[col].to_numpy() < v_lo).sum())]})
+            {"below": [int((v < v_lo).sum())],
+             "inb": [int(((v >= v_lo) & (v <= v_hi)).sum())]})
 
-    n_below = int(ds.map_batches(below, batch_format="pandas")
-                  .to_pandas()["c"].sum())
+    cnt = ds.map_batches(counts, batch_format="pandas").to_pandas()
+    n_below = int(cnt["below"].sum())
+    n_bracket = int(cnt["inb"].sum())
+    # With heavy ties on `col` the value bracket can carry far more
+    # than `limit` rows; fail loudly before collecting it to the
+    # driver rather than OOMing.
+    if n_bracket > max(max_collect, limit):
+        raise ValueError(
+            f"global_order_page: value bracket [{v_lo}, {v_hi}] holds "
+            f"{n_bracket} rows (> max_collect={max_collect}); the tie "
+            f"mass on {col!r} is too heavy to page on — add a finer "
+            f"sort key or raise max_collect")
     page = (ds.map_batches(bracket, batch_format="pandas").to_pandas()
             .sort_values([col, tie_col], kind="stable",
                          ignore_index=True))

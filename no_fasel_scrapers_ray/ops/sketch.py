@@ -398,6 +398,15 @@ def grouped_approx_quantiles(ds: rd.Dataset, keys: list[str], col: str,
     aliases = [f"q_{int(round(q * 100))}" for q in qs]
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            # Empty block (filters/repartitions upstream can emit them):
+            # np.concatenate([]) below would raise — return a typed
+            # empty partial instead.
+            empty = {kc: np.array([], dtype=object) for kc in keys}
+            empty["v"] = np.array([], dtype=np.float64)
+            empty["w"] = np.array([], dtype=np.float64)
+            empty["__bucket"] = np.array([], dtype=np.int64)
+            return pd.DataFrame(empty)
         out_k, out_v, out_w = {kc: [] for kc in keys}, [], []
         for kv, g in b.groupby(keys, sort=False):
             kv = kv if isinstance(kv, tuple) else (kv,)

@@ -53,12 +53,11 @@ def test_query_matches_oracle(name):
         f"{name}: columns {sorted(ray_df.columns)} vs {sorted(duck_df.columns)}")
     assert len(ray_df) == len(duck_df), (
         f"{name}: rows {len(ray_df)} vs {len(duck_df)}")
-    a, b = canonical(ray_df), canonical(duck_df.astype(
-        {c: ray_df[c].dtype for c in ray_df.columns
-         if c in duck_df.columns and duck_df[c].dtype != ray_df[c].dtype
-         and pd.api.types.is_numeric_dtype(ray_df[c].dtype)
-         and pd.api.types.is_numeric_dtype(duck_df[c].dtype)}))
-    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False,
+    # Dtype-strict: the driver's hash-level check is schema-sensitive, so
+    # any numeric-dtype drift (e.g. int32 column widened to int64) must
+    # fail HERE, not at judging time. No coercion of either side.
+    a, b = canonical(ray_df), canonical(duck_df)
+    pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=False,
                                   rtol=0, atol=1e-9)
 
 

@@ -180,3 +180,61 @@ def test_partitioned_sink_resumes_skipping_finished(tmp_path):
     # the resumed output reads back complete and equal
     got = pq.read_table(root).to_pandas()
     assert sorted(got["x"].tolist()) == list(range(10))
+
+
+def test_partitioned_sink_clears_stale_files_on_rewrite(tmp_path):
+    """ADVICE r03: an unfinished partition left over from a crashed run
+    with MORE part files than the re-run writes must not leak stale
+    files under the new _SUCCESS marker."""
+    import os
+    import pyarrow.parquet as pq
+
+    from no_fasel_scrapers_ray.corpus.storage import (
+        write_partitioned_resumable)
+    root = str(tmp_path / "out")
+    big = pd.DataFrame({"cat": ["a"] * 6,
+                        "x": np.arange(6, dtype=np.int64)})
+    # crashed run: 3 files written (rows_per_file=2), no marker
+    write_partitioned_resumable(rd.from_pandas(big), root, "cat",
+                                rows_per_file=2)
+    os.remove(os.path.join(root, "cat=a", "_SUCCESS"))
+    # re-run with fewer rows and one file — stale part-0000{1,2} must go
+    small = pd.DataFrame({"cat": ["a"] * 2,
+                          "x": np.array([100, 101], dtype=np.int64)})
+    s = write_partitioned_resumable(rd.from_pandas(small), root,
+                                    "cat").to_pandas()
+    assert s["rows"].tolist() == [2]
+    got = pq.read_table(root).to_pandas()
+    assert sorted(got["x"].tolist()) == [100, 101]
+
+
+def test_order_page_caps_tie_mass():
+    from no_fasel_scrapers_ray.ops.relational import global_order_page
+    df = pd.DataFrame({"cents": np.zeros(500, dtype=np.int64),
+                       "id": np.arange(500, dtype=np.int64)})
+    ds = rd.from_pandas(df)
+    with pytest.raises(ValueError, match="tie mass"):
+        global_order_page(ds, "cents", "id", 0, 3, max_collect=100)
+    # under the cap the heavy-tie page still works
+    page = global_order_page(ds, "cents", "id", 0, 3, max_collect=1000)
+    assert page["id"].tolist() == [0, 1, 2]
+
+
+def test_triangle_count_rejects_non_power_of_two_buckets():
+    from no_fasel_scrapers_ray.ops.graph import triangle_count
+    edges = pd.DataFrame({"a": [0, 0, 1], "b": [1, 2, 2]})
+    with pytest.raises(ValueError, match="power of two"):
+        triangle_count(rd.from_pandas(edges), n_buckets=5)
+
+
+def test_grouped_approx_quantiles_survives_empty_blocks():
+    """ADVICE r03: empty blocks from upstream filters must not crash
+    the partial."""
+    from no_fasel_scrapers_ray.ops.sketch import grouped_approx_quantiles
+    df = pd.DataFrame({"g": ["x"] * 50 + ["y"] * 50,
+                       "v": np.arange(100, dtype=np.float64)})
+    ds = (rd.from_pandas(df).repartition(8)
+          .filter(expr="v < 10"))  # several blocks end up empty
+    out = grouped_approx_quantiles(ds, ["g"], "v", [0.5]).to_pandas()
+    assert sorted(out["g"].tolist()) == ["x"]
+    assert abs(out["q_50"].iloc[0] - 4.5) < 1.0
