@@ -450,12 +450,16 @@ def decontaminate(docs: rd.Dataset, bench_mod: int = 10,
     Scale contract: the BENCHMARK side is small by definition (eval
     suites are MBs even when the corpus is 100 TB), so its distinct
     shingle set is collected once and broadcast via ``ray.put``; the
-    training corpus STREAMS through one map_batches whose membership
-    probe is a vectorized ``np.isin`` against the sorted broadcast
-    array — no shuffle, no join, no driver pass over the big side.
-    Shingles are raw token strings (single-space split) so the SQL
-    oracle (string_split + UNNEST(range) + array_to_string) evaluates
-    the identical windows.
+    training corpus STREAMS through one map_batches with NO Python
+    inner loop: window gram strings are built from shifted exploded
+    token columns (the ``doc_repetition`` gram shape), hashed once per
+    batch (``pd.util.hash_array``), and probed with ``searchsorted``
+    against the sorted broadcast bench-hash array. Exact-string
+    verification runs only on the (rare) hash candidates against the
+    broadcast bench string set, so hash collisions can't inflate
+    counts and the result stays oracle-exact. Shingles are raw token
+    strings (single-space split) so the SQL oracle (string_split +
+    UNNEST(range) + array_to_string) evaluates the identical windows.
     """
     import ray
 
@@ -477,32 +481,48 @@ def decontaminate(docs: rd.Dataset, bench_mod: int = 10,
         return pd.DataFrame({"s": pd.unique(sh)})
 
     bench = docs.map_batches(bench_partial, batch_format="pandas")
-    # a SET so the probe's membership check is O(1) per shingle —
-    # np.isin against the raw array re-sorts the whole benchmark side
-    # once per call (measured: 36.6 s for 45k docs at sf0.1; the set
-    # probe does the same batch in ~2 s)
-    bench_set = frozenset(bench.to_pandas()["s"].to_numpy(dtype=object))
-    bench_ref = ray.put(bench_set)
+    bench_strings = pd.unique(bench.to_pandas()["s"].to_numpy(dtype=object))
+    bench_hashes = np.sort(pd.util.hash_array(bench_strings))
+    # (sorted uint64 hashes for the vectorized probe, string set for
+    # exact verification of hash candidates)
+    bench_ref = ray.put((bench_hashes, frozenset(bench_strings)))
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
-        bset = broadcast_get(bench_ref)
-        ids, hits = [], []
-        for did, text in zip(batch["doc_id"].to_numpy(), batch["text"]):
-            if did % bench_mod == 0:
-                continue
-            toks = text.split(" ")
-            span = len(toks) - shingle + 1
-            if span <= 0:
-                continue
-            matched: set = set()
-            for i in range(span):
-                s = " ".join(toks[i:i + shingle])
-                if s in bset:
-                    matched.add(s)
-            if matched:
-                ids.append(did)
-                hits.append(len(matched))
-        return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
-                             "n_hits": np.asarray(hits, dtype=np.int64)})
+        bhash, bset = broadcast_get(bench_ref)
+        doc_ids = batch["doc_id"].to_numpy()
+        b = batch[(doc_ids % bench_mod) != 0].reset_index(drop=True)
+        empty = pd.DataFrame({"doc_id": np.array([], dtype=np.int64),
+                              "n_hits": np.array([], dtype=np.int64)})
+        if not len(b):
+            return empty
+        flat = b["text"].str.split(" ").explode()
+        dd = pd.Series(flat.index.to_numpy())
+        toks = pd.Series(flat.to_numpy())
+        # gram strings from shifted token columns (vectorized)
+        gram = toks.copy()
+        same = np.ones(len(gram), dtype=bool)
+        for k in range(1, shingle):
+            gram = gram + " " + toks.shift(-k)
+            same &= dd.eq(dd.shift(-k)).to_numpy()
+        grams = gram.to_numpy()[same]
+        gdocs = dd.to_numpy()[same]
+        if not len(grams):
+            return empty
+        h = pd.util.hash_array(grams.astype(object))
+        pos = np.searchsorted(bhash, h)
+        pos[pos == len(bhash)] = len(bhash) - 1 if len(bhash) else 0
+        hit = len(bhash) > 0 and (bhash[pos] == h)
+        if not np.any(hit):
+            return empty
+        # exact-string verify the few hash candidates, then count
+        # DISTINCT matched shingles per doc
+        cand = pd.DataFrame({"doc": gdocs[hit], "gram": grams[hit]})
+        cand = cand[[g in bset for g in cand["gram"]]]
+        if not len(cand):
+            return empty
+        counts = (cand.drop_duplicates().groupby("doc").size())
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy()[counts.index.to_numpy()],
+            "n_hits": counts.to_numpy(dtype=np.int64)})
 
     return docs.map_batches(probe, batch_format="pandas")
