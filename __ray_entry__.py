@@ -2034,10 +2034,25 @@ def q_doc_decontaminate(sf_dir: str):
     docs sharing any 4-token shingle with the benchmark subset
     (doc_id % 10 == 0). The benchmark shingle set broadcasts once
     (eval suites are small even at 100 TB corpora); the corpus streams
-    through one vectorized np.isin membership probe — no shuffle."""
+    through one vectorized searchsorted hash probe (exact-string
+    verify on the rare candidates) — no shuffle."""
     from no_fasel_scrapers_ray.ops.textops import decontaminate
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return decontaminate(docs, bench_mod=10, shingle=4)
+
+
+def q_doc_dup_spans(sf_dir: str):
+    """Substring-level exact dedup (§ LLM training-data prep; the
+    round-4 missing family per VERDICT r03): maximal token ranges
+    whose 6-token windows also appear in at least one OTHER document —
+    the duplicated-span finder that a span-removal pass would consume.
+    Three narrow shuffles over window hashes / (doc, off) rows; the
+    document text itself never shuffles (ops/dedup.py::dup_spans).
+    Oracle: UNNEST(range) windows + HAVING count(DISTINCT doc_id) > 1
+    + gaps-and-islands merge."""
+    from no_fasel_scrapers_ray.ops.dedup import dup_spans
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_spans(docs, k=6)
 
 
 def q_doc_chunks(sf_dir: str):
@@ -2912,6 +2927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_moments": q_price_moments,
         "doc_chunks": q_doc_chunks,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_dup_spans": q_doc_dup_spans,
         "user_spend_zscore": q_user_spend_zscore,
         "orders_above_p99": q_orders_above_p99,
         "weighted_avg_discount": q_weighted_avg_discount,
@@ -3358,6 +3374,24 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT quantile_disc(CAST(ROUND(o_totalprice * 100)
                                              AS BIGINT), 0.99)
                    FROM orders)
+        """,
+        "doc_dup_spans": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            wins AS (SELECT doc_id, i AS off,
+                            array_to_string(t[i+1:i+6], ' ') AS gram
+                     FROM toks, UNNEST(range(len(t) - 5)) AS u(i)),
+            dup AS (SELECT gram FROM wins
+                    GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+            dw AS (SELECT DISTINCT w.doc_id, w.off
+                   FROM wins w JOIN dup USING (gram)),
+            isl AS (SELECT doc_id, off,
+                           off - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                    ORDER BY off) AS grp
+                    FROM dw)
+            SELECT doc_id, MIN(off) AS span_start,
+                   MAX(off) + 6 AS span_end
+            FROM isl GROUP BY doc_id, grp
         """,
         "doc_decontaminate": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "approx_type_value_quantiles", "idle_rich_customers",
     "winsorized_user_spend", "hits_suppliers",
     "top_suppliers_per_nation",
+    "doc_dup_spans",
 ]
 
 

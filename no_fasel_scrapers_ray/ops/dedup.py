@@ -695,3 +695,147 @@ def simhash_candidates(docs: rd.Dataset, max_hamming: int = 8,
     # unique already — no cross-table pair-dedup shuffle needed
     return sigs.groupby(["table_id", "block"]).map_groups(
         verify, batch_format="pandas")
+
+
+def _token_windows(texts: "pd.Series", k: int):
+    """Vectorized k-token window build from shifted exploded token
+    columns (the ``doc_repetition`` gram shape — no per-doc Python
+    loop). Returns (doc_idx, off, gram, h): batch-local doc index,
+    0-based token offset of the window inside its doc, the gram
+    string, and its uint64 hash (``pd.util.hash_array``, deterministic
+    across processes)."""
+    flat = texts.str.split(" ").explode()
+    dd = flat.index.to_numpy()
+    toks = pd.Series(flat.to_numpy())
+    gram = toks.copy()
+    n = len(toks)
+    same = np.ones(n, dtype=bool)
+    for j in range(1, k):
+        gram = gram + " " + toks.shift(-j)
+        sd = np.full(n, -1, dtype=np.int64)
+        sd[:n - j] = dd[j:]
+        same &= sd == dd
+    # token offset inside the doc: flat position minus the doc's start
+    pos = np.arange(n, dtype=np.int64)
+    if n:
+        doc_change = np.r_[True, dd[1:] != dd[:-1]]
+        starts = pos[doc_change]
+        off = pos - starts[np.cumsum(doc_change) - 1]
+    else:
+        off = pos
+    idx = np.flatnonzero(same)
+    grams = gram.to_numpy()[idx]
+    return (dd[idx], off[idx], grams,
+            pd.util.hash_array(grams.astype(object)))
+
+
+def dup_spans(docs: rd.Dataset, k: int = 6, n_buckets: int = 32,
+              max_candidates: int = 50_000_000) -> rd.Dataset:
+    """Substring-level exact dedup (§ LLM training-data prep; the
+    suffix-array-style duplicated-span family — e.g. Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every maximal token range of a document whose ``k``-token windows
+    ALL also appear in at least one OTHER document, returning one row
+    per (doc_id, span_start, span_end) duplicated span — token
+    offsets, end exclusive. No reference analogue (the reference has
+    only key-level seen-sets, FaselMoviesScraper.py:28); engine
+    addition per the brief.
+
+    Scale shape, three narrow shuffles — the document TEXT never
+    shuffles:
+    1. candidate pass: per-batch distinct (window-hash, doc) partials
+       (16 B/row) → hash-bucket groupby → window hashes seen in ≥ 2
+       distinct docs. The candidate set is proportional to the
+       corpus's true duplication mass, is collected and broadcast once
+       (``ray.put`` sorted uint64 array; ``max_candidates`` caps it
+       loudly rather than OOMing the driver).
+    2. verify pass: every doc's windows probe the broadcast array via
+       ``searchsorted``; ONLY hash-candidate windows ship their gram
+       string into a gram-hash-bucket groupby where exact string
+       equality (collision-proof) keeps grams with ≥ 2 distinct docs.
+    3. island pass: surviving (doc_id, off) rows — the duplicated
+       window mass only — shuffle once by doc bucket; consecutive
+       offsets merge into maximal spans (gaps-and-islands) per doc.
+    """
+    import ray
+
+    from .relational import broadcast_get
+
+    def cand_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"h": np.array([], dtype=np.uint64),
+                                 "doc_id": np.array([], dtype=np.int64),
+                                 "__bucket": np.array([], dtype=np.int64)})
+        di, _, _, h = _token_windows(b["text"], k)
+        d = pd.DataFrame({"h": h,
+                          "doc_id": b["doc_id"].to_numpy()[di]}
+                         ).drop_duplicates()
+        d["__bucket"] = (d["h"] % np.uint64(n_buckets)).astype(np.int64)
+        return d
+
+    def cand_final(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h")["doc_id"].nunique()
+        return pd.DataFrame({"h": nd.index.to_numpy()[nd.to_numpy() > 1]})
+
+    cands = (docs.map_batches(cand_partial, batch_format="pandas")
+             .groupby("__bucket").map_groups(cand_final,
+                                             batch_format="pandas")
+             .to_pandas())
+    n_cand = len(cands)
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"dup_spans: {n_cand} candidate window hashes exceed "
+            f"max_candidates={max_candidates}; the corpus's duplication "
+            f"mass is too large to broadcast — raise the cap or dedup "
+            f"doc-level first")
+    cand_ref = ray.put(np.sort(cands["h"].to_numpy(dtype=np.uint64))
+                       if n_cand else np.array([], dtype=np.uint64))
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"gram": np.array([], dtype=object),
+                              "doc_id": np.array([], dtype=np.int64),
+                              "off": np.array([], dtype=np.int64),
+                              "__bucket": np.array([], dtype=np.int64)})
+        if not len(b):
+            return empty
+        ch = broadcast_get(cand_ref)
+        if not len(ch):
+            return empty
+        di, off, grams, h = _token_windows(b["text"], k)
+        pos = np.searchsorted(ch, h)
+        np.clip(pos, 0, len(ch) - 1, out=pos)
+        hit = ch[pos] == h
+        if not np.any(hit):
+            return empty
+        out = pd.DataFrame({"gram": grams[hit],
+                            "doc_id": b["doc_id"].to_numpy()[di[hit]],
+                            "off": off[hit]})
+        out["__bucket"] = (h[hit] % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("gram")["doc_id"].transform("nunique")
+        keep = g[nd.to_numpy() > 1]
+        out = keep[["doc_id", "off"]].drop_duplicates().copy()
+        out["__dbucket"] = (out["doc_id"].to_numpy(np.uint64)
+                            % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "off"], ignore_index=True)
+        did = g["doc_id"].to_numpy()
+        off = g["off"].to_numpy()
+        new = np.r_[True, (did[1:] != did[:-1]) | (off[1:] != off[:-1] + 1)]
+        grp = np.cumsum(new) - 1
+        d = pd.DataFrame({"doc_id": did, "off": off, "grp": grp})
+        agg = d.groupby("grp").agg(doc_id=("doc_id", "first"),
+                                   span_start=("off", "min"),
+                                   span_end=("off", "max"))
+        agg["span_end"] = agg["span_end"] + k
+        return agg[["doc_id", "span_start", "span_end"]].reset_index(
+            drop=True)
+
+    return (docs.map_batches(probe, batch_format="pandas")
+            .groupby("__bucket").map_groups(verify, batch_format="pandas")
+            .groupby("__dbucket").map_groups(islands,
+                                             batch_format="pandas"))
