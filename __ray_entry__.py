@@ -15,6 +15,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from functools import partial
+
 import numpy as np
 import pandas as pd
 
@@ -1289,21 +1291,28 @@ def _part_cooccurrence_edges(sf_dir: str):
                                             batch_format="pandas"))
 
 
-def q_triangle_parts(sf_dir: str):
+def q_triangle_parts(sf_dir: str, tier3: bool = False):
     """Global triangle count (§ graph operators) over the part
     co-occurrence graph (parts sharing an order): distinct-pair build
     via one order-key bucketed self-join, then
     ``ops/graph.py::triangle_count`` (degree-oriented compact-forward
     with a two-tier closing check). Oracle: sorted-id 3-way SQL
-    self-join — each triangle counted once on both engines."""
+    self-join — each triangle counted once on both engines.
+    ``tier3=True`` (query ``triangle_parts_tier3``) forces the fully
+    distributed bucketed-closing-join path regardless of size, so the
+    100-TB tier runs against the same oracle in every bench/driver
+    round, not only in forced-threshold unit tests."""
     import pandas as pd
     from no_fasel_scrapers_ray.ops.graph import triangle_count
     edges = _part_cooccurrence_edges(sf_dir)
+    kw = ({"small_threshold": 0, "broadcast_edge_threshold": 0}
+          if tier3 else {})
     return pd.DataFrame({"n_triangles":
-                         np.array([triangle_count(edges)], dtype=np.int64)})
+                         np.array([triangle_count(edges, **kw)],
+                                  dtype=np.int64)})
 
 
-def q_pagerank_cust_supp(sf_dir: str):
+def q_pagerank_cust_supp(sf_dir: str, tier3: bool = False):
     """Fixed-iteration PageRank (§ graph operators) over the directed
     customer→supplier fulfillment graph: distinct (o_custkey,
     l_suppkey) pairs via the orders⋈lineitem bucketed join, supplier
@@ -1340,7 +1349,8 @@ def q_pagerank_cust_supp(sf_dir: str):
 
     edges = preagg_reduce(j.map_batches(to_edge, batch_format="pandas"),
                           ["src", "dst"], "one", "min").drop_columns(["one"])
-    return round_columns(pagerank(edges, damping=0.85, iters=5),
+    kw = ({"small_threshold": 0, "broadcast_nodes": 0} if tier3 else {})
+    return round_columns(pagerank(edges, damping=0.85, iters=5, **kw),
                          {"rank": 6})
 
 
@@ -1411,7 +1421,7 @@ def q_curate_documents(sf_dir: str):
     return survivors.map_batches(finalize, batch_format="pandas")
 
 
-def q_dedup_clusters(sf_dir: str):
+def q_dedup_clusters(sf_dir: str, tier3: bool = False):
     """Duplicate CLUSTERS (§ dedup): the exact n-gram Jaccard pairs
     closed under transitivity — connected components by iterative
     min-label propagation, each doc labeled with its component's
@@ -1422,7 +1432,8 @@ def q_dedup_clusters(sf_dir: str):
     pairs = ngram_jaccard_pairs(
         _read(sf_dir, "documents", ["doc_id", "text"]),
         shingle=3, jaccard_threshold=0.5)
-    out = connected_components(pairs, "doc_a", "doc_b").to_pandas()
+    kw = ({"small_threshold": 0} if tier3 else {})
+    out = connected_components(pairs, "doc_a", "doc_b", **kw).to_pandas()
     if out.empty and "doc_id" not in out.columns:
         # 0-row to_pandas() drops column names (Ray gotcha) — restore
         # the contract schema so the driver's column compare holds
@@ -2952,6 +2963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_full": q_user_activity_full,
         "bloom_semi_join_lineitem": q_bloom_semi_join_lineitem,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_tier3": partial(q_dedup_clusters, tier3=True),
         "curate_documents": q_curate_documents,
         "doc_quality": q_doc_quality,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2961,8 +2973,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "pca_embeddings": q_pca_embeddings,
         "pagerank_cust_supp": q_pagerank_cust_supp,
+        "pagerank_tier3": partial(q_pagerank_cust_supp, tier3=True),
         "cohort_retention": q_cohort_retention,
         "triangle_parts": q_triangle_parts,
+        "triangle_parts_tier3": partial(q_triangle_parts, tier3=True),
         "overlap_click_purchase": q_overlap_click_purchase,
         "events_hopping": q_events_hopping,
         "stratified_sample_events": q_stratified_sample_events,
@@ -2995,6 +3009,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_literal()
+    # the tier-3 twins compute the SAME result on the forced fully-
+    # distributed graph paths — identical oracles by construction
+    d["triangle_parts_tier3"] = d["triangle_parts"]
+    d["pagerank_tier3"] = d["pagerank_cust_supp"]
+    d["dedup_clusters_tier3"] = d["dedup_clusters"]
+    return d
+
+
+def _oracle_sql_literal() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -76,6 +76,12 @@ BENCH_QUERIES = [
     "doc_dup_spans",
 ]
 
+# The forced fully-distributed (tier-3) graph paths — run LAST so the
+# driver peak-RSS delta across them isolates any driver-memory blowup
+# in the 100-TB tier (VERDICT r03 #6). Same oracles as their twins.
+TIER3_QUERIES = ["pagerank_tier3", "dedup_clusters_tier3",
+                 "triangle_parts_tier3"]
+
 
 def _corpus_cache_dir(scale: str) -> str:
     return f"/tmp/nofasel_bench_corpus_{scale}_v6"
@@ -273,7 +279,10 @@ def main() -> None:
     queries: dict[str, float] = {"crawl": crawl["crawl_sec"],
                                  "crawl_assemble": crawl["assemble_sec"]}
     total = crawl["crawl_sec"] + crawl["assemble_sec"]
+    tier3_rss_growth = None
     if not crawl_only:
+        import resource
+
         import __ray_entry__ as entrymod
         qmap = entrymod.queries()
         for name in BENCH_QUERIES:
@@ -284,6 +293,17 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             queries[name] = dt
             total += dt
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        for name in TIER3_QUERIES:
+            t0 = time.perf_counter()
+            res = qmap[name](sf_dir)
+            if hasattr(res, "to_pandas"):
+                res = res.to_pandas()
+            dt = round(time.perf_counter() - t0, 3)
+            queries[name] = dt
+            total += dt
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        tier3_rss_growth = round((rss1 - rss0) / 1024, 1)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
@@ -299,6 +319,7 @@ def main() -> None:
         "catalog_entries": crawl["catalog_entries"],
         "driver_peak_rss_mb": crawl.get("driver_peak_rss_mb"),
         "driver_rss_growth_mb": crawl.get("driver_rss_growth_mb"),
+        "tier3_driver_rss_growth_mb": tier3_rss_growth,
     }
     ray.shutdown()
     print(json.dumps(out))
