@@ -213,6 +213,13 @@ class FrontierShard:
         """TEST-ONLY: materializes the full exact set (O(n))."""
         return self.exact.to_array()
 
+    def node_id(self) -> str:
+        """The raylet this shard lives on — the crawl schedules each
+        block near the shard holding the plurality of its rows
+        (NodeAffinity locality; no-op on one node)."""
+        import ray
+        return ray.get_runtime_context().get_node_id()
+
     def stats(self) -> dict:
         return {
             "shard": self.shard_id,
