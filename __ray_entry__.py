@@ -2878,6 +2878,190 @@ def entry() -> Any:
     return q_crawl_catalogs("/root/testdata/sf0.001")
 
 
+def q_nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 shape (§ composed relational): shipped revenue between
+    every ordered pair of DISTINCT (supplier nation → customer nation)
+    by ship year. Same posture as q_local_supplier_revenue (Q5): ONE
+    bucketed shuffle (orders ⋈ lineitem on orderkey); customer /
+    supplier / nation are dim-sized → broadcast sorted-key arrays and
+    the nation pair resolves map-side; revenue in exact integer
+    cents×percent. The aggregate is (25×24×years) rows — tiny."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (
+        broadcast_get, bucketed_join, preagg_sum_count)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                   rows_per_block=65536)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"], rows_per_block=65536)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .to_pandas().sort_values("c_custkey", ignore_index=True)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .to_pandas().sort_values("s_suppkey", ignore_index=True)
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas() \
+        .sort_values("n_nationkey", ignore_index=True)
+    dims_ref = ray.put((
+        cust["c_custkey"].to_numpy(np.int64),
+        cust["c_nationkey"].to_numpy(np.int64),
+        supp["s_suppkey"].to_numpy(np.int64),
+        supp["s_nationkey"].to_numpy(np.int64),
+        nat["n_nationkey"].to_numpy(np.int64),
+        nat["n_name"].to_numpy(object)))
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        ep = (b["l_extendedprice"] * 100).round().astype("int64")
+        dp = (b["l_discount"] * 100).round().astype("int64")
+        return pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].to_numpy(),
+            "l_suppkey": b["l_suppkey"].to_numpy(),
+            "l_year": b["l_shipdate"].dt.year.astype("int64").to_numpy(),
+            "rev": (ep * (100 - dp)).to_numpy()})
+
+    j = bucketed_join(li.map_batches(li_prep, batch_format="pandas"),
+                      orders, on="o_orderkey", how="inner")
+
+    def pair_tag(b: pd.DataFrame) -> pd.DataFrame:
+        ck, cn, sk, sn, nk, nn = broadcast_get(dims_ref)
+        c_nat = cn[np.searchsorted(ck, b["o_custkey"].to_numpy())]
+        s_nat = sn[np.searchsorted(sk, b["l_suppkey"].to_numpy())]
+        keep = c_nat != s_nat
+        return pd.DataFrame({
+            "supp_nation": nn[np.searchsorted(nk, s_nat[keep])],
+            "cust_nation": nn[np.searchsorted(nk, c_nat[keep])],
+            "l_year": b["l_year"].to_numpy()[keep],
+            "rev": b["rev"].to_numpy()[keep]})
+
+    return preagg_sum_count(
+        j.map_batches(pair_tag, batch_format="pandas"),
+        ["supp_nation", "cust_nation", "l_year"], {"rev": "revenue_e4"})
+
+
+def q_brand_year_profit(sf_dir: str):
+    """TPC-H Q9 shape adapted to the available tables (no partsupp in
+    the testdata, so unit cost is the part's retail price): profit =
+    discounted revenue − retail cost of the shipped quantity, by brand
+    and ship year, in exact integer e4 units (cents × percent). part
+    is dim-sized → ONE broadcast sorted-key array; NO shuffle at all
+    before the (brands × years)-row aggregate — the canonical
+    broadcast-join-then-partial-agg posture."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (
+        broadcast_get, preagg_sum_count)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_quantity",
+                "l_extendedprice", "l_discount"], rows_per_block=65536)
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand",
+                                  "p_retailprice"]).to_pandas() \
+        .sort_values("p_partkey", ignore_index=True)
+    part_ref = ray.put((
+        part["p_partkey"].to_numpy(np.int64),
+        part["p_brand"].to_numpy(object),
+        (part["p_retailprice"] * 100).round()
+        .astype("int64").to_numpy()))
+
+    def profit(b: pd.DataFrame) -> pd.DataFrame:
+        pk, brand, retail = broadcast_get(part_ref)
+        idx = np.searchsorted(pk, b["l_partkey"].to_numpy())
+        ep = (b["l_extendedprice"] * 100).round().astype("int64")
+        dp = (b["l_discount"] * 100).round().astype("int64")
+        qty = b["l_quantity"].round().astype("int64").to_numpy()
+        profit_e4 = (ep * (100 - dp)).to_numpy() - retail[idx] * qty * 100
+        return pd.DataFrame({
+            "p_brand": brand[idx],
+            "l_year": b["l_shipdate"].dt.year.astype("int64").to_numpy(),
+            "profit": profit_e4})
+
+    return preagg_sum_count(
+        li.map_batches(profit, batch_format="pandas"),
+        ["p_brand", "l_year"], {"profit": "profit_e4"})
+
+
+def q_price_qty_regression(sf_dir: str):
+    """Grouped OLS regression (§ statistical aggregates): line-item
+    price-in-cents regressed on quantity per return flag, from exact
+    integer moment sums (ops/relational.py::grouped_regression — the
+    grouped_corr decomposition with the slope/intercept closed form).
+    Bit-exact: the oracle evaluates the identical float expression
+    over the identical exact sums."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import grouped_regression
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"],
+               rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_numpy(),
+            "qty": b["l_quantity"].round().astype("int64").to_numpy(),
+            "cents": (b["l_extendedprice"] * 100)
+                     .round().astype("int64").to_numpy()})
+
+    return grouped_regression(
+        li.map_batches(prep, batch_format="pandas"),
+        ["l_returnflag"], "qty", "cents",
+        slope_alias="slope", icept_alias="icept", batch_size=32768)
+
+
+def q_pareto_parts(sf_dir: str):
+    """Skyline / pareto-frontier operator (§ custom operators — new
+    distributed family this round): parts not dominated on (retail
+    price ↓, size ↑). ops/relational.py::skyline_2d — per-batch local
+    frontier CONTRACTION (skyline of a union = skyline of the per-part
+    skylines), so only frontier candidates ever move; the fact table
+    never shuffles. Oracle: NOT EXISTS dominance, duplicates of a
+    frontier point all kept."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import skyline_2d
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_retailprice", "p_size"],
+                 rows_per_block=8192)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_partkey": b["p_partkey"].to_numpy(),
+            "price_cents": (b["p_retailprice"] * 100)
+                           .round().astype("int64").to_numpy(),
+            "p_size": b["p_size"].to_numpy()})  # keeps source int32
+
+    return skyline_2d(part.map_batches(prep, batch_format="pandas"),
+                      min_col="price_cents", max_col="p_size")
+
+
+BM25_QUERY_TERMS = ("join", "sort", "window", "vector")
+
+
+def q_bm25_docs(sf_dir: str):
+    """BM25 relevance scoring (§ text analysis — the quality-targeted
+    sampling primitive): Okapi BM25 of every document against a fixed
+    query-term set, one row per (doc, matching term) so no cross-term
+    float summation order exists. ops/textops.py::bm25_term_scores —
+    constant-size corpus-stats pass, then zero-copy Arrow tf counting
+    via the doubled-padding token trick. ln() is transcendental →
+    round-6 contract on both sides."""
+    from no_fasel_scrapers_ray.ops.textops import bm25_term_scores
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_term_scores(docs, BM25_QUERY_TERMS)
+
+
+def q_similar_part_names(sf_dir: str):
+    """Blocked edit-distance similarity join (§ custom operators —
+    record-linkage family): pairs of same-brand parts whose names are
+    within 2 Levenshtein edits. ops/dedup.py::blocked_levenshtein_pairs
+    — ONE groupby shuffle on the blocking key, length-difference prune,
+    then a P-pair-vectorized DP (every DP cell is one numpy op over all
+    surviving pairs). Oracle: DuckDB's native levenshtein()."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_name"],
+                 rows_per_block=8192)
+    from no_fasel_scrapers_ray.ops.dedup import blocked_levenshtein_pairs
+    return blocked_levenshtein_pairs(part, block_col="p_brand",
+                                     text_col="p_name",
+                                     key_col="p_partkey", max_dist=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2998,6 +3182,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_suppliers_per_nation": q_top_suppliers_per_nation,
         "idle_rich_customers": q_idle_rich_customers,
         "winsorized_user_spend": q_winsorized_user_spend,
+        "nation_trade_volume": q_nation_trade_volume,
+        "brand_year_profit": q_brand_year_profit,
+        "price_qty_regression": q_price_qty_regression,
+        "pareto_parts": q_pareto_parts,
+        "bm25_docs": q_bm25_docs,
+        "similar_part_names": q_similar_part_names,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -3605,6 +3795,108 @@ def _oracle_sql_literal() -> dict[str, str]:
                   FROM p GROUP BY 1)
             SELECT p.event_id, LEAST(p.cents, q.p90) AS clipped_cents
             FROM p JOIN q USING (user_id)
+        """,
+        "nation_trade_volume": """
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE sn.n_nationkey <> cn.n_nationkey
+            GROUP BY 1, 2, 3
+        """,
+        "brand_year_profit": """
+            SELECT p_brand,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100)
+                                          AS BIGINT))
+                            - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                              * CAST(ROUND(l_quantity) AS BIGINT) * 100)
+                        AS BIGINT) AS profit_e4
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2
+        """,
+        # same exact integer moments + identical float expression as
+        # grouped_regression's final() — keep in sync
+        "price_qty_regression": """
+            WITH s AS (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS DOUBLE) AS nf,
+                       CAST(SUM(x) AS DOUBLE) AS sx,
+                       CAST(SUM(y) AS DOUBLE) AS sy,
+                       CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                       CAST(SUM(x * x) AS DOUBLE) AS sxx
+                FROM (SELECT l_returnflag,
+                             CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                 AS y
+                      FROM lineitem)
+                GROUP BY l_returnflag)
+            SELECT l_returnflag,
+                   (nf * sxy - sx * sy) / (nf * sxx - sx * sx) AS slope,
+                   (sy - (nf * sxy - sx * sy) / (nf * sxx - sx * sx)
+                         * sx) / nf AS icept
+            FROM s
+        """,
+        # dominance: price <= AND size >= with at least one strict;
+        # exact duplicates never dominate each other (both kept)
+        "pareto_parts": """
+            WITH p AS (SELECT p_partkey,
+                              CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                                  AS price_cents,
+                              p_size
+                       FROM part)
+            SELECT p_partkey, price_cents, p_size FROM p a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM p b
+                WHERE b.price_cents <= a.price_cents
+                  AND b.p_size >= a.p_size
+                  AND (b.price_cents < a.price_cents
+                       OR b.p_size > a.p_size))
+        """,
+        # float expression mirrored verbatim from bm25_term_scores
+        # (decimal literals 2.2 / 1.2 / 0.25 / 0.75); ln() is
+        # transcendental -> round-6 contract on both sides
+        "bm25_docs": """
+            WITH d AS (SELECT doc_id,
+                              len(string_split(text, ' ')) AS dl
+                       FROM documents),
+            s AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM d),
+            tok AS (SELECT doc_id, u.term AS term
+                    FROM documents,
+                         UNNEST(string_split(text, ' ')) AS u(term)
+                    WHERE u.term IN ('join', 'sort', 'window',
+                                     'vector')),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM tok GROUP BY doc_id, term),
+            df AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                   FROM tok GROUP BY term)
+            SELECT tf.doc_id, tf.term,
+                   ROUND(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl
+                            / (CAST(s.tot AS DOUBLE) / s.n))), 6)
+                       AS bm25
+            FROM tf CROSS JOIN s
+            JOIN df ON tf.term = df.term
+            JOIN d ON tf.doc_id = d.doc_id
+        """,
+        "similar_part_names": """
+            SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
+                       AS dist
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+                 AND levenshtein(a.p_name, b.p_name) <= 2
         """,
         # cross-set exact Jaccard: eval side × train side only
         "doc_decontaminate_neardup": """

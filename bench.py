@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "winsorized_user_spend", "hits_suppliers",
     "top_suppliers_per_nation",
     "doc_dup_spans",
+    "nation_trade_volume", "brand_year_profit", "price_qty_regression",
+    "pareto_parts", "bm25_docs", "similar_part_names",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the

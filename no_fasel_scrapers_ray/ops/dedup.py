@@ -839,3 +839,109 @@ def dup_spans(docs: rd.Dataset, k: int = 6, n_buckets: int = 32,
             .groupby("__bucket").map_groups(verify, batch_format="pandas")
             .groupby("__dbucket").map_groups(islands,
                                              batch_format="pandas"))
+
+
+def _levenshtein_pairs(a_codes: np.ndarray,
+                       b_codes: np.ndarray) -> np.ndarray:
+    """Vectorized Levenshtein distance over P string pairs at once.
+    ``a_codes`` is (P, la) and ``b_codes`` (P, lb) — int char codes,
+    every row exactly its full width (the caller groups pairs by exact
+    length pair, so there is no padding). The classic DP runs its
+    (i, j) loops in Python but every cell update is a P-vector numpy
+    op, so the work per cell is SIMD over all pairs — no per-pair
+    Python loop. O(la·lb) vector ops."""
+    P = a_codes.shape[0]
+    la, lb = a_codes.shape[1], b_codes.shape[1]
+    prev = np.broadcast_to(np.arange(lb + 1, dtype=np.int32),
+                           (P, lb + 1)).copy()
+    for i in range(1, la + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = a_codes[:, i - 1:i]          # (P, 1)
+        sub = prev[:, :-1] + (ai != b_codes).astype(np.int32)
+        for j in range(1, lb + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(cur[:, j - 1] + 1, prev[:, j] + 1),
+                sub[:, j - 1])
+        prev = cur
+    # caller groups pairs by exact (len_a, len_b) and slices the grids
+    # to those lengths, so the corner cell is the true distance
+    return prev[:, -1]
+
+
+def blocked_levenshtein_pairs(ds, block_col: str, text_col: str,
+                              key_col: str, max_dist: int = 2,
+                              max_block_rows: int = 200_000):
+    """Record-linkage edit-distance join: all pairs of rows in the same
+    ``block_col`` block whose ``text_col`` strings are within
+    ``max_dist`` Levenshtein edits, emitted as (key_a, key_b, dist)
+    with key_a < key_b. Engine addition (the reference has no fuzzy
+    matching; its nearest analogue is the exact-title trending join,
+    FaselScraper.py trending lookup).
+
+    Scale shape: ONE groupby shuffle on the blocking key; inside each
+    co-located block the candidate pairs are pruned by length
+    difference (|len_a − len_b| > max_dist cannot match) before the
+    vectorized P-pair DP runs. Blocking is the standard record-linkage
+    contract: blocks must fit a worker (``max_block_rows`` guards it
+    loudly) — pick a finer blocking key for skewed data rather than
+    raising the cap."""
+    import pyarrow as pa
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n > max_block_rows:
+            raise ValueError(
+                f"blocked_levenshtein_pairs: block "
+                f"{g[block_col].iloc[0]!r} has {n} rows "
+                f"(> max_block_rows={max_block_rows}); use a finer "
+                f"blocking key")
+        empty = pd.DataFrame({"key_a": np.array([], dtype=np.int64),
+                              "key_b": np.array([], dtype=np.int64),
+                              "dist": np.array([], dtype=np.int64)})
+        if n < 2:
+            return empty
+        texts = g[text_col].to_numpy(dtype=object)
+        keys = g[key_col].to_numpy(dtype=np.int64)
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int32,
+                           count=n)
+        iu, ju = np.triu_indices(n, k=1)
+        # length-difference prune: |la-lb| > max_dist can never match
+        ok = np.abs(lens[iu] - lens[ju]) <= max_dist
+        iu, ju = iu[ok], ju[ok]
+        if len(iu) == 0:
+            return empty
+        lmax = int(lens.max())
+        codes = np.full((n, lmax), -1, dtype=np.int32)
+        for r, t in enumerate(texts):
+            codes[r, :lens[r]] = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32)[:lens[r]]
+        # group candidate pairs by exact (len_a, len_b) so the DP grid
+        # is unpadded and the corner cell IS the distance
+        la_arr, lb_arr = lens[iu], lens[ju]
+        out_a, out_b, out_d = [], [], []
+        combo = la_arr.astype(np.int64) * (lmax + 1) + lb_arr
+        order = np.argsort(combo, kind="stable")
+        iu, ju, combo = iu[order], ju[order], combo[order]
+        starts = np.flatnonzero(np.r_[True, combo[1:] != combo[:-1]])
+        bounds = np.r_[starts, len(combo)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            pi, pj = iu[s:e], ju[s:e]
+            la, lb = int(lens[pi[0]]), int(lens[pj[0]])
+            # within a (len_a, len_b) group the sliced grids carry no
+            # padding at all, so the DP corner cell IS the distance
+            d = _levenshtein_pairs(codes[pi, :la], codes[pj, :lb])
+            hit = d <= max_dist
+            if hit.any():
+                ka, kb = keys[pi[hit]], keys[pj[hit]]
+                lo, hi = np.minimum(ka, kb), np.maximum(ka, kb)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_d.append(d[hit].astype(np.int64))
+        if not out_a:
+            return empty
+        return pd.DataFrame({"key_a": np.concatenate(out_a),
+                             "key_b": np.concatenate(out_b),
+                             "dist": np.concatenate(out_d)})
+
+    return ds.groupby(block_col).map_groups(pairs, batch_format="pandas")

@@ -1793,3 +1793,99 @@ def global_order_page(ds: rd.Dataset, col: str, tie_col: str,
     page["pos"] = np.arange(offset + 1, offset + 1 + len(page),
                             dtype=np.int64)
     return page
+
+
+def grouped_regression(ds: rd.Dataset, keys: list[str], xcol: str,
+                       ycol: str, slope_alias: str, icept_alias: str,
+                       batch_size: int = 32768,
+                       n_buckets: int = 64) -> rd.Dataset:
+    """Per-group ordinary-least-squares line y = slope·x + intercept of
+    two INTEGER columns — the same decomposable-moments shape as
+    ``grouped_corr`` (which see for the exactness argument): int64
+    per-batch partials of (n, Σx, Σy, Σxy, Σx²), one bucket shuffle
+    of a partial row per key per batch, final combine in Python-int
+    (object) space, then ONE float64 closed form mirrored verbatim in
+    the SQL oracle so the bits match. The 100-TB posture is identical
+    to grouped_corr: the shuffle carries ≤ n_keys×n_batches tiny rows,
+    never the fact table. Caller passes integer x/y (cents, counts);
+    batch_size × max(x², x·y) must fit int64."""
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        x = batch[xcol].to_numpy(dtype=np.int64)
+        y = batch[ycol].to_numpy(dtype=np.int64)
+        t = pd.DataFrame({k: batch[k].to_numpy() for k in keys})
+        t["__n"] = np.int64(1)
+        t["__sx"], t["__sy"] = x, y
+        t["__sxy"], t["__sxx"] = x * y, x * x
+        g = t.groupby(keys, as_index=False, sort=False).sum()
+        g["__bucket"] = stable_bucket_cols(g, keys, n_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    moment_cols = ["__n", "__sx", "__sy", "__sxy", "__sxx"]
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = pd.concat(  # object dtype → exact big-int accumulation
+            [g[keys], g[moment_cols].astype(object)], axis=1)
+        r = g.groupby(keys, as_index=False, sort=False)[moment_cols].sum()
+        nf, sx, sy, sxy, sxx = (
+            r[c].astype(np.float64).to_numpy() for c in moment_cols)
+        # expression order mirrored in the oracle SQL — keep in sync
+        slope = (nf * sxy - sx * sy) / (nf * sxx - sx * sx)
+        icept = (sy - slope * sx) / nf
+        out = r[keys].copy()
+        out[slope_alias] = slope
+        out[icept_alias] = icept
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size)
+    return partials.groupby("__bucket").map_groups(
+        final, batch_format="pandas")
+
+
+def _skyline_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean survivor mask for the 2-D skyline (minimize x, maximize
+    y). A point is dominated iff some other point has x'≤x and y'≥y
+    with at least one strict; duplicates of a frontier point all
+    survive. Vectorized: per distinct x take max-y, prefix-max those
+    over ascending x, then a point survives iff its y strictly beats
+    the best y of any smaller x AND equals the max y of its own x."""
+    order = np.argsort(x, kind="stable")
+    xs = x[order]
+    # max y per distinct x (groups are contiguous after the sort)
+    starts = np.flatnonzero(np.r_[True, xs[1:] != xs[:-1]])
+    grp_of = np.cumsum(np.r_[True, xs[1:] != xs[:-1]]) - 1
+    gmax = np.full(len(starts), -np.inf)
+    np.maximum.at(gmax, grp_of, y[order])
+    # best y among STRICTLY smaller x, per group
+    prev_best = np.r_[-np.inf, np.maximum.accumulate(gmax)[:-1]]
+    keep_sorted = (y[order] == gmax[grp_of]) & (y[order] > prev_best[grp_of])
+    keep = np.empty(len(x), dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline_2d(ds: rd.Dataset, min_col: str, max_col: str) -> rd.Dataset:
+    """Pareto frontier / skyline over two criteria (minimize
+    ``min_col``, maximize ``max_col``). Distributed as a CONTRACTION:
+    the skyline of a union is the skyline of the per-part skylines, so
+    each batch reduces to its local frontier first (bounded by the
+    number of distinct min_col values in the batch — tiny for 2-D),
+    and only those survivors move to a single final pass. The fact
+    table never shuffles; the all-to-all is over frontier candidates
+    only. Ties: duplicates of a frontier point are all kept (matching
+    the NOT EXISTS dominance oracle)."""
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch
+        keep = _skyline_mask(batch[min_col].to_numpy(np.float64),
+                             batch[max_col].to_numpy(np.float64))
+        return batch[keep]
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        return local(batch)
+
+    cand = ds.map_batches(local, batch_format="pandas")
+    # candidates are frontier-bounded → a single block is safe
+    return cand.repartition(1).map_batches(final, batch_format="pandas")

@@ -526,3 +526,75 @@ def decontaminate(docs: rd.Dataset, bench_mod: int = 10,
             "n_hits": counts.to_numpy(dtype=np.int64)})
 
     return docs.map_batches(probe, batch_format="pandas")
+
+
+def bm25_term_scores(docs: rd.Dataset, terms: tuple[str, ...],
+                     round_dp: int = 6) -> rd.Dataset:
+    """BM25 relevance of every document against a fixed query-term set,
+    emitted per (doc_id, term) so no cross-term float summation order
+    exists to drift from the oracle (Okapi BM25, k1=1.2, b=0.75 —
+    Robertson & Zaragoza 2009). Engine addition: the relevance-scoring
+    primitive a curation pipeline uses for quality-targeted sampling.
+
+    Two passes, both streaming:
+    1. constant-size corpus stats — N, Σdl, per-term document
+       frequency — as one tiny partial row per batch, summed on the
+       driver (bounded by n_batches × (2 + |terms|) ints);
+    2. per-batch zero-copy Arrow scoring: dl from a whitespace count,
+       tf per term from the doubled-padding whole-token substring
+       count (`_pad_doubled`), one long-format emit of tf>0 rows.
+
+    The float expression is mirrored VERBATIM in the SQL oracle with
+    decimal literals (2.2, 1.2, 0.25, 0.75) so both engines parse the
+    same doubles; ln() is transcendental, so both sides round to
+    ``round_dp`` (the established round-6 contract, BASELINE.md)."""
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        padded = _pad_doubled(text)
+        dl = pc.add(pc.count_substring(text, " "), 1)
+        row = {"__n": [len(text)], "__tok": [pc.sum(dl).as_py() or 0]}
+        for i, t in enumerate(terms):
+            hits = pc.greater(pc.count_substring(padded, f" {t} "), 0)
+            row[f"__df{i}"] = [pc.sum(pc.cast(hits, pa.int64())).as_py()
+                               or 0]
+        return pa.table(row)
+
+    st = (docs.select_columns(["text"])
+          .map_batches(stats_partial, batch_format="pyarrow")
+          .to_pandas().sum())
+    n_docs, total = float(st["__n"]), float(st["__tok"])
+    avgdl = total / n_docs
+    idf = {t: float(np.log((n_docs - float(st[f"__df{i}"]) + 0.5)
+                           / (float(st[f"__df{i}"]) + 0.5) + 1.0))
+           for i, t in enumerate(terms)}
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        padded = _pad_doubled(text)
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        dl = pc.add(pc.count_substring(text, " "), 1).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        # expression order mirrored in the oracle SQL — keep in sync
+        norm = 1.2 * (0.25 + 0.75 * dl / avgdl)
+        ids, out_t, out_s = [], [], []
+        for t in terms:
+            tf = pc.count_substring(padded, f" {t} ").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            m = tf > 0
+            if not m.any():
+                continue
+            s = idf[t] * (tf[m] * 2.2) / (tf[m] + norm[m])
+            ids.append(doc_id[m])
+            out_t.append(np.full(int(m.sum()), t, dtype=object))
+            out_s.append(np.round(s, round_dp))
+        if not ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "bm25": pa.array([], pa.float64())})
+        return pa.table({"doc_id": np.concatenate(ids),
+                         "term": pa.array(np.concatenate(out_t)),
+                         "bm25": np.concatenate(out_s)})
+
+    return (docs.select_columns(["doc_id", "text"])
+            .map_batches(score, batch_format="pyarrow"))

@@ -53,3 +53,101 @@ def test_dup_spans_candidate_cap_fails_loudly():
     shared = " ".join(f"w{i}" for i in range(30))
     with pytest.raises(ValueError, match="max_candidates"):
         dup_spans(_docs([shared, shared]), k=4, max_candidates=5)
+
+
+# ---- skyline_2d -------------------------------------------------------
+
+def _brute_skyline(x, y):
+    n = len(x)
+    keep = []
+    for i in range(n):
+        dom = any(x[j] <= x[i] and y[j] >= y[i]
+                  and (x[j] < x[i] or y[j] > y[i]) for j in range(n))
+        keep.append(not dom)
+    return np.array(keep)
+
+
+def test_skyline_mask_matches_bruteforce():
+    from no_fasel_scrapers_ray.ops.relational import _skyline_mask
+    rng = np.random.default_rng(42)
+    for _ in range(100):
+        n = int(rng.integers(1, 50))
+        x = rng.integers(0, 10, n).astype(np.float64)
+        y = rng.integers(0, 10, n).astype(np.float64)
+        got = _skyline_mask(x, y)
+        assert (got == _brute_skyline(x, y)).all()
+
+
+def test_skyline_2d_duplicates_of_frontier_point_all_kept():
+    from no_fasel_scrapers_ray.ops.relational import skyline_2d
+    df = pd.DataFrame({"k": np.arange(5, dtype=np.int64),
+                       "price": np.array([10, 10, 20, 5, 20],
+                                         dtype=np.int64),
+                       "size": np.array([7, 7, 9, 3, 8],
+                                        dtype=np.int64)})
+    out = (skyline_2d(rd.from_pandas(df).repartition(3),
+                      "price", "size").to_pandas()
+           .sort_values("k", ignore_index=True))
+    # (10,7) x2 survive (duplicates don't dominate each other),
+    # (20,9) survives, (5,3) survives (cheapest), (20,8) dominated
+    assert list(out["k"]) == [0, 1, 2, 3]
+
+
+# ---- blocked_levenshtein_pairs ---------------------------------------
+
+def _ref_lev(a, b):
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(cur[j - 1] + 1, prev[j] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[-1]
+
+
+def test_vectorized_levenshtein_matches_reference():
+    from no_fasel_scrapers_ray.ops.dedup import _levenshtein_pairs
+    rng = np.random.default_rng(7)
+    alphabet = "abcde "
+    by_len = {}
+    for _ in range(300):
+        a = "".join(rng.choice(list(alphabet),
+                               size=int(rng.integers(1, 12))))
+        b = "".join(rng.choice(list(alphabet),
+                               size=int(rng.integers(1, 12))))
+        by_len.setdefault((len(a), len(b)), []).append((a, b))
+    for (la, lb), ps in by_len.items():
+        A = np.array([[ord(c) for c in a] for a, _ in ps],
+                     dtype=np.int32).reshape(len(ps), la)
+        B = np.array([[ord(c) for c in b] for _, b in ps],
+                     dtype=np.int32).reshape(len(ps), lb)
+        d = _levenshtein_pairs(A, B)
+        for k, (a, b) in enumerate(ps):
+            assert d[k] == _ref_lev(a, b)
+
+
+def test_blocked_levenshtein_pairs_blocks_and_threshold():
+    from no_fasel_scrapers_ray.ops.dedup import blocked_levenshtein_pairs
+    df = pd.DataFrame({
+        "key": np.arange(6, dtype=np.int64),
+        "blk": ["x", "x", "x", "y", "y", "z"],
+        "name": ["red bolt", "red bolts", "blue gear",
+                 "red bolt", "red colt", "red bolt"]})
+    out = (blocked_levenshtein_pairs(
+        rd.from_pandas(df).repartition(2), "blk", "name", "key",
+        max_dist=2).to_pandas()
+        .sort_values(["key_a", "key_b"], ignore_index=True))
+    # within x: (0,1) dist 1; cross-block (0,3)/(0,5) never compared
+    assert list(out.itertuples(index=False, name=None)) == [
+        (0, 1, 1), (3, 4, 1)]
+
+
+def test_blocked_levenshtein_block_cap_fails_loudly():
+    from no_fasel_scrapers_ray.ops.dedup import blocked_levenshtein_pairs
+    df = pd.DataFrame({"key": np.arange(5, dtype=np.int64),
+                       "blk": ["x"] * 5, "name": ["abc"] * 5})
+    with pytest.raises(ValueError, match="max_block_rows"):
+        blocked_levenshtein_pairs(rd.from_pandas(df), "blk", "name",
+                                  "key", max_block_rows=3).to_pandas()
