@@ -916,6 +916,26 @@ def blocked_levenshtein_pairs(ds, block_col: str, text_col: str,
         for r, t in enumerate(texts):
             codes[r, :lens[r]] = np.frombuffer(
                 t.encode("utf-32-le"), dtype=np.uint32)[:lens[r]]
+        # character-bag prune: Levenshtein ≥ max(#chars only in a,
+        # #chars only in b) (each unmatched char costs ≥1 edit), which
+        # is O(alphabet) per pair vs O(la·lb) for the DP — it kills
+        # most survivors of the length prune before the expensive step
+        uniq, inv = np.unique(codes[codes >= 0], return_inverse=True)
+        # guard the bag matrices (n×alphabet and P×alphabet int32) to
+        # ~tens of MB; for huge alphabets (CJK) or giant pair sets the
+        # DP grouped-by-length path below is still correct, just slower
+        if len(uniq) * max(n, len(iu)) <= 20_000_000:
+            bags = np.zeros((n, len(uniq)), dtype=np.int32)
+            flat_rows = np.repeat(np.arange(n), lmax)[codes.ravel() >= 0]
+            np.add.at(bags, (flat_rows, inv), 1)
+            diff = bags[iu] - bags[ju]
+            lb_bound = np.maximum(
+                np.where(diff > 0, diff, 0).sum(axis=1),
+                np.where(diff < 0, -diff, 0).sum(axis=1))
+            ok = lb_bound <= max_dist
+            iu, ju = iu[ok], ju[ok]
+            if len(iu) == 0:
+                return empty
         # group candidate pairs by exact (len_a, len_b) so the DP grid
         # is unpadded and the corner cell IS the distance
         la_arr, lb_arr = lens[iu], lens[ju]
