@@ -226,22 +226,36 @@ def connected_components(pairs: rd.Dataset, col_a: str, col_b: str,
     # and a 64-way shuffle of a 100-node label set is pure task-launch
     # overhead (measured ~5 s/iteration at sf0.01 for <100 edges).
     n_buckets = int(min(n_buckets, max(2, n_nodes // 4096)))
-    if labels.num_blocks() > 2 * target_blocks:
-        labels = labels.repartition(target_blocks).materialize()
 
-    from .relational import bucketed_join, preagg_reduce
+    # ---- BSP label propagation (same kernel shape as tier-3
+    # pagerank, see the block above): star edges hash-split by node
+    # ONCE into per-bucket plasma arrays; per iteration only
+    # node-sized (neighbor, min-label-offer) arrays move between
+    # buckets — pointer doubling rides the same exchange as dynamic
+    # (label_u → u) rows keyed by the label's bucket, so convergence
+    # stays O(log cross-block diameter) and the static edges never
+    # cross the wire again.
+    import ray
+    split_r = ray.remote(_pr_split_block)
+    prep_e = ray.remote(_cc_prep_edges)
+    prep_l = ray.remote(_cc_prep_labels)
+    dyn_r = ray.remote(_cc_pointer_edges)
+    off_r = ray.remote(_cc_offers)
+    red_r = ray.remote(_cc_reduce)
+    lbl_tbl_r = ray.remote(_cc_label_table)
+    out_tbl_r = ray.remote(_cc_out_table)
 
-    def to_offer(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": b["nbr"].to_numpy(),
-                             "label": b["label"].to_numpy()})
+    def _bucketize(ds: rd.Dataset, cols: list[str]):
+        per_block = [
+            split_r.options(num_returns=n_buckets).remote(
+                ref, cols, n_buckets)
+            for ref in ds.to_arrow_refs()]
+        if n_buckets == 1:
+            per_block = [[r] for r in per_block]
+        return [[blk[k] for blk in per_block] for k in range(n_buckets)]
 
-    def pointer_edges(b: pd.DataFrame) -> pd.DataFrame:
-        # pointer doubling: an edge (label_u -> u) makes u receive
-        # label(label_u) in the SAME offer join, so convergence is
-        # O(log diameter) instead of O(diameter) — no extra shuffle,
-        # just |labels| more rows in the join input
-        return pd.DataFrame({"node": b["label"].to_numpy(),
-                             "nbr": b["node"].to_numpy()})
+    edges_k = [prep_e.remote(*f)
+               for f in _bucketize(edges, ["node", "nbr"])]
 
     prev_sum = None
     converged = False
@@ -253,21 +267,34 @@ def connected_components(pairs: rd.Dataset, col_a: str, col_b: str,
         # resume: labels are the ONLY loop state; the monotone label
         # sum doubles as the convergence cursor, so it restores from
         # the checkpoint itself
-        labels = rd.read_parquet(ck_path).materialize()
-        prev_sum = int(labels.sum("label"))
+        state = rd.read_parquet(ck_path).materialize()
+        lab_k = [prep_l.remote(*f)
+                 for f in _bucketize(state, ["node", "label"])]
+        prev_sum = int(state.sum("label"))
+    else:
+        lab_k = [prep_l.remote(*f)
+                 for f in _bucketize(labels, ["node", "label"])]
+
     for _it in range(start_iter, max_iters):
-        # Offers: co-locate each node's label with its outgoing edges
-        # (one bucketed join shuffle), emit (nbr, label); then each
-        # node takes the min over its own label and every offer.
-        dyn = labels.map_batches(pointer_edges, batch_format="pandas")
-        joined = bucketed_join(edges.union(dyn), labels, on="node",
-                               n_buckets=n_buckets, how="inner")
-        offers = joined.map_batches(to_offer, batch_format="pandas")
-        labels = preagg_reduce(labels.union(offers), ["node"], "label",
-                               how="min", n_buckets=n_buckets).materialize()
+        dparts = [dyn_r.options(num_returns=n_buckets).remote(
+            lab_k[j], n_buckets) for j in range(n_buckets)]
+        if n_buckets == 1:
+            dparts = [[d] for d in dparts]
+        oparts = [off_r.options(num_returns=n_buckets).remote(
+            edges_k[k], lab_k[k], n_buckets,
+            *[dparts[j][k] for j in range(n_buckets)])
+            for k in range(n_buckets)]
+        if n_buckets == 1:
+            oparts = [[o] for o in oparts]
+        outs = [red_r.options(num_returns=2).remote(
+            lab_k[j], *[oparts[k][j] for k in range(n_buckets)])
+            for j in range(n_buckets)]
+        lab_k = [o[0] for o in outs]
+        cur_sum = int(sum(ray.get([o[1] for o in outs])))
         if checkpoint_dir:
-            _ckpt_write_ds(checkpoint_dir, "cc", _it + 1, labels)
-        cur_sum = int(labels.sum("label"))
+            _ckpt_write_ds(checkpoint_dir, "cc", _it + 1,
+                           rd.from_arrow_refs(
+                               [lbl_tbl_r.remote(l) for l in lab_k]))
         if cur_sum == prev_sum:
             converged = True
             break
@@ -280,9 +307,7 @@ def connected_components(pairs: rd.Dataset, col_a: str, col_b: str,
             "iterations (cross-block diameter exceeds max_iters); "
             "raise max_iters")
 
-    return labels.map_batches(
-        lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}),
-        batch_format="pyarrow")
+    return rd.from_arrow_refs([out_tbl_r.remote(l) for l in lab_k])
 
 
 def _driver_triangle_count(a: np.ndarray, b: np.ndarray) -> int:
@@ -716,6 +741,88 @@ def _pr_state_table(base, rank) -> pa.Table:
 def _pr_out_table(base, rank) -> pa.Table:
     node, _deg = base
     return pa.table({"node": node, "rank": rank})
+
+
+# ---- the same kernel shape for connected components: star edges are
+# split by node ONCE; per iteration only (node, label) offers move.
+
+def _cc_prep_edges(*parts):
+    t = pa.concat_tables(parts)
+    node = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+    nbr = t.column("nbr").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(node, kind="stable")
+    return (node[order], nbr[order])
+
+
+def _cc_prep_labels(*parts):
+    """Distinct sorted node universe with the min label per node
+    (init fragments may repeat a node across blocks)."""
+    t = pa.concat_tables(parts)
+    node = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+    lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    u, inv = np.unique(node, return_inverse=True)
+    m = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(m, inv, lab)
+    return (u, m)
+
+
+def _cc_pointer_edges(lab, n_buckets: int):
+    """Pointer-doubling edges (label_u → u), keyed by the label's
+    bucket so the offer pass can look the label's label up locally."""
+    node, label = lab
+    m = label != node
+    return tuple(_pr_split_arrays([label[m], node[m]], label[m],
+                                  n_buckets))
+
+
+def _cc_offers(eb, lab, n_buckets: int, *dyn_parts):
+    """One node-bucket's offer pass: labels looked up by searchsorted
+    (static star edges AND incoming pointer edges), pre-combined to
+    the min per neighbor, split by the neighbor's bucket."""
+    node_e, nbr_e = eb
+    nodes, labels = lab
+    srcs = [node_e]
+    dsts = [nbr_e]
+    for dn, du in dyn_parts:   # fixed bucket-index order
+        srcs.append(dn)
+        dsts.append(du)
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+    if len(src) == 0:
+        z = np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+        return tuple(z for _ in range(n_buckets))
+    off = labels[np.searchsorted(nodes, src)]
+    u, inv = np.unique(dst, return_inverse=True)
+    m = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(m, inv, off)
+    return tuple(_pr_split_arrays([u, m], u, n_buckets))
+
+
+def _cc_reduce(lab, *offer_parts):
+    """min(label, offers) per node; returns the new state and its
+    int64 label sum (the monotone convergence cursor — wraparound is
+    deterministic and preserves the equal-iff-unchanged test)."""
+    nodes, labels = lab
+    new = labels.copy()
+    for u, m in offer_parts:   # fixed bucket-index order
+        if len(u):
+            idx = np.searchsorted(nodes, u)
+            # every neighbor IS a node of this bucket's universe (star
+            # edges carry both directions; dyn targets are nodes) —
+            # a miss here is a bucketing bug, fail loudly
+            assert idx.max() < len(nodes) and (nodes[idx] == u).all()
+            np.minimum.at(new, idx, m)
+    return (nodes, new), int(new.sum())
+
+
+def _cc_label_table(lab) -> pa.Table:
+    nodes, labels = lab
+    return pa.table({"node": nodes, "label": labels})
+
+
+def _cc_out_table(lab) -> pa.Table:
+    nodes, labels = lab
+    return pa.table({"doc_id": nodes, "cluster_id": labels})
 
 
 def pagerank(edges: rd.Dataset, damping: float = 0.85, iters: int = 5,
