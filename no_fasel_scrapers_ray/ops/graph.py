@@ -500,32 +500,39 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
                    .map_groups(count_bucket, batch_format="pandas")
                    .sum("n"))
 
-    def wside(col: str):
-        return directed.map_batches(
-            lambda b, c=col: pd.DataFrame({"u": b["u"], c: b["v"]}),
-            batch_format="pandas")
+    # fully distributed closing pass as a ONE-SHOT BSP exchange (see
+    # the _tri_* kernel block above): the old shape shuffled the edge
+    # table twice (wedge self-join) and the whole wedge-key set through
+    # a Dataset all-to-all; now edges split once by u, wedge keys move
+    # exactly once as raw-task returns, membership is a per-key-bucket
+    # searchsorted against sorted edge-key arrays (14.5 s → ~4 s at
+    # sf0.1 forced-tier-3)
+    split_r = ray.remote(_pr_split_block)
+    ksplit_r = ray.remote(_tri_split_edge_keys)
+    prep_e_r = ray.remote(_tri_prep_edges)
+    prep_k_r = ray.remote(_tri_prep_keys)
+    wedge_r = ray.remote(_tri_wedges)
+    count_r = ray.remote(_tri_count)
 
-    wj = bucketed_join(wside("v"), wside("w"), on="u",
-                       n_buckets=n_buckets, how="inner")
-
-    def wedge_keys(b: pd.DataFrame) -> pd.DataFrame:
-        # v < w keeps each unordered out-neighbor pair exactly once
-        v, w = b["v"].to_numpy(), b["w"].to_numpy()
-        keep = v < w
-        return pd.DataFrame({"key": v[keep] * n_nodes + w[keep]})
-
-    # materialized so the closing join's schema probe doesn't re-run
-    # the wedge self-join (the expensive stage)
-    wedges = wj.map_batches(wedge_keys, batch_format="pandas").materialize()
-    ekeys = directed.map_batches(
-        lambda b: pd.DataFrame({"key": np.where(
-            b["u"] < b["v"],
-            b["u"].to_numpy() * n_nodes + b["v"].to_numpy(),
-            b["v"].to_numpy() * n_nodes + b["u"].to_numpy())}),
-        batch_format="pandas")
-    closed = bucketed_join(wedges, ekeys, on="key",
-                           n_buckets=n_buckets, how="inner")
-    return int(closed.count())
+    refs = directed.to_arrow_refs()
+    eparts = [split_r.options(num_returns=n_buckets).remote(
+        r, ["u", "v"], n_buckets) for r in refs]
+    kparts = [ksplit_r.options(num_returns=n_buckets).remote(
+        r, n_nodes, n_buckets) for r in refs]
+    if n_buckets == 1:
+        eparts = [[e] for e in eparts]
+        kparts = [[k] for k in kparts]
+    edges_k = [prep_e_r.remote(*[e[k] for e in eparts])
+               for k in range(n_buckets)]
+    keys_k = [prep_k_r.remote(*[p[k] for p in kparts])
+              for k in range(n_buckets)]
+    wparts = [wedge_r.options(num_returns=n_buckets).remote(
+        edges_k[k], n_nodes, n_buckets) for k in range(n_buckets)]
+    if n_buckets == 1:
+        wparts = [[w] for w in wparts]
+    return int(sum(ray.get([count_r.remote(
+        keys_k[j], *[wparts[k][j] for k in range(n_buckets)])
+        for j in range(n_buckets)])))
 
 
 def _driver_pagerank(src: np.ndarray, dst: np.ndarray, damping: float,
@@ -823,6 +830,75 @@ def _cc_label_table(lab) -> pa.Table:
 def _cc_out_table(lab) -> pa.Table:
     nodes, labels = lab
     return pa.table({"doc_id": nodes, "cluster_id": labels})
+
+
+# ---- one-shot BSP exchange for the tier-3 triangle closing pass:
+# oriented edges split by u ONCE, wedges generated run-based per
+# u-bucket and exchanged as raw-task returns keyed by the canonical
+# edge-key bucket — no Dataset all-to-all ever carries the wedge set.
+
+def _tri_prep_edges(*parts):
+    t = pa.concat_tables(parts)
+    u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((v, u))
+    return (u[order], v[order])
+
+
+def _tri_split_edge_keys(tbl: pa.Table, n_nodes: int, n_buckets: int):
+    if tbl.num_rows == 0:
+        z = np.array([], dtype=np.int64)
+        return tuple(z for _ in range(n_buckets)) if n_buckets > 1 else z
+    u = tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+    v = tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    key = np.where(u < v, u * n_nodes + v, v * n_nodes + u)
+    parts = _pr_split_arrays([key], key, n_buckets)
+    return tuple(p[0] for p in parts)
+
+
+def _tri_prep_keys(*parts):
+    return np.sort(np.concatenate(parts)) if parts else \
+        np.array([], dtype=np.int64)
+
+
+def _tri_wedges(eb, n_nodes: int, n_buckets: int):
+    """Run-based wedge keys for one u-bucket (sorted out-neighbor runs
+    → triu pairs, v < w by construction), split by key bucket. Wedge
+    volume per bucket is bounded by m·sqrt(2m)/n_buckets under the
+    degree orientation."""
+    u, v = eb
+    out = [[] for _ in range(n_buckets)]
+    if len(u):
+        _, starts, counts = np.unique(u, return_index=True,
+                                      return_counts=True)
+        for st, c in zip(starts, counts):
+            if c < 2:
+                continue
+            nb = v[st:st + c]          # ascending within the run
+            iu, iv_ = np.triu_indices(c, k=1)
+            wk = nb[iu] * n_nodes + nb[iv_]
+            b = _pr_bucket_of(wk, n_buckets)
+            order = np.argsort(b, kind="stable")
+            cuts = np.searchsorted(b[order], np.arange(n_buckets + 1))
+            for k in range(n_buckets):
+                s, e = cuts[k], cuts[k + 1]
+                if e > s:
+                    out[k].append(wk[order[s:e]])
+    empty = np.array([], dtype=np.int64)
+    parts = tuple(np.concatenate(p) if p else empty for p in out)
+    return parts if n_buckets > 1 else parts[0]
+
+
+def _tri_count(keys_sorted: np.ndarray, *wedge_parts) -> int:
+    if len(keys_sorted) == 0:
+        return 0
+    total = 0
+    for wk in wedge_parts:
+        if len(wk):
+            pos = np.searchsorted(keys_sorted, wk)
+            pos[pos >= len(keys_sorted)] = len(keys_sorted) - 1
+            total += int((keys_sorted[pos] == wk).sum())
+    return total
 
 
 def pagerank(edges: rd.Dataset, damping: float = 0.85, iters: int = 5,
