@@ -3062,6 +3062,392 @@ def q_similar_part_names(sf_dir: str):
                                      key_col="p_partkey", max_dist=2)
 
 
+def q_cheapest_supplier_per_part(sf_dir: str):
+    """TPC-H Q2 shape (min-cost supplier, correlated-subquery
+    join-back) adapted to the available tables (no partsupp: the
+    part↔supplier price relationship is the lineitem history). For
+    every size-15 part, the supplier with the LOWEST observed line
+    price, ties to the smallest suppkey — expressed as ONE
+    decomposable argmin (`topk_per_group` k=1: a batch's local argmin
+    is a superset filter for the global one, so the shuffle moves ≤ 1
+    row per part per batch, never the fact table). part / supplier /
+    nation are dim-sized → broadcast sorted-key arrays; the ROW_NUMBER
+    join-back of the SQL form never materializes."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (
+        broadcast_get, topk_per_group)
+    part = _read(sf_dir, "part", ["p_partkey", "p_size"]).to_pandas()
+    want = np.sort(part.loc[part["p_size"] == 15, "p_partkey"]
+                   .to_numpy(np.int64))
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name", "s_nationkey"]).to_pandas() \
+        .sort_values("s_suppkey", ignore_index=True)
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas() \
+        .sort_values("n_nationkey", ignore_index=True)
+    dims_ref = ray.put((want,
+                        supp["s_suppkey"].to_numpy(np.int64),
+                        supp["s_name"].to_numpy(object),
+                        supp["s_nationkey"].to_numpy(np.int64),
+                        nat["n_nationkey"].to_numpy(np.int64),
+                        nat["n_name"].to_numpy(object)))
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"],
+               rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        w = broadcast_get(dims_ref)[0]
+        pk = b["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(w, pk)
+        keep = (pos < len(w)) & (w[np.minimum(pos, len(w) - 1)] == pk)
+        return pd.DataFrame({
+            "p_partkey": pk[keep],
+            "min_cents": (b["l_extendedprice"] * 100).round()
+            .astype("int64").to_numpy()[keep],
+            "s_suppkey": b["l_suppkey"].to_numpy()[keep]})
+
+    best = topk_per_group(li.map_batches(prep, batch_format="pandas"),
+                          ["p_partkey"], "min_cents", 1,
+                          ascending=True, tie_cols=["s_suppkey"])
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        _, sk, sn, snat, nk, nn = broadcast_get(dims_ref)
+        pos = np.searchsorted(sk, b["s_suppkey"].to_numpy(np.int64))
+        return b.assign(s_name=sn[pos],
+                        n_name=nn[np.searchsorted(nk, snat[pos])])
+
+    return best.map_batches(attach, batch_format="pandas")
+
+
+Q8_SUPP_NATION = "NATION_3"
+Q8_CUST_REGION = "AMERICA"
+
+
+def q_nation_market_share(sf_dir: str):
+    """TPC-H Q8 shape (market share): within orders placed by
+    customers of one region, the revenue share supplied by one nation,
+    per order year. Same posture as Q7 (`q_nation_trade_volume`): ONE
+    bucketed orders ⋈ lineitem shuffle; customer→nation→region and
+    supplier→nation resolve map-side from broadcast sorted-key arrays.
+    Numerator and denominator are EXACT int64 e4 sums per year; the
+    share is the promo_revenue_ratio contract — one mirrored IEEE
+    double division, no rounding."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (
+        broadcast_get, bucketed_join, preagg_sum_count)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   rows_per_block=65536)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"], rows_per_block=65536)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .to_pandas().sort_values("c_custkey", ignore_index=True)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .to_pandas().sort_values("s_suppkey", ignore_index=True)
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey") \
+        .sort_values("n_nationkey", ignore_index=True)
+    dims_ref = ray.put((
+        cust["c_custkey"].to_numpy(np.int64),
+        cust["c_nationkey"].to_numpy(np.int64),
+        supp["s_suppkey"].to_numpy(np.int64),
+        supp["s_nationkey"].to_numpy(np.int64),
+        nat["n_nationkey"].to_numpy(np.int64),
+        nat["n_name"].to_numpy(object),
+        nat["r_name"].to_numpy(object)))
+
+    def o_prep(b: pd.DataFrame) -> pd.DataFrame:
+        ck, cn, _, _, nk, _, rn = broadcast_get(dims_ref)
+        c_nat = cn[np.searchsorted(ck, b["o_custkey"].to_numpy(np.int64))]
+        keep = rn[np.searchsorted(nk, c_nat)] == Q8_CUST_REGION
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy()[keep],
+            "o_year": b["o_orderdate"].dt.year.astype("int64")
+            .to_numpy()[keep]})
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        _, _, sk, sn, nk, nn, _ = broadcast_get(dims_ref)
+        s_nat = sn[np.searchsorted(sk, b["l_suppkey"].to_numpy(np.int64))]
+        ep = (b["l_extendedprice"] * 100).round().astype("int64")
+        dp = (b["l_discount"] * 100).round().astype("int64")
+        rev = (ep * (100 - dp)).to_numpy()
+        hit = nn[np.searchsorted(nk, s_nat)] == Q8_SUPP_NATION
+        return pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].to_numpy(),
+            "rev": rev, "nat_rev": np.where(hit, rev, 0)})
+
+    j = bucketed_join(li.map_batches(li_prep, batch_format="pandas"),
+                      orders.map_batches(o_prep, batch_format="pandas"),
+                      on="o_orderkey", how="inner")
+    agg = preagg_sum_count(j, ["o_year"],
+                           {"rev": "den", "nat_rev": "num"})
+
+    def share(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_year": b["o_year"].to_numpy(),
+            "mkt_share": b["num"].to_numpy(np.float64)
+            / b["den"].to_numpy(np.float64)})
+
+    return agg.map_batches(share, batch_format="pandas")
+
+
+def q_returned_item_revenue(sf_dir: str):
+    """TPC-H Q10 shape (returned-item reporting): the 20 customers who
+    generated the most revenue on RETURNED line items in one quarter.
+    One bucketed orders ⋈ lineitem shuffle (both sides filtered at the
+    read/map side first), a customer-keyed exact-cents preagg, then
+    the global top-20 via `topk_per_group` with a single group — the
+    partial prunes every batch to 20 rows, so no full sort. Customer
+    attributes attach map-side from broadcast arrays AFTER the top-20
+    (20 lookups, not |customers|)."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (
+        broadcast_get, bucketed_join, preagg_sum_count, topk_per_group)
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-04-01")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   rows_per_block=65536)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"], rows_per_block=65536)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]) \
+        .to_pandas().sort_values("c_custkey", ignore_index=True)
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas() \
+        .sort_values("n_nationkey", ignore_index=True)
+    dims_ref = ray.put((cust["c_custkey"].to_numpy(np.int64),
+                        cust["c_name"].to_numpy(object),
+                        cust["c_acctbal"].to_numpy(),
+                        cust["c_nationkey"].to_numpy(np.int64),
+                        nat["n_nationkey"].to_numpy(np.int64),
+                        nat["n_name"].to_numpy(object)))
+
+    def o_prep(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].to_numpy()
+        keep = (d >= lo) & (d < hi)
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy()[keep],
+            "o_custkey": b["o_custkey"].to_numpy()[keep]})
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (b["l_returnflag"] == "R").to_numpy()
+        ep = (b["l_extendedprice"] * 100).round().astype("int64")
+        dp = (b["l_discount"] * 100).round().astype("int64")
+        return pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].to_numpy()[keep],
+            "rev": (ep * (100 - dp)).to_numpy()[keep]})
+
+    j = bucketed_join(li.map_batches(li_prep, batch_format="pandas"),
+                      orders.map_batches(o_prep, batch_format="pandas"),
+                      on="o_orderkey", how="inner")
+    agg = preagg_sum_count(j, ["o_custkey"], {"rev": "revenue_e4"})
+    top = topk_per_group(
+        agg.map_batches(lambda b: b.assign(__one=np.int64(0)),
+                        batch_format="pandas"),
+        ["__one"], "revenue_e4", 20, ascending=False,
+        tie_cols=["o_custkey"])
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        ck, cname, bal, cnat, nk, nn = broadcast_get(dims_ref)
+        pos = np.searchsorted(ck, b["o_custkey"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "c_custkey": b["o_custkey"].to_numpy(),
+            "c_name": cname[pos],
+            "revenue_e4": b["revenue_e4"].to_numpy(),
+            "c_acctbal": bal[pos],
+            "n_name": nn[np.searchsorted(nk, cnat[pos])]})
+
+    return top.map_batches(attach, batch_format="pandas")
+
+
+def q_top_revenue_supplier(sf_dir: str):
+    """TPC-H Q15 shape (top supplier): supplier(s) whose discounted
+    revenue over one quarter equals the GLOBAL maximum — the
+    aggregate-then-join-back-on-max shape. The per-supplier sum is the
+    standard bucketed exact-cents preagg; the max is taken over that
+    supplier-sized aggregate (constant-size driver pull — the Q15 VIEW
+    is supplier-sized by construction) and re-applied as a filter, so
+    ties all surface, exactly like the SQL HAVING = (SELECT MAX...)."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (
+        broadcast_get, preagg_sum_count)
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-04-01")
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice",
+                "l_discount"], rows_per_block=65536)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]) \
+        .to_pandas().sort_values("s_suppkey", ignore_index=True)
+    supp_ref = ray.put((supp["s_suppkey"].to_numpy(np.int64),
+                        supp["s_name"].to_numpy(object)))
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["l_shipdate"].to_numpy()
+        keep = (d >= lo) & (d < hi)
+        ep = (b["l_extendedprice"] * 100).round().astype("int64")
+        dp = (b["l_discount"] * 100).round().astype("int64")
+        return pd.DataFrame({
+            "s_suppkey": b["l_suppkey"].to_numpy()[keep],
+            "rev": (ep * (100 - dp)).to_numpy()[keep]})
+
+    agg = preagg_sum_count(li.map_batches(prep, batch_format="pandas"),
+                           ["s_suppkey"], {"rev": "total_revenue_e4"})
+    best = int(agg.max("total_revenue_e4"))
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        sk, sn = broadcast_get(supp_ref)
+        b = b[b["total_revenue_e4"].to_numpy() == best]
+        pos = np.searchsorted(sk, b["s_suppkey"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "s_suppkey": b["s_suppkey"].to_numpy(),
+            "s_name": sn[pos],
+            "total_revenue_e4": b["total_revenue_e4"].to_numpy()})
+
+    return agg.map_batches(pick, batch_format="pandas")
+
+
+def q_dominant_part_suppliers(sf_dir: str):
+    """TPC-H Q20 shape (potential part promotion) adapted (no
+    partsupp availqty): (part, supplier) pairs where the supplier
+    shipped at least 1.5× its FAIR SHARE of a LARGE-type part's total
+    quantity — a nested aggregate (per (part, supplier) → per part)
+    feeding a share filter, all in exact integers (2·qty·n_suppliers >
+    3·total). Two bucketed passes, both over shrinking data: the
+    (part, supplier) preagg collapses the fact table, then a
+    part-bucketed group pass computes each part's total/supplier-count
+    and keeps dominant holders — the fact table itself is never
+    re-shuffled. Supplier names attach from a broadcast dim."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (
+        broadcast_get, preagg_sum_count)
+    from no_fasel_scrapers_ray.ops.util import stable_bucket_cols
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    want = np.sort(part.loc[part["p_type"] == "LARGE", "p_partkey"]
+                   .to_numpy(np.int64))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]) \
+        .to_pandas().sort_values("s_suppkey", ignore_index=True)
+    dims_ref = ray.put((want, supp["s_suppkey"].to_numpy(np.int64),
+                        supp["s_name"].to_numpy(object)))
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity"],
+               rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        w = broadcast_get(dims_ref)[0]
+        pk = b["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(w, pk)
+        keep = (pos < len(w)) & (w[np.minimum(pos, len(w) - 1)] == pk)
+        return pd.DataFrame({
+            "l_partkey": pk[keep],
+            "l_suppkey": b["l_suppkey"].to_numpy()[keep],
+            "qty": b["l_quantity"].round().astype("int64")
+            .to_numpy()[keep]})
+
+    ps = preagg_sum_count(li.map_batches(prep, batch_format="pandas"),
+                          ["l_partkey", "l_suppkey"], {"qty": "qty"})
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__b2=stable_bucket_cols(b, ["l_partkey"], 64))
+
+    def dominant(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("l_partkey")["qty"]
+        tot = grp.transform("sum").to_numpy()
+        ns = grp.transform("size").to_numpy()
+        qty = g["qty"].to_numpy()
+        keep = 2 * qty * ns > 3 * tot
+        _, sk, sn = broadcast_get(dims_ref)
+        skey = g["l_suppkey"].to_numpy(np.int64)[keep]
+        return pd.DataFrame({
+            "p_partkey": g["l_partkey"].to_numpy()[keep],
+            "s_suppkey": skey,
+            "s_name": sn[np.searchsorted(sk, skey)],
+            "qty": qty[keep],
+            "part_total": tot[keep]})
+
+    return (ps.map_batches(tag, batch_format="pandas")
+            .groupby("__b2").map_groups(dominant, batch_format="pandas"))
+
+
+def q_event_transitions(sf_dir: str):
+    """Event-sequence transition matrix (§ sequence analytics — the
+    Markov-chain / funnel-mining primitive): count of every
+    (event_type → next event_type) step within each user's
+    ts-ordered stream. LEAD over a string column via the shared
+    windowed-lag kernel (ONE user-bucket shuffle), then a tiny
+    (types × types) count aggregate. Deterministic under ts ties via
+    the event_id tie-break."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        preagg_reduce, windowed_lead)
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"],
+               rows_per_block=65536)
+    led = windowed_lead(ev, ["user_id"], "ts", "event_type",
+                        "next_type", tie_cols=["event_id"])
+
+    def steps(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["next_type"].notna()]
+        return b[["event_type", "next_type"]]
+
+    return preagg_reduce(led.map_batches(steps, batch_format="pandas"),
+                         ["event_type", "next_type"], "n", "count")
+
+
+def q_monthly_revenue_growth(sf_dir: str):
+    """Time-bucketed trend with month-over-month growth (§ composed
+    window-over-aggregate): total order revenue per calendar month in
+    exact cents, plus the growth ratio vs the previous month. The
+    month aggregate is the standard bucketed preagg; the LAG runs over
+    the months-sized result (one group, ~80 rows) through the same
+    windowed-lag kernel — window-over-aggregate, not
+    window-over-fact. Growth is the one-mirrored-float-expression
+    contract (prev cents / cents in IEEE double)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        preagg_sum_count, windowed_lag)
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"],
+                   rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_year": b["o_orderdate"].dt.year.astype("int64").to_numpy(),
+            "o_month": b["o_orderdate"].dt.month.astype("int64")
+            .to_numpy(),
+            "cents": (b["o_totalprice"] * 100).round().astype("int64")
+            .to_numpy()})
+
+    agg = preagg_sum_count(orders.map_batches(prep,
+                                              batch_format="pandas"),
+                           ["o_year", "o_month"], {"cents": "cents"})
+    mkey = agg.map_batches(
+        lambda b: b.assign(
+            __m=b["o_year"].to_numpy() * 12 + b["o_month"].to_numpy(),
+            __one=np.int64(0)),
+        batch_format="pandas")
+    lagged = windowed_lag(mkey, ["__one"], "__m", "cents", "prev_cents")
+
+    def growth(b: pd.DataFrame) -> pd.DataFrame:
+        prev = b["prev_cents"].to_numpy(np.float64)
+        cur = b["cents"].to_numpy(np.float64)
+        keep = ~np.isnan(prev)  # the corpus-first month has no prior
+        return pd.DataFrame({
+            "o_year": b["o_year"].to_numpy()[keep],
+            "o_month": b["o_month"].to_numpy()[keep],
+            "cents": b["cents"].to_numpy()[keep],
+            "growth": (cur[keep] - prev[keep]) / prev[keep]})
+
+    return lagged.map_batches(growth, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -3188,6 +3574,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_parts": q_pareto_parts,
         "bm25_docs": q_bm25_docs,
         "similar_part_names": q_similar_part_names,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "nation_market_share": q_nation_market_share,
+        "returned_item_revenue": q_returned_item_revenue,
+        "top_revenue_supplier": q_top_revenue_supplier,
+        "dominant_part_suppliers": q_dominant_part_suppliers,
+        "event_transitions": q_event_transitions,
+        "monthly_revenue_growth": q_monthly_revenue_growth,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -3897,6 +4290,142 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM part a JOIN part b
               ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
                  AND levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        # Q2 shape: cheapest observed line price per size-15 part,
+        # ROW_NUMBER ties to the smallest suppkey
+        "cheapest_supplier_per_part": """
+            WITH costs AS (
+                SELECT l_partkey AS p_partkey,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           AS min_cents,
+                       l_suppkey AS s_suppkey
+                FROM lineitem
+                WHERE l_partkey IN
+                    (SELECT p_partkey FROM part WHERE p_size = 15)),
+            w AS (SELECT p_partkey, min_cents, s_suppkey,
+                         ROW_NUMBER() OVER (PARTITION BY p_partkey
+                             ORDER BY min_cents, s_suppkey) AS rn
+                  FROM costs)
+            SELECT p_partkey, min_cents, w.s_suppkey, s_name, n_name
+            FROM w
+            JOIN supplier ON w.s_suppkey = supplier.s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE rn = 1
+        """,
+        # Q8 shape: exact int64 e4 sums per year, ONE mirrored double
+        # division (the promo_revenue_ratio contract)
+        "nation_market_share": """
+            WITH j AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                           AS rev,
+                       sn.n_name AS supp_nation
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN region   ON cn.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation sn ON s_nationkey = sn.n_nationkey
+                WHERE r_name = 'AMERICA')
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                 THEN rev ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+            FROM j GROUP BY o_year
+        """,
+        # Q10 shape: top-20 by returned revenue, suppkey-deterministic
+        "returned_item_revenue": """
+            WITH agg AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                                     AS BIGINT)
+                                * (100 - CAST(ROUND(l_discount * 100)
+                                              AS BIGINT))) AS BIGINT)
+                           AS revenue_e4
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= DATE '1996-01-01'
+                  AND o_orderdate <  DATE '1996-04-01'
+                GROUP BY o_custkey)
+            SELECT c_custkey, c_name, revenue_e4, c_acctbal, n_name
+            FROM agg
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY revenue_e4 DESC, c_custkey
+            LIMIT 20
+        """,
+        # Q15 shape: join-back on the global max, ties all kept
+        "top_revenue_supplier": """
+            WITH agg AS (
+                SELECT l_suppkey AS s_suppkey,
+                       CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                                     AS BIGINT)
+                                * (100 - CAST(ROUND(l_discount * 100)
+                                              AS BIGINT))) AS BIGINT)
+                           AS total_revenue_e4
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate <  DATE '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT a.s_suppkey, s_name, total_revenue_e4
+            FROM agg a JOIN supplier ON a.s_suppkey = supplier.s_suppkey
+            WHERE total_revenue_e4 =
+                (SELECT MAX(total_revenue_e4) FROM agg)
+        """,
+        # Q20 shape: nested aggregate feeding an exact-integer
+        # fair-share dominance filter (2*qty*n_suppliers > 3*total)
+        "dominant_part_suppliers": """
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                            AS BIGINT) AS qty
+                FROM lineitem
+                WHERE l_partkey IN
+                    (SELECT p_partkey FROM part WHERE p_type = 'LARGE')
+                GROUP BY l_partkey, l_suppkey),
+            tot AS (SELECT l_partkey,
+                           CAST(SUM(qty) AS BIGINT) AS part_total,
+                           COUNT(*) AS ns
+                    FROM ps GROUP BY l_partkey)
+            SELECT ps.l_partkey AS p_partkey,
+                   ps.l_suppkey AS s_suppkey,
+                   s_name, qty, part_total
+            FROM ps
+            JOIN tot ON ps.l_partkey = tot.l_partkey
+            JOIN supplier ON ps.l_suppkey = supplier.s_suppkey
+            WHERE 2 * qty * ns > 3 * part_total
+        """,
+        # Markov transition matrix: LEAD over each user's stream
+        "event_transitions": """
+            WITH s AS (
+                SELECT event_type,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS next_type
+                FROM events)
+            SELECT event_type, next_type, COUNT(*) AS n
+            FROM s WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type
+        """,
+        # window-over-aggregate: month revenue + MoM growth; the
+        # corpus-first month (no prior) is dropped on both sides
+        "monthly_revenue_growth": """
+            WITH m AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY 1, 2),
+            l AS (SELECT o_year, o_month, cents,
+                         LAG(cents) OVER (ORDER BY o_year * 12 + o_month)
+                             AS prev
+                  FROM m)
+            SELECT o_year, o_month, cents,
+                   (CAST(cents AS DOUBLE) - CAST(prev AS DOUBLE))
+                       / CAST(prev AS DOUBLE) AS growth
+            FROM l WHERE prev IS NOT NULL
         """,
         # cross-set exact Jaccard: eval side × train side only
         "doc_decontaminate_neardup": """

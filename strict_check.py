@@ -46,6 +46,8 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=None,
                     help="also write the JSON result to this path")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names (iteration aid)")
     args = ap.parse_args()
 
     import ray
@@ -64,6 +66,9 @@ def main() -> int:
 
     qmap = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if args.only:
+        pick = set(args.only.split(","))
+        qmap = {k: v for k, v in qmap.items() if k in pick}
 
     con = duckdb.connect()
     for t in TABLES:
