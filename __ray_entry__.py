@@ -3448,6 +3448,114 @@ def q_monthly_revenue_growth(sf_dir: str):
     return lagged.map_batches(growth, batch_format="pandas")
 
 
+def q_bigram_pmi(sf_dir: str):
+    """Adjacent-token collocation mining (§ text analysis): PMI of
+    every bigram with the fully distributed count/join shape
+    (ops/textops.py::bigram_pmi) — no vocabulary-sized driver or
+    broadcast state, so the same code holds when the corpus vocab
+    outgrows a node. Round-6 ln contract."""
+    from no_fasel_scrapers_ray.ops.textops import bigram_pmi
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_pmi(docs)
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf's-law OLS fit over the term-frequency ranking (§ text
+    analysis — corpus health check): distributed unigram counts, then
+    the closed-form fit on the ≤ topn survivor set
+    (ops/textops.py::zipf_slope). Round-6 ln contract."""
+    from no_fasel_scrapers_ray.ops.textops import zipf_slope
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return zipf_slope(docs, topn=1000)
+
+
+RRF_QUERY_IDS = (0, 1, 2)
+RRF_K = 60          # the standard RRF damping constant
+RRF_CAND = 20       # per-retriever candidate-list depth
+RRF_TOP = 10        # fused results returned per query
+
+
+def q_hybrid_search_rrf(sf_dir: str):
+    """Reciprocal-rank fusion of two retrievers (§ similarity search —
+    the hybrid-retrieval primitive): for each query vector, the
+    cosine-similarity ranking and the (negative) Euclidean-distance
+    ranking over all other embeddings are fused with
+    RRF(d) = Σ_lists 1/(60 + rank_d). Scale shape: query vectors
+    broadcast once; each batch computes BOTH scores vectorized
+    (one matmul + one norm pass per batch — the knn_bruteforce
+    posture); `topk_per_group` prunes every batch to ≤ 20 candidates
+    per (query, retriever), so only candidate partials shuffle. The
+    fusion itself runs on the ≤ 2·20-row-per-query survivor set.
+    Scores are rounded to 4 dp BEFORE ranking (the knn contract:
+    rank boundaries are decided on round-4 values with vec_id
+    tie-breaks, deterministic on both engines); the fused score is
+    one mirrored float expression rounded to 6."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (
+        broadcast_get, topk_per_group)
+
+    import pyarrow.parquet as pq
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # dim-sized driver pull with predicate pushdown (3 rows)
+    qdf = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(RRF_QUERY_IDS))]).to_pandas()
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    q_ref = ray.put((qids, qmat))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        qi, qm = broadcast_get(q_ref)
+        vm = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        vid = b["vec_id"].to_numpy(np.int64)
+        vn = np.sqrt((vm * vm).sum(axis=1))
+        qn = np.sqrt((qm * qm).sum(axis=1))
+        dots = vm @ qm.T                          # (batch, nq)
+        out = []
+        for j, qid in enumerate(qi):
+            keep = vid != qid
+            cos = np.round(dots[keep, j] / (vn[keep] * qn[j]), 4)
+            # direct (a-b)² form, not the norm expansion — mirrors
+            # list_distance numerically (no cancellation error)
+            diff = vm[keep] - qm[j]
+            l2 = np.round(np.sqrt((diff * diff).sum(axis=1)), 4)
+            out.append(pd.DataFrame({
+                "query_id": np.int64(qid),
+                "vec_id": vid[keep], "cos": cos, "l2": l2}))
+        return pd.concat(out, ignore_index=True)
+
+    scored = emb.map_batches(score, batch_format="pandas")
+    top_cos = topk_per_group(scored, ["query_id"], "cos", RRF_CAND,
+                             ascending=False, tie_cols=["vec_id"]) \
+        .to_pandas()
+    top_l2 = topk_per_group(scored, ["query_id"], "l2", RRF_CAND,
+                            ascending=True, tie_cols=["vec_id"]) \
+        .to_pandas()
+
+    def ranked(df: pd.DataFrame, col: str, asc: bool) -> pd.DataFrame:
+        df = df.sort_values(["query_id", col, "vec_id"],
+                            ascending=[True, asc, True],
+                            ignore_index=True)
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        return df[["query_id", "vec_id", "rank"]]
+
+    rc = ranked(top_cos, "cos", False).rename(columns={"rank": "r_cos"})
+    rl = ranked(top_l2, "l2", True).rename(columns={"rank": "r_l2"})
+    f = rc.merge(rl, on=["query_id", "vec_id"], how="outer")
+    contrib_c = np.where(f["r_cos"].notna(),
+                         1.0 / (RRF_K + f["r_cos"].to_numpy(np.float64)),
+                         0.0)
+    contrib_l = np.where(f["r_l2"].notna(),
+                         1.0 / (RRF_K + f["r_l2"].to_numpy(np.float64)),
+                         0.0)
+    f["rrf"] = np.round(contrib_c + contrib_l, 6)
+    f = f.sort_values(["query_id", "rrf", "vec_id"],
+                      ascending=[True, False, True], ignore_index=True)
+    out = f.groupby("query_id").head(RRF_TOP).reset_index(drop=True)
+    return out[["query_id", "vec_id", "rrf"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -3581,6 +3689,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_part_suppliers": q_dominant_part_suppliers,
         "event_transitions": q_event_transitions,
         "monthly_revenue_growth": q_monthly_revenue_growth,
+        "bigram_pmi": q_bigram_pmi,
+        "zipf_slope": q_zipf_slope,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -4426,6 +4537,84 @@ def _oracle_sql_literal() -> dict[str, str]:
                    (CAST(cents AS DOUBLE) - CAST(prev AS DOUBLE))
                        / CAST(prev AS DOUBLE) AS growth
             FROM l WHERE prev IS NOT NULL
+        """,
+        # collocation PMI: exact int counts, ONE mirrored ln expression
+        "bigram_pmi": """
+            WITH toks AS (SELECT string_split(text, ' ') AS t
+                          FROM documents),
+            bg AS (SELECT w1, w2, COUNT(*) AS c_xy FROM (
+                     SELECT unnest(t[1:len(t)-1]) AS w1,
+                            unnest(t[2:len(t)]) AS w2
+                     FROM toks WHERE len(t) >= 2)
+                   GROUP BY w1, w2),
+            u AS (SELECT term, COUNT(*) AS c FROM (
+                    SELECT unnest(t) AS term FROM toks) GROUP BY term),
+            tot AS (SELECT
+                    CAST((SELECT SUM(c) FROM u) AS DOUBLE) AS nf,
+                    CAST((SELECT SUM(c_xy) FROM bg) AS DOUBLE) AS mf)
+            SELECT w1, w2, c_xy,
+                   round(ln(CAST(c_xy AS DOUBLE) * nf * nf
+                            / (mf * CAST(ux.c AS DOUBLE)
+                               * CAST(uy.c AS DOUBLE))), 6) AS pmi
+            FROM bg
+            JOIN u ux ON bg.w1 = ux.term
+            JOIN u uy ON bg.w2 = uy.term, tot
+        """,
+        # Zipf OLS fit: identical closed form over ln moments, round-6
+        "zipf_slope": """
+            WITH u AS (SELECT term, COUNT(*) AS c FROM (
+                         SELECT unnest(string_split(text, ' ')) AS term
+                         FROM documents) GROUP BY term),
+            r AS (SELECT ln(CAST(row_number() OVER
+                                 (ORDER BY c DESC, term) AS DOUBLE)) AS x,
+                         ln(CAST(c AS DOUBLE)) AS y
+                  FROM u ORDER BY c DESC, term LIMIT 1000),
+            s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nf,
+                         SUM(x) AS sx, SUM(y) AS sy,
+                         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                  FROM r)
+            SELECT round((nf * sxy - sx * sy)
+                         / (nf * sxx - sx * sx), 6) AS slope,
+                   round((sy - (nf * sxy - sx * sy)
+                               / (nf * sxx - sx * sx) * sx) / nf, 6)
+                       AS icept
+            FROM s
+        """,
+        # hybrid retrieval RRF: ranks decided on round-4 scores with
+        # vec_id tie-breaks (the knn contract), fused score round-6
+        "hybrid_search_rrf": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2)),
+            sims AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.qe AS DOUBLE[])), 4) AS cos,
+                       round(list_distance(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.qe AS DOUBLE[])), 4) AS l2
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id),
+            rc AS (SELECT query_id, vec_id, row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos DESC, vec_id)
+                       AS r_cos FROM sims),
+            rl AS (SELECT query_id, vec_id, row_number() OVER (
+                       PARTITION BY query_id ORDER BY l2, vec_id)
+                       AS r_l2 FROM sims),
+            f AS (SELECT COALESCE(rc.query_id, rl.query_id) AS query_id,
+                         COALESCE(rc.vec_id, rl.vec_id) AS vec_id,
+                         round(COALESCE(1.0 / (60 + r_cos), 0)
+                               + COALESCE(1.0 / (60 + r_l2), 0), 6)
+                             AS rrf
+                  FROM (SELECT * FROM rc WHERE r_cos <= 20) rc
+                  FULL OUTER JOIN
+                       (SELECT * FROM rl WHERE r_l2 <= 20) rl
+                    ON rc.query_id = rl.query_id
+                   AND rc.vec_id = rl.vec_id),
+            ranked AS (SELECT *, row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY rrf DESC, vec_id) AS rk FROM f)
+            SELECT query_id, vec_id, rrf FROM ranked WHERE rk <= 10
         """,
         # cross-set exact Jaccard: eval side × train side only
         "doc_decontaminate_neardup": """

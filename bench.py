@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "doc_dup_spans",
     "nation_trade_volume", "brand_year_profit", "price_qty_regression",
     "pareto_parts", "bm25_docs", "similar_part_names",
+    "cheapest_supplier_per_part", "nation_market_share",
+    "returned_item_revenue", "top_revenue_supplier",
+    "dominant_part_suppliers", "event_transitions",
+    "monthly_revenue_growth",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the

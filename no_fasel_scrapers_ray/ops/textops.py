@@ -598,3 +598,117 @@ def bm25_term_scores(docs: rd.Dataset, terms: tuple[str, ...],
 
     return (docs.select_columns(["doc_id", "text"])
             .map_batches(score, batch_format="pyarrow"))
+
+
+def _unigram_counts(docs: rd.Dataset, n_buckets: int) -> rd.Dataset:
+    """Corpus unigram counts (term, c) — per-batch ``value_counts``
+    partials, one term-bucket shuffle; exploded tokens never move."""
+    from .relational import preagg_sum_count
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame({"term": vc.index.to_numpy(dtype=object),
+                             "c": vc.to_numpy(dtype=np.int64)})
+
+    return preagg_sum_count(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["term"], {"c": "c"}, n_buckets=n_buckets)
+
+
+def bigram_pmi(docs: rd.Dataset, min_count: int = 1,
+               n_buckets: int = 64) -> rd.Dataset:
+    """Collocation mining (brief: "Text analysis"): pointwise mutual
+    information of every adjacent token pair across the corpus —
+    PMI(x,y) = ln(P(xy) / (P(x)·P(y))) with P(xy) = c_xy/M (bigram
+    count over total bigrams) and P(x) = c_x/N (unigram count over
+    total tokens). Fully distributed shape: per-batch shifted-column
+    bigram partials (the doc_repetition gram build — no Python token
+    loop), one (w1,w2)-bucket preagg, then TWO term-bucketed joins
+    attach the unigram counts (the rare_term_permille scale tier: no
+    vocabulary-sized driver or broadcast state — at 100 TB the vocab
+    of a web corpus does not fit one node). N and M are exact int
+    totals reduced from the count datasets (constant-size pulls); the
+    PMI itself is ONE mirrored float expression rounded to 6 (ln is
+    transcendental — the bm25 contract)."""
+    from .relational import bucketed_join, preagg_sum_count
+
+    def bigram_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        flat = np.concatenate(toks.to_numpy()) if len(toks) else \
+            np.array([], dtype=object)
+        if len(flat) < 2:
+            return pd.DataFrame({"w1": np.array([], dtype=object),
+                                 "w2": np.array([], dtype=object),
+                                 "c_xy": np.array([], dtype=np.int64)})
+        # mask out pairs that straddle a document boundary
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        ends = np.cumsum(lens)[:-1] - 1  # last token index per doc
+        keep[ends] = False
+        g = (pd.DataFrame({"w1": flat[:-1][keep], "w2": flat[1:][keep]})
+             .groupby(["w1", "w2"], as_index=False, sort=False).size()
+             .rename(columns={"size": "c_xy"}))
+        g["c_xy"] = g["c_xy"].astype(np.int64)
+        return g
+
+    bg = preagg_sum_count(
+        docs.map_batches(bigram_partial, batch_format="pandas"),
+        ["w1", "w2"], {"c_xy": "c_xy"}, n_buckets=n_buckets)
+    uni = _unigram_counts(docs, n_buckets).materialize()
+
+    # exact int totals: constant-size reductions over the count sets
+    n_tokens = int(uni.sum("c"))
+    bgm = bg.materialize()
+    m_bigrams = int(bgm.sum("c_xy"))
+    if min_count > 1:
+        bgm = bgm.filter(expr=f"c_xy >= {int(min_count)}")
+
+    j1 = bucketed_join(
+        bgm, uni.map_batches(
+            lambda b: b.rename(columns={"term": "w1", "c": "c_x"}),
+            batch_format="pandas"),
+        on="w1", n_buckets=n_buckets, how="inner")
+    j2 = bucketed_join(
+        j1, uni.map_batches(
+            lambda b: b.rename(columns={"term": "w2", "c": "c_y"}),
+            batch_format="pandas"),
+        on="w2", n_buckets=n_buckets, how="inner")
+
+    nf, mf = float(n_tokens), float(m_bigrams)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        cxy = b["c_xy"].to_numpy(np.float64)
+        cx = b["c_x"].to_numpy(np.float64)
+        cy = b["c_y"].to_numpy(np.float64)
+        # mirrored left-assoc float expression (oracle keeps the order)
+        pmi = np.round(np.log(cxy * nf * nf / (mf * cx * cy)), 6)
+        return pd.DataFrame({"w1": b["w1"].to_numpy(),
+                             "w2": b["w2"].to_numpy(),
+                             "c_xy": b["c_xy"].to_numpy(),
+                             "pmi": pmi})
+
+    return j2.map_batches(score, batch_format="pandas")
+
+
+def zipf_slope(docs: rd.Dataset, topn: int = 1000,
+               n_buckets: int = 64) -> pd.DataFrame:
+    """Zipf's-law fit (brief: "Text analysis" — corpus health check):
+    OLS slope/intercept of ln(count) on ln(rank) over the top-``topn``
+    terms. The term counts are the distributed unigram preagg; the
+    rank/fit runs on the ≤ topn survivor set (constant-size by
+    construction — the Q15-view contract), ranked (count DESC, term
+    ASC) so the boundary is deterministic. ln sums are transcendental
+    → round-6 contract, with the identical closed-form expression
+    mirrored in the oracle."""
+    uni = _unigram_counts(docs, n_buckets)
+    top = (uni.sort(["c", "term"], descending=[True, False])
+           .limit(topn).to_pandas())
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    y = np.log(top["c"].to_numpy(np.float64))
+    nf = float(len(top))
+    sx, sy = float(np.sum(x)), float(np.sum(y))
+    sxy, sxx = float(np.sum(x * y)), float(np.sum(x * x))
+    slope = (nf * sxy - sx * sy) / (nf * sxx - sx * sx)
+    icept = (sy - slope * sx) / nf
+    return pd.DataFrame({"slope": [round(slope, 6)],
+                         "icept": [round(icept, 6)]})
