@@ -3556,6 +3556,143 @@ def q_hybrid_search_rrf(sf_dir: str):
     return out[["query_id", "vec_id", "rrf"]]
 
 
+Q16_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
+
+
+def q_parts_supplier_counts(sf_dir: str):
+    """NOT-IN subquery + COUNT DISTINCT over a fact-dim join (TPC-H
+    Q16 shape, partsupp stood in by lineitem): distinct suppliers per
+    (brand, size) for non-PROMO parts in a size set, excluding
+    'complaint' suppliers (acctbal < 0 — the Q16 NOT IN analogue).
+    Scale shape: the part dimension collapses to dense partkey-indexed
+    keep/brand-code/size arrays broadcast once (O(#parts) bytes); the
+    excluded-supplier key set is a sorted array probed with
+    searchsorted (dim-sized by nature); lineitem streams through ONE
+    map_batches that filters and projects to distinct
+    (brand, size, suppkey) partials, and only those distinct triples
+    shuffle into `grouped_count_distinct`'s bucketed final."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (
+        broadcast_get, grouped_count_distinct)
+    parts = _read(sf_dir, "part",
+                  ["p_partkey", "p_brand", "p_size", "p_type"],
+                  rows_per_block=65536).to_pandas()
+    keep = ((parts["p_type"] != "PROMO")
+            & parts["p_size"].isin(Q16_SIZES)).to_numpy()
+    npart = int(parts["p_partkey"].max()) + 1
+    keep_arr = np.zeros(npart, dtype=bool)
+    keep_arr[parts["p_partkey"].to_numpy()[keep]] = True
+    brands, brand_codes = np.unique(
+        parts["p_brand"].to_numpy(dtype=object), return_inverse=True)
+    brand_arr = np.zeros(npart, dtype=np.int32)
+    brand_arr[parts["p_partkey"].to_numpy()] = brand_codes
+    size_arr = np.zeros(npart, dtype=np.int32)
+    size_arr[parts["p_partkey"].to_numpy()] = \
+        parts["p_size"].to_numpy(np.int32)
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"],
+                 rows_per_block=65536).to_pandas()
+    excl = np.sort(supp.loc[supp["s_acctbal"] < 0, "s_suppkey"]
+                   .to_numpy(np.int64))
+    dims_ref = ray.put((keep_arr, brand_arr, size_arr, brands, excl))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"],
+               rows_per_block=65536)
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        ka, ba, sa, labels, ex = broadcast_get(dims_ref)
+        pk = b["l_partkey"].to_numpy(np.int64)
+        sk = b["l_suppkey"].to_numpy(np.int64)
+        m = ka[pk]
+        if len(ex):
+            pos = np.searchsorted(ex, sk)
+            pos[pos == len(ex)] = 0
+            m &= ex[pos] != sk
+        pk, sk = pk[m], sk[m]
+        return pd.DataFrame({"p_brand": labels[ba[pk]],
+                             "p_size": sa[pk],
+                             "l_suppkey": sk})
+
+    proj = li.map_batches(project, batch_format="pandas")
+    return grouped_count_distinct(proj, ["p_brand", "p_size"],
+                                  "l_suppkey", "supplier_cnt")
+
+
+Q19_BRANCHES = (
+    ("b1", "Brand#1", 1, 15, 1, 20),
+    ("b2", "Brand#13", 1, 25, 10, 30),
+    ("b3", "Brand#23", 1, 35, 20, 40),
+)
+
+
+def q_special_deal_revenue(sf_dir: str):
+    """Disjunctive multi-branch predicate revenue (TPC-H Q19 shape):
+    total discounted revenue for lineitems matching ANY of three
+    (brand, size-range, quantity-range) deal branches, reported per
+    branch. Scale shape: each branch's part-side predicate collapses
+    to a dense partkey-indexed boolean broadcast once; lineitem
+    streams through ONE map_batches evaluating all branches
+    vectorized and emitting three exact-int64 revenue partials per
+    batch; the driver combines partials in python-int space. Revenue
+    is the house exact-cents contract (cents × (100−disc_pct) →
+    BIGINT `revenue_e4`), so the result is bit-exact vs the oracle."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import broadcast_get
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"],
+                  rows_per_block=65536).to_pandas()
+    npart = int(parts["p_partkey"].max()) + 1
+    masks = np.zeros((len(Q19_BRANCHES), npart), dtype=bool)
+    for i, (_, brand, slo, shi, _, _) in enumerate(Q19_BRANCHES):
+        sel = ((parts["p_brand"] == brand)
+               & parts["p_size"].between(slo, shi))
+        masks[i, parts["p_partkey"].to_numpy()[sel.to_numpy()]] = True
+    qty_lo = np.array([b[4] for b in Q19_BRANCHES], dtype=np.int64)
+    qty_hi = np.array([b[5] for b in Q19_BRANCHES], dtype=np.int64)
+    dims_ref = ray.put((masks, qty_lo, qty_hi))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"], rows_per_block=65536)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ms, qlo, qhi = broadcast_get(dims_ref)
+        pk = b["l_partkey"].to_numpy(np.int64)
+        qty = b["l_quantity"].round().astype("int64").to_numpy()
+        cents = (b["l_extendedprice"] * 100).round().astype("int64") \
+            .to_numpy()
+        pct = (b["l_discount"] * 100).round().astype("int64").to_numpy()
+        v = cents * (100 - pct)
+        out = {}
+        for i, (name, *_rest) in enumerate(Q19_BRANCHES):
+            m = ms[i][pk] & (qty >= qlo[i]) & (qty <= qhi[i])
+            out[name] = [int(v[m].sum())]
+        return pd.DataFrame(out)
+
+    sums = li.map_batches(partial, batch_format="pandas").to_pandas()
+    names = [b[0] for b in Q19_BRANCHES]
+    return pd.DataFrame({
+        "branch": names,
+        "revenue_e4": np.array(
+            [int(sums[n].astype(object).sum()) for n in names],
+            dtype=np.int64)})
+
+
+def q_doc_perplexity(sf_dir: str):
+    """Bigram-LM perplexity scoring (§ text analysis — the CCNet-style
+    LM-quality signal for corpus curation): per-document average
+    negative log-likelihood under an add-one-smoothed bigram model
+    trained on the corpus itself (ops/textops.py::doc_perplexity).
+    Fully distributed: counts and per-doc scoring both go through
+    term-bucketed joins — no vocabulary-sized driver or broadcast
+    state. Round-6 ln contract with integer-microNLL summation so the
+    per-doc sum is order-independent."""
+    from no_fasel_scrapers_ray.ops.textops import doc_perplexity
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return doc_perplexity(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -3692,6 +3829,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": q_bigram_pmi,
         "zipf_slope": q_zipf_slope,
         "hybrid_search_rrf": q_hybrid_search_rrf,
+        "parts_supplier_counts": q_parts_supplier_counts,
+        "special_deal_revenue": q_special_deal_revenue,
+        "doc_perplexity": q_doc_perplexity,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -4615,6 +4755,56 @@ def _oracle_sql_literal() -> dict[str, str]:
                            PARTITION BY query_id
                            ORDER BY rrf DESC, vec_id) AS rk FROM f)
             SELECT query_id, vec_id, rrf FROM ranked WHERE rk <= 10
+        """,
+        # TPC-H Q16 shape: NOT IN complaint suppliers, COUNT DISTINCT
+        "parts_supplier_counts": f"""
+            SELECT p_brand, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_type <> 'PROMO'
+              AND p_size IN {Q16_SIZES!r}
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_size
+        """,
+        # TPC-H Q19 shape: three OR'd deal branches, exact-cents
+        # revenue per branch (the house revenue_e4 contract)
+        "special_deal_revenue": "\nUNION ALL\n".join(f"""
+            SELECT '{name}' AS branch,
+                   CAST(COALESCE(SUM(
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                   ), 0) AS BIGINT) AS revenue_e4
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = '{brand}'
+              AND p_size BETWEEN {slo} AND {shi}
+              AND l_quantity BETWEEN {qlo} AND {qhi}
+        """ for name, brand, slo, shi, qlo, qhi in Q19_BRANCHES),
+        # bigram-LM NLL: integer micro-nat sums (order-independent),
+        # one mirrored round-6 ln expression per bigram type
+        "doc_perplexity": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            bgd AS (SELECT doc_id,
+                           unnest(t[1:len(t)-1]) AS w1,
+                           unnest(t[2:len(t)]) AS w2
+                    FROM toks WHERE len(t) >= 2),
+            bg AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bgd
+                   GROUP BY w1, w2),
+            u AS (SELECT term, COUNT(*) AS c FROM (
+                    SELECT unnest(t) AS term FROM toks) GROUP BY term),
+            v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vocab FROM u)
+            SELECT bgd.doc_id,
+                   COUNT(*) AS n_bigrams,
+                   -(CAST(SUM(CAST(round(round(ln(
+                       (CAST(bg.c_xy AS DOUBLE) + 1.0)
+                       / (CAST(ux.c AS DOUBLE) + vocab)), 6)
+                       * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0)
+                       / CAST(COUNT(*) AS DOUBLE) AS avg_nll
+            FROM bgd
+            JOIN bg ON bgd.w1 = bg.w1 AND bgd.w2 = bg.w2
+            JOIN u ux ON bgd.w1 = ux.term, v
+            GROUP BY bgd.doc_id
         """,
         # cross-set exact Jaccard: eval side × train side only
         "doc_decontaminate_neardup": """

@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "returned_item_revenue", "top_revenue_supplier",
     "dominant_part_suppliers", "event_transitions",
     "monthly_revenue_growth",
+    "bigram_pmi", "zipf_slope", "hybrid_search_rrf",
+    "parts_supplier_counts", "special_deal_revenue", "doc_perplexity",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the

@@ -615,6 +615,37 @@ def _unigram_counts(docs: rd.Dataset, n_buckets: int) -> rd.Dataset:
         ["term"], {"c": "c"}, n_buckets=n_buckets)
 
 
+def _bigram_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch adjacent-pair counts via the shifted-column gram
+    build (doc_repetition's shape — no Python token loop); pairs that
+    straddle a document boundary are masked out."""
+    toks = batch["text"].str.split(" ")
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    flat = np.concatenate(toks.to_numpy()) if len(toks) else \
+        np.array([], dtype=object)
+    if len(flat) < 2:
+        return pd.DataFrame({"w1": np.array([], dtype=object),
+                             "w2": np.array([], dtype=object),
+                             "c_xy": np.array([], dtype=np.int64)})
+    keep = np.ones(len(flat) - 1, dtype=bool)
+    ends = np.cumsum(lens)[:-1] - 1  # last token index per doc
+    keep[ends] = False
+    g = (pd.DataFrame({"w1": flat[:-1][keep], "w2": flat[1:][keep]})
+         .groupby(["w1", "w2"], as_index=False, sort=False).size()
+         .rename(columns={"size": "c_xy"}))
+    g["c_xy"] = g["c_xy"].astype(np.int64)
+    return g
+
+
+def _bigram_counts(docs: rd.Dataset, n_buckets: int) -> rd.Dataset:
+    """Corpus bigram counts (w1, w2, c_xy) — per-batch shifted-column
+    partials, one (w1,w2)-bucket shuffle."""
+    from .relational import preagg_sum_count
+    return preagg_sum_count(
+        docs.map_batches(_bigram_partial, batch_format="pandas"),
+        ["w1", "w2"], {"c_xy": "c_xy"}, n_buckets=n_buckets)
+
+
 def bigram_pmi(docs: rd.Dataset, min_count: int = 1,
                n_buckets: int = 64) -> rd.Dataset:
     """Collocation mining (brief: "Text analysis"): pointwise mutual
@@ -630,30 +661,9 @@ def bigram_pmi(docs: rd.Dataset, min_count: int = 1,
     totals reduced from the count datasets (constant-size pulls); the
     PMI itself is ONE mirrored float expression rounded to 6 (ln is
     transcendental — the bm25 contract)."""
-    from .relational import bucketed_join, preagg_sum_count
+    from .relational import bucketed_join
 
-    def bigram_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.split(" ")
-        lens = toks.str.len().to_numpy(dtype=np.int64)
-        flat = np.concatenate(toks.to_numpy()) if len(toks) else \
-            np.array([], dtype=object)
-        if len(flat) < 2:
-            return pd.DataFrame({"w1": np.array([], dtype=object),
-                                 "w2": np.array([], dtype=object),
-                                 "c_xy": np.array([], dtype=np.int64)})
-        # mask out pairs that straddle a document boundary
-        keep = np.ones(len(flat) - 1, dtype=bool)
-        ends = np.cumsum(lens)[:-1] - 1  # last token index per doc
-        keep[ends] = False
-        g = (pd.DataFrame({"w1": flat[:-1][keep], "w2": flat[1:][keep]})
-             .groupby(["w1", "w2"], as_index=False, sort=False).size()
-             .rename(columns={"size": "c_xy"}))
-        g["c_xy"] = g["c_xy"].astype(np.int64)
-        return g
-
-    bg = preagg_sum_count(
-        docs.map_batches(bigram_partial, batch_format="pandas"),
-        ["w1", "w2"], {"c_xy": "c_xy"}, n_buckets=n_buckets)
+    bg = _bigram_counts(docs, n_buckets)
     uni = _unigram_counts(docs, n_buckets).materialize()
 
     # exact int totals: constant-size reductions over the count sets
@@ -712,3 +722,99 @@ def zipf_slope(docs: rd.Dataset, topn: int = 1000,
     icept = (sy - slope * sx) / nf
     return pd.DataFrame({"slope": [round(slope, 6)],
                          "icept": [round(icept, 6)]})
+
+
+def doc_perplexity(docs: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+    """Bigram-LM negative log-likelihood per document (brief: "Text
+    analysis" — the CCNet/Gopher-style LM-quality signal: docs with
+    high perplexity under a corpus-trained LM are noise candidates).
+    Model: add-one-smoothed bigram LM trained on the corpus itself,
+    P(y|x) = (c_xy + 1) / (c_x + V) with V the vocabulary size.
+
+    Fully distributed shape (the rare_term_permille scale tier — at
+    100 TB neither the unigram nor the bigram table fits one node):
+    per-batch doc-bigram multisets (doc_id, w1, w2, k) from the
+    shifted-column gram build; ONE composite-key bucket join attaches
+    c_xy, one w1-bucket join attaches c_x; V is a constant-size count
+    over the unigram set. Per-bigram ln probabilities follow the
+    round-6 transcendental contract, then are summed as integer
+    micro-nats (round-6 value × 1e6 → int64) so the per-doc reduction
+    is order-independent and bit-exact vs the oracle's mirrored
+    expression. Docs with < 2 tokens have no bigrams and drop out
+    (the oracle's inner join does the same)."""
+    from .relational import bucketed_join, preagg_sum_count
+
+    SEP = "\x1f"
+
+    def doc_bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        flat = np.concatenate(toks.to_numpy()) if len(toks) else \
+            np.array([], dtype=object)
+        empty = pd.DataFrame({"doc_id": np.array([], dtype=np.int64),
+                              "key": np.array([], dtype=object),
+                              "w1": np.array([], dtype=object),
+                              "k": np.array([], dtype=np.int64)})
+        if len(flat) < 2:
+            return empty
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        ends = np.cumsum(lens)[:-1] - 1
+        keep[ends] = False
+        # a doc is one row, so its whole bigram multiset is local to
+        # this batch — k is final here, not a partial; pair i belongs
+        # to the doc owning token i (token i+1 is same-doc given keep)
+        dids = np.repeat(batch["doc_id"].to_numpy(np.int64),
+                         lens)[:-1][keep]
+        w1 = flat[:-1][keep]
+        w2 = flat[1:][keep]
+        g = (pd.DataFrame({"doc_id": dids, "w1": w1, "w2": w2})
+             .groupby(["doc_id", "w1", "w2"], as_index=False,
+                      sort=False).size().rename(columns={"size": "k"}))
+        g["k"] = g["k"].astype(np.int64)
+        g["key"] = g["w1"].astype(object) + SEP + g["w2"].astype(object)
+        return g[["doc_id", "key", "w1", "k"]]
+
+    uni = _unigram_counts(docs, n_buckets).materialize()
+    vocab = float(uni.count())
+    bg = _bigram_counts(docs, n_buckets)
+
+    def bg_key(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["w1"].astype(object) + SEP + b["w2"].astype(object),
+            "c_xy": b["c_xy"].to_numpy(np.int64)})
+
+    dbg = docs.map_batches(doc_bigrams, batch_format="pandas")
+    j1 = bucketed_join(dbg, bg.map_batches(bg_key, batch_format="pandas"),
+                       on="key", n_buckets=n_buckets, how="inner")
+    j2 = bucketed_join(
+        j1, uni.map_batches(
+            lambda b: b.rename(columns={"term": "w1", "c": "c_x"}),
+            batch_format="pandas"),
+        on="w1", n_buckets=n_buckets, how="inner")
+
+    def micro_nll(b: pd.DataFrame) -> pd.DataFrame:
+        cxy = b["c_xy"].to_numpy(np.float64)
+        cx = b["c_x"].to_numpy(np.float64)
+        k = b["k"].to_numpy(np.int64)
+        # round-6 ln, then integer micro-nats (mirrored in the oracle)
+        lnp = np.round(np.log((cxy + 1.0) / (cx + vocab)), 6)
+        micro = np.round(lnp * 1e6).astype(np.int64)
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                             "s": micro * k, "n": k})
+
+    sums = preagg_sum_count(
+        j2.map_batches(micro_nll, batch_format="pandas"),
+        ["doc_id"], {"s": "s", "n": "n"}, n_buckets=n_buckets)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["s"].to_numpy(np.float64)
+        n = b["n"].to_numpy(np.int64)
+        # both divisions are single IEEE ops on exactly-representable
+        # ints → bit-exact without a final round (no half-way
+        # ambiguity between numpy's half-even and SQL's half-away)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "n_bigrams": n,
+            "avg_nll": -(s / 1e6) / n.astype(np.float64)})
+
+    return sums.map_batches(final, batch_format="pandas")
