@@ -336,6 +336,19 @@ def q_knn_ivf(sf_dir: str):
     return knn_ivf(emb, query_ids=[0, 1, 2], k=5)
 
 
+def q_knn_pq(sf_dir: str):
+    """Product-quantization ANN (§ similarity search — the
+    compressed-index scale path): codebooks trained on a hash sample,
+    corpus encoded to m uint8 codes (32× smaller than f32 — the only
+    full-width pass), ADC probe over codes, exact re-rank of the
+    shortlist. No SQL oracle (shortlist membership is approximate);
+    recall vs knn_bruteforce and exact-rerank cosine equality pinned
+    in tests/test_neardup_quality.py."""
+    from no_fasel_scrapers_ray.ops.ann import knn_pq
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_pq(emb, query_ids=[0, 1, 2], k=5)
+
+
 def q_minhash_lsh(sf_dir: str):
     from no_fasel_scrapers_ray.ops.dedup import minhash_lsh_pairs
     return minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
@@ -3715,6 +3728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_prefix": q_dedup_prefix,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
+        "knn_pq": q_knn_pq,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram,
         "dedup_simhash": q_simhash,

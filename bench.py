@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "monthly_revenue_growth",
     "bigram_pmi", "zipf_slope", "hybrid_search_rrf",
     "parts_supplier_counts", "special_deal_revenue", "doc_perplexity",
+    "knn_pq",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the

@@ -534,3 +534,155 @@ def pca_embeddings(embeddings: rd.Dataset, k: int = 2,
 
     return embeddings.map_batches(project, batch_format="pandas",
                                   batch_size=batch_size)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-index ANN scale path:
+# vectors become m uint8 codes (32×+ compression for f32), probes scan
+# CODES with per-query lookup tables (ADC), and only a small shortlist
+# is re-ranked against the raw vectors. Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011.
+# --------------------------------------------------------------------------
+
+def pq_train_codebooks(embeddings: rd.Dataset, m: int = 16, ks: int = 64,
+                       iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Per-subspace k-means codebooks (m, ks, d/m) trained on a
+    deterministic hash-sample of NORMALIZED vectors — small state built
+    once on the driver and broadcast (the ivf_build_centroids
+    posture). ks ≤ 256 so codes fit uint8."""
+    if ks > 256:
+        raise ValueError(f"ks must fit uint8, got {ks}")
+    sample = _normalize(sample_embeddings(embeddings, target=8192,
+                                          seed=seed))
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, ks, dsub))
+    for s in range(m):
+        sub = sample[:, s * dsub:(s + 1) * dsub]
+        kk = min(ks, len(sub))
+        cent = sub[rng.choice(len(sub), size=kk, replace=False)].copy()
+        for _ in range(iters):
+            # argmin ||x-c||² == argmin (||c||² - 2 x·c): one matmul
+            scores = cent @ sub.T  # (kk, n)
+            a = np.argmin((cent * cent).sum(1)[:, None] - 2 * scores,
+                          axis=0)
+            for c in range(kk):
+                mem = sub[a == c]
+                if len(mem):
+                    cent[c] = mem.mean(axis=0)
+        books[s, :kk] = cent
+    return books
+
+
+def pq_encode(embeddings: rd.Dataset, codebooks_ref) -> rd.Dataset:
+    """Encode every vector to m uint8 codes — ONE streaming pass, one
+    matmul per subspace per batch; output (vec_id, code:
+    fixed_size_list<uint8>[m]) is the persisted compressed index that
+    100-TB probes scan INSTEAD of the raw vectors."""
+    import pyarrow as pa
+
+    def encode(batch: pd.DataFrame) -> "pa.Table":
+        books = ray.get(codebooks_ref)
+        m, ks, dsub = books.shape
+        emb = _normalize(_stack(batch["embedding"]).astype(np.float64))
+        codes = np.empty((len(emb), m), dtype=np.uint8)
+        for s in range(m):
+            sub = emb[:, s * dsub:(s + 1) * dsub]
+            cent = books[s]
+            codes[:, s] = np.argmin(
+                (cent * cent).sum(1)[None, :] - 2 * (sub @ cent.T),
+                axis=1).astype(np.uint8)
+        flat = pa.array(codes.reshape(-1), type=pa.uint8())
+        return pa.table({
+            "vec_id": pa.array(batch["vec_id"].to_numpy(np.int64)),
+            "code": pa.FixedSizeListArray.from_arrays(flat, m)})
+
+    return embeddings.map_batches(encode, batch_format="pandas")
+
+
+def knn_pq(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
+           m: int = 16, ks: int = 64, shortlist: int = 50,
+           seed: int = 42) -> pd.DataFrame:
+    """ANN top-k via PQ ADC + exact re-rank: (1) train codebooks on a
+    sample, (2) encode the corpus to uint8 codes (the ONLY full-width
+    pass; the compressed index is what gets materialized — 32×+
+    smaller than f32 vectors, spillable), (3) ADC-scan the codes with
+    per-query distance LUTs, keeping a per-batch partial shortlist,
+    (4) exact-cosine re-rank the ≤ ``shortlist`` global survivors per
+    query against the raw table (a key-set filtered pass — only
+    shortlist rows are scored). Output contract matches knn_ivf:
+    (query_id, neighbor_id, cosine round-4, ties by neighbor_id). A
+    neighbor is missed only if ADC ranks it below the shortlist cut;
+    recall vs knn_bruteforce is pinned in tests/test_pq.py."""
+    qdf = embeddings.map_batches(
+        lambda t: t[np.isin(t["vec_id"].to_numpy(), query_ids)],
+        batch_format="pandas").to_pandas().sort_values("vec_id")
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    qmat = _normalize(_stack(qdf["embedding"]).astype(np.float64))
+
+    books = pq_train_codebooks(embeddings, m=m, ks=ks, seed=seed)
+    books_ref = ray.put(books)
+    codes = pq_encode(embeddings, books_ref).materialize()
+
+    dsub = books.shape[2]
+    # per-query ADC lookup tables (n_q, m, ks): ||q_s − c||² per codeword
+    luts = np.stack([
+        np.stack([((books[s] - q[s * dsub:(s + 1) * dsub]) ** 2).sum(-1)
+                  for s in range(m)]) for q in qmat])
+    probe_ref = ray.put((qids, luts))
+
+    def adc(batch: pd.DataFrame) -> pd.DataFrame:
+        qi, lt = ray.get(probe_ref)
+        cm = np.vstack(batch["code"].to_numpy()).astype(np.int64)
+        vid = batch["vec_id"].to_numpy(np.int64)
+        out = []
+        sl = min(shortlist, len(vid))
+        for j, qid in enumerate(qi):
+            dist = lt[j][np.arange(m)[None, :], cm].sum(axis=1)
+            idx = np.argpartition(dist, sl - 1)[:sl]
+            out.append(pd.DataFrame({"query_id": np.int64(qid),
+                                     "neighbor_id": vid[idx],
+                                     "adc": dist[idx]}))
+        return pd.concat(out, ignore_index=True)
+
+    partials = codes.map_batches(adc, batch_format="pandas").to_pandas()
+    partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(["query_id", "adc", "neighbor_id"])
+    short = partials.groupby("query_id", sort=True).head(shortlist)
+
+    # exact re-rank: key-set filtered pass over the raw vectors
+    cand_ids = np.unique(short["neighbor_id"].to_numpy(np.int64))
+    per_q = {int(q): np.sort(g["neighbor_id"].to_numpy(np.int64))
+             for q, g in short.groupby("query_id")}
+    rer_ref = ray.put((qids, qmat, cand_ids, per_q))
+
+    def rerank(batch: pd.DataFrame) -> pd.DataFrame:
+        qi, qm, cids, pq_sets = ray.get(rer_ref)
+        vid = batch["vec_id"].to_numpy(np.int64)
+        keep = np.isin(vid, cids)
+        if not keep.any():
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype=np.int64),
+                "neighbor_id": pd.Series([], dtype=np.int64),
+                "cosine": pd.Series([], dtype=np.float64)})
+        emb = _normalize(_stack(batch["embedding"][keep]).astype(np.float64))
+        vid = vid[keep]
+        sims = emb @ qm.T
+        out = []
+        for j, qid in enumerate(qi):
+            mask = np.isin(vid, pq_sets.get(int(qid),
+                                            np.array([], dtype=np.int64)))
+            out.append(pd.DataFrame({"query_id": np.int64(qid),
+                                     "neighbor_id": vid[mask],
+                                     "cosine": sims[mask, j]}))
+        return pd.concat(out, ignore_index=True)
+
+    exact = embeddings.map_batches(rerank, batch_format="pandas").to_pandas()
+    exact["cosine"] = exact["cosine"].round(4)
+    exact = exact.sort_values(["query_id", "cosine", "neighbor_id"],
+                              ascending=[True, False, True])
+    return (exact.groupby("query_id", sort=True).head(k)
+            .reset_index(drop=True)[["query_id", "neighbor_id", "cosine"]])
