@@ -2878,6 +2878,152 @@ def q_crawl_trending(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_shipping_priority(sf_dir: str):
+    """Unshipped-order revenue top-10 (TPC-H Q3 shape): BUILDING-
+    segment customers, orders placed before the cut date, revenue from
+    lineitems shipped after it. The customer dimension collapses to a
+    broadcast custkey array probed map-side (semi_join); orders and
+    lineitem are BOTH date-pruned at the read (row-group predicate
+    pushdown — neither fact table's out-of-window rows leave storage);
+    lineitem pre-aggregates to exact integer revenue units per
+    orderkey (cents × (100−disc_pct)) before the ONE bucketed orderkey
+    shuffle; the global top-10 runs on per-block top-10 survivors (a
+    block's top-10 under the same total order is a superset filter)."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from no_fasel_scrapers_ray.ops.relational import (
+        bucketed_join, preagg_sum_count, semi_join)
+    cut = pd.Timestamp("1998-06-01")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .to_pandas()
+    building = cust.loc[cust["c_mktsegment"] == "BUILDING",
+                        "c_custkey"].to_numpy()
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") < cut.to_pydatetime())
+    orders = semi_join(orders, building, "o_custkey")
+
+    def ord_proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy(),
+            "order_us": b["o_orderdate"].astype("datetime64[us]")
+                        .astype("int64").to_numpy()})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=pads.field("l_shipdate") > cut.to_pydatetime())
+
+    def rev_units(b: pd.DataFrame) -> pd.DataFrame:
+        cents = (b["l_extendedprice"] * 100).round().astype("int64") \
+            .to_numpy()
+        pct = (b["l_discount"] * 100).round().astype("int64").to_numpy()
+        return pd.DataFrame({"o_orderkey": b["l_orderkey"].to_numpy(),
+                             "v": cents * (100 - pct)})
+
+    rev = preagg_sum_count(li.map_batches(rev_units, batch_format="pandas"),
+                           ["o_orderkey"], {"v": "revenue_units"})
+    joined = bucketed_join(
+        rev, orders.map_batches(ord_proj, batch_format="pandas"),
+        on="o_orderkey", how="inner")
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["revenue_units", "o_orderkey"],
+                             ascending=[False, True]).head(10)
+
+    survivors = joined.map_batches(block_topk, batch_format="pandas")
+    return survivors.sort(["revenue_units", "o_orderkey"],
+                          descending=[True, False]).limit(10)
+
+
+def q_revenue_delta(sf_dir: str):
+    """Forecast-revenue-change scan (TPC-H Q6 shape): the pure
+    filter + global-sum query — 1996 shipments at a 5–7% discount in
+    small quantities; how much revenue would dropping the discount
+    have added. The date range is pruned at the read; discount /
+    quantity predicates and the product run as one vectorized pass;
+    per-batch partials are exact int64 cents×pct units combined
+    driver-side in python-int space, with ONE mirrored float division
+    at the end (the promo_revenue_ratio contract)."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity",
+                 "l_shipdate"],
+        filter=(pads.field("l_shipdate")
+                >= pd.Timestamp("1996-01-01").to_pydatetime())
+        & (pads.field("l_shipdate")
+           < pd.Timestamp("1997-01-01").to_pydatetime()))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = (b["l_extendedprice"] * 100).round().astype("int64") \
+            .to_numpy()
+        pct = (b["l_discount"] * 100).round().astype("int64").to_numpy()
+        qty = b["l_quantity"].round().astype("int64").to_numpy()
+        mask = (pct >= 5) & (pct <= 7) & (qty < 24)
+        return pd.DataFrame({"v": [int((cents[mask] * pct[mask]).sum())]})
+
+    sums = li.map_batches(partial, batch_format="pandas").to_pandas()
+    units = int(sums["v"].astype(object).sum())
+    return pd.DataFrame({"revenue_delta": [float(units) / 10000.0]})
+
+
+def q_funnel_conversion(sf_dir: str):
+    """Ordered-funnel conversion (§ event analytics): of the users who
+    ever VIEWED, how many first CLICKED strictly after their first
+    view, and of those, how many first PURCHASED strictly after that
+    first click. Per-batch partials collapse each user's events to
+    first-seen timestamps per step (sentinel INT64_MAX for absent
+    steps), grouped_multi_agg min-combines them through one bucket
+    shuffle — shuffle volume is users × batches, independent of events
+    per user — and the three funnel counts reduce from per-block
+    partial sums combined driver-side (constant rows cross the wire)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import grouped_multi_agg
+    SENT = np.iinfo(np.int64).max
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"],
+               rows_per_block=65536)
+
+    def steps(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        et = b["event_type"].to_numpy()
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(),
+            "v_us": np.where(et == "view", us, SENT),
+            "c_us": np.where(et == "click", us, SENT),
+            "p_us": np.where(et == "purchase", us, SENT)})
+
+    firsts = grouped_multi_agg(
+        ev.map_batches(steps, batch_format="pandas"), ["user_id"],
+        {"v": ("v_us", "min"), "c": ("c_us", "min"),
+         "p": ("p_us", "min")})
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["v"].to_numpy()
+        c = b["c"].to_numpy()
+        p = b["p"].to_numpy()
+        viewed = v < SENT
+        clicked = viewed & (c < SENT) & (c > v)
+        purchased = clicked & (p < SENT) & (p > c)
+        return pd.DataFrame({"n_viewed": [int(viewed.sum())],
+                             "n_view_click": [int(clicked.sum())],
+                             "n_funnel": [int(purchased.sum())]})
+
+    parts = firsts.map_batches(counts, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "n_viewed": np.array([parts["n_viewed"].sum()], dtype=np.int64),
+        "n_view_click": np.array([parts["n_view_click"].sum()],
+                                 dtype=np.int64),
+        "n_funnel": np.array([parts["n_funnel"].sum()], dtype=np.int64)})
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -3846,6 +3992,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_supplier_counts": q_parts_supplier_counts,
         "special_deal_revenue": q_special_deal_revenue,
         "doc_perplexity": q_doc_perplexity,
+        "shipping_priority": q_shipping_priority,
+        "revenue_delta": q_revenue_delta,
+        "funnel_conversion": q_funnel_conversion,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -3874,6 +4023,53 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(sum(l_extendedprice), 2) AS sum_base_price,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "shipping_priority": """
+            -- TPC-H Q3 shape; exact int64 revenue units, epoch-µs date
+            SELECT o_orderkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_units,
+                   CAST(epoch_us(o_orderdate) AS BIGINT) AS order_us
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue_units DESC, o_orderkey
+            LIMIT 10
+        """,
+        "revenue_delta": """
+            -- TPC-H Q6 shape; exact int units, ONE float division
+            SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * CAST(ROUND(l_discount * 100) AS BIGINT))
+                        AS DOUBLE) / 10000.0 AS revenue_delta
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        "funnel_conversion": """
+            WITH m AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view'
+                                THEN epoch_us(ts) END) AS v,
+                       MIN(CASE WHEN event_type = 'click'
+                                THEN epoch_us(ts) END) AS c,
+                       MIN(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END) AS p
+                FROM events GROUP BY user_id)
+            SELECT COUNT(*) FILTER (v IS NOT NULL) AS n_viewed,
+                   COUNT(*) FILTER (v IS NOT NULL AND c IS NOT NULL
+                                    AND c > v) AS n_view_click,
+                   COUNT(*) FILTER (v IS NOT NULL AND c IS NOT NULL
+                                    AND c > v AND p IS NOT NULL
+                                    AND p > c) AS n_funnel
+            FROM m
         """,
         "region_rollup": """
             SELECT r_name, n_name,
