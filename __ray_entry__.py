@@ -3024,6 +3024,99 @@ def q_funnel_conversion(sf_dir: str):
         "n_funnel": np.array([parts["n_funnel"].sum()], dtype=np.int64)})
 
 
+def q_copurchase_pairs(sf_dir: str):
+    """Frequent co-purchase pair mining (§ data mining — the
+    market-basket / Apriori candidate-pair shape): the 25 part pairs
+    most often bought in the same order. Bucketing on orderkey
+    co-locates every line of an order, so per-bucket distinct + a
+    C-level self-merge (pandas hash join, no Python per-order loop)
+    forms each order's pairs exactly once; pair skew is bounded by
+    (max lines per order)² regardless of corpus size. Pair counts
+    reduce through preagg_reduce (pair-cardinality-safe bucketed
+    combine) and the global top-25 runs on per-block top-25 survivors
+    under the deterministic (count desc, p1, p2) total order."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        _bucket_tagger, preagg_reduce)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=65536)
+    tagged = li.map_batches(_bucket_tagger(["l_orderkey"], 64),
+                            batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        items = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = items.merge(items, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        return pd.DataFrame({"p1": m["l_partkey_a"].to_numpy(),
+                             "p2": m["l_partkey_b"].to_numpy()})
+
+    pair_ds = tagged.groupby("__bucket").map_groups(
+        pairs, batch_format="pandas")
+    counts = preagg_reduce(pair_ds, ["p1", "p2"], "n_orders", "count")
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n_orders", "p1", "p2"],
+                             ascending=[False, True, True]).head(25)
+
+    survivors = counts.map_batches(block_topk, batch_format="pandas")
+    return survivors.sort(["n_orders", "p1", "p2"],
+                          descending=[True, False, False]).limit(25)
+
+
+def q_ewma_user_spend(sf_dir: str):
+    """Per-user exponentially-weighted moving average of purchase
+    value (§ windows — the decay-weighted engagement score):
+    s_i = a·x_i + (1−a)·s_{i−1} with a=0.1 seeded at s_1 = x_1; output
+    is each user's final EWMA. The recurrence unrolls to the closed
+    form x_i·a^[i>1]·(1−a)^{n−i}, computed VECTORIZED per bucket (one
+    stable sort per bucket, rank/size from C-level groupby transforms
+    — no Python per-user loop), quantized to integer micro-units under
+    the round-6 transcendental contract (BASELINE.md) so the per-user
+    sum is order-independent and bit-identical to the oracle's, with
+    ONE mirrored float division at the end."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import _bucket_tagger
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"],
+               rows_per_block=65536)
+
+    def proj(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"] == "purchase"]
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(),
+            "event_id": b["event_id"].to_numpy(),
+            "ts_us": b["ts"].astype("datetime64[us]")
+                     .astype("int64").to_numpy(),
+            "value": b["value"].to_numpy()})
+
+    tagged = ev.map_batches(proj, batch_format="pandas") \
+        .map_batches(_bucket_tagger(["user_id"], 64),
+                     batch_format="pandas")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="stable", ignore_index=True)
+        grp = g.groupby("user_id", sort=False)
+        rn = grp.cumcount().to_numpy()                   # 0-based rank
+        n = grp["value"].transform("size").to_numpy()
+        w = np.power(0.9, (n - 1 - rn).astype(np.float64))
+        a = np.where(rn == 0, 1.0, 0.1)
+        term = (a * g["value"].to_numpy()) * w
+        # half-away-from-zero micro-units (mirrors SQL ROUND exactly;
+        # np.round is half-to-even and differs at knife-edge .5s)
+        scaled = term * 1e6
+        units = (np.sign(scaled)
+                 * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+        s = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                          "u": units}) \
+            .groupby("user_id", as_index=False, sort=False)["u"].sum()
+        return pd.DataFrame({"user_id": s["user_id"].to_numpy(),
+                             "ewma_spend": s["u"].to_numpy() / 1e6})
+
+    return tagged.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -3995,6 +4088,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "revenue_delta": q_revenue_delta,
         "funnel_conversion": q_funnel_conversion,
+        "copurchase_pairs": q_copurchase_pairs,
+        "ewma_user_spend": q_ewma_user_spend,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -4052,6 +4147,39 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        "copurchase_pairs": """
+            -- market-basket pair mining: top 25 co-purchased pairs
+            WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+                           FROM lineitem)
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                   COUNT(*) AS n_orders
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            GROUP BY p1, p2
+            ORDER BY n_orders DESC, p1, p2
+            LIMIT 25
+        """,
+        "ewma_user_spend": """
+            -- closed-form EWMA (a=0.1, s_1=x_1): per-event terms
+            -- quantized to half-away integer micro-units so the
+            -- per-user sum is order-independent; ONE float divide
+            WITH p AS (
+                SELECT user_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts),
+                                                   event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY user_id) AS n
+                FROM events WHERE event_type = 'purchase')
+            SELECT user_id,
+                   CAST(SUM(CAST(ROUND(
+                       (CASE WHEN rn = 1
+                             THEN value * POWER(0.9, n - 1)
+                             ELSE 0.1 * value * POWER(0.9, n - rn)
+                        END) * 1000000) AS BIGINT)) AS BIGINT)
+                   / 1000000.0 AS ewma_spend
+            FROM p GROUP BY user_id
         """,
         "funnel_conversion": """
             WITH m AS (
