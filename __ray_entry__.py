@@ -3117,6 +3117,21 @@ def q_ewma_user_spend(sf_dir: str):
         per_bucket, batch_format="pandas")
 
 
+def q_tfidf_cosine_pairs(sf_dir: str):
+    """EXACT sparse all-pairs TF-IDF cosine similarity join (§ dedup /
+    similarity — the APSS family, Bayardo et al. WWW'07): every
+    document pair with cosine ≥ 0.9 over integer-quantized tf·idf
+    vectors. Candidates come from the weight-mass (t/2) prefix filter
+    under a rare-first global term order — complete by construction,
+    with boilerplate terms excluded from candidate groups — and each
+    candidate is verified with exact int64 dots/norms, so the
+    similarity is bit-identical to the SQL oracle's
+    (ops/dedup.py::tfidf_cosine_pairs)."""
+    from no_fasel_scrapers_ray.ops.dedup import tfidf_cosine_pairs
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_cosine_pairs(docs, threshold=0.9)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4090,6 +4105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": q_funnel_conversion,
         "copurchase_pairs": q_copurchase_pairs,
         "ewma_user_spend": q_ewma_user_spend,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -4147,6 +4163,37 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        "tfidf_cosine_pairs": """
+            -- exact APSS: integer tf*idf_milli weights, int64 dots and
+            -- norms, ONE mirrored float similarity expression
+            WITH toks AS (SELECT doc_id,
+                                 unnest(string_split(text, ' ')) AS term
+                          FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                   GROUP BY doc_id, term),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            idf AS (SELECT term,
+                           CAST(ROUND(LN(CAST(n AS DOUBLE) / df) * 1000)
+                                AS BIGINT) AS idf
+                    FROM df CROSS JOIN nd),
+            w AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS w
+                  FROM tf JOIN idf USING (term) WHERE idf.idf > 0),
+            norm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+                     FROM w GROUP BY doc_id),
+            dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+                     FROM w a JOIN w b ON a.term = b.term
+                                      AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   CAST(dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE))
+                        * SQRT(CAST(nb.n2 AS DOUBLE))) AS cos_sim
+            FROM dots JOIN norm na ON na.doc_id = doc_a
+                      JOIN norm nb ON nb.doc_id = doc_b
+            WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE))
+                  * SQRT(CAST(nb.n2 AS DOUBLE))) >= 0.9
         """,
         "copurchase_pairs": """
             -- market-basket pair mining: top 25 co-purchased pairs

@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "bigram_pmi", "zipf_slope", "hybrid_search_rrf",
     "parts_supplier_counts", "special_deal_revenue", "doc_perplexity",
     "knn_pq",
+    "shipping_priority", "revenue_delta", "funnel_conversion",
+    "copurchase_pairs", "ewma_user_spend", "tfidf_cosine_pairs",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the

@@ -965,3 +965,247 @@ def blocked_levenshtein_pairs(ds, block_col: str, text_col: str,
                              "dist": np.concatenate(out_d)})
 
     return ds.groupby(block_col).map_groups(pairs, batch_format="pandas")
+
+
+def _stack_rows(col) -> np.ndarray:
+    return np.stack(list(col))
+
+
+def _int_cos_block_pairs_impl(blk_a: pd.DataFrame, blk_b: pd.DataFrame,
+                              same: bool, threshold: float) -> pd.DataFrame:
+    """Qualifying cosine pairs between two INTEGER-weight blocks (one
+    matmul). Weights are exact ints carried in float64; with every
+    norm² < 2^53 (asserted) all products and the monotone partial sums
+    of the dot stay < 2^53, so the matmul dot is EXACT — the
+    similarity is then the same single float expression as the SQL
+    oracle's, bit-identical."""
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                          "doc_b": pd.Series([], dtype=np.int64),
+                          "cos_sim": pd.Series([], dtype=np.float64)})
+    if not len(blk_a) or not len(blk_b):
+        return empty
+    ids_a, A = blk_a["doc_id"].to_numpy(), _stack_rows(blk_a["wvec"])
+    if same:
+        ids_b, B = ids_a, A
+    else:
+        ids_b, B = blk_b["doc_id"].to_numpy(), _stack_rows(blk_b["wvec"])
+    n2a = (A * A).sum(axis=1)
+    n2b = n2a if same else (B * B).sum(axis=1)
+    if max(n2a.max(), n2b.max()) >= 2.0 ** 53:
+        raise ValueError("tfidf_cosine_pairs dense tier: norm² ≥ 2^53 "
+                         "— integer-exactness contract violated; "
+                         "chunk documents or lower the idf scale")
+    sims = (A @ B.T) / (np.sqrt(n2a)[:, None] * np.sqrt(n2b)[None, :])
+    mask = sims >= threshold
+    if same:
+        mask = np.triu(mask, k=1)
+    a, b = np.nonzero(mask)
+    if not len(a):
+        return empty
+    ia, ib = ids_a[a], ids_b[b]
+    return pd.DataFrame({"doc_a": np.minimum(ia, ib),
+                         "doc_b": np.maximum(ia, ib),
+                         "cos_sim": sims[a, b]})
+
+
+def tfidf_cosine_pairs(docs: rd.Dataset, threshold: float = 0.9,
+                       n_buckets: int = 32,
+                       dense_cutover: int = 2048,
+                       block_rows: int = 4096) -> rd.Dataset:
+    """EXACT all-pairs TF-IDF cosine similarity join (the APSS family,
+    cf. Bayardo-Ma-Srikant, "Scaling Up All Pairs Similarity Search",
+    WWW'07) via weight-mass prefix filtering — the sparse-vector
+    counterpart of `ngram_jaccard_pairs`: no recall gap, no all-pairs
+    scan, full SQL oracle at test sf. Engine addition (the reference
+    has only the exact seen-set, FaselMoviesScraper.py:28).
+
+    Exactness: terms are 64-bit token hashes (the module's standing
+    collision-free contract); weights are integer tf × idf_milli units
+    (idf_milli = half-away-rounded ln(N/df)·1000; zero-idf terms — df
+    = N boilerplate — drop), so dots and norms are exact int64 and the
+    similarity is ONE mirrored float expression, bit-identical to the
+    oracle's.
+
+    Prefix-filter guarantee (t/2 mass bound): order every doc's terms
+    by one global total order (df asc, hash asc — rare first); emit
+    the shortest prefix whose remaining suffix has normalized mass
+    ‖suf‖ < t/2. If a pair with cos ≥ t had disjoint prefixes, every
+    shared term would lie in suffix(a) or suffix(b), so
+    dot ≤ ‖suf(a)‖·‖b‖ + ‖a‖·‖suf(b)‖ < t — contradiction; the
+    shared-prefix-term groupby therefore emits every qualifying pair.
+    Rare-first ordering pushes boilerplate (high-df, low-weight) terms
+    into suffixes, so hot terms never form candidate groups.
+
+    Topology: one df-stats pass (per-batch distinct-term partials →
+    bucketed combine → broadcast idf table; vocab-sized, the
+    tfidf_top_terms broadcast tier — the term-bucketed join is the
+    beyond-vocab-cutover path, ops/textops.py), one prefix-postings
+    pass → the standing bucketed pair emitter → pair dedup (preagg) →
+    exact verify with full weight vectors attached via two bucketed
+    joins (packed int64 blobs; _attach_sets). All wide steps move
+    prefix rows and pair keys, never documents."""
+    import ray
+
+    from .relational import broadcast_get, preagg_reduce
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sets = [np.unique(pd.util.hash_array(
+                    np.asarray(t.split(" "), dtype=object)))
+                for t in batch["text"]]
+        sets = [s for s in sets if len(s)]
+        if not sets:
+            return pd.DataFrame({"term": np.zeros(0, np.int64),
+                                 "df_n": np.zeros(0, np.int64)})
+        vals, cnts = np.unique(np.concatenate(sets), return_counts=True)
+        return pd.DataFrame({"term": vals.view(np.int64),
+                             "df_n": cnts.astype(np.int64)})
+
+    n_docs = docs.count()
+    df_tbl = preagg_reduce(
+        docs.map_batches(df_partial, batch_format="pandas"),
+        ["term"], "df_n", "sum").to_pandas()
+    dfv = df_tbl["df_n"].to_numpy(np.float64)
+    scaled = np.log(float(n_docs) / dfv) * 1000.0
+    idf = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)) \
+        .astype(np.int64)
+    keep = idf > 0
+    hs_all = df_tbl["term"].to_numpy().view(np.uint64)[keep]
+    order = np.argsort(hs_all)
+    stats = (hs_all[order], idf[keep][order],
+             df_tbl["df_n"].to_numpy(np.int64)[keep][order])
+    ref = ray.put(stats)
+
+    def _doc_weights(txt: str, H, I, D):
+        th = pd.util.hash_array(np.asarray(txt.split(" "),
+                                           dtype=object))
+        hs, tf = np.unique(th, return_counts=True)
+        if not len(H):
+            return None
+        pos = np.minimum(np.searchsorted(H, hs), len(H) - 1)
+        ok = H[pos] == hs
+        if not ok.any():
+            return None
+        hs, tf, pos = hs[ok], tf[ok], pos[ok]
+        return hs, tf.astype(np.int64) * I[pos], D[pos]
+
+    # ---- dense tier: vocab ≤ dense_cutover -------------------------------
+    # A tiny vocabulary (synthetic corpora, genre/tag vocabularies)
+    # makes term-prefix filtering degenerate — every doc shares its
+    # rare terms with a large fraction of the corpus, so the candidate
+    # set approaches all-pairs ANYWAY while paying the shuffle. The
+    # honest shape there is the blocked exact matmul over dense V-dim
+    # integer vectors (cosine_near_dup_exact's topology, ops/ann.py:370:
+    # block refs live in the object store, tasks fetch pairs of blocks
+    # peer-to-peer, the driver only concatenates qualifying PAIRS).
+    # Same explicit size-tier-with-cutover pattern as ops/graph.py.
+    if len(stats[0]) <= dense_cutover:
+        v_dim = len(stats[0])
+
+        def dense_batch(batch: pd.DataFrame) -> pd.DataFrame:
+            H, I, D = broadcast_get(ref)
+            ids, rows = [], []
+            for did, txt in zip(batch["doc_id"].to_numpy(),
+                                batch["text"]):
+                r = _doc_weights(txt, H, I, D)
+                if r is None:
+                    continue
+                hs, w, _ = r                    # hs sorted (np.unique)
+                vec = np.zeros(v_dim, dtype=np.float64)
+                vec[np.searchsorted(H, hs)] = w
+                ids.append(did)
+                rows.append(vec)
+            return pd.DataFrame(
+                {"doc_id": np.asarray(ids, dtype=np.int64),
+                 "wvec": rows if rows else np.zeros(0, dtype=object)})
+
+        packed = docs.map_batches(dense_batch, batch_format="pandas",
+                                  batch_size=block_rows)
+        blocks = packed.to_pandas_refs()   # refs only; no driver fetch
+        blk_task = ray.remote(_int_cos_block_pairs_impl)
+        futs = [blk_task.remote(blocks[i], blocks[j], i == j, threshold)
+                for i in range(len(blocks))
+                for j in range(i, len(blocks))]
+        parts = [p for p in ray.get(futs) if len(p)]
+        if not parts:
+            return rd.from_pandas(_int_cos_block_pairs_impl(
+                pd.DataFrame({"doc_id": [], "wvec": []}),
+                pd.DataFrame({"doc_id": [], "wvec": []}),
+                False, threshold))
+        out = pd.concat(parts, ignore_index=True)
+        return rd.from_pandas(
+            out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+    # ---- sparse tier: weight-mass prefix filtering -----------------------
+    half_t = (threshold / 2.0) - 1e-7   # conservative float slack
+
+    def prefix_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        H, I, D = broadcast_get(ref)
+        doc_cols, term_cols = [], []
+        for did, txt in zip(batch["doc_id"].to_numpy(), batch["text"]):
+            r = _doc_weights(txt, H, I, D)
+            if r is None:
+                continue
+            hs, w, d = r
+            n2 = float((w * w).sum())
+            o = np.lexsort((hs, d))            # df asc, hash asc
+            nw2 = (w[o].astype(np.float64) ** 2) / n2
+            sfx = np.sqrt(np.concatenate(
+                [np.cumsum(nw2[::-1])[::-1], [0.0]]))
+            p = max(int(np.argmax(sfx < half_t)), 1)
+            term_cols.append(hs[o[:p]])
+            doc_cols.append(np.full(p, did, dtype=np.int64))
+        if not doc_cols:
+            return pd.DataFrame({"doc_id": np.zeros(0, np.int64),
+                                 "term": np.zeros(0, np.int64),
+                                 "__bucket": np.zeros(0, np.int64)})
+        sh = np.concatenate(term_cols)
+        return pd.DataFrame({
+            "doc_id": np.concatenate(doc_cols),
+            "term": sh.view(np.int64),
+            "__bucket": (sh % np.uint64(n_buckets)).astype(np.int64)})
+
+    def vec_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        H, I, D = broadcast_get(ref)
+        ids, blobs = [], []
+        for did, txt in zip(batch["doc_id"].to_numpy(), batch["text"]):
+            r = _doc_weights(txt, H, I, D)
+            if r is None:
+                continue
+            hs, w, _ = r                        # hs sorted (np.unique)
+            ids.append(did)
+            blobs.append(np.concatenate([hs.view(np.int64),
+                                         w]).tobytes())
+        return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                             "hset": blobs if blobs else
+                             np.zeros(0, dtype=object)})
+
+    pref = docs.map_batches(prefix_batch, batch_format="pandas")
+    pairs = _emit_dup_pairs_bucketed(pref, ["term"])
+    uniq = preagg_reduce(pairs, ["doc_a", "doc_b"], "n_shared", "count")
+    doc_vecs = docs.map_batches(vec_batch, batch_format="pandas")
+    base = ["doc_a", "doc_b", "n_shared"]
+    with_a = _attach_sets(uniq, base, doc_vecs, "doc_a", n_buckets)
+    with_ab = _attach_sets(with_a, base + ["hset_doc_a"],
+                           doc_vecs, "doc_b", n_buckets)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        sims = np.empty(len(batch), dtype=np.float64)
+        for i, (ba, bb) in enumerate(zip(batch["hset_doc_a"],
+                                         batch["hset_doc_b"])):
+            va = np.frombuffer(ba, dtype=np.int64)
+            vb = np.frombuffer(bb, dtype=np.int64)
+            m, k = len(va) // 2, len(vb) // 2
+            ha, wa = va[:m].view(np.uint64), va[m:]
+            hb, wb = vb[:k].view(np.uint64), vb[k:]
+            _, ia, ib = np.intersect1d(ha, hb, assume_unique=True,
+                                       return_indices=True)
+            dot = float((wa[ia] * wb[ib]).sum())
+            na2 = float((wa * wa).sum())
+            nb2 = float((wb * wb).sum())
+            sims[i] = (dot / (np.sqrt(na2) * np.sqrt(nb2))
+                       if na2 > 0 and nb2 > 0 else 0.0)
+        out = batch[["doc_a", "doc_b"]].copy()
+        out["cos_sim"] = sims
+        return out[out["cos_sim"] >= threshold]
+
+    return with_ab.map_batches(verify, batch_format="pandas")

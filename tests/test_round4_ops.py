@@ -151,3 +151,77 @@ def test_blocked_levenshtein_block_cap_fails_loudly():
     with pytest.raises(ValueError, match="max_block_rows"):
         blocked_levenshtein_pairs(rd.from_pandas(df), "blk", "name",
                                   "key", max_block_rows=3).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# tfidf_cosine_pairs: exact APSS tier equality + brute-force oracle
+# ---------------------------------------------------------------------------
+
+def _tfidf_brute(texts, threshold):
+    """Driver-side exact tf·idf_milli cosine — the test oracle."""
+    import math
+    n = len(texts)
+    tfs = []
+    df = {}
+    for t in texts:
+        cnt = {}
+        for tok in t.split(" "):
+            cnt[tok] = cnt.get(tok, 0) + 1
+        tfs.append(cnt)
+        for tok in cnt:
+            df[tok] = df.get(tok, 0) + 1
+    idf = {t: int(np.sign(s) * np.floor(abs(s) + 0.5))
+           for t, d in df.items()
+           for s in [math.log(n / d) * 1000.0]}
+    ws = [{t: c * idf[t] for t, c in tf.items() if idf[t] > 0}
+          for tf in tfs]
+    out = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            dot = sum(w * ws[b][t] for t, w in ws[a].items()
+                      if t in ws[b])
+            na = math.sqrt(sum(w * w for w in ws[a].values()))
+            nb = math.sqrt(sum(w * w for w in ws[b].values()))
+            if na > 0 and nb > 0 and dot / (na * nb) >= threshold:
+                out.append((a, b, dot / (na * nb)))
+    return sorted(out)
+
+
+def _tfidf_texts():
+    # vocab of ~260 distinct tokens, planted near-dup pairs
+    rng = np.random.default_rng(7)
+    base = [" ".join(f"w{rng.integers(0, 250)}" for _ in range(30))
+            for _ in range(40)]
+    near = [t.rsplit(" ", 1)[0] + " w999" for t in base[:6]]  # ~0.97 sim
+    return base + near + ["odd one out entirely", "zz yy xx"]
+
+
+@pytest.mark.parametrize("forced_tier", ["dense", "sparse"])
+def test_tfidf_cosine_pairs_tiers_match_bruteforce(forced_tier):
+    from no_fasel_scrapers_ray.ops.dedup import tfidf_cosine_pairs
+    texts = _tfidf_texts()
+    cut = 100_000 if forced_tier == "dense" else 0
+    got = (tfidf_cosine_pairs(_docs(texts), threshold=0.9,
+                              dense_cutover=cut, block_rows=16)
+           .to_pandas().sort_values(["doc_a", "doc_b"],
+                                    ignore_index=True))
+    want = _tfidf_brute(texts, 0.9)
+    assert [(a, b) for a, b, _ in want] == \
+        list(zip(got["doc_a"], got["doc_b"]))
+    # similarities bit-identical to the float-mirrored expression
+    assert np.array_equal(got["cos_sim"].to_numpy(),
+                          np.array([s for _, _, s in want]))
+
+
+def test_tfidf_cosine_pairs_dense_overflow_guard():
+    from no_fasel_scrapers_ray.ops.dedup import tfidf_cosine_pairs
+    # two docs sharing one astronomically repeated token would push
+    # norm² past 2^53 — the dense tier must fail loudly, not silently
+    # lose integer exactness
+    t = " ".join(["tok"] * 200_000) + " " + " ".join(
+        f"u{i}" for i in range(5))
+    texts = [t, t + " extra", "small doc here", "another small doc"]
+    # idf of 'tok' is 0 only if df==n; here df=2 of 4 so it keeps weight
+    with pytest.raises(ValueError, match="integer-exactness"):
+        tfidf_cosine_pairs(_docs(texts), threshold=0.9,
+                           dense_cutover=100_000).to_pandas()
