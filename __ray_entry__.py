@@ -2327,12 +2327,15 @@ def q_pack_token_windows(sf_dir: str):
     return offs.map_batches(windows, batch_format="pandas")
 
 
-def _fulfillment_edges(sf_dir: str):
+def _fulfillment_edges(sf_dir: str, qty_eq: int | None = None):
     """Distinct (customer, supplier) fulfillment pairs — shared by the
-    walk and k-core queries. Same packed-int64 np.unique dedup as the
-    part co-occurrence builder (custkey/suppkey < 2^31 asserted): the
-    orders⋈lineitem join streams through one per-batch unique + one
-    key-bucket unique pass instead of a two-column pandas groupby."""
+    walk, k-core and BFS queries. Same packed-int64 np.unique dedup as
+    the part co-occurrence builder (custkey/suppkey < 2^31 asserted):
+    the orders⋈lineitem join streams through one per-batch unique + one
+    key-bucket unique pass instead of a two-column pandas groupby.
+    ``qty_eq`` keeps only lines with that rounded quantity (the BFS
+    query's sparse subgraph) — filtered per batch BEFORE the join, so
+    the shuffle moves only the ~2% of lines that survive."""
     import pyarrow as pa
     import pandas as pd
     from no_fasel_scrapers_ray.ops.relational import bucketed_join
@@ -2340,12 +2343,20 @@ def _fulfillment_edges(sf_dir: str):
     B = 64
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
                    rows_per_block=65536)
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"],
-               rows_per_block=65536).map_batches(
-        lambda b: pd.DataFrame({
+    li_cols = ["l_orderkey", "l_suppkey"] + (
+        ["l_quantity"] if qty_eq is not None else [])
+
+    def li_batch(b: "pd.DataFrame") -> "pd.DataFrame":
+        if qty_eq is not None:
+            q = np.round(b["l_quantity"].to_numpy(np.float64))
+            b = b[q.astype(np.int64) == qty_eq]
+        return pd.DataFrame({
             "o_orderkey": b["l_orderkey"].to_numpy(),
-            "l_suppkey": b["l_suppkey"].to_numpy()}),
-        batch_format="pandas")
+            "l_suppkey": b["l_suppkey"].to_numpy()})
+
+    li = _read(sf_dir, "lineitem", li_cols,
+               rows_per_block=65536).map_batches(
+        li_batch, batch_format="pandas")
     j = bucketed_join(li, orders, on="o_orderkey", how="inner")
 
     def pack(b: pd.DataFrame) -> pa.Table:
@@ -3115,6 +3126,36 @@ def q_ewma_user_spend(sf_dir: str):
 
     return tagged.groupby("__bucket").map_groups(
         per_bucket, batch_format="pandas")
+
+
+def q_bfs_fulfillment(sf_dir: str, tier3: bool = False):
+    """Multi-source BFS hop distance (§ graph operators; the batch
+    analogue of the reference's crawl frontier expansion,
+    FaselMoviesScraper.py's listing→title→episode walk): minimum hops
+    from nation-0 customers to every node of the SPARSE fulfillment
+    graph (only quantity-1 lines — the full bipartite graph is so
+    dense everything sits ≤ 2 hops; the sparse subgraph populates all
+    5 levels at every sf). Suppliers offset by 2^40 (the pagerank
+    packing contract). Seeds are a query parameter (node-sized driver
+    state, like the tier-2 broadcast-rank contract); the traversal is
+    `ops/graph.py::bfs_hops` — driver CSR under the cutover, the CC
+    BSP kernel with dist+1 offers beyond. Oracle: DuckDB recursive CTE
+    with min-hop aggregation."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.graph import bfs_hops
+    OFF = np.int64(1) << np.int64(40)
+    edges = _fulfillment_edges(sf_dir, qty_eq=1).map_batches(
+        lambda b: pd.DataFrame({
+            "c": b["c"].to_numpy(np.int64),
+            "s": b["s"].to_numpy(np.int64) + OFF}),
+        batch_format="pandas")
+    seeds = (_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+             .map_batches(
+                 lambda b: b[b["c_nationkey"].to_numpy() == 0]
+                 [["c_custkey"]], batch_format="pandas")
+             .to_pandas()["c_custkey"].to_numpy(np.int64))
+    kw = dict(small_threshold=0, n_buckets=8) if tier3 else {}
+    return bfs_hops(edges, "c", "s", seeds, max_hops=4, **kw)
 
 
 def q_tfidf_cosine_pairs(sf_dir: str):
@@ -4106,6 +4147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pairs": q_copurchase_pairs,
         "ewma_user_spend": q_ewma_user_spend,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "bfs_fulfillment": q_bfs_fulfillment,
+        "bfs_tier3": partial(q_bfs_fulfillment, tier3=True),
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -4122,6 +4165,7 @@ def oracle_sql() -> dict[str, str]:
     # distributed graph paths — identical oracles by construction
     d["triangle_parts_tier3"] = d["triangle_parts"]
     d["pagerank_tier3"] = d["pagerank_cust_supp"]
+    d["bfs_tier3"] = d["bfs_fulfillment"]
     d["dedup_clusters_tier3"] = d["dedup_clusters"]
     return d
 
@@ -4163,6 +4207,25 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        "bfs_fulfillment": """
+            -- min-hop BFS from nation-0 customers over the sparse
+            -- (quantity-1) fulfillment graph, suppliers offset 2^40
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT o_custkey AS u,
+                       1099511627776 + l_suppkey AS v
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                WHERE CAST(ROUND(l_quantity) AS BIGINT) = 1),
+            ee AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+            bfs AS (
+                SELECT c_custkey AS node_id, 0 AS hops FROM customer
+                WHERE c_nationkey = 0
+                UNION
+                SELECT ee.v, bfs.hops + 1
+                FROM bfs JOIN ee ON ee.u = bfs.node_id
+                WHERE bfs.hops < 4)
+            SELECT node_id, CAST(MIN(hops) AS BIGINT) AS hops
+            FROM bfs GROUP BY node_id
         """,
         "tfidf_cosine_pairs": """
             -- exact APSS: integer tf*idf_milli weights, int64 dots and

@@ -85,13 +85,14 @@ BENCH_QUERIES = [
     "knn_pq",
     "shipping_priority", "revenue_delta", "funnel_conversion",
     "copurchase_pairs", "ewma_user_spend", "tfidf_cosine_pairs",
+    "bfs_fulfillment",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the
 # driver peak-RSS delta across them isolates any driver-memory blowup
 # in the 100-TB tier (VERDICT r03 #6). Same oracles as their twins.
 TIER3_QUERIES = ["pagerank_tier3", "dedup_clusters_tier3",
-                 "triangle_parts_tier3"]
+                 "triangle_parts_tier3", "bfs_tier3"]
 
 
 def _corpus_cache_dir(scale: str) -> str:

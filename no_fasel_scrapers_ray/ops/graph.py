@@ -1228,3 +1228,183 @@ def deterministic_walks(adjs: list[rd.Dataset],
                 lambda b, keep=tuple(keep): b[list(keep)],
                 batch_format="pandas")
     return state
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance — minimum number of edges from a seed
+# set to every reachable node, capped at max_hops. The graph analogue
+# of the reference's frontier expansion (the crawl BFS over listing →
+# title → episode links, FaselMoviesScraper.py's page walk), expressed
+# as min-propagation over the SAME BSP kernel as connected_components:
+# dist(v) = min(dist(v), min_{u∈N(v)} dist(u) + 1) is Bellman-Ford
+# with unit weights, and level-synchronous rounds finalize every
+# distance ≤ k after k rounds — so capping the loop at max_hops is
+# exact for the reported window, not an approximation.
+# ---------------------------------------------------------------------------
+
+_BFS_INF = np.int64(1) << 60   # +1 per round stays far from int64 max
+
+
+def _bfs_offers(eb, lab, n_buckets: int):
+    """One node-bucket's offer pass: each node offers dist+1 to its
+    neighbors (static edges only — pointer doubling would jump labels
+    across multi-hop paths and is WRONG for hop counts), pre-combined
+    to the min per neighbor, split by the neighbor's bucket."""
+    node_e, nbr_e = eb
+    nodes, labels = lab
+    if len(node_e) == 0:
+        z = np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+        return tuple(z for _ in range(n_buckets))
+    off = labels[np.searchsorted(nodes, node_e)] + 1
+    u, inv = np.unique(nbr_e, return_inverse=True)
+    m = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(m, inv, off)
+    return tuple(_pr_split_arrays([u, m], u, n_buckets))
+
+
+def _bfs_out_table(lab, max_hops: int) -> pa.Table:
+    nodes, labels = lab
+    m = labels <= max_hops
+    return pa.table({"node_id": nodes[m], "hops": labels[m]})
+
+
+def _driver_bfs(a: np.ndarray, b: np.ndarray, seeds: np.ndarray,
+                max_hops: int):
+    """Vectorized level-synchronous BFS on the driver (small tier):
+    CSR adjacency via one sort, per-level neighbor gather with
+    repeat/cumsum range expansion — no Python per-node loop."""
+    ids = np.unique(np.concatenate([a, b, seeds]))
+    src = np.searchsorted(ids, np.concatenate([a, b]))
+    dst = np.searchsorted(ids, np.concatenate([b, a]))
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    indptr = np.searchsorted(src, np.arange(len(ids) + 1))
+    dist = np.full(len(ids), -1, dtype=np.int64)
+    frontier = np.unique(np.searchsorted(ids, seeds))
+    dist[frontier] = 0
+    for d in range(max_hops):
+        if not len(frontier):
+            break
+        cnt = indptr[frontier + 1] - indptr[frontier]
+        tot = int(cnt.sum())
+        if not tot:
+            break
+        # flat indices of every frontier node's adjacency slice
+        idx = np.repeat(indptr[frontier], cnt) + (
+            np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        nbrs = np.unique(dst[idx])
+        new = nbrs[dist[nbrs] < 0]
+        dist[new] = d + 1
+        frontier = new
+    m = dist >= 0
+    return ids[m], dist[m]
+
+
+def bfs_hops(pairs: rd.Dataset, col_a: str, col_b: str,
+             seeds: np.ndarray, max_hops: int = 4,
+             n_buckets: int = 64,
+             small_threshold: int = 1 << 18) -> rd.Dataset:
+    """(node_id, hops) for every node within ``max_hops`` edges of the
+    seed set over the undirected pair graph; seeds themselves report
+    hops 0 even when isolated. Two tiers with the standing explicit
+    cutover: ≤ small_threshold edge rows pull to one driver CSR BFS;
+    beyond, the connected_components BSP kernel with dist+1 offers —
+    edges hash-split by node ONCE into per-bucket plasma arrays, only
+    node-sized (neighbor, offer) arrays move per round, and the loop
+    runs ≤ max_hops rounds with the monotone dist-sum stall as the
+    early exit."""
+    import ray
+
+    from .relational import broadcast_get
+
+    seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+    seed_ref = ray.put(seeds)
+
+    def mirror(b: pa.Table) -> pa.Table:
+        a = b[col_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b[col_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": np.concatenate([a, c]),
+                         "nbr": np.concatenate([c, a])})
+
+    edges = pairs.map_batches(mirror, batch_format="pyarrow").materialize()
+    n_edge_rows = edges.count()
+
+    if n_edge_rows <= small_threshold:
+        e = edges.to_pandas()
+        ids, dist = _driver_bfs(
+            e["node"].to_numpy(np.int64) if len(e) else
+            np.zeros(0, np.int64),
+            e["nbr"].to_numpy(np.int64) if len(e) else
+            np.zeros(0, np.int64), seeds, max_hops)
+        return rd.from_arrow(pa.table({"node_id": ids, "hops": dist}))
+
+    target_blocks = int(max(1, min(64, n_edge_rows // 65536 + 1)))
+    if edges.num_blocks() > 2 * target_blocks:
+        edges = edges.repartition(target_blocks).materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        # broadcast_get captured from driver scope — a relative import
+        # INSIDE the UDF dies with ModuleNotFoundError on workers that
+        # never imported the package (the worker-import trap)
+        sd = broadcast_get(seed_ref)
+        n = np.unique(b["node"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        pos = np.minimum(np.searchsorted(sd, n), len(sd) - 1) \
+            if len(sd) else np.zeros(len(n), np.int64)
+        is_seed = (sd[pos] == n) if len(sd) else np.zeros(len(n), bool)
+        return pa.table({
+            "node": n,
+            "label": np.where(is_seed, np.int64(0), _BFS_INF)})
+
+    # all-Arrow blocks: _pr_split_block takes pa.Table refs verbatim
+    labels = edges.map_batches(init_labels,
+                               batch_format="pyarrow").union(
+        rd.from_arrow(pa.table({
+            "node": seeds,
+            "label": np.zeros(len(seeds), np.int64)})))
+    labels = labels.materialize()
+    n_nodes = edges.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].unique()}),
+        batch_format="pandas").count()
+    n_buckets = int(min(n_buckets, max(2, n_nodes // 4096)))
+
+    split_r = ray.remote(_pr_split_block)
+    prep_e = ray.remote(_cc_prep_edges)
+    prep_l = ray.remote(_cc_prep_labels)
+    off_r = ray.remote(_bfs_offers)
+    red_r = ray.remote(_cc_reduce)
+    out_tbl_r = ray.remote(_bfs_out_table)
+
+    def _bucketize(ds: rd.Dataset, cols: list[str]):
+        per_block = [
+            split_r.options(num_returns=n_buckets).remote(
+                ref, cols, n_buckets)
+            for ref in ds.to_arrow_refs()]
+        if n_buckets == 1:
+            per_block = [[r] for r in per_block]
+        return [[blk[k] for blk in per_block] for k in range(n_buckets)]
+
+    edges_k = [prep_e.remote(*f)
+               for f in _bucketize(edges, ["node", "nbr"])]
+    lab_k = [prep_l.remote(*f)
+             for f in _bucketize(labels, ["node", "label"])]
+
+    # Seeds that are NOT graph nodes never enter edges_k's universes —
+    # they ride through in lab_k (the union above) and surface at 0.
+    prev_sum = None
+    for _ in range(max_hops):
+        oparts = [off_r.options(num_returns=n_buckets).remote(
+            edges_k[k], lab_k[k], n_buckets) for k in range(n_buckets)]
+        if n_buckets == 1:
+            oparts = [[o] for o in oparts]
+        outs = [red_r.options(num_returns=2).remote(
+            lab_k[j], *[oparts[k][j] for k in range(n_buckets)])
+            for j in range(n_buckets)]
+        lab_k = [o[0] for o in outs]
+        cur_sum = int(sum(ray.get([o[1] for o in outs])))
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return rd.from_arrow_refs(
+        [out_tbl_r.remote(l, max_hops) for l in lab_k])

@@ -225,3 +225,42 @@ def test_tfidf_cosine_pairs_dense_overflow_guard():
     with pytest.raises(ValueError, match="integer-exactness"):
         tfidf_cosine_pairs(_docs(texts), threshold=0.9,
                            dense_cutover=100_000).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops: multi-source min-hop distance, both tiers
+# ---------------------------------------------------------------------------
+
+def _bfs_edges(pairs):
+    return rd.from_pandas(pd.DataFrame(
+        {"a": np.array([p[0] for p in pairs], dtype=np.int64),
+         "b": np.array([p[1] for p in pairs], dtype=np.int64)}
+    )).repartition(2)
+
+
+# path 0-1-2-3-4-5, branch 2-10, isolated component 20-21
+_BFS_PAIRS = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (2, 10), (20, 21)]
+
+
+@pytest.mark.parametrize("forced_tier", ["driver", "bsp"])
+def test_bfs_hops_levels_and_cap(forced_tier):
+    from no_fasel_scrapers_ray.ops.graph import bfs_hops
+    kw = {} if forced_tier == "driver" else \
+        {"small_threshold": 0, "n_buckets": 4}
+    out = bfs_hops(_bfs_edges(_BFS_PAIRS), "a", "b",
+                   np.array([0]), max_hops=3, **kw).to_pandas()
+    got = dict(zip(out["node_id"], out["hops"]))
+    # nodes 4,5 are 4 and 5 hops away — beyond the cap; 20/21 unreachable
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 10: 3}
+
+
+@pytest.mark.parametrize("forced_tier", ["driver", "bsp"])
+def test_bfs_hops_multi_source_and_isolated_seed(forced_tier):
+    from no_fasel_scrapers_ray.ops.graph import bfs_hops
+    kw = {} if forced_tier == "driver" else \
+        {"small_threshold": 0, "n_buckets": 4}
+    # seed 5 (far end) + seed 99 (not in the graph at all)
+    out = bfs_hops(_bfs_edges(_BFS_PAIRS), "a", "b",
+                   np.array([0, 5, 99]), max_hops=2, **kw).to_pandas()
+    got = dict(zip(out["node_id"], out["hops"]))
+    assert got == {0: 0, 5: 0, 99: 0, 1: 1, 4: 1, 2: 2, 3: 2}
