@@ -3128,6 +3128,17 @@ def q_ewma_user_spend(sf_dir: str):
         per_bucket, batch_format="pandas")
 
 
+def q_dedup_containment(sf_dir: str):
+    """Directed n-gram containment near-dup pairs (§ dedup): ordered
+    (contained, container) doc pairs with |S(A)∩S(B)|/|S(A)| ≥ 0.8 —
+    the doc-inside-doc family Jaccard misses when the container is
+    much larger (ops/dedup.py::ngram_containment_pairs; rarest-prefix
+    candidate filter, full SQL cross-join oracle)."""
+    from no_fasel_scrapers_ray.ops.dedup import ngram_containment_pairs
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_containment_pairs(docs, shingle=3, threshold=0.8)
+
+
 def q_bfs_fulfillment(sf_dir: str, tier3: bool = False):
     """Multi-source BFS hop distance (§ graph operators; the batch
     analogue of the reference's crawl frontier expansion,
@@ -4148,6 +4159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_user_spend": q_ewma_user_spend,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "bfs_fulfillment": q_bfs_fulfillment,
+        "dedup_containment": q_dedup_containment,
         "bfs_tier3": partial(q_bfs_fulfillment, tier3=True),
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
@@ -4207,6 +4219,25 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        "dedup_containment": """
+            -- directed containment: |S(A)∩S(B)| / |S(A)| over the
+            -- same distinct 3-shingle sets as the Jaccard oracle
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            sh AS (SELECT doc_id,
+                    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                         ELSE list_distinct(list_transform(
+                                generate_series(1, len(t) - 2),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    END AS s
+                   FROM toks),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         len(list_intersect(a.s, b.s)) AS i,
+                         len(a.s) AS la
+                  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+            SELECT doc_a, doc_b, round(i / la, 6) AS containment
+            FROM p WHERE round(i / la, 6) >= 0.8
         """,
         "bfs_fulfillment": """
             -- min-hop BFS from nation-0 customers over the sparse

@@ -397,6 +397,40 @@ def ngram_jaccard_cross(docs: rd.Dataset, side_col: str,
                            jaccard_threshold, n_buckets)
 
 
+def _hot_shingle_array(docs: rd.Dataset, shingle: int,
+                       hot_df_threshold: int | None,
+                       hot_k: int) -> np.ndarray:
+    """Sorted uint64 array of boilerplate shingles (approximate df ≥
+    threshold, Misra-Gries-style per-batch top-k lower bounds) — the
+    hot-shingle guard shared by the Jaccard and containment prefix
+    filters. Detection is approximate; callers only use it to ORDER
+    shingles (rare-first), so correctness never depends on it."""
+    if hot_df_threshold is None:
+        return np.empty(0, dtype=np.uint64)
+
+    def hot_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sets = [_token_hashes(t, shingle) for t in batch["text"]]
+        sets = [s for s in sets if len(s)]
+        if not sets:
+            return pd.DataFrame(
+                {"shingle": np.zeros(0, np.int64),
+                 "n": np.zeros(0, np.int64)})
+        vals, cnts = np.unique(np.concatenate(sets),
+                               return_counts=True)
+        k = min(hot_k, len(vals))
+        top = np.argpartition(cnts, -k)[-k:]
+        return pd.DataFrame({"shingle": vals[top].view(np.int64),
+                             "n": cnts[top].astype(np.int64)})
+
+    parts = docs.map_batches(hot_partial,
+                             batch_format="pandas").to_pandas()
+    if not len(parts):
+        return np.empty(0, dtype=np.uint64)
+    tot = parts.groupby("shingle")["n"].sum()
+    return np.sort(tot[tot >= hot_df_threshold]
+                   .index.to_numpy(dtype=np.int64).view(np.uint64))
+
+
 def ngram_jaccard_pairs(docs: rd.Dataset, shingle: int = 3,
                         jaccard_threshold: float = 0.5,
                         n_buckets: int = 32,
@@ -434,30 +468,8 @@ def ngram_jaccard_pairs(docs: rd.Dataset, shingle: int = 3,
         return cached_instance(("tokenset", shingle),
                                lambda: TokenSetter(shingle))(batch)
 
-    hot_arr = np.empty(0, dtype=np.uint64)
-    if hot_df_threshold is not None:
-        def hot_partial(batch: pd.DataFrame) -> pd.DataFrame:
-            sets = [_token_hashes(t, shingle) for t in batch["text"]]
-            sets = [s for s in sets if len(s)]
-            if not sets:
-                return pd.DataFrame(
-                    {"shingle": np.zeros(0, np.int64),
-                     "n": np.zeros(0, np.int64)})
-            vals, cnts = np.unique(np.concatenate(sets),
-                                   return_counts=True)
-            k = min(hot_k, len(vals))
-            top = np.argpartition(cnts, -k)[-k:]
-            return pd.DataFrame({"shingle": vals[top].view(np.int64),
-                                 "n": cnts[top].astype(np.int64)})
-
-        parts = docs.map_batches(hot_partial,
-                                 batch_format="pandas").to_pandas()
-        if len(parts):
-            tot = parts.groupby("shingle")["n"].sum()
-            hot_arr = np.sort(tot[tot >= hot_df_threshold]
-                              .index.to_numpy(dtype=np.int64)
-                              .view(np.uint64))
-    hot_ref = ray.put(hot_arr)
+    hot_ref = ray.put(_hot_shingle_array(docs, shingle,
+                                         hot_df_threshold, hot_k))
 
     def prefix_batch(batch: pd.DataFrame) -> pd.DataFrame:
         hotset = broadcast_get(hot_ref)
@@ -1207,5 +1219,144 @@ def tfidf_cosine_pairs(docs: rd.Dataset, threshold: float = 0.9,
         out = batch[["doc_a", "doc_b"]].copy()
         out["cos_sim"] = sims
         return out[out["cos_sim"] >= threshold]
+
+    return with_ab.map_batches(verify, batch_format="pandas")
+
+
+_EMPTY_DIRECTED = pd.DataFrame(
+    {"doc_a": pd.Series([], dtype=np.int64),
+     "doc_b": pd.Series([], dtype=np.int64)})
+
+
+def _emit_directed_pairs_bucketed(ds: rd.Dataset) -> rd.Dataset:
+    """Directed candidate pairs (a from the prefix side, b from the
+    full-postings side) for rows sharing a shingle, shuffled by the
+    pre-computed ``__bucket``. Same collide-groups-only walk as
+    `_emit_dup_pairs_bucketed`, but sides cross instead of triangling:
+    the pair (a, b) means "a's prefix met b's postings" — direction
+    matters because containment is asymmetric."""
+
+    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated(["shingle"], keep=False)]
+        if dup.empty:
+            return _EMPTY_DIRECTED
+        dup = dup.sort_values(["shingle", "__side", "doc_id"])
+        sh = dup["shingle"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate([[True], np.diff(sh) != 0]))
+        bounds = np.append(starts, len(dup))
+        ids = dup["doc_id"].to_numpy()
+        sides = dup["__side"].to_numpy()
+        outs_a, outs_b = [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            cut = lo + int(np.searchsorted(sides[lo:hi], 1))
+            a = np.unique(ids[lo:cut])       # side 0: prefixes
+            b = np.unique(ids[cut:hi])       # side 1: full postings
+            if not len(a) or not len(b):
+                continue
+            ia = np.repeat(a, len(b))
+            ib = np.tile(b, len(a))
+            keep = ia != ib
+            outs_a.append(ia[keep])
+            outs_b.append(ib[keep])
+        if not outs_a:
+            return _EMPTY_DIRECTED
+        return pd.DataFrame({"doc_a": np.concatenate(outs_a),
+                             "doc_b": np.concatenate(outs_b)})
+
+    return ds.groupby("__bucket").map_groups(
+        emit_bucket, batch_format="pandas")
+
+
+def ngram_containment_pairs(docs: rd.Dataset, shingle: int = 3,
+                            threshold: float = 0.8,
+                            n_buckets: int = 32,
+                            hot_df_threshold: int | None = 1024,
+                            hot_k: int = 128) -> rd.Dataset:
+    """EXACT directed n-gram containment pairs: every ordered (doc_a,
+    doc_b) with C(A,B) = |S(A)∩S(B)| / |S(A)| ≥ t — the asymmetric
+    near-dup family (doc-inside-doc: quotes, mirrors with boilerplate,
+    truncated copies) that Jaccard misses when |B| ≫ |A|. Engine
+    addition (the reference dedups only on exact content ids,
+    FaselMoviesScraper.py:28).
+
+    Completeness: C(A,B) ≥ t ⇒ |S(A)∩S(B)| ≥ ⌈t·|S(A)|⌉, so A can
+    miss B on at most |S(A)| − ⌈t·|S(A)|⌉ of its shingles — ANY subset
+    of size |S(A)| − ⌈t·|S(A)|⌉ + 1 of S(A) must then hit S(B). Unlike
+    the Jaccard filter no shared global order is required (only one
+    side is prefixed), so A's prefix is simply its RAREST shingles
+    (hot-set reorder), minimizing candidate fan-out. The B side posts
+    its FULL shingle set — the asymmetric price: B has no overlap
+    bound of its own, so a B-side prefix would lose pairs.
+
+    Topology: one prefix/postings emission pass (both sides in ONE
+    stream, flagged __side) → bucketed directed pair emit → pair dedup
+    (preagg) → exact verification with both full sets attached via the
+    standing bucketed joins; containment is rounded to 6 decimals
+    BEFORE the threshold (the SQL oracle mirrors this). Wide steps
+    move shingle rows and pair keys, never documents."""
+    import ray
+
+    from .relational import broadcast_get, preagg_reduce
+
+    def tokenset_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return cached_instance(("tokenset", shingle),
+                               lambda: TokenSetter(shingle))(batch)
+
+    hot_ref = ray.put(_hot_shingle_array(docs, shingle,
+                                         hot_df_threshold, hot_k))
+
+    def emit_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        hotset = broadcast_get(hot_ref)
+        sets = [_token_hashes(txt, shingle) for txt in batch["text"]]
+        sets = [s if len(s) else np.zeros(1, np.uint64) for s in sets]
+        if len(hotset):
+            flat = np.concatenate(sets)
+            pos = np.searchsorted(hotset, flat)
+            pos[pos >= len(hotset)] = len(hotset) - 1
+            hot_flat = hotset[pos] == flat
+            offs = np.concatenate(
+                [[0], np.cumsum([len(s) for s in sets])])
+        doc_cols, sh_cols, side_cols = [], [], []
+        for i, (d, s) in enumerate(zip(batch["doc_id"].to_numpy(),
+                                       sets)):
+            pref = s
+            if len(hotset):
+                ih = hot_flat[offs[i]:offs[i + 1]]
+                if ih.any():
+                    pref = np.concatenate([s[~ih], s[ih]])  # rare 1st
+            p = max(len(s) - int(np.ceil(threshold * len(s))) + 1, 1)
+            doc_cols.append(np.full(p + len(s), d, dtype=np.int64))
+            sh_cols.append(np.concatenate([pref[:p], s]))
+            side_cols.append(np.concatenate(
+                [np.zeros(p, np.int8), np.ones(len(s), np.int8)]))
+        sh = np.concatenate(sh_cols)
+        return pd.DataFrame({
+            "doc_id": np.concatenate(doc_cols),
+            "shingle": sh.view(np.int64),
+            "__side": np.concatenate(side_cols),
+            "__bucket": (sh % np.uint64(64)).astype(np.int64),
+        })
+
+    rows = docs.map_batches(emit_batch, batch_format="pandas")
+    pairs = _emit_directed_pairs_bucketed(rows)
+    uniq = preagg_reduce(pairs, ["doc_a", "doc_b"], "n_shared", "count")
+    base = ["doc_a", "doc_b", "n_shared"]
+    doc_sets = docs.map_batches(tokenset_batch, batch_format="pandas")
+    with_a = _attach_sets(uniq, base, doc_sets, "doc_a", n_buckets)
+    with_ab = _attach_sets(with_a, base + ["hset_doc_a"],
+                           doc_sets, "doc_b", n_buckets)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        c = np.empty(len(batch), dtype=np.float64)
+        for i, (ba, bb) in enumerate(zip(batch["hset_doc_a"],
+                                         batch["hset_doc_b"])):
+            sa = np.frombuffer(ba, dtype=np.uint64)
+            sb = np.frombuffer(bb, dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True)
+            c[i] = np.round(len(inter) / len(sa), 6) if len(sa) else 0.0
+        out = batch[["doc_a", "doc_b"]].copy()
+        out["containment"] = c
+        return out[out["containment"] >= threshold]
 
     return with_ab.map_batches(verify, batch_format="pandas")

@@ -264,3 +264,35 @@ def test_bfs_hops_multi_source_and_isolated_seed(forced_tier):
                    np.array([0, 5, 99]), max_hops=2, **kw).to_pandas()
     got = dict(zip(out["node_id"], out["hops"]))
     assert got == {0: 0, 5: 0, 99: 0, 1: 1, 4: 1, 2: 2, 3: 2}
+
+
+# ---------------------------------------------------------------------------
+# ngram_containment_pairs: asymmetric doc-inside-doc near-dup
+# ---------------------------------------------------------------------------
+
+def test_containment_planted_doc_inside_doc():
+    from no_fasel_scrapers_ray.ops.dedup import ngram_containment_pairs
+    inner = " ".join(f"c{i}" for i in range(12))
+    texts = [
+        inner,                                             # doc 0: contained
+        "pre1 pre2 " + inner + " post1 post2 post3",       # doc 1: container
+        " ".join(f"z{i}" for i in range(20)),              # doc 2: unrelated
+    ]
+    out = (ngram_containment_pairs(_docs(texts), shingle=3,
+                                   threshold=0.8).to_pandas()
+           .sort_values(["doc_a", "doc_b"], ignore_index=True))
+    got = list(zip(out["doc_a"], out["doc_b"]))
+    # 0→1 qualifies (all of 0's shingles appear in 1); 1→0 does NOT
+    # (1 has extra shingles) — direction matters
+    assert got == [(0, 1)]
+    assert float(out["containment"].iloc[0]) == 1.0
+
+
+def test_containment_threshold_and_symmetry_of_equals():
+    from no_fasel_scrapers_ray.ops.dedup import ngram_containment_pairs
+    t = " ".join(f"e{i}" for i in range(10))
+    out = (ngram_containment_pairs(_docs([t, t]), shingle=3,
+                                   threshold=0.8).to_pandas()
+           .sort_values(["doc_a", "doc_b"], ignore_index=True))
+    # identical docs contain each other — BOTH directions emitted
+    assert list(zip(out["doc_a"], out["doc_b"])) == [(0, 1), (1, 0)]
