@@ -3128,6 +3128,18 @@ def q_ewma_user_spend(sf_dir: str):
         per_bucket, batch_format="pandas")
 
 
+def q_knn_mutual(sf_dir: str):
+    """Exact mutual-kNN graph (§ similarity search): canonical
+    (vec_a < vec_b) edges where each endpoint is in the other's exact
+    cosine top-5 — the SemDeDup-style semantic-pruning primitive
+    (ops/ann.py::knn_graph_mutual; blocked partial top-k in the object
+    store, distributive combine, count-2 mutual filter; block_rows
+    512 so every sf exercises the cross-block combine)."""
+    from no_fasel_scrapers_ray.ops.ann import knn_graph_mutual
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_graph_mutual(emb, k=5, block_rows=512)
+
+
 def q_dedup_containment(sf_dir: str):
     """Directed n-gram containment near-dup pairs (§ dedup): ordered
     (contained, container) doc pairs with |S(A)∩S(B)|/|S(A)| ≥ 0.8 —
@@ -4160,6 +4172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "bfs_fulfillment": q_bfs_fulfillment,
         "dedup_containment": q_dedup_containment,
+        "knn_mutual": q_knn_mutual,
         "bfs_tier3": partial(q_bfs_fulfillment, tier3=True),
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
@@ -4219,6 +4232,24 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        "knn_mutual": """
+            -- mutual top-5: round-4 cosine, neighbor-id tiebreak
+            -- (the knn_bruteforce ranking contract)
+            WITH sims AS (
+                SELECT a.vec_id AS va, b.vec_id AS vb,
+                       round(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])), 4) AS c
+                FROM embeddings a JOIN embeddings b
+                     ON a.vec_id <> b.vec_id),
+            ranked AS (SELECT *, row_number() OVER (
+                           PARTITION BY va ORDER BY c DESC, vb) AS rk
+                       FROM sims),
+            top AS (SELECT va, vb, c FROM ranked WHERE rk <= 5)
+            SELECT t1.va AS vec_a, t1.vb AS vec_b, t1.c AS cosine
+            FROM top t1 JOIN top t2 ON t1.va = t2.vb AND t1.vb = t2.va
+            WHERE t1.va < t1.vb
         """,
         "dedup_containment": """
             -- directed containment: |S(A)∩S(B)| / |S(A)| over the

@@ -85,7 +85,7 @@ BENCH_QUERIES = [
     "knn_pq",
     "shipping_priority", "revenue_delta", "funnel_conversion",
     "copurchase_pairs", "ewma_user_spend", "tfidf_cosine_pairs",
-    "bfs_fulfillment", "dedup_containment",
+    "bfs_fulfillment", "dedup_containment", "knn_mutual",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the

@@ -686,3 +686,105 @@ def knn_pq(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
                               ascending=[True, False, True])
     return (exact.groupby("query_id", sort=True).head(k)
             .reset_index(drop=True)[["query_id", "neighbor_id", "cosine"]])
+
+
+# --------------------------------------------------------------------------
+# Exact mutual-kNN graph — the curation primitive behind SemDeDup-style
+# semantic pruning and retrieval-QA link checks: an edge (a, b) exists
+# iff b is in a's exact top-k by cosine AND a is in b's. Engine
+# addition (the reference has no similarity ops; nearest analogue is
+# the trending first-match title join, TrendingScraper.py:92-110).
+# --------------------------------------------------------------------------
+
+def _block_topk(blk_a: pd.DataFrame, blk_b: pd.DataFrame, same: bool,
+                k: int) -> pd.DataFrame:
+    """Per-row partial top-k between two normalized blocks (one
+    matmul), BOTH directions when the blocks differ. Cosines are
+    rounded to 4 dp BEFORE ranking (the knn_bruteforce oracle
+    contract) with neighbor-id tiebreak, so partial selection is
+    distributive: combining per-block top-ks under the same key
+    reproduces the global top-k exactly."""
+    ids_a, A = blk_a["vec_id"].to_numpy(), np.stack(list(blk_a["nemb"]))
+    if same:
+        ids_b, B = ids_a, A
+    else:
+        ids_b, B = blk_b["vec_id"].to_numpy(), np.stack(list(blk_b["nemb"]))
+    sims = np.round(A @ B.T, 4)
+    outs = []
+
+    def one_side(s, rows, cols):
+        kk = min(k, s.shape[1])
+        # lexsort key: (-cosine, neighbor id) — top-k with id tiebreak
+        order = np.lexsort((np.broadcast_to(cols, s.shape), -s), axis=1)
+        take = order[:, :kk]
+        return pd.DataFrame({
+            "vec_id": np.repeat(rows, kk),
+            "nbr_id": cols[take].ravel(),
+            "cosine": np.take_along_axis(s, take, axis=1).ravel()})
+
+    if same:
+        np.fill_diagonal(sims, -np.inf)
+        outs.append(one_side(sims, ids_a, ids_b))
+    else:
+        outs.append(one_side(sims, ids_a, ids_b))
+        outs.append(one_side(sims.T.copy(), ids_b, ids_a))
+    out = pd.concat(outs, ignore_index=True)
+    return out[np.isfinite(out["cosine"].to_numpy())]
+
+
+def knn_graph_mutual(embeddings: rd.Dataset, k: int = 5,
+                     block_rows: int = 4096) -> rd.Dataset:
+    """Canonical (vec_a < vec_b) mutual-kNN edges with their cosine.
+
+    Topology: normalized blocks live in the OBJECT STORE (refs only);
+    one task per block pair emits per-row PARTIAL top-k rows (≤ k per
+    (row, block) — never the full similarity matrix), a vec_id-keyed
+    groupby combines partials to the exact global top-k (selection
+    under one total order is distributive), and the mutual filter is
+    a canonical-pair count-2 preagg — no self-join. Deliberately
+    O(n²/K²) block-pair tasks: this is the EXACT baseline twin (the
+    cosine_near_dup_exact contract); the scale path generates
+    candidates with IVF/PQ (knn_ivf / knn_pq) and feeds the same
+    mutual filter."""
+    import ray
+
+    from .relational import preagg_reduce
+
+    def norm_pack(b: pd.DataFrame) -> pd.DataFrame:
+        nemb = _normalize(_stack(b["embedding"]).astype(np.float64))
+        return pd.DataFrame({"vec_id": b["vec_id"].to_numpy(),
+                             "nemb": list(nemb)})
+
+    packed = embeddings.map_batches(
+        norm_pack, batch_format="pandas", batch_size=block_rows)
+    blocks = packed.to_pandas_refs()   # refs only; no driver fetch
+    topk_r = ray.remote(_block_topk)
+    parts = [topk_r.remote(blocks[i], blocks[j], i == j, k)
+             for i in range(len(blocks))
+             for j in range(i, len(blocks))]
+    partials = rd.from_pandas_refs(parts)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "nbr_id"],
+                          ascending=[False, True], kind="stable")
+        return g.groupby("vec_id", sort=False).head(k)
+
+    topk = partials.groupby("vec_id").map_groups(
+        combine, batch_format="pandas")
+
+    def canonical(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["vec_id"].to_numpy(np.int64)
+        c = b["nbr_id"].to_numpy(np.int64)
+        return pd.DataFrame({"vec_a": np.minimum(a, c),
+                             "vec_b": np.maximum(a, c),
+                             "cosine": b["cosine"].to_numpy()})
+
+    # mutual ⇔ the canonical pair appears from BOTH endpoints' top-k
+    # (cosine is symmetric, so both rows carry the same value and
+    # min/count reduce under one preagg pass)
+    pairs = topk.map_batches(canonical, batch_format="pandas")
+    counted = preagg_reduce(pairs, ["vec_a", "vec_b", "cosine"],
+                            "n_dir", "count")
+    return counted.map_batches(
+        lambda b: b[b["n_dir"] == 2][["vec_a", "vec_b", "cosine"]],
+        batch_format="pandas")

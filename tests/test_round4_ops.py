@@ -296,3 +296,33 @@ def test_containment_threshold_and_symmetry_of_equals():
            .sort_values(["doc_a", "doc_b"], ignore_index=True))
     # identical docs contain each other — BOTH directions emitted
     assert list(zip(out["doc_a"], out["doc_b"])) == [(0, 1), (1, 0)]
+
+
+# ---------------------------------------------------------------------------
+# knn_graph_mutual: exact mutual top-k edges, cross-block combine
+# ---------------------------------------------------------------------------
+
+def test_knn_mutual_matches_bruteforce():
+    from no_fasel_scrapers_ray.ops.ann import knn_graph_mutual
+    rng = np.random.default_rng(11)
+    n, d, k = 60, 8, 3
+    emb = rng.normal(size=(n, d))
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(emb)})).repartition(3)
+    got = (knn_graph_mutual(ds, k=k, block_rows=16).to_pandas()
+           .sort_values(["vec_a", "vec_b"], ignore_index=True))
+    # driver oracle: full matrix, round-4, id tiebreak, mutual filter
+    nemb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = np.round(nemb @ nemb.T, 4)
+    np.fill_diagonal(sims, -np.inf)
+    topk = []
+    for i in range(n):
+        order = np.lexsort((np.arange(n), -sims[i]))[:k]
+        topk.append(set(order))
+    want = sorted((i, j, sims[i, j]) for i in range(n)
+                  for j in topk[i] if i < j and i in topk[j])
+    assert want == [tuple(r) for r in
+                    got.itertuples(index=False, name=None)]
+    # sanity: the mutual filter actually dropped asymmetric edges
+    assert len(want) < sum(len(t) for t in topk) / 2
