@@ -3128,6 +3128,55 @@ def q_ewma_user_spend(sf_dir: str):
         per_bucket, batch_format="pandas")
 
 
+def q_semantic_prune(sf_dir: str):
+    """SemDeDup-style semantic pruning (§ dedup / similarity): coarse
+    k-means clusters, then greedy intra-cluster cosine dedup at 0.9 —
+    (vec_id, cluster_id, kept) for the whole table
+    (ops/ann.py::semantic_prune). No SQL oracle (k-means); invariants
+    and a planted-duplicate case pinned in tests/test_round4_ops.py."""
+    from no_fasel_scrapers_ray.ops.ann import semantic_prune
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_prune(emb, n_clusters=8, threshold=0.9)
+
+
+def q_overlap_duration(sf_dir: str):
+    """Interval-overlap DURATION aggregate (§ custom operators — the
+    temporal-join family's measure variant, vs range_join_clicks'
+    count): per user, total microseconds where a click half-hour
+    window [ts, ts+30m) overlaps a purchase half-hour window. ONE
+    user-bucketed join, vectorized LEAST/GREATEST minus, exact int64
+    µs sum. Oracle: DuckDB inequality join + SUM."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        bucketed_join, preagg_reduce)
+    W = 1_800_000_000   # 30 min in µs
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type"],
+               rows_per_block=8192)
+
+    def side(event_type: str, tag: str):
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["event_type"] == event_type]
+            return pd.DataFrame({
+                "user_id": b["user_id"].to_numpy(),
+                f"{tag}_us": b["ts"].astype("datetime64[us]")
+                             .astype("int64").to_numpy()})
+        return ev.map_batches(prep, batch_format="pandas")
+
+    j = bucketed_join(side("click", "c"), side("purchase", "p"),
+                      on="user_id")
+
+    def overlap(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c_us"].to_numpy(np.int64)
+        p = b["p_us"].to_numpy(np.int64)
+        ov = np.minimum(c + W, p + W) - np.maximum(c, p)
+        keep = ov > 0
+        return pd.DataFrame({"user_id": b["user_id"].to_numpy()[keep],
+                             "overlap_us": ov[keep]})
+
+    return preagg_reduce(j.map_batches(overlap, batch_format="pandas"),
+                         ["user_id"], "overlap_us", "sum")
+
+
 def q_knn_mutual(sf_dir: str):
     """Exact mutual-kNN graph (§ similarity search): canonical
     (vec_a < vec_b) edges where each endpoint is in the other's exact
@@ -4173,6 +4222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_fulfillment": q_bfs_fulfillment,
         "dedup_containment": q_dedup_containment,
         "knn_mutual": q_knn_mutual,
+        "overlap_duration": q_overlap_duration,
+        "semantic_prune": q_semantic_prune,
         "bfs_tier3": partial(q_bfs_fulfillment, tier3=True),
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
@@ -4232,6 +4283,20 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        "overlap_duration": """
+            -- total click-window × purchase-window overlap per user,
+            -- 30-minute windows, exact integer microseconds
+            WITH c AS (SELECT user_id, epoch_us(ts) AS us FROM events
+                       WHERE event_type = 'click'),
+                 p AS (SELECT user_id, epoch_us(ts) AS us FROM events
+                       WHERE event_type = 'purchase')
+            SELECT c.user_id,
+                   CAST(SUM(LEAST(c.us, p.us) + 1800000000
+                       - GREATEST(c.us, p.us)) AS BIGINT) AS overlap_us
+            FROM c JOIN p ON c.user_id = p.user_id
+              AND LEAST(c.us, p.us) + 1800000000 > GREATEST(c.us, p.us)
+            GROUP BY c.user_id
         """,
         "knn_mutual": """
             -- mutual top-5: round-4 cosine, neighbor-id tiebreak

@@ -788,3 +788,56 @@ def knn_graph_mutual(embeddings: rd.Dataset, k: int = 5,
     return counted.map_batches(
         lambda b: b[b["n_dir"] == 2][["vec_a", "vec_b", "cosine"]],
         batch_format="pandas")
+
+
+def semantic_prune(embeddings: rd.Dataset, n_clusters: int = 8,
+                   threshold: float = 0.9, iters: int = 5,
+                   seed: int = 42) -> rd.Dataset:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the corpus with the deterministic coarse
+    quantizer, then WITHIN each cluster greedily drop any vector whose
+    cosine to an already-KEPT lower-id vector is ≥ threshold. Keeps
+    one representative per semantic duplicate group without any
+    cross-cluster pair work — the standing SemDeDup trade: duplicates
+    split across cluster boundaries are missed by design (the paper's
+    recall/cost knob is n_clusters).
+
+    Determinism: greedy order is ascending vec_id, so output is
+    independent of block arrival; kept⇔kept pairs all have cosine <
+    threshold BY CONSTRUCTION (pinned in tests). Topology: sample-kmeans
+    centroids broadcast once; ONE assignment pass; ONE cluster-keyed
+    shuffle of (id, vector); per-cluster vectorized greedy (one local
+    matmul + a kept-mask scan). Returns (vec_id, cluster_id, kept).
+    No SQL oracle (k-means); tests pin the invariants and a planted
+    near-dup set against a numpy reference."""
+    cent = _normalize(ivf_build_centroids(
+        embeddings, n_cells=n_clusters, iters=iters,
+        seed=seed).astype(np.float64))
+    cent_ref = ray.put(cent)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        emb = _normalize(_stack(b["embedding"]).astype(np.float64))
+        return pd.DataFrame({
+            "vec_id": b["vec_id"].to_numpy(np.int64),
+            "cluster_id": np.argmax(emb @ c.T, axis=1).astype(np.int64),
+            "nemb": [v.tobytes() for v in emb]})
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        N = np.stack([np.frombuffer(v, dtype=np.float64)
+                      for v in g["nemb"]])
+        sims = N @ N.T
+        n = len(g)
+        kept = np.zeros(n, dtype=bool)
+        for i in range(n):
+            kept[i] = not (sims[i, :i][kept[:i]] >= threshold).any()
+        return pd.DataFrame({
+            "vec_id": g["vec_id"].to_numpy(),
+            "cluster_id": g["cluster_id"].to_numpy(),
+            "kept": kept})
+
+    return (embeddings.map_batches(assign, batch_format="pandas")
+            .groupby("cluster_id")
+            .map_groups(prune, batch_format="pandas"))

@@ -326,3 +326,53 @@ def test_knn_mutual_matches_bruteforce():
                     got.itertuples(index=False, name=None)]
     # sanity: the mutual filter actually dropped asymmetric edges
     assert len(want) < sum(len(t) for t in topk) / 2
+
+
+# ---------------------------------------------------------------------------
+# semantic_prune: SemDeDup invariants + planted duplicates
+# ---------------------------------------------------------------------------
+
+def _emb_ds(emb):
+    return rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(len(emb), dtype=np.int64),
+        "embedding": list(emb)})).repartition(3)
+
+
+def test_semantic_prune_planted_duplicates_and_invariant():
+    from no_fasel_scrapers_ray.ops.ann import semantic_prune
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(30, 8))
+    # plant near-exact duplicates of rows 0..4 as rows 30..34
+    dups = base[:5] + rng.normal(scale=1e-4, size=(5, 8))
+    emb = np.vstack([base, dups])
+    out = semantic_prune(_emb_ds(emb), n_clusters=4,
+                         threshold=0.95).to_pandas()
+    assert len(out) == 35 and out["vec_id"].is_unique
+    kept = out[out["kept"]]
+    # each planted dup shares a cluster with its original → exactly
+    # one of the two survives, and it's the LOWER id (greedy order)
+    cl = dict(zip(out["vec_id"], out["cluster_id"]))
+    kv = set(kept["vec_id"])
+    for i in range(5):
+        if cl[i] == cl[30 + i]:
+            assert i in kv and (30 + i) not in kv
+    # invariant: no kept pair within a cluster has cosine >= t
+    nemb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    for c, g in kept.groupby("cluster_id"):
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            continue
+        s = nemb[ids] @ nemb[ids].T
+        np.fill_diagonal(s, 0.0)
+        assert s.max() < 0.95
+
+
+def test_semantic_prune_deterministic_across_runs():
+    from no_fasel_scrapers_ray.ops.ann import semantic_prune
+    rng = np.random.default_rng(9)
+    emb = rng.normal(size=(40, 6))
+    a = (semantic_prune(_emb_ds(emb), n_clusters=3, threshold=0.9)
+         .to_pandas().sort_values("vec_id", ignore_index=True))
+    b = (semantic_prune(_emb_ds(emb), n_clusters=3, threshold=0.9)
+         .to_pandas().sort_values("vec_id", ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)
