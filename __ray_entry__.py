@@ -3128,6 +3128,20 @@ def q_ewma_user_spend(sf_dir: str):
         per_bucket, batch_format="pandas")
 
 
+def q_approx_overlap_users(sf_dir: str):
+    """HLL set-operation estimates (§ sketches — completes the matrix:
+    union is exact in sketch space via register max, intersection by
+    inclusion-exclusion): distinct click users, purchase users, their
+    union and intersection, one streaming pass with register-sized
+    driver state (ops/sketch.py::hll_set_ops). Exact twin:
+    `intersect_users` / `overlap_click_purchase`. Rows-only by design;
+    the ±2σ envelope vs exact is pinned in tests/test_sketch.py."""
+    from no_fasel_scrapers_ray.ops.sketch import hll_set_ops
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return hll_set_ops(ev, "user_id", "event_type",
+                       "click", "purchase")
+
+
 def q_semantic_prune(sf_dir: str):
     """SemDeDup-style semantic pruning (§ dedup / similarity): coarse
     k-means clusters, then greedy intra-cluster cosine dedup at 0.9 —
@@ -4224,6 +4238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_mutual": q_knn_mutual,
         "overlap_duration": q_overlap_duration,
         "semantic_prune": q_semantic_prune,
+        "approx_overlap_users": q_approx_overlap_users,
         "bfs_tier3": partial(q_bfs_fulfillment, tier3=True),
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,

@@ -86,7 +86,7 @@ BENCH_QUERIES = [
     "shipping_priority", "revenue_delta", "funnel_conversion",
     "copurchase_pairs", "ewma_user_spend", "tfidf_cosine_pairs",
     "bfs_fulfillment", "dedup_containment", "knn_mutual",
-    "overlap_duration", "semantic_prune",
+    "overlap_duration", "semantic_prune", "approx_overlap_users",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the

@@ -445,3 +445,44 @@ def grouped_approx_quantiles(ds: rd.Dataset, keys: list[str], col: str,
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("__bucket").map_groups(final,
                                             batch_format="pandas"))
+
+
+def hll_set_ops(ds: rd.Dataset, col: str, label_col: str,
+                label_a, label_b, p: int = 14) -> pd.DataFrame:
+    """HLL set-operation estimates for the values of ``col`` under two
+    label slices: |A|, |B|, |A∪B| (union is EXACT in sketch space —
+    elementwise register max is the HLL of the union), and |A∩B| via
+    inclusion-exclusion — the standard mergeable-summary composition
+    (Agarwal et al. 2012, "Mergeable Summaries"). Intersection error
+    grows with |union|/|intersection|, the documented theta-sketch
+    trade; the exact twin is the ``intersect_users`` query.
+
+    One streaming pass, one (label, regs) partial row per batch per
+    present label; driver merge is register-sized. Returns one row:
+    (est_a, est_b, est_union, est_intersection)."""
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        lab = batch[label_col].to_numpy()
+        rows, regs = [], []
+        for name, want in (("a", label_a), ("b", label_b)):
+            vals = batch[col].to_numpy()[lab == want]
+            if len(vals):
+                rows.append(name)
+                regs.append(hll_registers(vals, p=p).tobytes())
+        return pa.table({"side": pa.array(rows, pa.string()),
+                         "regs": pa.array(regs, pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pandas").take_all()
+    m = 1 << p
+    acc = {"a": np.zeros(m, dtype=np.uint8),
+           "b": np.zeros(m, dtype=np.uint8)}
+    for row in parts:
+        np.maximum(acc[row["side"]],
+                   np.frombuffer(row["regs"], dtype=np.uint8),
+                   out=acc[row["side"]])
+    est_a = hll_estimate(acc["a"])
+    est_b = hll_estimate(acc["b"])
+    est_u = hll_estimate(np.maximum(acc["a"], acc["b"]))
+    return pd.DataFrame({
+        "est_a": [est_a], "est_b": [est_b], "est_union": [est_u],
+        "est_intersection": [max(0.0, est_a + est_b - est_u)]})

@@ -203,3 +203,23 @@ def test_grouped_approx_quantiles_exact_on_small_groups():
     # true median for odd n and the midpoint for even n
     assert got.loc["x", "q_50"] == 2.0
     assert got.loc["y", "q_50"] == 15.0
+
+
+def test_hll_set_ops_envelope_vs_exact():
+    from no_fasel_scrapers_ray.ops.sketch import hll_set_ops
+    rng = np.random.default_rng(3)
+    # A = 0..5999, B = 4000..9999 → |A|=6000 |B|=6000 |A∩B|=2000
+    a = np.arange(0, 6000, dtype=np.int64)
+    b = np.arange(4000, 10000, dtype=np.int64)
+    df = pd.DataFrame({
+        "user_id": np.concatenate([a, b]),
+        "event_type": ["click"] * len(a) + ["purchase"] * len(b)})
+    df = df.sample(frac=1.0, random_state=1).reset_index(drop=True)
+    out = hll_set_ops(rd.from_pandas(df).repartition(4),
+                      "user_id", "event_type", "click", "purchase")
+    # p=14 → rse ≈ 1.04/sqrt(2^14) ≈ 0.81%; 3σ envelope on each term;
+    # intersection inherits ~3× the union-scale error budget
+    assert abs(out["est_a"][0] - 6000) < 6000 * 0.025
+    assert abs(out["est_b"][0] - 6000) < 6000 * 0.025
+    assert abs(out["est_union"][0] - 10000) < 10000 * 0.025
+    assert abs(out["est_intersection"][0] - 2000) < 10000 * 0.05
