@@ -3128,6 +3128,70 @@ def q_ewma_user_spend(sf_dir: str):
         per_bucket, batch_format="pandas")
 
 
+def q_scrub_tokens(sf_dir: str):
+    """Pattern scrubbing (§ text analysis — the PII-redaction stage
+    shape): redact two target tokens across the corpus with zero-copy
+    Arrow RE2 kernels (ops/textops.py::regex_scrub). The pattern here
+    targets the synthetic vocabulary for oracle discrimination; real
+    deployments pass email/phone regexes. Oracle: DuckDB regexp_*
+    (RE2 both sides → bit-identical rewrites)."""
+    from no_fasel_scrapers_ray.ops.textops import regex_scrub
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return regex_scrub(docs, r"\b(key|hash)\b", "<tok>")
+
+
+def q_robust_zscore(sf_dir: str):
+    """Grouped ROBUST z-score (§ aggregates — the outlier-detection
+    normalization: (x − median) / IQR per event type). Exact at scale
+    via the value-domain histogram: one (type, cents) count preagg —
+    bounded by value quantization, not row count — driver-side
+    quantile_disc positions from cumulative counts, broadcast stats,
+    one scoring pass. Oracle: DuckDB quantile_disc trio + the mirrored
+    float expression."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import preagg_reduce
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"],
+               rows_per_block=65536)
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(),
+            "event_type": b["event_type"].to_numpy(),
+            "cents": (b["value"] * 100).round().astype("int64")})
+
+    v = ev.map_batches(cents, batch_format="pandas")
+    hist = preagg_reduce(v, ["event_type", "cents"],
+                         "n", "count").to_pandas()
+    stats = {}
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("cents")
+        c = g["n"].to_numpy(np.int64).cumsum()
+        vals = g["cents"].to_numpy(np.int64)
+        n = int(c[-1])
+        qs = []
+        for q in (0.25, 0.5, 0.75):
+            pos = max(int(np.ceil(q * n)), 1)   # quantile_disc rule
+            qs.append(int(vals[np.searchsorted(c, pos)]))
+        stats[et] = (qs[0], qs[1], qs[2])
+    import ray
+    stats_ref = ray.put(stats)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(stats_ref)
+        med = np.array([st[t][1] for t in b["event_type"]], np.int64)
+        iqr = np.array([st[t][2] - st[t][0] for t in b["event_type"]],
+                       np.int64)
+        cz = b["cents"].to_numpy(np.int64) - med
+        z = np.where(iqr == 0, 0.0,
+                     np.round(cz.astype(np.float64)
+                              / np.where(iqr == 0, 1, iqr), 6))
+        return pd.DataFrame({"event_id": b["event_id"].to_numpy(),
+                             "event_type": b["event_type"].to_numpy(),
+                             "robust_z": z})
+
+    return v.map_batches(score, batch_format="pandas")
+
+
 def q_approx_overlap_users(sf_dir: str):
     """HLL set-operation estimates (§ sketches — completes the matrix:
     union is exact in sketch space via register max, intersection by
@@ -4239,6 +4303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlap_duration": q_overlap_duration,
         "semantic_prune": q_semantic_prune,
         "approx_overlap_users": q_approx_overlap_users,
+        "scrub_tokens": q_scrub_tokens,
+        "robust_zscore": q_robust_zscore,
         "bfs_tier3": partial(q_bfs_fulfillment, tier3=True),
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
@@ -4298,6 +4364,32 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        "scrub_tokens": """
+            SELECT doc_id,
+                   regexp_replace(text, '\\b(key|hash)\\b',
+                                  '<tok>', 'g') AS text_clean,
+                   CAST(len(regexp_extract_all(
+                        text, '\\b(key|hash)\\b')) AS BIGINT)
+                        AS n_redactions
+            FROM documents
+        """,
+        "robust_zscore": """
+            WITH v AS (SELECT event_id, event_type,
+                              CAST(ROUND(value * 100) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            stats AS (SELECT event_type,
+                             quantile_disc(cents, 0.25) AS q25,
+                             quantile_disc(cents, 0.5) AS med,
+                             quantile_disc(cents, 0.75) AS q75
+                      FROM v GROUP BY event_type)
+            SELECT v.event_id, v.event_type,
+                   CASE WHEN q75 - q25 = 0 THEN 0.0
+                        ELSE round(CAST(v.cents - med AS DOUBLE)
+                                   / (q75 - q25), 6)
+                   END AS robust_z
+            FROM v JOIN stats USING (event_type)
         """,
         "overlap_duration": """
             -- total click-window × purchase-window overlap per user,

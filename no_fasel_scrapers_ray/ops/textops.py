@@ -818,3 +818,29 @@ def doc_perplexity(docs: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
             "avg_nll": -(s / 1e6) / n.astype(np.float64)})
 
     return sums.map_batches(final, batch_format="pandas")
+
+
+def regex_scrub(docs: rd.Dataset, pattern: str,
+                replacement: str = "<scrubbed>") -> rd.Dataset:
+    """Vectorized pattern scrubbing — the PII-redaction stage of a
+    curation pipeline (emails, phone numbers, ids), expressed as two
+    zero-copy Arrow RE2 kernels per batch: count_substring_regex for
+    the redaction count, replace_substring_regex for the rewrite. No
+    per-row Python; DuckDB's regexp_* are RE2 too, so a SQL oracle
+    mirrors bit-for-bit. Returns (doc_id, text_clean, n_redactions).
+    Engine addition (the reference's nearest analogue is
+    remove_arabic_chars / clean_iframe_source, Common.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def scrub(b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text_clean": pc.replace_substring_regex(
+                txt, pattern=pattern, replacement=replacement),
+            "n_redactions": pc.cast(pc.count_substring_regex(
+                txt, pattern=pattern), pa.int64()),
+        })
+
+    return docs.map_batches(scrub, batch_format="pyarrow")
