@@ -3128,6 +3128,78 @@ def q_ewma_user_spend(sf_dir: str):
         per_bucket, batch_format="pandas")
 
 
+def q_twa_user_value(sf_dir: str):
+    """Time-weighted average (§ windows — the window family's INTEGRAL
+    variant): per user, the step-function mean of purchase value
+    cents between first and last purchase, Σ cents_i·(t_{i+1}−t_i) /
+    (t_n−t_1). ONE user-bucket shuffle, per-bucket sort + vectorized
+    shifted-column weights; the numerator is exact int64 (cents ×
+    µs-gaps, bounded by max_cents × time range < 2^63). Oracle: lead()
+    window + the mirrored float division."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import _bucket_tagger
+    p = _purchase_events(sf_dir, with_cents=True)
+    add_bucket = _bucket_tagger(["user_id"], 64,
+                                cols=["user_id", "event_id",
+                                      "ts_us", "cents"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts_us"].to_numpy(np.int64)
+        c = g["cents"].to_numpy(np.int64)
+        last = np.concatenate([u[1:] != u[:-1], [True]])
+        dt = np.concatenate([t[1:] - t[:-1], [0]])
+        dt[last] = 0
+        df = pd.DataFrame({"user_id": u, "w": c * dt, "t": t})
+        agg = df.groupby("user_id", sort=False).agg(
+            numer=("w", "sum"), lo=("t", "min"), hi=("t", "max"))
+        agg = agg[agg["hi"] > agg["lo"]]
+        return pd.DataFrame({
+            "user_id": agg.index.to_numpy(np.int64),
+            "twa_cents": np.round(
+                agg["numer"].to_numpy(np.float64)
+                / (agg["hi"] - agg["lo"]).to_numpy(np.float64), 6)})
+
+    return (p.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas"))
+
+
+def q_embedding_stats(sf_dir: str):
+    """Per-dimension corpus statistics of the embedding column
+    (§ similarity search — the whitening/feature-scaling pass): mean
+    and sample variance per dimension from ONE streaming pass of
+    (n, Σx, Σx²) partials, d rows per batch, combined driver-side
+    (d × n_batches rows — the constant-size partial-merge tier).
+    Oracle: generate_subscripts + unnest with the SAME moment
+    expressions; both engines widen float32→float64 exactly, the
+    float64 sums differ only in order (~1e-13) — far under round-6."""
+    import pandas as pd
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in b["embedding"]])
+        return pd.DataFrame({
+            "dim": np.arange(1, m.shape[1] + 1, dtype=np.int64),
+            "n": np.int64(len(m)),
+            "s": m.sum(axis=0), "s2": (m * m).sum(axis=0)})
+
+    parts = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("dim", sort=True).agg(
+        n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"))
+    n = agg["n"].to_numpy(np.float64)
+    s = agg["s"].to_numpy(np.float64)
+    s2 = agg["s2"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "dim": agg.index.to_numpy(np.int64),
+        "n": agg["n"].to_numpy(np.int64),
+        "mean_x": np.round(s / n, 6),
+        "var_x": np.round((s2 - s * s / n) / (n - 1), 6)})
+
+
 def q_scrub_tokens(sf_dir: str):
     """Pattern scrubbing (§ text analysis — the PII-redaction stage
     shape): redact two target tokens across the corpus with zero-copy
@@ -4305,6 +4377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_overlap_users": q_approx_overlap_users,
         "scrub_tokens": q_scrub_tokens,
         "robust_zscore": q_robust_zscore,
+        "twa_user_value": q_twa_user_value,
+        "embedding_stats": q_embedding_stats,
         "bfs_tier3": partial(q_bfs_fulfillment, tier3=True),
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
@@ -4364,6 +4438,37 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        "twa_user_value": """
+            -- step-function time-weighted mean of purchase cents,
+            -- exact int64 numerator, ONE mirrored float division
+            WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                              CAST(ROUND(value * 100) AS BIGINT)
+                                  AS cents
+                       FROM events WHERE event_type = 'purchase'),
+            w AS (SELECT user_id, cents, us,
+                         lead(us) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id) AS nxt
+                  FROM p),
+            agg AS (SELECT user_id,
+                           CAST(SUM(cents * (nxt - us)) AS BIGINT)
+                               AS numer,
+                           MAX(us) - MIN(us) AS span
+                    FROM w GROUP BY user_id)
+            SELECT user_id,
+                   round(CAST(numer AS DOUBLE) / span, 6) AS twa_cents
+            FROM agg WHERE span > 0
+        """,
+        "embedding_stats": """
+            WITH e AS (SELECT generate_subscripts(embedding, 1) AS dim,
+                              unnest(CAST(embedding AS DOUBLE[])) AS x
+                       FROM embeddings)
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   round(SUM(x) / COUNT(*), 6) AS mean_x,
+                   round((SUM(x * x) - SUM(x) * SUM(x) / COUNT(*))
+                         / (COUNT(*) - 1), 6) AS var_x
+            FROM e GROUP BY dim
         """,
         "scrub_tokens": """
             SELECT doc_id,

@@ -87,7 +87,7 @@ BENCH_QUERIES = [
     "copurchase_pairs", "ewma_user_spend", "tfidf_cosine_pairs",
     "bfs_fulfillment", "dedup_containment", "knn_mutual",
     "overlap_duration", "semantic_prune", "approx_overlap_users",
-    "scrub_tokens", "robust_zscore",
+    "scrub_tokens", "robust_zscore", "twa_user_value", "embedding_stats",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the
