@@ -376,3 +376,29 @@ def test_semantic_prune_deterministic_across_runs():
     b = (semantic_prune(_emb_ds(emb), n_clusters=3, threshold=0.9)
          .to_pandas().sort_values("vec_id", ignore_index=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# _batch_token_hashes: bit-equality with the per-doc hasher
+# ---------------------------------------------------------------------------
+
+def test_batch_token_hashes_bit_identical():
+    from no_fasel_scrapers_ray.ops.dedup import (_batch_token_hashes,
+                                                 _token_hashes)
+    rng = np.random.default_rng(13)
+    texts = [" ".join(f"t{rng.integers(0, 40)}"
+                      for _ in range(int(rng.integers(1, 25))))
+             for _ in range(50)]
+    texts += ["", "one", "two tok", "a b", "x x x x x", "a  b"]  # edges
+    for k in (1, 3, 5):
+        batch = _batch_token_hashes(texts, k)
+        for t, got in zip(texts, batch):
+            assert np.array_equal(got, _token_hashes(t, k)), (t, k)
+    # counts mode matches np.unique(..., return_counts=True)
+    for (hs, tf), t in zip(_batch_token_hashes(texts, 1, counts=True),
+                           texts):
+        import pandas as pd
+        want = np.unique(pd.util.hash_array(
+            np.asarray(t.split(" "), dtype=object)),
+            return_counts=True)
+        assert np.array_equal(hs, want[0]) and np.array_equal(tf, want[1])
