@@ -3128,6 +3128,44 @@ def q_ewma_user_spend(sf_dir: str):
         per_bucket, batch_format="pandas")
 
 
+def q_corpus_mix_sample(sf_dir: str, budget: int = 100_000):
+    """Corpus-mixing budget sampler (§ sampling — the Pile/Dolma data
+    -mixing shape): per SOURCE, admit documents in a deterministic
+    pseudo-random order (multiplicative hash of doc_id — expressible
+    on both engines, unlike SipHash) until the source's cumulative
+    character budget is reached; emits (doc_id, source, cum_chars) for
+    admitted docs. ONE source-bucket shuffle + per-group sort/cumsum
+    (the running_total contract: a source's docs meet in one group).
+    Oracle: window SUM over the same hash order."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import _bucket_tagger
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    MIX = np.uint64(2654435761)
+    M32 = np.uint64(0xFFFFFFFF)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["h"] = ((b["doc_id"].to_numpy(np.int64).astype(np.uint64)
+                   * MIX) & M32).astype(np.int64)
+        return b
+
+    add_bucket = _bucket_tagger(["source"], 16,
+                                cols=["doc_id", "source",
+                                      "n_chars", "h"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "h", "doc_id"], kind="stable")
+        cum = g.groupby("source", sort=False)["n_chars"].cumsum()
+        out = g[cum <= budget].copy()
+        out["cum_chars"] = cum[cum <= budget]
+        return out[["doc_id", "source", "cum_chars"]]
+
+    return (docs.map_batches(tag, batch_format="pandas")
+            .map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas"))
+
+
 def q_twa_user_value(sf_dir: str):
     """Time-weighted average (§ windows — the window family's INTEGRAL
     variant): per user, the step-function mean of purchase value
@@ -4378,6 +4416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_tokens": q_scrub_tokens,
         "robust_zscore": q_robust_zscore,
         "twa_user_value": q_twa_user_value,
+        "corpus_mix_sample": q_corpus_mix_sample,
         "embedding_stats": q_embedding_stats,
         "bfs_tier3": partial(q_bfs_fulfillment, tier3=True),
         "crawl_catalogs": q_crawl_catalogs,
@@ -4438,6 +4477,20 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        "corpus_mix_sample": """
+            -- per-source char-budget admission in multiplicative-hash
+            -- order; (doc_id * 2654435761) mod 2^32 mirrors the engine
+            WITH h AS (SELECT doc_id, source, n_chars,
+                              (doc_id * 2654435761) % 4294967296 AS h
+                       FROM documents),
+            c AS (SELECT doc_id, source,
+                         CAST(SUM(n_chars) OVER (
+                             PARTITION BY source ORDER BY h, doc_id)
+                             AS BIGINT) AS cum_chars
+                  FROM h)
+            SELECT doc_id, source, cum_chars FROM c
+            WHERE cum_chars <= 100000
         """,
         "twa_user_value": """
             -- step-function time-weighted mean of purchase cents,
