@@ -3128,7 +3128,7 @@ def q_ewma_user_spend(sf_dir: str):
         per_bucket, batch_format="pandas")
 
 
-def q_corpus_mix_sample(sf_dir: str, budget: int = 100_000):
+def q_corpus_mix_sample(sf_dir: str, budget: int = 3_000):
     """Corpus-mixing budget sampler (§ sampling — the Pile/Dolma data
     -mixing shape): per SOURCE, admit documents in a deterministic
     pseudo-random order (multiplicative hash of doc_id — expressible
@@ -4490,7 +4490,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                              AS BIGINT) AS cum_chars
                   FROM h)
             SELECT doc_id, source, cum_chars FROM c
-            WHERE cum_chars <= 100000
+            WHERE cum_chars <= 3000
         """,
         "twa_user_value": """
             -- step-function time-weighted mean of purchase cents,
