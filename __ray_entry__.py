@@ -3128,6 +3128,36 @@ def q_ewma_user_spend(sf_dir: str):
         per_bucket, batch_format="pandas")
 
 
+def q_nation_top_parts(sf_dir: str):
+    """Per-nation top-3 parts by line count (§ sketches — grouped
+    heavy hitters, heavy_hitter_terms' grouped twin): supplier nation
+    resolved by a broadcast dim lookup (no fact-side shuffle), then
+    per-group Misra-Gries candidates + one exact recount
+    (ops/sketch.py::grouped_heavy_hitters). Exact under the MG
+    superset guarantee → shares an exact SQL oracle."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.sketch import grouped_heavy_hitters
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup.sort_values("s_suppkey")
+    sk = sup["s_suppkey"].to_numpy(np.int64)
+    sn = sup["s_nationkey"].to_numpy()
+    import ray
+    dim_ref = ray.put((sk, sn))
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"],
+               rows_per_block=65536)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        k, n = ray.get(dim_ref)
+        pos = np.searchsorted(k, b["l_suppkey"].to_numpy(np.int64))
+        return pd.DataFrame({"nation": n[pos],
+                             "l_partkey": b["l_partkey"].to_numpy()})
+
+    return grouped_heavy_hitters(
+        li.map_batches(tag, batch_format="pandas"),
+        "nation", "l_partkey", topn=3).rename(columns={"n": "n_lines"})
+
+
 def q_corpus_mix_sample(sf_dir: str, budget: int = 3_000):
     """Corpus-mixing budget sampler (§ sampling — the Pile/Dolma data
     -mixing shape): per SOURCE, admit documents in a deterministic
@@ -4417,6 +4447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_zscore": q_robust_zscore,
         "twa_user_value": q_twa_user_value,
         "corpus_mix_sample": q_corpus_mix_sample,
+        "nation_top_parts": q_nation_top_parts,
         "embedding_stats": q_embedding_stats,
         "bfs_tier3": partial(q_bfs_fulfillment, tier3=True),
         "crawl_catalogs": q_crawl_catalogs,
@@ -4477,6 +4508,18 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        "nation_top_parts": """
+            WITH l AS (SELECT s_nationkey AS nation, l_partkey
+                       FROM lineitem JOIN supplier
+                            ON l_suppkey = s_suppkey),
+            c AS (SELECT nation, l_partkey, COUNT(*) AS n_lines
+                  FROM l GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY nation
+                      ORDER BY n_lines DESC, l_partkey) AS rk
+                  FROM c)
+            SELECT nation, l_partkey, n_lines FROM r WHERE rk <= 3
         """,
         "corpus_mix_sample": """
             -- per-source char-budget admission in multiplicative-hash

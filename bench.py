@@ -88,7 +88,7 @@ BENCH_QUERIES = [
     "bfs_fulfillment", "dedup_containment", "knn_mutual",
     "overlap_duration", "semantic_prune", "approx_overlap_users",
     "scrub_tokens", "robust_zscore", "twa_user_value", "embedding_stats",
-    "corpus_mix_sample",
+    "corpus_mix_sample", "nation_top_parts",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the

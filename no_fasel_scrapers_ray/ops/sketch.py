@@ -486,3 +486,66 @@ def hll_set_ops(ds: rd.Dataset, col: str, label_col: str,
     return pd.DataFrame({
         "est_a": [est_a], "est_b": [est_b], "est_union": [est_u],
         "est_intersection": [max(0.0, est_a + est_b - est_u)]})
+
+
+def grouped_heavy_hitters(ds: rd.Dataset, group_col: str,
+                          item_col: str, topn: int = 3,
+                          k_counters: int = 1024,
+                          n_buckets: int = 64) -> pd.DataFrame:
+    """Per-GROUP top-``topn`` items — heavy_hitter_terms' grouped twin,
+    completing the sketch matrix (count-distinct, quantiles and heavy
+    hitters each in global + grouped form). Per-batch per-group
+    Misra-Gries partials (≤ k_counters rows per group per batch no
+    matter the item vocabulary), driver merge+trim (group cardinality
+    must be dim-sized — the grouped_approx_count_distinct contract;
+    the ITEM vocabulary is unbounded), broadcast candidate table, one
+    EXACT recount pass, per-group top-n. Exactly the true top-n per
+    group whenever the n-th item's count exceeds N_group/(k+1) — the
+    MG superset guarantee (adversarial test in test_sketch.py), which
+    is why it shares an exact SQL oracle. Ties (count DESC, item ASC)."""
+    import ray
+
+    from .relational import broadcast_get, preagg_sum_count
+
+    def mg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for g, sub in batch.groupby(group_col, sort=False):
+            vc = sub[item_col].value_counts()
+            vc = _mg_trim(vc, k_counters)
+            outs.append(pd.DataFrame({
+                group_col: g, item_col: vc.index.to_numpy(),
+                "n": vc.to_numpy(dtype=np.int64)}))
+        if not outs:
+            return pd.DataFrame({group_col: [], item_col: [],
+                                 "n": np.array([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    merged = (ds.map_batches(mg_partial, batch_format="pandas")
+              .to_pandas())
+    cand_frames = []
+    for g, sub in merged.groupby(group_col, sort=False):
+        tot = sub.groupby(item_col)["n"].sum()
+        cand_frames.append(pd.DataFrame({
+            group_col: g,
+            item_col: _mg_trim(tot, k_counters).index.to_numpy()}))
+    cand = pd.concat(cand_frames, ignore_index=True)
+    cand_ref = ray.put(cand)
+
+    def recount(batch: pd.DataFrame) -> pd.DataFrame:
+        c = broadcast_get(cand_ref)
+        hit = batch[[group_col, item_col]].merge(
+            c, on=[group_col, item_col], how="inner")
+        vc = hit.groupby([group_col, item_col], sort=False).size()
+        out = vc.reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    exact = preagg_sum_count(
+        ds.map_batches(recount, batch_format="pandas"),
+        [group_col, item_col], {"n": "n"},
+        n_buckets=n_buckets).to_pandas()   # ≤ groups × k rows
+    exact = exact.sort_values([group_col, "n", item_col],
+                              ascending=[True, False, True],
+                              kind="stable")
+    return (exact.groupby(group_col, sort=False).head(topn)
+            .reset_index(drop=True))

@@ -223,3 +223,24 @@ def test_hll_set_ops_envelope_vs_exact():
     assert abs(out["est_b"][0] - 6000) < 6000 * 0.025
     assert abs(out["est_union"][0] - 10000) < 10000 * 0.025
     assert abs(out["est_intersection"][0] - 2000) < 10000 * 0.05
+
+
+def test_grouped_heavy_hitters_adversarial_vocab():
+    from no_fasel_scrapers_ray.ops.sketch import grouped_heavy_hitters
+    rng = np.random.default_rng(21)
+    rows = []
+    # two groups; heavy items h0>h1>h2 planted over a long-tail
+    # vocabulary much larger than k_counters
+    for g, base in (("x", 0), ("y", 10_000)):
+        rows += [(g, base + 1)] * 400 + [(g, base + 2)] * 300 \
+              + [(g, base + 3)] * 200
+        rows += [(g, base + 100 + int(rng.integers(0, 5000)))
+                 for _ in range(3000)]
+    df = pd.DataFrame(rows, columns=["g", "item"])
+    df = df.sample(frac=1.0, random_state=2).reset_index(drop=True)
+    out = grouped_heavy_hitters(rd.from_pandas(df).repartition(6),
+                                "g", "item", topn=3, k_counters=64)
+    got = {g: list(zip(sub["item"], sub["n"]))
+           for g, sub in out.groupby("g")}
+    assert got["x"] == [(1, 400), (2, 300), (3, 200)]
+    assert got["y"] == [(10_001, 400), (10_002, 300), (10_003, 200)]
