@@ -3128,6 +3128,59 @@ def q_ewma_user_spend(sf_dir: str):
         per_bucket, batch_format="pandas")
 
 
+def q_lpa_communities(sf_dir: str, tier3: bool = False):
+    """Synchronous label-propagation communities (§ graph operators,
+    Raghavan et al. 2007): 3 fixed deterministic rounds (mode of
+    neighbor labels, ties → smallest) over the sparse quantity-1
+    fulfillment graph — the BFS query's graph, so communities are
+    non-trivial at every sf (ops/graph.py::label_propagation; driver
+    CSR tier under the cutover, pre-counted mode-offer BSP beyond).
+    Oracle: the same 3 rounds unrolled as chained CTEs with a
+    window-mode per round."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.graph import label_propagation
+    OFF = np.int64(1) << np.int64(40)
+    edges = _fulfillment_edges(sf_dir, qty_eq=1).map_batches(
+        lambda b: pd.DataFrame({
+            "c": b["c"].to_numpy(np.int64),
+            "s": b["s"].to_numpy(np.int64) + OFF}),
+        batch_format="pandas")
+    kw = dict(small_threshold=0, n_buckets=8) if tier3 else {}
+    return label_propagation(edges, "c", "s", rounds=3, **kw)
+
+
+def _lpa_oracle_sql(rounds: int = 3) -> str:
+    """The LPA oracle: init labels = node ids over the mirrored sparse
+    fulfillment edges, then ``rounds`` unrolled (count → window-mode →
+    coalesce) CTE blocks — the pagerank-oracle pattern for iterative
+    algorithms."""
+    sql = ["""
+        WITH e AS (
+            SELECT DISTINCT o_custkey AS u,
+                   1099511627776 + l_suppkey AS v
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE CAST(ROUND(l_quantity) AS BIGINT) = 1),
+        ee AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        l0 AS (SELECT DISTINCT u AS node, u AS label FROM ee)"""]
+    for i in range(rounds):
+        sql.append(f""",
+        cnt{i} AS (SELECT ee.v AS node, l{i}.label, COUNT(*) AS c
+                   FROM ee JOIN l{i} ON ee.u = l{i}.node
+                   GROUP BY 1, 2),
+        win{i} AS (SELECT node, label FROM (
+                       SELECT *, row_number() OVER (
+                           PARTITION BY node
+                           ORDER BY c DESC, label) AS rk
+                       FROM cnt{i}) WHERE rk = 1),
+        l{i + 1} AS (SELECT l.node,
+                            COALESCE(w.label, l.label) AS label
+                     FROM l{i} l LEFT JOIN win{i} w
+                          ON l.node = w.node)""")
+    sql.append(f"""
+        SELECT node AS node_id, label AS community FROM l{rounds}""")
+    return "".join(sql)
+
+
 def q_nation_top_parts(sf_dir: str):
     """Per-nation top-3 parts by line count (§ sketches — grouped
     heavy hitters, heavy_hitter_terms' grouped twin): supplier nation
@@ -4448,6 +4501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twa_user_value": q_twa_user_value,
         "corpus_mix_sample": q_corpus_mix_sample,
         "nation_top_parts": q_nation_top_parts,
+        "lpa_communities": q_lpa_communities,
+        "lpa_tier3": partial(q_lpa_communities, tier3=True),
         "embedding_stats": q_embedding_stats,
         "bfs_tier3": partial(q_bfs_fulfillment, tier3=True),
         "crawl_catalogs": q_crawl_catalogs,
@@ -4467,6 +4522,8 @@ def oracle_sql() -> dict[str, str]:
     d["triangle_parts_tier3"] = d["triangle_parts"]
     d["pagerank_tier3"] = d["pagerank_cust_supp"]
     d["bfs_tier3"] = d["bfs_fulfillment"]
+    d["lpa_communities"] = _lpa_oracle_sql(3)
+    d["lpa_tier3"] = d["lpa_communities"]
     d["dedup_clusters_tier3"] = d["dedup_clusters"]
     return d
 

@@ -88,14 +88,14 @@ BENCH_QUERIES = [
     "bfs_fulfillment", "dedup_containment", "knn_mutual",
     "overlap_duration", "semantic_prune", "approx_overlap_users",
     "scrub_tokens", "robust_zscore", "twa_user_value", "embedding_stats",
-    "corpus_mix_sample", "nation_top_parts",
+    "corpus_mix_sample", "nation_top_parts", "lpa_communities",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the
 # driver peak-RSS delta across them isolates any driver-memory blowup
 # in the 100-TB tier (VERDICT r03 #6). Same oracles as their twins.
 TIER3_QUERIES = ["pagerank_tier3", "dedup_clusters_tier3",
-                 "triangle_parts_tier3", "bfs_tier3"]
+                 "triangle_parts_tier3", "bfs_tier3", "lpa_tier3"]
 
 
 def _corpus_cache_dir(scale: str) -> str:

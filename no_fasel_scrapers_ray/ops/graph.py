@@ -1408,3 +1408,159 @@ def bfs_hops(pairs: rd.Dataset, col_a: str, col_b: str,
 
     return rd.from_arrow_refs(
         [out_tbl_r.remote(l, max_hops) for l in lab_k])
+
+
+# ---------------------------------------------------------------------------
+# Synchronous label propagation (community detection, Raghavan et al.
+# 2007) — fixed-round, deterministic variant: every node simultaneously
+# adopts the most frequent label among its neighbors (ties → smallest
+# label; isolated nodes keep their own). Fixed rounds because
+# synchronous LPA can 2-cycle on bipartite structure — the fixed-round
+# definition is the deterministic one both tiers and the test
+# reference implement. Unlike CC/BFS the offer reduce is a MODE, which
+# does not pre-combine to one row per neighbor — partial (node, label)
+# COUNTS are the mergeable form, bounded by the edge count per round.
+# ---------------------------------------------------------------------------
+
+def _driver_lpa(a: np.ndarray, b: np.ndarray, rounds: int):
+    ids = np.unique(np.concatenate([a, b]))
+    src = np.searchsorted(ids, np.concatenate([a, b]))
+    dst = np.searchsorted(ids, np.concatenate([b, a]))
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    lab = np.arange(len(ids), dtype=np.int64)
+    for _ in range(rounds):
+        # incoming labels per node: count (dst, lab[src]) pairs; mode
+        # with min-label tie-break = lexsort by (count desc, label)
+        key = dst.astype(np.int64) * len(ids) + lab[src]
+        uk, cnt = np.unique(key, return_counts=True)
+        node = uk // len(ids)
+        lb = uk % len(ids)
+        o = np.lexsort((lb, -cnt, node))
+        first = np.concatenate([[True], node[o][1:] != node[o][:-1]])
+        new = lab.copy()
+        new[node[o][first]] = lb[o][first]
+        lab = new
+    return ids, ids[lab]
+
+
+def _lpa_count_partial(eb, lab, n_buckets: int):
+    """One source-bucket's label emission, pre-counted: (neighbor,
+    label, count) rows split by the neighbor's bucket."""
+    node_e, nbr_e = eb
+    nodes, labels = lab
+    if len(node_e) == 0:
+        z = (np.array([], dtype=np.int64),) * 3
+        return tuple(z for _ in range(n_buckets))
+    lb = labels[np.searchsorted(nodes, node_e)]
+    u, inv = np.unique(
+        np.stack([nbr_e, lb], axis=1), axis=0, return_inverse=True)
+    cnt = np.bincount(inv).astype(np.int64)
+    return tuple(_pr_split_arrays([u[:, 0], u[:, 1], cnt],
+                                  u[:, 0], n_buckets))
+
+
+def _lpa_reduce(lab, *count_parts):
+    """Sum partial counts per (node, label), then mode with the
+    (count desc, label asc) tie-break; nodes with no incoming offers
+    keep their label."""
+    nodes, labels = lab
+    ns, ls, cs = [], [], []
+    for n, l, c in count_parts:
+        ns.append(n); ls.append(l); cs.append(c)
+    n = np.concatenate(ns); l = np.concatenate(ls)
+    c = np.concatenate(cs)
+    new = labels.copy()
+    if len(n):
+        u, inv = np.unique(np.stack([n, l], axis=1), axis=0,
+                           return_inverse=True)
+        tot = np.zeros(len(u), dtype=np.int64)
+        np.add.at(tot, inv, c)
+        o = np.lexsort((u[:, 1], -tot, u[:, 0]))
+        first = np.concatenate(
+            [[True], u[o][1:, 0] != u[o][:-1, 0]])
+        win_n = u[o][first, 0]
+        win_l = u[o][first, 1]
+        idx = np.searchsorted(nodes, win_n)
+        assert (nodes[idx] == win_n).all()
+        new[idx] = win_l
+    return (nodes, new), 0
+
+
+def label_propagation(pairs: rd.Dataset, col_a: str, col_b: str,
+                      rounds: int = 5, n_buckets: int = 64,
+                      small_threshold: int = 1 << 18) -> rd.Dataset:
+    """(node_id, community) after ``rounds`` synchronous LPA rounds.
+    Standing two-tier cutover: driver CSR under small_threshold edge
+    rows; beyond, the BSP kernel with pre-counted (node, label, count)
+    exchanges — per round the wire carries at most one row per
+    distinct (neighbor, incoming-label) pair per source bucket."""
+    import ray
+
+    def mirror(b: pa.Table) -> pa.Table:
+        a = b[col_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b[col_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": np.concatenate([a, c]),
+                         "nbr": np.concatenate([c, a])})
+
+    edges = pairs.map_batches(mirror, batch_format="pyarrow").materialize()
+    n_edge_rows = edges.count()
+    if n_edge_rows <= small_threshold:
+        e = edges.to_pandas()
+        if e.empty:
+            return rd.from_arrow(pa.table(
+                {"node_id": pa.array([], pa.int64()),
+                 "community": pa.array([], pa.int64())}))
+        ids, com = _driver_lpa(e["node"].to_numpy(np.int64),
+                               e["nbr"].to_numpy(np.int64), rounds)
+        return rd.from_arrow(pa.table({"node_id": ids,
+                                       "community": com}))
+
+    target_blocks = int(max(1, min(64, n_edge_rows // 65536 + 1)))
+    if edges.num_blocks() > 2 * target_blocks:
+        edges = edges.repartition(target_blocks).materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        n = np.unique(b["node"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({"node": n, "label": n})
+
+    labels = edges.map_batches(init_labels,
+                               batch_format="pyarrow").materialize()
+    n_nodes = labels.count()
+    n_buckets = int(min(n_buckets, max(2, n_nodes // 4096)))
+
+    split_r = ray.remote(_pr_split_block)
+    prep_e = ray.remote(_cc_prep_edges)
+    prep_l = ray.remote(_cc_prep_labels)
+    cnt_r = ray.remote(_lpa_count_partial)
+    red_r = ray.remote(_lpa_reduce)
+
+    def _bucketize(ds: rd.Dataset, cols: list[str]):
+        per_block = [
+            split_r.options(num_returns=n_buckets).remote(
+                ref, cols, n_buckets)
+            for ref in ds.to_arrow_refs()]
+        if n_buckets == 1:
+            per_block = [[r] for r in per_block]
+        return [[blk[k] for blk in per_block] for k in range(n_buckets)]
+
+    edges_k = [prep_e.remote(*f)
+               for f in _bucketize(edges, ["node", "nbr"])]
+    lab_k = [prep_l.remote(*f)
+             for f in _bucketize(labels, ["node", "label"])]
+
+    for _ in range(rounds):
+        cparts = [cnt_r.options(num_returns=n_buckets).remote(
+            edges_k[k], lab_k[k], n_buckets) for k in range(n_buckets)]
+        if n_buckets == 1:
+            cparts = [[c] for c in cparts]
+        outs = [red_r.options(num_returns=2).remote(
+            lab_k[j], *[cparts[k][j] for k in range(n_buckets)])
+            for j in range(n_buckets)]
+        lab_k = [o[0] for o in outs]
+        ray.get([o[1] for o in outs])   # round barrier (BSP)
+
+    out_r = ray.remote(lambda lab: pa.table(
+        {"node_id": lab[0], "community": lab[1]}))
+    return rd.from_arrow_refs([out_r.remote(l) for l in lab_k])

@@ -402,3 +402,42 @@ def test_batch_token_hashes_bit_identical():
             np.asarray(t.split(" "), dtype=object)),
             return_counts=True)
         assert np.array_equal(hs, want[0]) and np.array_equal(tf, want[1])
+
+
+# ---------------------------------------------------------------------------
+# label_propagation: tier equality + pinned two-cluster communities
+# ---------------------------------------------------------------------------
+
+def _lpa_ref(pairs, rounds):
+    """Single-threaded synchronous LPA reference (mode, min-label tie)."""
+    import collections
+    adj = collections.defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    lab = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n in adj:
+            cnt = collections.Counter(lab[m] for m in adj[n])
+            top = max(cnt.values())
+            new[n] = min(l for l, c in cnt.items() if c == top)
+        lab = new
+    return lab
+
+
+@pytest.mark.parametrize("forced_tier", ["driver", "bsp"])
+def test_lpa_two_clusters_match_reference(forced_tier):
+    from no_fasel_scrapers_ray.ops.graph import label_propagation
+    # two dense clusters joined by one bridge edge
+    c1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    pairs = c1 + c2 + [(4, 10)]
+    kw = {} if forced_tier == "driver" else \
+        {"small_threshold": 0, "n_buckets": 4}
+    out = label_propagation(_bfs_edges(pairs), "a", "b",
+                            rounds=4, **kw).to_pandas()
+    got = dict(zip(out["node_id"], out["community"]))
+    assert got == _lpa_ref(pairs, 4)
+    # the two planted clusters resolve to different communities
+    assert len({got[n] for n in range(5)} | {got[n] for n in range(10, 15)}) >= 2
