@@ -704,6 +704,10 @@ def _block_topk(blk_a: pd.DataFrame, blk_b: pd.DataFrame, same: bool,
     contract) with neighbor-id tiebreak, so partial selection is
     distributive: combining per-block top-ks under the same key
     reproduces the global top-k exactly."""
+    if not len(blk_a) or (not same and not len(blk_b)):
+        return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                             "nbr_id": pd.Series([], dtype=np.int64),
+                             "cosine": pd.Series([], dtype=np.float64)})
     ids_a, A = blk_a["vec_id"].to_numpy(), np.stack(list(blk_a["nemb"]))
     if same:
         ids_b, B = ids_a, A
@@ -817,6 +821,11 @@ def semantic_prune(embeddings: rd.Dataset, n_clusters: int = 8,
     cent_ref = ray.put(cent)
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):   # empty block
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype=np.int64),
+                "cluster_id": pd.Series([], dtype=np.int64),
+                "nemb": pd.Series([], dtype=object)})
         c = ray.get(cent_ref)
         emb = _normalize(_stack(b["embedding"]).astype(np.float64))
         return pd.DataFrame({

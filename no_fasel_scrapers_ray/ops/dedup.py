@@ -414,6 +414,12 @@ def ngram_jaccard_cross(docs: rd.Dataset, side_col: str,
                                lambda: TokenSetter(shingle))(batch)
 
     def prefix_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):   # empty block (upstream filter/repartition)
+            return pd.DataFrame({
+                "doc_id": np.zeros(0, np.int64),
+                "side": np.zeros(0, np.int64),
+                "shingle": np.zeros(0, np.int64),
+                "__bucket": np.zeros(0, np.int64)})
         sets = _batch_token_hashes(batch["text"], shingle)
         sets = [np.sort(s) if len(s) else np.zeros(1, np.uint64)
                 for s in sets]
@@ -517,6 +523,11 @@ def ngram_jaccard_pairs(docs: rd.Dataset, shingle: int = 3,
                                          hot_df_threshold, hot_k))
 
     def prefix_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):   # empty block (upstream filter/repartition)
+            return pd.DataFrame({
+                "doc_id": np.zeros(0, np.int64),
+                "shingle": np.zeros(0, np.int64),
+                "__bucket": np.zeros(0, np.int64)})
         hotset = broadcast_get(hot_ref)
         sets = _batch_token_hashes(batch["text"], shingle)
         sets = [s if len(s) else np.zeros(1, np.uint64) for s in sets]
@@ -1353,6 +1364,12 @@ def ngram_containment_pairs(docs: rd.Dataset, shingle: int = 3,
                                          hot_df_threshold, hot_k))
 
     def emit_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):   # empty block (upstream filter/repartition)
+            return pd.DataFrame({
+                "doc_id": np.zeros(0, np.int64),
+                "shingle": np.zeros(0, np.int64),
+                "__side": np.zeros(0, np.int8),
+                "__bucket": np.zeros(0, np.int64)})
         hotset = broadcast_get(hot_ref)
         sets = _batch_token_hashes(batch["text"], shingle)
         sets = [s if len(s) else np.zeros(1, np.uint64) for s in sets]

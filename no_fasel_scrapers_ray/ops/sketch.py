@@ -522,6 +522,9 @@ def grouped_heavy_hitters(ds: rd.Dataset, group_col: str,
 
     merged = (ds.map_batches(mg_partial, batch_format="pandas")
               .to_pandas())
+    if merged.empty:
+        return pd.DataFrame({group_col: [], item_col: [],
+                             "n": np.array([], dtype=np.int64)})
     cand_frames = []
     for g, sub in merged.groupby(group_col, sort=False):
         tot = sub.groupby(item_col)["n"].sum()

@@ -441,3 +441,32 @@ def test_lpa_two_clusters_match_reference(forced_tier):
     assert got == _lpa_ref(pairs, 4)
     # the two planted clusters resolve to different communities
     assert len({got[n] for n in range(5)} | {got[n] for n in range(10, 15)}) >= 2
+
+
+def test_empty_block_guards_round4_ops():
+    """Ray can hand empty blocks to any batch fn downstream of filters
+    or repartitions (the r03-ADVICE failure class) — drive each new
+    round-4 op over a dataset that contains one."""
+    from no_fasel_scrapers_ray.ops.ann import knn_graph_mutual, semantic_prune
+    from no_fasel_scrapers_ray.ops.dedup import (ngram_containment_pairs,
+                                                 ngram_jaccard_pairs)
+    from no_fasel_scrapers_ray.ops.sketch import grouped_heavy_hitters
+    texts = ["a b c d e f", "a b c d e g"]
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(2, dtype=np.int64),
+        "text": texts})).repartition(5)   # 3 empty blocks
+    assert len(ngram_jaccard_pairs(docs, jaccard_threshold=0.4)
+               .to_pandas()) == 1
+    assert len(ngram_containment_pairs(docs, threshold=0.6)
+               .to_pandas()) == 2
+    rng = np.random.default_rng(1)
+    emb = rng.normal(size=(6, 4))
+    eds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(6, dtype=np.int64),
+        "embedding": list(emb)})).repartition(10)
+    assert len(knn_graph_mutual(eds, k=2, block_rows=2).to_pandas()) > 0
+    assert len(semantic_prune(eds, n_clusters=2).to_pandas()) == 6
+    g = rd.from_pandas(pd.DataFrame({
+        "g": ["x"] * 4, "item": [1, 1, 2, 3]})).repartition(8)
+    out = grouped_heavy_hitters(g, "g", "item", topn=1)
+    assert list(out.itertuples(index=False, name=None)) == [("x", 1, 2)]
