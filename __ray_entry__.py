@@ -1020,6 +1020,47 @@ def q_asof_clicks(sf_dir: str):
                       "click_id": i64, "click_value": f64})
 
 
+def q_asof_clicks_forward(sf_dir: str):
+    """FORWARD as-of join (§ custom operators — next-event
+    attribution): each purchase matched to the user's EARLIEST
+    at-or-after click. Reuses the backward as-of kernel by time
+    negation — forward(t) = backward(−t), and 'last right with
+    −r ≤ −l' is exactly 'first right with r ≥ l' (ties inclusive,
+    unchanged). Oracle: DuckDB ASOF JOIN with the reversed
+    inequality."""
+    import pandas as pd
+    import pyarrow as pa
+    from no_fasel_scrapers_ray.ops.relational import asof_join
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"],
+               rows_per_block=8192)
+
+    def side(event_type: str, rename: dict):
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["event_type"] == event_type]
+            ts = b["ts"].astype("datetime64[us]") \
+                        .astype("int64").to_numpy()
+            out = {"user_id": b["user_id"].to_numpy(),
+                   "ts_neg": -ts}
+            for src, dst in rename.items():
+                out[dst] = (ts if src == "__ts" else
+                            b[src].to_numpy())
+            return pd.DataFrame(out)
+        return ev.map_batches(prep, batch_format="pandas")
+
+    i64 = pa.int64()
+    j = asof_join(
+        side("purchase", {"event_id": "event_id", "__ts": "ts_us"}),
+        side("click", {"event_id": "click_id", "__ts": "click_ts_us"}),
+        by="user_id", on="ts_neg",
+        left_fields={"user_id": i64, "ts_neg": i64,
+                     "event_id": i64, "ts_us": i64},
+        right_fields={"user_id": i64, "ts_neg": i64,
+                      "click_id": i64, "click_ts_us": i64})
+    return j.select_columns(["event_id", "user_id", "ts_us",
+                             "click_id", "click_ts_us"])
+
+
 def q_funnel_click_purchase(sf_dir: str):
     """Funnel / sequence-match (§ custom operators, composition): per
     user, how many purchases happened within 1 h of their most recent
@@ -4503,6 +4544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_top_parts": q_nation_top_parts,
         "lpa_communities": q_lpa_communities,
         "lpa_tier3": partial(q_lpa_communities, tier3=True),
+        "asof_clicks_forward": q_asof_clicks_forward,
         "embedding_stats": q_embedding_stats,
         "bfs_tier3": partial(q_bfs_fulfillment, tier3=True),
         "crawl_catalogs": q_crawl_catalogs,
@@ -6391,6 +6433,17 @@ def _oracle_sql_literal() -> dict[str, str]:
                    c.click_id, c.click_value
             FROM p ASOF JOIN c
               ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        """,
+        "asof_clicks_forward": """
+            WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, epoch_us(ts) AS click_ts_us,
+                              event_id AS click_id
+                       FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, p.ts_us,
+                   c.click_id, c.click_ts_us
+            FROM p ASOF JOIN c
+              ON p.user_id = c.user_id AND p.ts_us <= c.click_ts_us
         """,
         "range_join_clicks": """
             WITH s AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
