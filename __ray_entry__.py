@@ -3115,6 +3115,70 @@ def q_copurchase_pairs(sf_dir: str):
                           descending=[True, False, False]).limit(25)
 
 
+def q_frequent_triples(sf_dir: str, minsup: int = 2):
+    """Frequent 3-itemsets (§ data mining — the Apriori join+prune
+    step above copurchase_pairs): part triples bought together in
+    ≥ minsup orders. Downward closure makes the pruning EXACT: a
+    triple with support ≥ s has all three pairs ≥ s, so candidates =
+    frequent-pair self-join on the shared first item, kept only when
+    the closing (b,c) pair is frequent too. The frequent-PAIR set is
+    the only driver state (the Apriori contract — it shrinks as
+    minsup rises; here a few hundred rows); baskets emit in-basket
+    triples pre-filtered batch-side against the broadcast candidate
+    table before any shuffle. Oracle: the direct triple self-join
+    GROUP BY HAVING."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        _bucket_tagger, broadcast_get, preagg_reduce)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=65536)
+    tagged = li.map_batches(_bucket_tagger(["l_orderkey"], 64),
+                            batch_format="pandas").materialize()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        items = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = items.merge(items, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        return pd.DataFrame({"p1": m["l_partkey_a"].to_numpy(),
+                             "p2": m["l_partkey_b"].to_numpy()})
+
+    pair_counts = preagg_reduce(
+        tagged.groupby("__bucket").map_groups(
+            pairs, batch_format="pandas"),
+        ["p1", "p2"], "n", "count")
+    freq = pair_counts.map_batches(
+        lambda b: b[b["n"] >= minsup][["p1", "p2"]],
+        batch_format="pandas").to_pandas()   # Apriori driver state
+    # join step: (a,b) ⋈ (a,c), b < c, closed by frequent (b,c)
+    cand = freq.merge(freq, on="p1", suffixes=("_b", "_c"))
+    cand = cand[cand["p2_b"] < cand["p2_c"]].rename(
+        columns={"p1": "i", "p2_b": "j", "p2_c": "k"})
+    cand = cand.merge(freq.rename(columns={"p1": "j", "p2": "k"}),
+                      on=["j", "k"], how="inner")[["i", "j", "k"]]
+    import ray
+    cand_ref = ray.put(cand)
+
+    def triples(g: pd.DataFrame) -> pd.DataFrame:
+        c = broadcast_get(cand_ref)
+        items = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = items.merge(items, on="l_orderkey", suffixes=("", "_j"))
+        m = m[m["l_partkey"] < m["l_partkey_j"]]
+        m = m.merge(items, on="l_orderkey", suffixes=("", "_k"))
+        m = m[m["l_partkey_j"] < m["l_partkey_k"]]
+        t = pd.DataFrame({"i": m["l_partkey"].to_numpy(),
+                          "j": m["l_partkey_j"].to_numpy(),
+                          "k": m["l_partkey_k"].to_numpy()})
+        return t.merge(c, on=["i", "j", "k"], how="inner")
+
+    sup = preagg_reduce(
+        tagged.groupby("__bucket").map_groups(
+            triples, batch_format="pandas"),
+        ["i", "j", "k"], "support", "count")
+    return sup.map_batches(
+        lambda b: b[b["support"] >= minsup],
+        batch_format="pandas")
+
+
 def q_ewma_user_spend(sf_dir: str):
     """Per-user exponentially-weighted moving average of purchase
     value (§ windows — the decay-weighted engagement score):
@@ -4545,6 +4609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_communities": q_lpa_communities,
         "lpa_tier3": partial(q_lpa_communities, tier3=True),
         "asof_clicks_forward": q_asof_clicks_forward,
+        "frequent_triples": q_frequent_triples,
         "embedding_stats": q_embedding_stats,
         "bfs_tier3": partial(q_bfs_fulfillment, tier3=True),
         "crawl_catalogs": q_crawl_catalogs,
@@ -6433,6 +6498,19 @@ def _oracle_sql_literal() -> dict[str, str]:
                    c.click_id, c.click_value
             FROM p ASOF JOIN c
               ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        """,
+        "frequent_triples": """
+            WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+                           FROM lineitem)
+            SELECT a.l_partkey AS i, b.l_partkey AS j,
+                   c.l_partkey AS k,
+                   CAST(COUNT(*) AS BIGINT) AS support
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            JOIN items c ON a.l_orderkey = c.l_orderkey
+                        AND b.l_partkey < c.l_partkey
+            GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
         """,
         "asof_clicks_forward": """
             WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us

@@ -89,7 +89,7 @@ BENCH_QUERIES = [
     "overlap_duration", "semantic_prune", "approx_overlap_users",
     "scrub_tokens", "robust_zscore", "twa_user_value", "embedding_stats",
     "corpus_mix_sample", "nation_top_parts", "lpa_communities",
-    "asof_clicks_forward",
+    "asof_clicks_forward", "frequent_triples",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the
