@@ -846,17 +846,28 @@ def _tri_prep_edges(*parts):
 
 
 def _tri_split_edge_keys(tbl: pa.Table, n_nodes: int, n_buckets: int):
+    """Returns a tuple of ObjectRefs (ray.put per part), NOT raw
+    arrays: a task return under ~100 KB is stored in the OWNER's
+    in-process memory, and an n_blocks × n_buckets exchange of small
+    parts routes the whole key set through the DRIVER (measured
+    +1.1 GB driver RSS at sf0.1 forced-tier-3). Explicit ray.put keeps
+    part payloads in the worker-side object store; only refs flow
+    through the driver."""
+    import ray
     if tbl.num_rows == 0:
-        z = np.array([], dtype=np.int64)
+        z = ray.put(np.array([], dtype=np.int64))
         return tuple(z for _ in range(n_buckets)) if n_buckets > 1 else z
     u = tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
     v = tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
     key = np.where(u < v, u * n_nodes + v, v * n_nodes + u)
     parts = _pr_split_arrays([key], key, n_buckets)
-    return tuple(p[0] for p in parts)
+    refs = tuple(ray.put(p[0]) for p in parts)
+    return refs if n_buckets > 1 else refs[0]
 
 
 def _tri_prep_keys(*parts):
+    import ray
+    parts = [ray.get(p) for p in parts]
     return np.sort(np.concatenate(parts)) if parts else \
         np.array([], dtype=np.int64)
 
@@ -866,6 +877,7 @@ def _tri_wedges(eb, n_nodes: int, n_buckets: int):
     → triu pairs, v < w by construction), split by key bucket. Wedge
     volume per bucket is bounded by m·sqrt(2m)/n_buckets under the
     degree orientation."""
+    import ray
     u, v = eb
     out = [[] for _ in range(n_buckets)]
     if len(u):
@@ -885,15 +897,21 @@ def _tri_wedges(eb, n_nodes: int, n_buckets: int):
                 if e > s:
                     out[k].append(wk[order[s:e]])
     empty = np.array([], dtype=np.int64)
-    parts = tuple(np.concatenate(p) if p else empty for p in out)
+    # refs, not arrays — see _tri_split_edge_keys: small raw returns
+    # would funnel the whole wedge set through the driver's in-process
+    # store
+    parts = tuple(ray.put(np.concatenate(p) if p else empty)
+                  for p in out)
     return parts if n_buckets > 1 else parts[0]
 
 
 def _tri_count(keys_sorted: np.ndarray, *wedge_parts) -> int:
+    import ray
     if len(keys_sorted) == 0:
         return 0
     total = 0
-    for wk in wedge_parts:
+    for ref in wedge_parts:
+        wk = ray.get(ref)
         if len(wk):
             pos = np.searchsorted(keys_sorted, wk)
             pos[pos >= len(keys_sorted)] = len(keys_sorted) - 1
