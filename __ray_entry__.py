@@ -1724,9 +1724,12 @@ def q_events_nation_spend(sf_dir: str):
                  rows_per_block=65536)
 
     def prep_c(b: pd.DataFrame) -> pd.DataFrame:
+        # explicit widen (the oracle CASTs to BIGINT): the join used to
+        # widen int32 accidentally via its float null-padding round
+        # trip; the r4 precision fix preserves true input dtypes
         return pd.DataFrame({
             "user_id": b["c_custkey"].to_numpy(),
-            "c_nationkey": b["c_nationkey"].to_numpy()})
+            "c_nationkey": b["c_nationkey"].to_numpy(np.int64)})
 
     j = skew_aware_join(ev.map_batches(prep_ev, batch_format="pandas"),
                         cust.map_batches(prep_c, batch_format="pandas"),

@@ -269,17 +269,42 @@ def bucketed_join(left: rd.Dataset, right: rd.Dataset, on: str,
     int_cols = [name for name, typ in all_fields.items()
                 if pa.types.is_integer(typ)]
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lrows = g[g["__side"] == "l"][left_cols]
-        rrows = g[g["__side"] == "r"][right_cols]
+    def join_bucket(g: pa.Table) -> pd.DataFrame:
+        # Split sides in ARROW before any pandas conversion: a
+        # whole-group pandas conversion sees the OTHER side's null
+        # padding and upcasts every int column to float64 — for both
+        # sides' rows — silently rounding integers past 2^53 (caught
+        # by the r4 hash-keyed perplexity join; invisible before
+        # because every prior int column was small). Each side's own
+        # columns are null-free, so per-side conversion keeps exact
+        # int64.
+        mask = pc.equal(g["__side"], "l")
+        lrows = g.filter(mask).select(left_cols).to_pandas()
+        rrows = g.filter(pc.invert(mask)).select(right_cols).to_pandas()
+        if how != "inner":
+            # NaN-safe ints under outer merges: nullable Int64 keeps
+            # unmatched rows from upcasting matched big ints
+            for c in int_cols:
+                if c in lrows.columns and lrows[c].dtype.kind == "i":
+                    lrows[c] = lrows[c].astype("Int64")
+                if c in rrows.columns and rrows[c].dtype.kind == "i":
+                    rrows[c] = rrows[c].astype("Int64")
         out = lrows.merge(rrows, on=on, how=how)
         for c in int_cols:
-            if (c in out.columns and out[c].dtype.kind == "f"
-                    and not out[c].isna().any()):
+            if c not in out.columns:
+                continue
+            if out[c].dtype.kind == "f" and not out[c].isna().any():
                 out[c] = out[c].astype("int64")
+            elif str(out[c].dtype) == "Int64":
+                # restore the historical dtypes: plain int64 when no
+                # nulls, float64 (with NaN) when the outer join missed
+                out[c] = (out[c].astype("int64")
+                          if not out[c].isna().any()
+                          else out[c].astype("float64"))
         return out
 
-    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return tagged.groupby("__bucket").map_groups(join_bucket,
+                                                 batch_format="pyarrow")
 
 
 def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,

@@ -724,6 +724,26 @@ def zipf_slope(docs: rd.Dataset, topn: int = 1000,
                          "icept": [round(icept, 6)]})
 
 
+def _flat_token_hashes(texts):
+    """(lens, flat_hashes): per-doc token-hash SEQUENCES (not unique)
+    — the dedup batch-hash fast path in sequence form: ONE
+    split_pattern + ONE hash_array per batch instead of a per-doc
+    loop."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    lst = pc.split_pattern(pa.array(texts, type=pa.string()), " ")
+    lens = pc.list_value_length(lst).to_numpy().astype(np.int64)
+    flat = lst.flatten().to_numpy(zero_copy_only=False)
+    th = (pd.util.hash_array(flat) if len(flat)
+          else np.zeros(0, dtype=np.uint64))
+    return lens, th
+
+
+# order-sensitive bigram key mix (odd multipliers → permutations)
+_BG_M0 = np.uint64(0x9E3779B97F4A7C15)
+_BG_M1 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
 def doc_perplexity(docs: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
     """Bigram-LM negative log-likelihood per document (brief: "Text
     analysis" — the CCNet/Gopher-style LM-quality signal: docs with
@@ -733,64 +753,79 @@ def doc_perplexity(docs: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
 
     Fully distributed shape (the rare_term_permille scale tier — at
     100 TB neither the unigram nor the bigram table fits one node):
-    per-batch doc-bigram multisets (doc_id, w1, w2, k) from the
-    shifted-column gram build; ONE composite-key bucket join attaches
-    c_xy, one w1-bucket join attaches c_x; V is a constant-size count
-    over the unigram set. Per-bigram ln probabilities follow the
-    round-6 transcendental contract, then are summed as integer
-    micro-nats (round-6 value × 1e6 → int64) so the per-doc reduction
-    is order-independent and bit-exact vs the oracle's mirrored
-    expression. Docs with < 2 tokens have no bigrams and drop out
-    (the oracle's inner join does the same)."""
+    per-batch doc-bigram multisets from ONE flat tokenize-and-hash
+    pass per batch; ONE bigram-key bucket join attaches c_xy, one
+    unigram-key join attaches c_x; V is a constant-size count over
+    the unigram set. ALL join keys are int64 token/bigram hashes —
+    strings never enter a shuffle (the r4 rewrite: string keys were
+    the stage's wall-time; the module's standing 64-bit
+    collision-free contract applies, and the oracle compares the
+    doc-level OUTPUT, not internal keys). Per-bigram ln probabilities
+    follow the round-6 transcendental contract, then are summed as
+    integer micro-nats (round-6 value × 1e6 → int64) so the per-doc
+    reduction is order-independent and bit-exact vs the oracle\'s
+    mirrored expression. Docs with < 2 tokens have no bigrams and
+    drop out (the oracle\'s inner join does the same)."""
     from .relational import bucketed_join, preagg_sum_count
 
-    SEP = "\x1f"
+    def uni_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        _, th = _flat_token_hashes(batch["text"])
+        if not len(th):
+            return pd.DataFrame({"w1": np.zeros(0, np.int64),
+                                 "c_x": np.zeros(0, np.int64)})
+        vals, cnts = np.unique(th, return_counts=True)
+        return pd.DataFrame({"w1": vals.view(np.int64),
+                             "c_x": cnts.astype(np.int64)})
+
+    def bg_keys(lens, th):
+        keep = np.ones(len(th) - 1, dtype=bool)
+        ends = np.cumsum(lens)[:-1] - 1   # last token index per doc
+        keep[ends] = False
+        bk = (th[:-1] * _BG_M0) ^ (th[1:] * _BG_M1)
+        return keep, bk
+
+    def bg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"bkey": np.zeros(0, np.int64),
+                              "c_xy": np.zeros(0, np.int64)})
+        lens, th = _flat_token_hashes(batch["text"])
+        if len(th) < 2:
+            return empty
+        keep, bk = bg_keys(lens, th)
+        vals, cnts = np.unique(bk[keep], return_counts=True)
+        return pd.DataFrame({"bkey": vals.view(np.int64),
+                             "c_xy": cnts.astype(np.int64)})
 
     def doc_bigrams(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.split(" ")
-        lens = toks.str.len().to_numpy(dtype=np.int64)
-        flat = np.concatenate(toks.to_numpy()) if len(toks) else \
-            np.array([], dtype=object)
-        empty = pd.DataFrame({"doc_id": np.array([], dtype=np.int64),
-                              "key": np.array([], dtype=object),
-                              "w1": np.array([], dtype=object),
-                              "k": np.array([], dtype=np.int64)})
-        if len(flat) < 2:
+        empty = pd.DataFrame({"doc_id": np.zeros(0, np.int64),
+                              "bkey": np.zeros(0, np.int64),
+                              "w1": np.zeros(0, np.int64),
+                              "k": np.zeros(0, np.int64)})
+        lens, th = _flat_token_hashes(batch["text"])
+        if len(th) < 2:
             return empty
-        keep = np.ones(len(flat) - 1, dtype=bool)
-        ends = np.cumsum(lens)[:-1] - 1
-        keep[ends] = False
-        # a doc is one row, so its whole bigram multiset is local to
-        # this batch — k is final here, not a partial; pair i belongs
-        # to the doc owning token i (token i+1 is same-doc given keep)
+        keep, bk = bg_keys(lens, th)
         dids = np.repeat(batch["doc_id"].to_numpy(np.int64),
                          lens)[:-1][keep]
-        w1 = flat[:-1][keep]
-        w2 = flat[1:][keep]
-        g = (pd.DataFrame({"doc_id": dids, "w1": w1, "w2": w2})
-             .groupby(["doc_id", "w1", "w2"], as_index=False,
-                      sort=False).size().rename(columns={"size": "k"}))
-        g["k"] = g["k"].astype(np.int64)
-        g["key"] = g["w1"].astype(object) + SEP + g["w2"].astype(object)
-        return g[["doc_id", "key", "w1", "k"]]
+        rows = np.stack([dids, bk[keep].view(np.int64),
+                         th[:-1][keep].view(np.int64)], axis=1)
+        uniq, k = np.unique(rows, axis=0, return_counts=True)
+        return pd.DataFrame({"doc_id": uniq[:, 0], "bkey": uniq[:, 1],
+                             "w1": uniq[:, 2],
+                             "k": k.astype(np.int64)})
 
-    uni = _unigram_counts(docs, n_buckets).materialize()
+    uni = preagg_sum_count(
+        docs.map_batches(uni_partial, batch_format="pandas"),
+        ["w1"], {"c_x": "c_x"}, n_buckets=n_buckets).materialize()
     vocab = float(uni.count())
-    bg = _bigram_counts(docs, n_buckets)
-
-    def bg_key(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "key": b["w1"].astype(object) + SEP + b["w2"].astype(object),
-            "c_xy": b["c_xy"].to_numpy(np.int64)})
+    bg = preagg_sum_count(
+        docs.map_batches(bg_partial, batch_format="pandas"),
+        ["bkey"], {"c_xy": "c_xy"}, n_buckets=n_buckets)
 
     dbg = docs.map_batches(doc_bigrams, batch_format="pandas")
-    j1 = bucketed_join(dbg, bg.map_batches(bg_key, batch_format="pandas"),
-                       on="key", n_buckets=n_buckets, how="inner")
-    j2 = bucketed_join(
-        j1, uni.map_batches(
-            lambda b: b.rename(columns={"term": "w1", "c": "c_x"}),
-            batch_format="pandas"),
-        on="w1", n_buckets=n_buckets, how="inner")
+    j1 = bucketed_join(dbg, bg, on="bkey",
+                       n_buckets=n_buckets, how="inner")
+    j2 = bucketed_join(j1, uni, on="w1",
+                       n_buckets=n_buckets, how="inner")
 
     def micro_nll(b: pd.DataFrame) -> pd.DataFrame:
         cxy = b["c_xy"].to_numpy(np.float64)
@@ -811,7 +846,7 @@ def doc_perplexity(docs: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
         n = b["n"].to_numpy(np.int64)
         # both divisions are single IEEE ops on exactly-representable
         # ints → bit-exact without a final round (no half-way
-        # ambiguity between numpy's half-even and SQL's half-away)
+        # ambiguity between numpy\'s half-even and SQL\'s half-away)
         return pd.DataFrame({
             "doc_id": b["doc_id"].to_numpy(np.int64),
             "n_bigrams": n,
