@@ -378,22 +378,31 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
             [], dtype=all_fields[c].to_pandas_dtype())
             for c in out_cols})
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lrows = g[g["__side"] == "l"][left_cols].sort_values(on)
-        rrows = g[g["__side"] == "r"][right_cols].sort_values(on)
+    def merge_bucket(g: pa.Table) -> pd.DataFrame:
+        # Arrow-side split BEFORE pandas conversion — a whole-group
+        # conversion sees the other side's null padding and upcasts
+        # every int column to float64 for both sides' rows, rounding
+        # ints past 2^53 (same hazard fixed in bucketed_join; today's
+        # µs epochs are ~1.8e15 < 2^53, so this is hygiene, not a
+        # current-data bug).
+        mask = pc.equal(g["__side"], "l")
+        lrows = g.filter(mask).select(left_cols) \
+                 .to_pandas().sort_values(on)
+        rrows = g.filter(pc.invert(mask)).select(right_cols) \
+                 .to_pandas().sort_values(on)
         if not len(lrows) or not len(rrows):
             return _empty()
         out = pd.merge_asof(lrows, rrows, on=on, by=by,
                             direction="backward",
                             allow_exact_matches=True)
         out = out.dropna(subset=[payload[0]])   # inner semantics
-        for c in int_cols:   # null-padding upcast restore, BOTH sides
-            if out[c].dtype.kind == "f":        # (see bucketed_join)
+        for c in int_cols:   # unmatched-row NaN upcast restore
+            if out[c].dtype.kind == "f":
                 out[c] = out[c].astype("int64")
         return out[out_cols]
 
     return tagged.groupby("__bucket").map_groups(
-        merge_bucket, batch_format="pandas")
+        merge_bucket, batch_format="pyarrow")
 
 
 def range_count_join(left: rd.Dataset, right: rd.Dataset, by: str,
@@ -419,7 +428,6 @@ def range_count_join(left: rd.Dataset, right: rd.Dataset, by: str,
         left_schema = left.schema()
         left_fields = dict(zip(left_schema.names, left_schema.types))
     left_cols = list(left_fields)
-    int_left = [c for c, t in left_fields.items() if pa.types.is_integer(t)]
 
     def tag(side: str, keep: list[str]):
         def _tag(batch: pa.Table) -> pa.Table:
@@ -449,17 +457,18 @@ def range_count_join(left: rd.Dataset, right: rd.Dataset, by: str,
         right.select_columns([by, on]).map_batches(
             tag_right, batch_format="pyarrow"))
 
-    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lrows = g[g["__side"] == "l"][left_cols].sort_values(on)
-        for c in int_left:   # null-padding upcast restore
-            if lrows[c].dtype.kind == "f":
-                lrows[c] = lrows[c].astype("int64")
+    def count_bucket(g: pa.Table) -> pd.DataFrame:
+        # Arrow-side split before pandas conversion (the bucketed_join
+        # 2^53 hazard): each side's own columns are null-free
+        mask = pc.equal(g["__side"], "l")
+        lrows = g.filter(mask).select(left_cols) \
+                 .to_pandas().sort_values(on)
         if not len(lrows):
             out = pd.DataFrame({c: pd.Series([], dtype=d)
                                 for c, d in lrows.dtypes.items()})
             out[out_col] = pd.Series([], dtype="int64")
             return out
-        rrows = (g[g["__side"] == "r"][[by, on]]
+        rrows = (g.filter(pc.invert(mask)).select([by, on]).to_pandas()
                  .astype({by: "int64", on: "int64"})
                  .sort_values([by, on]))
         if not len(rrows):
@@ -489,7 +498,7 @@ def range_count_join(left: rd.Dataset, right: rd.Dataset, by: str,
         return lrows
 
     return tagged.groupby("__bucket").map_groups(
-        count_bucket, batch_format="pandas")
+        count_bucket, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
