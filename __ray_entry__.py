@@ -3290,14 +3290,18 @@ def _lpa_oracle_sql(rounds: int = 3) -> str:
 
 
 def q_nation_top_parts(sf_dir: str):
-    """Per-nation top-3 parts by line count (§ sketches — grouped
-    heavy hitters, heavy_hitter_terms' grouped twin): supplier nation
-    resolved by a broadcast dim lookup (no fact-side shuffle), then
-    per-group Misra-Gries candidates + one exact recount
-    (ops/sketch.py::grouped_heavy_hitters). Exact under the MG
-    superset guarantee → shares an exact SQL oracle."""
+    """Per-nation top-3 parts by line count (§ aggregates — the exact
+    agg-then-topk shape): supplier nation resolved by a broadcast dim
+    lookup (no fact-side shuffle), then an exact two-stage (nation,
+    part) count — cardinality is dim-bounded (25 × |part|), so the
+    aggregate is shuffle-safe at any sf — and a per-group head under
+    the (count desc, partkey) total order. Originally pointed at the
+    grouped-MG sketch; this data is NEAR-UNIFORM (top-3 part counts
+    sit BELOW the N_g/(k+1) recovery bound at sf ≥ 0.01), so the
+    sketch path cannot certify exactness here — `lang_top_tokens` is
+    the grouped-heavy-hitter query on data with true heavy hitters."""
     import pandas as pd
-    from no_fasel_scrapers_ray.ops.sketch import grouped_heavy_hitters
+    from no_fasel_scrapers_ray.ops.relational import preagg_reduce
     sup = _read(sf_dir, "supplier",
                 ["s_suppkey", "s_nationkey"]).to_pandas()
     sup = sup.sort_values("s_suppkey")
@@ -3314,9 +3318,50 @@ def q_nation_top_parts(sf_dir: str):
         return pd.DataFrame({"nation": n[pos],
                              "l_partkey": b["l_partkey"].to_numpy()})
 
+    counts = preagg_reduce(li.map_batches(tag, batch_format="pandas"),
+                           ["nation", "l_partkey"], "n_lines", "count")
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["nation", "n_lines", "l_partkey"],
+                          ascending=[True, False, True], kind="stable")
+        return b.groupby("nation", sort=False).head(3)
+
+    # per-block top-3 survivors (superset under the same total order),
+    # final head on the ≤ 3 × blocks × nations survivor set
+    surv = counts.map_batches(block_topk,
+                              batch_format="pandas").to_pandas()
+    surv = surv.sort_values(["nation", "n_lines", "l_partkey"],
+                            ascending=[True, False, True],
+                            kind="stable")
+    return surv.groupby("nation", sort=False).head(3) \
+               .reset_index(drop=True)
+
+
+def q_lang_top_tokens(sf_dir: str):
+    """Per-language top-3 tokens (§ sketches — grouped heavy hitters,
+    heavy_hitter_terms' grouped twin): per-batch exploded token
+    partials feed per-group Misra-Gries candidates + one exact recount
+    (ops/sketch.py::grouped_heavy_hitters). Token frequencies are
+    genuinely heavy (top-3 counts clear the N_g/(k+1) recovery bound
+    by >10× at every sf, and the ratio is scale-invariant); the op
+    VERIFIES the bound at runtime and raises rather than silently
+    degrade. Exploded tokens never shuffle — partials are ≤ groups × k
+    rows per batch."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.sketch import grouped_heavy_hitters
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split(" ")
+        return pd.DataFrame({
+            "lang": np.repeat(b["lang"].to_numpy(),
+                              toks.str.len().to_numpy()),
+            "tok": np.concatenate(toks.to_numpy())
+            if len(b) else np.array([], dtype=object)})
+
     return grouped_heavy_hitters(
-        li.map_batches(tag, batch_format="pandas"),
-        "nation", "l_partkey", topn=3).rename(columns={"n": "n_lines"})
+        docs.map_batches(explode, batch_format="pandas"),
+        "lang", "tok", topn=3).rename(columns={"n": "n_tok"})
 
 
 def q_corpus_mix_sample(sf_dir: str, budget: int = 3_000):
@@ -3409,6 +3454,11 @@ def q_embedding_stats(sf_dir: str):
     emb = _read(sf_dir, "embeddings", ["embedding"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):   # empty block guard (see commit 9be3d72)
+            return pd.DataFrame({"dim": np.zeros(0, np.int64),
+                                 "n": np.zeros(0, np.int64),
+                                 "s": np.zeros(0, np.float64),
+                                 "s2": np.zeros(0, np.float64)})
         m = np.stack([np.asarray(v, dtype=np.float64)
                       for v in b["embedding"]])
         return pd.DataFrame({
@@ -3479,9 +3529,15 @@ def q_robust_zscore(sf_dir: str):
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
         st = ray.get(stats_ref)
-        med = np.array([st[t][1] for t in b["event_type"]], np.int64)
-        iqr = np.array([st[t][2] - st[t][0] for t in b["event_type"]],
-                       np.int64)
+        # vectorized stats lookup: factorize once, fancy-index the
+        # per-type arrays (a per-row dict comprehension costs ~10 s
+        # per 1M rows of pure interpreter time)
+        codes, types = pd.factorize(b["event_type"])
+        med_a = np.array([st[t][1] for t in types], np.int64)
+        iqr_a = np.array([st[t][2] - st[t][0] for t in types],
+                         np.int64)
+        med = med_a[codes]
+        iqr = iqr_a[codes]
         cz = b["cents"].to_numpy(np.int64) - med
         z = np.where(iqr == 0, 0.0,
                      np.round(cz.astype(np.float64)
@@ -4609,6 +4665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twa_user_value": q_twa_user_value,
         "corpus_mix_sample": q_corpus_mix_sample,
         "nation_top_parts": q_nation_top_parts,
+        "lang_top_tokens": q_lang_top_tokens,
         "lpa_communities": q_lpa_communities,
         "lpa_tier3": partial(q_lpa_communities, tier3=True),
         "asof_clicks_forward": q_asof_clicks_forward,
@@ -4675,6 +4732,18 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        "lang_top_tokens": """
+            WITH t AS (SELECT lang, unnest(string_split(text, ' '))
+                              AS tok
+                       FROM documents),
+            c AS (SELECT lang, tok, COUNT(*) AS n_tok
+                  FROM t GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY lang
+                      ORDER BY n_tok DESC, tok) AS rk
+                  FROM c)
+            SELECT lang, tok, n_tok FROM r WHERE rk <= 3
         """,
         "nation_top_parts": """
             WITH l AS (SELECT s_nationkey AS nation, l_partkey

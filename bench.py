@@ -88,7 +88,8 @@ BENCH_QUERIES = [
     "bfs_fulfillment", "dedup_containment", "knn_mutual",
     "overlap_duration", "semantic_prune", "approx_overlap_users",
     "scrub_tokens", "robust_zscore", "twa_user_value", "embedding_stats",
-    "corpus_mix_sample", "nation_top_parts", "lpa_communities",
+    "corpus_mix_sample", "nation_top_parts", "lang_top_tokens",
+    "lpa_communities",
     "asof_clicks_forward", "frequent_triples",
 ]
 

@@ -755,6 +755,9 @@ def knn_graph_mutual(embeddings: rd.Dataset, k: int = 5,
     from .relational import preagg_reduce
 
     def norm_pack(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):   # empty block guard (see commit 9be3d72)
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "nemb": pd.Series([], dtype=object)})
         nemb = _normalize(_stack(b["embedding"]).astype(np.float64))
         return pd.DataFrame({"vec_id": b["vec_id"].to_numpy(),
                              "nemb": list(nemb)})
@@ -796,7 +799,8 @@ def knn_graph_mutual(embeddings: rd.Dataset, k: int = 5,
 
 def semantic_prune(embeddings: rd.Dataset, n_clusters: int = 8,
                    threshold: float = 0.9, iters: int = 5,
-                   seed: int = 42) -> rd.Dataset:
+                   seed: int = 42,
+                   prune_chunk: int = 2048) -> rd.Dataset:
     """SemDeDup-style semantic pruning (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic
     deduplication"): cluster the corpus with the deterministic coarse
@@ -833,15 +837,32 @@ def semantic_prune(embeddings: rd.Dataset, n_clusters: int = 8,
             "cluster_id": np.argmax(emb @ c.T, axis=1).astype(np.int64),
             "nemb": [v.tobytes() for v in emb]})
 
-    def prune(g: pd.DataFrame) -> pd.DataFrame:
+    def prune(g: pd.DataFrame, chunk: int | None = None) -> pd.DataFrame:
+        chunk = chunk or prune_chunk
+        # BLOCKED greedy: never materialize the n×n similarity matrix
+        # (a 12.5k-vector cluster would allocate ~1.25 GB in one task).
+        # Per chunk: ONE matmul against the previously-kept rows
+        # (O(chunk × kept) transient) + a chunk-local c×c matmul for
+        # the sequential within-chunk scan — identical output to the
+        # full-matrix form (pinned by the determinism test).
         g = g.sort_values("vec_id")
         N = np.stack([np.frombuffer(v, dtype=np.float64)
                       for v in g["nemb"]])
-        sims = N @ N.T
         n = len(g)
         kept = np.zeros(n, dtype=bool)
-        for i in range(n):
-            kept[i] = not (sims[i, :i][kept[:i]] >= threshold).any()
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            C = N[lo:hi]
+            prev_idx = np.flatnonzero(kept[:lo])
+            blocked = ((C @ N[prev_idx].T >= threshold).any(axis=1)
+                       if len(prev_idx) else
+                       np.zeros(hi - lo, dtype=bool))
+            intra = C @ C.T
+            for i in range(hi - lo):
+                if blocked[i]:
+                    continue
+                kc = kept[lo:lo + i]
+                kept[lo + i] = not (intra[i, :i][kc] >= threshold).any()
         return pd.DataFrame({
             "vec_id": g["vec_id"].to_numpy(),
             "cluster_id": g["cluster_id"].to_numpy(),

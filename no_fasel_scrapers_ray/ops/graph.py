@@ -852,7 +852,16 @@ def _tri_split_edge_keys(tbl: pa.Table, n_nodes: int, n_buckets: int):
     parts routes the whole key set through the DRIVER (measured
     +1.1 GB driver RSS at sf0.1 forced-tier-3). Explicit ray.put keeps
     part payloads in the worker-side object store; only refs flow
-    through the driver."""
+    through the driver.
+
+    Fault-tolerance trade (documented, accepted): ray.put objects are
+    owned by the producing worker and are NOT lineage-reconstructable
+    — a worker death between the split and count phases turns into a
+    terminal OwnerDiedError for this one-shot exchange instead of a
+    transparent retry. The exchange spans seconds and the caller
+    (triangle_count) is a pure function of its input Dataset, so the
+    recovery story is rerun-the-op, same as the round-level
+    crash-resume posture."""
     import ray
     if tbl.num_rows == 0:
         z = ray.put(np.array([], dtype=np.int64))
@@ -1512,7 +1521,12 @@ def label_propagation(pairs: rd.Dataset, col_a: str, col_b: str,
     Standing two-tier cutover: driver CSR under small_threshold edge
     rows; beyond, the BSP kernel with pre-counted (node, label, count)
     exchanges — per round the wire carries at most one row per
-    distinct (neighbor, incoming-label) pair per source bucket."""
+    distinct (neighbor, incoming-label) pair per source bucket.
+
+    Input contract: ``pairs`` should be DISTINCT edges — a duplicated
+    pair acts as a double-weight vote in the mode (both tiers agree on
+    that semantics, but it is usually not what callers mean; the
+    fulfillment builders dedup upstream)."""
     import ray
 
     def mirror(b: pa.Table) -> pa.Table:

@@ -387,9 +387,17 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
         # current-data bug).
         mask = pc.equal(g["__side"], "l")
         lrows = g.filter(mask).select(left_cols) \
-                 .to_pandas().sort_values(on)
+                 .to_pandas().sort_values(on, kind="stable")
+        # deterministic tie handling: merge_asof picks the LAST right
+        # row among equal `on` values, so sort equal-timestamp rows by
+        # the full column tuple (stable) — reruns and block orders
+        # agree; which duplicate an ASOF oracle picks remains engine-
+        # defined, so callers needing oracle parity must have unique
+        # (by, on) pairs on the right (asserted true for the events
+        # data at every sf)
         rrows = g.filter(pc.invert(mask)).select(right_cols) \
-                 .to_pandas().sort_values(on)
+                 .to_pandas().sort_values(right_cols, kind="stable") \
+                 .sort_values(on, kind="stable")
         if not len(lrows) or not len(rrows):
             return _empty()
         out = pd.merge_asof(lrows, rrows, on=on, by=by,

@@ -502,7 +502,13 @@ def grouped_heavy_hitters(ds: rd.Dataset, group_col: str,
     EXACT recount pass, per-group top-n. Exactly the true top-n per
     group whenever the n-th item's count exceeds N_group/(k+1) — the
     MG superset guarantee (adversarial test in test_sketch.py), which
-    is why it shares an exact SQL oracle. Ties (count DESC, item ASC)."""
+    is why it shares an exact SQL oracle. The guarantee is VERIFIED at
+    runtime from the exact recounts (one extra per-group size pass):
+    if any selected count fails to clear N_group/(k_counters+1), or a
+    group has fewer than topn candidates while unaccounted mass
+    remains, the op raises instead of silently returning a wrong
+    top-n (near-uniform data has no heavy hitters to recover — use an
+    exact two-stage count there). Ties (count DESC, item ASC)."""
     import ray
 
     from .relational import broadcast_get, preagg_sum_count
@@ -550,5 +556,28 @@ def grouped_heavy_hitters(ds: rd.Dataset, group_col: str,
     exact = exact.sort_values([group_col, "n", item_col],
                               ascending=[True, False, True],
                               kind="stable")
-    return (exact.groupby(group_col, sort=False).head(topn)
-            .reset_index(drop=True))
+    sel = (exact.groupby(group_col, sort=False).head(topn)
+           .reset_index(drop=True))
+
+    # runtime guarantee verification: exact per-group sizes, then
+    # every selected count must clear the merged-MG undercount bound
+    # N_g/(k+1) — any item MISSING from the candidate set has true
+    # count ≤ that bound, so clearing it proves no missing item could
+    # displace the selection
+    totals = (ds.map_batches(
+        lambda b: b.groupby(group_col, sort=False).size()
+        .reset_index(name="n"), batch_format="pandas")
+        .to_pandas().groupby(group_col)["n"].sum())
+    cand_mass = exact.groupby(group_col)["n"].sum()
+    for g, sub in sel.groupby(group_col, sort=False):
+        bound = float(totals[g]) / (k_counters + 1)
+        uncovered = float(totals[g]) - float(cand_mass[g])
+        if (len(sub) < topn and uncovered > 0) or \
+                float(sub["n"].min()) <= bound:
+            raise ValueError(
+                f"grouped_heavy_hitters: group {g!r} has no verifiable "
+                f"top-{topn} (min selected count {sub['n'].min()} vs "
+                f"MG bound {bound:.1f} at k={k_counters}) — the data "
+                "is too uniform for heavy-hitter recovery; raise "
+                "k_counters or use an exact two-stage count")
+    return sel

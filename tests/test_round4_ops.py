@@ -470,3 +470,19 @@ def test_empty_block_guards_round4_ops():
         "g": ["x"] * 4, "item": [1, 1, 2, 3]})).repartition(8)
     out = grouped_heavy_hitters(g, "g", "item", topn=1)
     assert list(out.itertuples(index=False, name=None)) == [("x", 1, 2)]
+
+
+def test_semantic_prune_chunked_equals_unchunked():
+    from no_fasel_scrapers_ray.ops.ann import semantic_prune
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(40, 6))
+    emb = np.vstack([base, base[:8] + rng.normal(scale=1e-4,
+                                                 size=(8, 6))])
+    a = (semantic_prune(_emb_ds(emb), n_clusters=3, threshold=0.95,
+                        prune_chunk=4).to_pandas()
+         .sort_values("vec_id", ignore_index=True))
+    b = (semantic_prune(_emb_ds(emb), n_clusters=3, threshold=0.95,
+                        prune_chunk=10_000).to_pandas()
+         .sort_values("vec_id", ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert a["kept"].sum() < len(a)   # the planted dups got pruned

@@ -244,3 +244,17 @@ def test_grouped_heavy_hitters_adversarial_vocab():
            for g, sub in out.groupby("g")}
     assert got["x"] == [(1, 400), (2, 300), (3, 200)]
     assert got["y"] == [(10_001, 400), (10_002, 300), (10_003, 200)]
+
+
+def test_grouped_heavy_hitters_raises_on_uniform_data():
+    """Near-uniform data has no recoverable heavy hitters — the op
+    must fail loudly (the silent-exactness-hole fix), never return an
+    uncertifiable top-n."""
+    from no_fasel_scrapers_ray.ops.sketch import grouped_heavy_hitters
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "g": ["x"] * 20_000,
+        "item": rng.integers(0, 15_000, 20_000)})   # ~1.3 avg count
+    with pytest.raises(ValueError, match="no verifiable top"):
+        grouped_heavy_hitters(rd.from_pandas(df).repartition(8),
+                              "g", "item", topn=3, k_counters=64)
