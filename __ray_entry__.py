@@ -3913,8 +3913,12 @@ def q_cheapest_supplier_per_part(sf_dir: str):
     def prep(b: pd.DataFrame) -> pd.DataFrame:
         w = broadcast_get(dims_ref)[0]
         pk = b["l_partkey"].to_numpy(np.int64)
-        pos = np.searchsorted(w, pk)
-        keep = (pos < len(w)) & (w[np.minimum(pos, len(w) - 1)] == pk)
+        if not len(w):   # empty filter key set: w[-1] would raise
+            keep = np.zeros(len(pk), dtype=bool)
+        else:
+            pos = np.searchsorted(w, pk)
+            keep = (pos < len(w)) & \
+                (w[np.minimum(pos, len(w) - 1)] == pk)
         return pd.DataFrame({
             "p_partkey": pk[keep],
             "min_cents": (b["l_extendedprice"] * 100).round()
@@ -4159,8 +4163,12 @@ def q_dominant_part_suppliers(sf_dir: str):
     def prep(b: pd.DataFrame) -> pd.DataFrame:
         w = broadcast_get(dims_ref)[0]
         pk = b["l_partkey"].to_numpy(np.int64)
-        pos = np.searchsorted(w, pk)
-        keep = (pos < len(w)) & (w[np.minimum(pos, len(w) - 1)] == pk)
+        if not len(w):   # empty filter key set: w[-1] would raise
+            keep = np.zeros(len(pk), dtype=bool)
+        else:
+            pos = np.searchsorted(w, pk)
+            keep = (pos < len(w)) & \
+                (w[np.minimum(pos, len(w) - 1)] == pk)
         return pd.DataFrame({
             "l_partkey": pk[keep],
             "l_suppkey": b["l_suppkey"].to_numpy()[keep],
@@ -4340,7 +4348,10 @@ def q_hybrid_search_rrf(sf_dir: str):
                 "vec_id": vid[keep], "cos": cos, "l2": l2}))
         return pd.concat(out, ignore_index=True)
 
-    scored = emb.map_batches(score, batch_format="pandas")
+    # materialize: BOTH rankings consume `scored` — without this the
+    # full matmul scoring pass re-executes per consumer (the standing
+    # lineage re-run pitfall)
+    scored = emb.map_batches(score, batch_format="pandas").materialize()
     top_cos = topk_per_group(scored, ["query_id"], "cos", RRF_CAND,
                              ascending=False, tie_cols=["vec_id"]) \
         .to_pandas()

@@ -616,7 +616,7 @@ def knn_pq(embeddings: rd.Dataset, query_ids: list[int], k: int = 5,
     shortlist rows are scored). Output contract matches knn_ivf:
     (query_id, neighbor_id, cosine round-4, ties by neighbor_id). A
     neighbor is missed only if ADC ranks it below the shortlist cut;
-    recall vs knn_bruteforce is pinned in tests/test_pq.py."""
+    recall vs knn_bruteforce is pinned in tests/test_neardup_quality.py."""
     qdf = embeddings.map_batches(
         lambda t: t[np.isin(t["vec_id"].to_numpy(), query_ids)],
         batch_format="pandas").to_pandas().sort_values("vec_id")

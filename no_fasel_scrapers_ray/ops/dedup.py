@@ -845,17 +845,21 @@ def dup_spans(docs: rd.Dataset, k: int = 6, n_buckets: int = 32,
         nd = g.groupby("h")["doc_id"].nunique()
         return pd.DataFrame({"h": nd.index.to_numpy()[nd.to_numpy() > 1]})
 
-    cands = (docs.map_batches(cand_partial, batch_format="pandas")
-             .groupby("__bucket").map_groups(cand_final,
-                                             batch_format="pandas")
-             .to_pandas())
-    n_cand = len(cands)
+    cand_ds = (docs.map_batches(cand_partial, batch_format="pandas")
+               .groupby("__bucket").map_groups(cand_final,
+                                               batch_format="pandas")
+               .materialize())
+    # count DISTRIBUTED, before any driver pull — the cap must fire
+    # before the collection it guards against, not after (a 2B-hash
+    # candidate set would OOM the driver inside to_pandas otherwise)
+    n_cand = cand_ds.count()
     if n_cand > max_candidates:
         raise ValueError(
             f"dup_spans: {n_cand} candidate window hashes exceed "
             f"max_candidates={max_candidates}; the corpus's duplication "
             f"mass is too large to broadcast — raise the cap or dedup "
             f"doc-level first")
+    cands = cand_ds.to_pandas()
     cand_ref = ray.put(np.sort(cands["h"].to_numpy(dtype=np.uint64))
                        if n_cand else np.array([], dtype=np.uint64))
 

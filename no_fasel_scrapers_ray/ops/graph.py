@@ -674,11 +674,16 @@ def _pr_split_block(tbl: pa.Table, cols: list[str], n_buckets: int):
         empty = pa.table({c: pa.array(
             [], pa.float64() if c == "rank" else pa.int64())
             for c in cols})
-        return tuple(empty for _ in range(n_buckets))
+        # num_returns=1 hands the caller the WHOLE return value, so a
+        # 1-tuple would double-wrap — return the bare part (mirrors
+        # _tri_wedges; the n_buckets==1 path is exercised in tests)
+        return (tuple(empty for _ in range(n_buckets))
+                if n_buckets > 1 else empty)
     arrs = [tbl.column(c).to_numpy(zero_copy_only=False)
             for c in cols]
     parts = _pr_split_arrays(arrs, arrs[0].astype(np.int64), n_buckets)
-    return tuple(pa.table(dict(zip(cols, p))) for p in parts)
+    out = tuple(pa.table(dict(zip(cols, p))) for p in parts)
+    return out if n_buckets > 1 else out[0]
 
 
 def _pr_prep_edges(*parts):
@@ -721,13 +726,15 @@ def _pr_contrib(eb, base, rank, n_buckets: int):
     node, deg = base
     if len(src) == 0:
         z = np.array([], dtype=np.int64), np.array([], dtype=np.float64)
-        return tuple(z for _ in range(n_buckets))
+        return (tuple(z for _ in range(n_buckets))
+                if n_buckets > 1 else z)
     idx = np.searchsorted(node, src)
     share = rank[idx] / deg[idx]
     ud, inv = np.unique(dst, return_inverse=True)
     c = np.zeros(len(ud), dtype=np.float64)
     np.add.at(c, inv, share)
-    return tuple(_pr_split_arrays([ud, c], ud, n_buckets))
+    out = tuple(_pr_split_arrays([ud, c], ud, n_buckets))
+    return out if n_buckets > 1 else out[0]
 
 
 def _pr_renew(base, dang: float, n_nodes: int, damping: float, *cparts):
@@ -778,8 +785,9 @@ def _cc_pointer_edges(lab, n_buckets: int):
     bucket so the offer pass can look the label's label up locally."""
     node, label = lab
     m = label != node
-    return tuple(_pr_split_arrays([label[m], node[m]], label[m],
-                                  n_buckets))
+    out = tuple(_pr_split_arrays([label[m], node[m]], label[m],
+                                 n_buckets))
+    return out if n_buckets > 1 else out[0]
 
 
 def _cc_offers(eb, lab, n_buckets: int, *dyn_parts):
@@ -797,12 +805,14 @@ def _cc_offers(eb, lab, n_buckets: int, *dyn_parts):
     dst = np.concatenate(dsts)
     if len(src) == 0:
         z = np.array([], dtype=np.int64), np.array([], dtype=np.int64)
-        return tuple(z for _ in range(n_buckets))
+        return (tuple(z for _ in range(n_buckets))
+                if n_buckets > 1 else z)
     off = labels[np.searchsorted(nodes, src)]
     u, inv = np.unique(dst, return_inverse=True)
     m = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
     np.minimum.at(m, inv, off)
-    return tuple(_pr_split_arrays([u, m], u, n_buckets))
+    out = tuple(_pr_split_arrays([u, m], u, n_buckets))
+    return out if n_buckets > 1 else out[0]
 
 
 def _cc_reduce(lab, *offer_parts):
@@ -1281,12 +1291,14 @@ def _bfs_offers(eb, lab, n_buckets: int):
     nodes, labels = lab
     if len(node_e) == 0:
         z = np.array([], dtype=np.int64), np.array([], dtype=np.int64)
-        return tuple(z for _ in range(n_buckets))
+        return (tuple(z for _ in range(n_buckets))
+                if n_buckets > 1 else z)
     off = labels[np.searchsorted(nodes, node_e)] + 1
     u, inv = np.unique(nbr_e, return_inverse=True)
     m = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
     np.minimum.at(m, inv, off)
-    return tuple(_pr_split_arrays([u, m], u, n_buckets))
+    out = tuple(_pr_split_arrays([u, m], u, n_buckets))
+    return out if n_buckets > 1 else out[0]
 
 
 def _bfs_out_table(lab, max_hops: int) -> pa.Table:
@@ -1478,13 +1490,15 @@ def _lpa_count_partial(eb, lab, n_buckets: int):
     nodes, labels = lab
     if len(node_e) == 0:
         z = (np.array([], dtype=np.int64),) * 3
-        return tuple(z for _ in range(n_buckets))
+        return (tuple(z for _ in range(n_buckets))
+                if n_buckets > 1 else z)
     lb = labels[np.searchsorted(nodes, node_e)]
     u, inv = np.unique(
         np.stack([nbr_e, lb], axis=1), axis=0, return_inverse=True)
     cnt = np.bincount(inv).astype(np.int64)
-    return tuple(_pr_split_arrays([u[:, 0], u[:, 1], cnt],
-                                  u[:, 0], n_buckets))
+    out = tuple(_pr_split_arrays([u[:, 0], u[:, 1], cnt],
+                                 u[:, 0], n_buckets))
+    return out if n_buckets > 1 else out[0]
 
 
 def _lpa_reduce(lab, *count_parts):

@@ -38,7 +38,6 @@ import os
 
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..functions.hashing import md5_of_json
