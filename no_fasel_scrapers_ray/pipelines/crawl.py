@@ -66,8 +66,14 @@ DEAD_SCHEMA = pa.schema([
     ("category", pa.string()), ("depth", pa.int64()),
     ("reason", pa.string()), ("attempts", pa.int32())])
 
-# pinned per-worker broadcasts (corpus + crawl state: live for the run)
-_BCAST: dict = {}
+# per-worker broadcasts (corpus + crawl state) — bounded LRU: a run
+# touches a handful of pinned refs, but warm workers outlive the run,
+# and an UNBOUNDED cache kept the multi-GB corpus plasma buffers pinned
+# after CrawlEngine.release() (zero-copy views pin the object), so the
+# memory release() exists to reclaim never actually happened on reused
+# workers
+_BCAST: "OrderedDict[str, object]" = OrderedDict()
+_BCAST_CAP = 4
 # round-scoped per-worker cache (per-round shard tables): bounded LRU so
 # long crawls don't accumulate every round's tables in worker heaps
 _BCAST_LRU: "OrderedDict[str, object]" = OrderedDict()
@@ -77,9 +83,14 @@ _BCAST_LRU_CAP = 16
 def _bget(ref, pin: bool = True):
     key = ref.hex()
     if pin:
-        if key not in _BCAST:
-            _BCAST[key] = ray.get(ref)
-        return _BCAST[key]
+        if key in _BCAST:
+            _BCAST.move_to_end(key)
+            return _BCAST[key]
+        val = ray.get(ref)
+        _BCAST[key] = val
+        while len(_BCAST) > _BCAST_CAP:
+            _BCAST.popitem(last=False)
+        return val
     if key in _BCAST_LRU:
         _BCAST_LRU.move_to_end(key)
         return _BCAST_LRU[key]
@@ -222,8 +233,11 @@ def _fetch_with_retry(fetcher, batch: pa.Table, fail_plan: dict | None,
     if not fetched_parts:
         return batch.slice(0, 0), dead
     fetched = pa.concat_tables(fetched_parts)
-    if len(fetched_parts) > 1:
-        fetched = fetched.sort_by([("_ix", "ascending")])
+    # UNCONDITIONAL: path-mode fetchers return rows regrouped by salt,
+    # so even the no-retry single-part case needs the original-order
+    # restore (the retry-only sort made row order depend on the
+    # retry schedule and fetch mode)
+    fetched = fetched.sort_by([("_ix", "ascending")])
     return fetched.drop_columns(["_ix"]), dead
 
 
@@ -424,13 +438,18 @@ class CrawlEngine:
             if popped == 0:
                 break
             n_records, n_dead = self._execute_round(metas)
-            self._checkpoint_round(metas, popped)
+            # metrics BEFORE the checkpoint that snapshots them — the
+            # old order wrote a manifest missing its own round's
+            # counters, so every kill-and-resume under-counted by one
+            # round (checkpoint launch is non-blocking; dt excludes
+            # only its ~ms submit cost)
             dt = time.perf_counter() - t0
             self.metrics["rounds"] += 1
             self.metrics["popped"] += popped
             self.metrics["records"] += max(n_records, 0)
             self.metrics["dead_lettered"] += n_dead
             self.metrics["round_secs"].append(round(dt, 3))
+            self._checkpoint_round(metas, popped)
             self.round_idx += 1
         self._finalize()
         return self.metrics
@@ -529,9 +548,13 @@ class CrawlEngine:
         returns the next round index. Records of completed rounds are
         already on disk (per-round partitions are skipped, not redone)."""
         ckpt_root = os.path.join(self.run_dir, "ckpt")
-        rounds = sorted(d for d in os.listdir(ckpt_root)
-                        if os.path.exists(os.path.join(ckpt_root, d,
-                                                       "MANIFEST.json")))
+        # NUMERIC sort: lexicographic breaks at round 10000
+        # ("round-10000" < "round-9999")
+        rounds = sorted(
+            (d for d in os.listdir(ckpt_root)
+             if os.path.exists(os.path.join(ckpt_root, d,
+                                            "MANIFEST.json"))),
+            key=lambda d: int(d.rsplit("-", 1)[-1]))
         if not rounds:
             return 0
         last = os.path.join(ckpt_root, rounds[-1])
@@ -595,7 +618,9 @@ class CrawlEngine:
         ckpt_root = os.path.join(self.run_dir, "ckpt")
         tables = []
         if os.path.isdir(ckpt_root):
-            for r in sorted(os.listdir(ckpt_root)):
+            for r in sorted(os.listdir(ckpt_root),
+                            key=lambda d: int(d.rsplit("-", 1)[-1])
+                            if d.rsplit("-", 1)[-1].isdigit() else -1):
                 mf = os.path.join(ckpt_root, r, "MANIFEST.json")
                 if not os.path.exists(mf):
                     continue

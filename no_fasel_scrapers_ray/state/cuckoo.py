@@ -21,6 +21,7 @@ import numpy as np
 
 _EMPTY = np.uint16(0)
 MAX_KICKS = 500
+STASH_MAX = 64
 
 
 class CuckooFilter:
@@ -34,6 +35,11 @@ class CuckooFilter:
         self.size = 0
         self._rng = np.random.RandomState(seed)
         self._mask = np.uint64(n_buckets - 1)
+        # overflow stash: (fp, home_idx) pairs for victims MAX_KICKS
+        # could not re-place — preserves the no-false-negative
+        # guarantee right up to the loud filter-full error (dropping
+        # the in-hand victim silently un-saw a previously-added key)
+        self.stash: list[tuple[int, int]] = []
 
     # fingerprint: low 16 bits of the key hash, never 0
     def _fingerprint(self, h: np.ndarray) -> np.ndarray:
@@ -57,8 +63,11 @@ class CuckooFilter:
         i2 = self._index2(i1, fp)
         b1 = self.buckets[i1]  # (n, bucket_size)
         b2 = self.buckets[i2]
-        return ((b1 == fp[:, None]).any(axis=1)
-                | (b2 == fp[:, None]).any(axis=1))
+        out = ((b1 == fp[:, None]).any(axis=1)
+               | (b2 == fp[:, None]).any(axis=1))
+        for sfp, sidx in self.stash:   # ≤ STASH_MAX, usually empty
+            out |= (fp == sfp) & ((i1 == sidx) | (i2 == sidx))
+        return out
 
     def add_many(self, hashes: np.ndarray) -> int:
         """Insert hashes (no pre-dedup needed); returns number inserted.
@@ -109,7 +118,15 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.size += 1
                 return True
-        raise RuntimeError("cuckoo filter full — grow capacity or reshard")
+        # stash the in-hand victim BEFORE any error: it belongs to a
+        # previously-inserted key and dropping it would create a false
+        # negative
+        self.stash.append((int(fp), int(idx)))
+        self.size += 1
+        if len(self.stash) > STASH_MAX:
+            raise RuntimeError(
+                "cuckoo filter full — grow capacity or reshard")
+        return True
 
     def delete_many(self, hashes: np.ndarray) -> int:
         """Remove one copy of each present fingerprint; returns removed."""
@@ -119,6 +136,7 @@ class CuckooFilter:
         i1_all = self._index1(h)
         i2_all = self._index2(i1_all, fp_all)
         for fp, i1, i2 in zip(fp_all, i1_all, i2_all):
+            done = False
             for idx in (int(i1), int(i2)):
                 row = self.buckets[idx]
                 hit = np.flatnonzero(row == fp)
@@ -126,14 +144,23 @@ class CuckooFilter:
                     row[hit[0]] = _EMPTY
                     self.size -= 1
                     removed += 1
+                    done = True
                     break
+            if not done and self.stash:
+                for k, (sfp, sidx) in enumerate(self.stash):
+                    if sfp == int(fp) and sidx in (int(i1), int(i2)):
+                        self.stash.pop(k)
+                        self.size -= 1
+                        removed += 1
+                        break
         return removed
 
     # -- serialization (checkpoint spill) ----------------------------------
 
     def dump(self) -> dict:
         return {"buckets": self.buckets, "size": self.size,
-                "bucket_size": self.bucket_size}
+                "bucket_size": self.bucket_size,
+                "stash": list(self.stash)}
 
     @classmethod
     def load(cls, state: dict) -> "CuckooFilter":
@@ -143,4 +170,5 @@ class CuckooFilter:
         f.size = state["size"]
         f.n_buckets = state["buckets"].shape[0]
         f._mask = np.uint64(f.n_buckets - 1)
+        f.stash = [tuple(x) for x in state.get("stash", [])]
         return f

@@ -81,9 +81,12 @@ class PolitenessConfig:
         return self.host_rates.get(host, self.default_rate)
 
     def allowed(self, url: str, host: str) -> bool:
+        # scheme-agnostic path extraction: "https://"-only stripping
+        # let http:// (or host:port) URLs bypass the disallow rules
+        rest = url.split("://", 1)[-1]
+        path = rest[len(host):] if rest.startswith(host) else rest
         for prefix in self.disallow.get(host, ()):
-            if url.startswith(prefix) or url.replace(
-                    f"https://{host}", "", 1).startswith(prefix):
+            if url.startswith(prefix) or path.startswith(prefix):
                 return False
         return True
 
@@ -98,6 +101,7 @@ class FrontierShard:
         self.shard_id = shard_id
         self.n_shards = n_shards
         self.politeness = politeness or PolitenessConfig()
+        self.capacity = capacity
         self.filter = CuckooFilter(capacity=capacity)
         # exact seen-set: bounded-memory (cuckoo is the hot path; the
         # exact tier spills sorted uint64 runs to disk — state/spillset)
@@ -149,11 +153,18 @@ class FrontierShard:
         keep = idx_new[np.sort(first)]
         accepted = table.take(pa.array(keep))
         h_kept = h[keep]
-        self.exact.add_many(h_kept)
+        # ordering fails SAFE toward duplicates, never loss: if the
+        # filter add raises (filter full), nothing is registered seen
+        # and nothing enqueued; if the exact add raises, the rows ARE
+        # enqueued and a future re-push of the same keys probes the
+        # filter positive, misses the exact tier, and re-admits —
+        # duplicates, not silently dropped URLs. (The old exact-first
+        # order left keys seen-but-never-enqueued on a filter error.)
         self.filter.add_many(h_kept)
         self.pending.append(accepted)
         self.n_pending += accepted.num_rows
         self.stats_pushed += accepted.num_rows
+        self.exact.add_many(h_kept)
         return accepted.num_rows
 
     # -- scheduling --------------------------------------------------------
@@ -229,6 +240,7 @@ class FrontierShard:
             "seen": len(self.exact),
             "robots_blocked": self.robots_blocked,
             "cuckoo_size": self.filter.size,
+            "cuckoo_capacity_slots": int(self.filter.buckets.size),
         }
 
     # -- checkpoint (per-partition lineage, north_rule) --------------------
@@ -259,12 +271,15 @@ class FrontierShard:
         self.exact = SpilledKeySet.restore(
             ckpt_dir, str(self.shard_id), spill_dir=sdir,
             buffer_cap=self._seen_buffer_cap)
-        if len(self.exact):
-            # rebuild the filter by streaming bounded chunks of runs
-            self.filter = CuckooFilter(capacity=max(1 << 21,
-                                                    2 * len(self.exact)))
-            for chunk in self.exact.iter_chunks():
-                self.filter.add_many(chunk)
+        # rebuild the filter UNCONDITIONALLY at no less than the
+        # CONFIGURED capacity (an early-crawl resume used to shrink it
+        # to 2x the small restored set -> unrecoverable filter-full
+        # later; an empty restore used to keep stale pre-resume
+        # fingerprints)
+        self.filter = CuckooFilter(
+            capacity=max(self.capacity, 2 * len(self.exact)))
+        for chunk in self.exact.iter_chunks():
+            self.filter.add_many(chunk)
         self.pending = [heap_t] if heap_t.num_rows else []
         self.n_pending = heap_t.num_rows
         return self.n_pending

@@ -140,17 +140,31 @@ class SpilledKeySet:
         for p in self.run_files:
             name = f"seen-{tag}-{os.path.basename(p)}"
             dst = os.path.join(ckpt_dir, name)
-            if not os.path.exists(dst):
-                try:
-                    os.link(p, dst)
-                except OSError:
-                    shutil.copy2(p, dst)
+            # ALWAYS replace: run basenames restart at run-000000 per
+            # restore generation and spill boundaries differ between
+            # crash-resume attempts, so an existing dst of the same
+            # name may hold a DIFFERENT (stale) key set — skipping the
+            # link would bless it (silent seen-set loss on the next
+            # restore). Link to a temp name, then atomic rename.
+            tmp = dst + ".tmp"
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            try:
+                os.link(p, tmp)
+            except OSError:
+                shutil.copy2(p, tmp)
+            os.replace(tmp, dst)
             names.append(name)
         buf = np.fromiter(self.buf, dtype=np.uint64, count=len(self.buf))
         buf.sort()
         np.save(os.path.join(ckpt_dir, f"seen-{tag}-buf.npy"), buf)
-        with open(os.path.join(ckpt_dir, f"seen-{tag}.json"), "w") as fp:
+        # atomic manifest: a crash mid-write must not leave a torn json
+        mpath = os.path.join(ckpt_dir, f"seen-{tag}.json")
+        with open(mpath + ".tmp", "w") as fp:
             json.dump({"runs": names, "count": len(self)}, fp)
+        os.replace(mpath + ".tmp", mpath)
 
     @classmethod
     def restore(cls, ckpt_dir: str, tag: str,

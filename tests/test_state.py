@@ -137,3 +137,49 @@ def test_duplicate_within_one_push_batch():
     s = FrontierShard.remote(0, 1)
     rows = [_row("https://h.test/same"), _row("https://h.test/same")]
     assert _push(s, rows) == 1
+
+
+def test_cuckoo_stash_no_false_negatives_at_overload():
+    """Past MAX_KICKS the victim fingerprint moves to the stash, never
+    silently dropped — every inserted key still probes positive right
+    up to the loud filter-full error."""
+    from no_fasel_scrapers_ray.state.cuckoo import CuckooFilter
+    f = CuckooFilter(capacity=64, bucket_size=2)
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 2**63, 600, dtype=np.int64).astype(np.uint64)
+    inserted = []
+    try:
+        for k in keys:
+            f.add_many(np.array([k], dtype=np.uint64))
+            inserted.append(k)
+    except RuntimeError:
+        pass   # loud full — fine; everything inserted BEFORE must probe
+    arr = np.array(inserted[:-1] if len(inserted) else [],
+                   dtype=np.uint64)
+    assert f.contains_many(arr).all()
+    assert len(f.stash) > 0   # the overload actually exercised the stash
+
+
+def test_frontier_restore_keeps_configured_capacity(tmp_path):
+    """An early-crawl resume must NOT shrink the cuckoo filter below
+    the configured capacity (the old 2x-restored-size rebuild made
+    later filter-full unrecoverable)."""
+    import ray as _ray
+    from no_fasel_scrapers_ray.state.frontier import FrontierShard
+    import pyarrow as pa
+    from no_fasel_scrapers_ray.pipelines.crawl import PUSH_SCHEMA
+    shard = FrontierShard.options(num_cpus=0).remote(
+        0, 1, capacity=1 << 18, spill_dir=str(tmp_path / "spill"))
+    t = pa.table({
+        "url": ["https://a.test/1"], "host": ["a.test"],
+        "site": ["a"], "category": ["x"], "page_type": ["listing"],
+        "depth": pa.array([0], pa.int32()), "seq": [0],
+        "order_key": ["0"], "meta": [""],
+        "h": pa.array(np.array([123], dtype=np.uint64))},
+        schema=PUSH_SCHEMA)
+    _ray.get(shard.push.remote(t))
+    ck = str(tmp_path / "ck")
+    _ray.get(shard.checkpoint.remote(ck))
+    _ray.get(shard.restore.remote(ck))
+    stats = _ray.get(shard.stats.remote())
+    assert stats["cuckoo_capacity_slots"] >= (1 << 18)
