@@ -281,26 +281,34 @@ def bucketed_join(left: rd.Dataset, right: rd.Dataset, on: str,
         mask = pc.equal(g["__side"], "l")
         lrows = g.filter(mask).select(left_cols).to_pandas()
         rrows = g.filter(pc.invert(mask)).select(right_cols).to_pandas()
-        if how != "inner":
-            # NaN-safe ints under outer merges: nullable Int64 keeps
-            # unmatched rows from upcasting matched big ints
+        if how == "left":
+            # UNIFORM output dtypes across buckets: a per-bucket
+            # int-when-no-nulls / float-when-missed decision emitted
+            # blocks with MIXED schemas for the same column (Arrow
+            # unification then re-rounds big ints or fails). Left-side
+            # columns and the key can never be null under a left join
+            # — they keep exact int64; right-side value columns are
+            # ALWAYS float64 (they must stay < 2^53; carry big ints on
+            # the left or use an inner join — the join KEY is exact
+            # either way).
             for c in int_cols:
-                if c in lrows.columns and lrows[c].dtype.kind == "i":
-                    lrows[c] = lrows[c].astype("Int64")
-                if c in rrows.columns and rrows[c].dtype.kind == "i":
-                    rrows[c] = rrows[c].astype("Int64")
+                if (c != on and c in rrows.columns
+                        and c not in lrows.columns
+                        and rrows[c].dtype.kind == "i"):
+                    rrows[c] = rrows[c].astype("float64")
         out = lrows.merge(rrows, on=on, how=how)
+        if how == "inner":
+            # an inner merge introduces no nulls; any float here came
+            # in as float
+            return out
         for c in int_cols:
-            if c not in out.columns:
-                continue
-            if out[c].dtype.kind == "f" and not out[c].isna().any():
-                out[c] = out[c].astype("int64")
-            elif str(out[c].dtype) == "Int64":
-                # restore the historical dtypes: plain int64 when no
-                # nulls, float64 (with NaN) when the outer join missed
-                out[c] = (out[c].astype("int64")
-                          if not out[c].isna().any()
-                          else out[c].astype("float64"))
+            if (c in out.columns and out[c].dtype.kind == "f"
+                    and c in lrows.columns):
+                # left-side column upcast can only happen under
+                # how='right'/'outer' (none in use) — restore when
+                # clean
+                if not out[c].isna().any():
+                    out[c] = out[c].astype("int64")
         return out
 
     return tagged.groupby("__bucket").map_groups(join_bucket,
@@ -339,13 +347,13 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
         for name, typ in right_fields.items():
             all_fields.setdefault(name, typ)
     else:
-        left_schema, right_schema = left.schema(), right.schema()
-        left_cols = list(left_schema.names)
-        right_cols = list(right_schema.names)
-        all_fields = {}
-        for name, typ in zip(left_schema.names, left_schema.types):
-            all_fields[name] = typ
-        for name, typ in zip(right_schema.names, right_schema.types):
+        # _resolve_fields (not raw schema()): pandas-block lineages
+        # report numpy dtypes, breaking pa.types.is_integer / pa.nulls
+        lf, rf = _resolve_fields(left), _resolve_fields(right)
+        left_cols = list(lf)
+        right_cols = list(rf)
+        all_fields = dict(lf)
+        for name, typ in rf.items():
             all_fields.setdefault(name, typ)
     payload = [c for c in right_cols if c not in (by, on)]
     if not payload:
@@ -405,7 +413,7 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
                             allow_exact_matches=True)
         out = out.dropna(subset=[payload[0]])   # inner semantics
         for c in int_cols:   # unmatched-row NaN upcast restore
-            if out[c].dtype.kind == "f":
+            if out[c].dtype.kind == "f" and not out[c].isna().any():
                 out[c] = out[c].astype("int64")
         return out[out_cols]
 
@@ -433,8 +441,9 @@ def range_count_join(left: rd.Dataset, right: rd.Dataset, by: str,
     (a ~1 s lazy-lineage execution on a cold run).
     """
     if left_fields is None:
-        left_schema = left.schema()
-        left_fields = dict(zip(left_schema.names, left_schema.types))
+        # _resolve_fields, not raw schema(): pandas-block lineages
+        # report numpy dtypes that break pa.types/pa.nulls downstream
+        left_fields = _resolve_fields(left)
     left_cols = list(left_fields)
 
     def tag(side: str, keep: list[str]):
@@ -876,9 +885,12 @@ def rollup_counts(ds: rd.Dataset, coarse: str, fine: str, alias: str,
         return pa.Table.from_pandas(out, preserve_index=False)
 
     total = ds.count()
+    # totals typed from the INPUT columns (a hardcoded string type
+    # broke union schema unification for non-string grouping columns)
+    ftypes = _resolve_fields(ds)
     grand = rd.from_arrow(pa.table({
-        coarse: pa.array([None], type=pa.string()),
-        fine: pa.array([None], type=pa.string()),
+        coarse: pa.array([None], type=ftypes.get(coarse, pa.string())),
+        fine: pa.array([None], type=ftypes.get(fine, pa.string())),
         alias: pa.array([total], type=pa.int64())}))
     leveled = (ds.map_batches(partial, batch_format="pandas")
                .groupby("__bucket").map_groups(levels, batch_format="pandas"))
@@ -1164,14 +1176,16 @@ def cube_counts(ds: rd.Dataset, coarse: str, fine: str, alias: str,
         g["__bucket"] = stable_bucket(g[fine], n_buckets)
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    ctype = _resolve_fields(ds).get(coarse, pa.string())
+
     def marginal(g: pd.DataFrame) -> pa.Table:
         r = g.groupby(fine, as_index=False, sort=False)[alias].sum()
-        # explicit string-typed NULLs: from_pandas infers Arrow `null`
+        # explicit INPUT-typed NULLs: from_pandas infers Arrow `null`
         # for an all-None column, which breaks schema unification
-        # against the rollup blocks in the union (same fix as
-        # rollup_counts' grand-total row)
+        # against the rollup blocks in the union; a hardcoded string
+        # type broke it for non-string coarse columns
         return pa.table({
-            coarse: pa.array([None] * len(r), type=pa.string()),
+            coarse: pa.array([None] * len(r), type=ctype),
             fine: pa.array(r[fine]),
             alias: pa.array(r[alias], type=pa.int64()),
         })
@@ -1373,6 +1387,11 @@ def _select_order_stats(ds: rd.Dataset, col: str, ranks_fn,
     out = {}
     for target, (rid, local_rank) in plan.items():
         vals = allv[col][allv["__rid"] == rid].to_numpy()
+        if not len(vals) or local_rank < 1:
+            # empty input (n==0 resolves every rank to 0) or a fully
+            # filtered range — return no stats; callers map {} to
+            # their own empty semantics instead of IndexError
+            continue
         out[target] = float(np.partition(vals, local_rank - 1)[local_rank - 1])
     return n, out
 
@@ -1431,10 +1450,20 @@ def hash_sample(ds: rd.Dataset, column: str, rate: float) -> rd.Dataset:
     RNG state), reproducible across engines (the same integer
     arithmetic runs in SQL), and stable under repartitioning — the
     properties a 100-TB pipeline needs from a sample (re-runs and
-    resumed runs pick the SAME rows). ``column`` must be integral."""
+    resumed runs pick the SAME rows). ``column`` must be integral and
+    < 2^63 / 2654435761 ≈ 3.47e9 — beyond that the int64 multiply
+    WRAPS here while a SQL BIGINT oracle errors or widens, silently
+    diverging; asserted loudly per batch (compact ids first, the
+    graph-op contract)."""
     threshold = int(rate * (1 << 32))
+    _ID_MAX = (1 << 63) // KNUTH_HASH
 
     def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows and pc.max(t[column]).as_py() >= _ID_MAX:
+            raise ValueError(
+                f"hash_sample: {column} >= 2^63/{KNUTH_HASH} would "
+                "wrap int64 and diverge from the SQL mirror; "
+                "compact ids first")
         h = pc.bit_wise_and(
             pc.multiply(pc.cast(t[column], pa.int64()),
                         pa.scalar(KNUTH_HASH, pa.int64())),
@@ -1460,6 +1489,10 @@ def stratified_hash_sample(ds: rd.Dataset, id_column: str,
 
     def pick(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[id_column].to_numpy(dtype=np.int64)
+        if len(ids) and int(ids.max()) >= (1 << 63) // KNUTH_HASH:
+            raise ValueError(
+                f"stratified_hash_sample: {id_column} would wrap "
+                "int64 (see hash_sample); compact ids first")
         h = (ids * KNUTH_HASH) & 0xFFFFFFFF
         thr = (batch[strata_column].map(thresholds)
                .fillna(0).to_numpy(dtype=np.int64))
@@ -1525,7 +1558,9 @@ def grouped_count_distinct(ds: rd.Dataset, keys: list[str], col: str,
     keys to Ray's sort-based Aggregate."""
 
     def partial(batch: pd.DataFrame) -> pa.Table:
-        u = batch[keys + [col]].drop_duplicates()
+        # SQL semantics: COUNT(DISTINCT col) excludes NULL — pandas
+        # drop_duplicates would keep one NaN row and count it
+        u = batch[keys + [col]].dropna(subset=[col]).drop_duplicates()
         u["__bucket"] = stable_bucket_cols(u, keys, n_buckets)
         return pa.Table.from_pandas(u, preserve_index=False)
 
@@ -1628,18 +1663,20 @@ def skew_aware_join(left: rd.Dataset, right: rd.Dataset, on: str,
             list(right_fields.items())).empty_table().to_pandas()
     _check_broadcast_size(right_hot, "skew_aware_join hot side")
     ref = ray.put(right_hot)
-    # same int-restore policy as bucketed_join's per-bucket merge, so
-    # the two branches emit union-compatible blocks
+    # SAME dtype policy as bucketed_join's per-bucket merge, so the
+    # two branches emit union-compatible blocks: inner joins keep
+    # exact ints (no nulls introduced); left joins emit right-side
+    # value columns as float64 UNIFORMLY (a per-batch int/float
+    # decision produced mixed block schemas)
     int_cols = [n for n, t in right_fields.items()
-                if pa.types.is_integer(t)]
+                if pa.types.is_integer(t) and n != on]
 
     def merge_hot(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch.merge(broadcast_get(ref), on=on, how=how)
-        for c in int_cols:
-            if (c in out.columns and out[c].dtype.kind == "f"
-                    and not out[c].isna().any()):
-                out[c] = out[c].astype("int64")
-        return out
+        r = broadcast_get(ref)
+        if how == "left" and int_cols:
+            r = r.astype({c: "float64" for c in int_cols
+                          if c in r.columns})
+        return batch.merge(r, on=on, how=how)
 
     hot_part = semi_join(left, hot, on).map_batches(
         merge_hot, batch_format="pandas")

@@ -563,7 +563,13 @@ def bm25_term_scores(docs: rd.Dataset, terms: tuple[str, ...],
     st = (docs.select_columns(["text"])
           .map_batches(stats_partial, batch_format="pyarrow")
           .to_pandas().sum())
-    n_docs, total = float(st["__n"]), float(st["__tok"])
+    n_docs = float(st["__n"]) if "__n" in st else 0.0
+    if n_docs == 0:   # empty corpus: typed empty, not 0/0
+        return rd.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "term": pd.Series([], dtype=object),
+            "bm25": pd.Series([], dtype=np.float64)}))
+    total = float(st["__tok"])
     avgdl = total / n_docs
     idf = {t: float(np.log((n_docs - float(st[f"__df{i}"]) + 0.5)
                            / (float(st[f"__df{i}"]) + 0.5) + 1.0))
@@ -667,9 +673,16 @@ def bigram_pmi(docs: rd.Dataset, min_count: int = 1,
     uni = _unigram_counts(docs, n_buckets).materialize()
 
     # exact int totals: constant-size reductions over the count sets
-    n_tokens = int(uni.sum("c"))
+    # (Dataset.sum returns None on empty input — empty corpus guard)
+    n_tokens = int(uni.sum("c") or 0)
+    if n_tokens == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "w1": pd.Series([], dtype=object),
+            "w2": pd.Series([], dtype=object),
+            "c_xy": pd.Series([], dtype=np.int64),
+            "pmi": pd.Series([], dtype=np.float64)}))
     bgm = bg.materialize()
-    m_bigrams = int(bgm.sum("c_xy"))
+    m_bigrams = int(bgm.sum("c_xy") or 0)
     if min_count > 1:
         bgm = bgm.filter(expr=f"c_xy >= {int(min_count)}")
 
@@ -713,6 +726,9 @@ def zipf_slope(docs: rd.Dataset, topn: int = 1000,
     uni = _unigram_counts(docs, n_buckets)
     top = (uni.sort(["c", "term"], descending=[True, False])
            .limit(topn).to_pandas())
+    if len(top) < 2:   # a slope needs two points — empty/1-term
+        # corpus (an empty Dataset's to_pandas also loses columns)
+        return pd.DataFrame({"slope": [0.0], "icept": [0.0]})
     x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
     y = np.log(top["c"].to_numpy(np.float64))
     nf = float(len(top))

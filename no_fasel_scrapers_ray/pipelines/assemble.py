@@ -152,7 +152,7 @@ def _emit_unit(catalog: str, rows: list, out: dict) -> None:
     carry rows). ``rows``: (record_type, key, season_key, order_key,
     payload) sorted by order_key."""
 
-    old_payload = old_pos = None
+    old_payload = old_pos = old_key = None
     new_key = new_ok = new_payload = None
     nest_rows: list = []
     deltas: list = []
@@ -164,7 +164,7 @@ def _emit_unit(catalog: str, rows: list, out: dict) -> None:
             out["rank1"].append(ok)
             out["payload"].append(payload)
         elif rt == "old":
-            old_payload, old_pos = payload, ok
+            old_payload, old_pos, old_key = payload, ok, key
         elif rt in _NEST_TYPES:
             nest_rows.append((rt, key, season_key, ok, payload))
         elif rt in ("season_delta", "episode_delta"):
@@ -175,6 +175,17 @@ def _emit_unit(catalog: str, rows: list, out: dict) -> None:
             if new_key is None:
                 new_key, new_ok = key, ok
             new_payload = payload
+        elif rt == "anime_delta":
+            # vestigial adapter row (old_count payload; the flat-
+            # episode delta path counts episode_delta rows instead) —
+            # explicitly ignored, NOT silently dropped by fallthrough
+            pass
+        else:
+            raise ValueError(
+                f"_emit_unit: unknown record_type {rt!r} in catalog "
+                f"{catalog!r} — an adapter emitted a type the "
+                "assembler does not handle (silent drops corrupt "
+                "catalogs)")
     if nest_rows:
         nested = _nest_series(catalog, nest_rows)
         if nested is not None:
@@ -221,14 +232,14 @@ def _emit_unit(catalog: str, rows: list, out: dict) -> None:
             entry = (new_key, 0, new_ok,
                      old_payload if old_payload is not None else new_payload)
         elif old_payload is not None:
-            entry = (rows[0][1], 1, old_pos, old_payload)
+            entry = (old_key, 1, old_pos, old_payload)
         else:
             return
     else:
         # merged = dict(old); merged.update(new) — old keys keep old
         # positions (new value wins), new-only keys appended in new order
         if old_payload is not None:
-            entry = (rows[0][1], 0, old_pos,
+            entry = (old_key, 0, old_pos,
                      new_payload if new_payload is not None else old_payload)
         elif new_payload is not None:
             entry = (new_key, 1, new_ok, new_payload)

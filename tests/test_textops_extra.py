@@ -130,3 +130,22 @@ def test_rare_term_tiers_identical(tmp_path):
     pd.testing.assert_frame_equal(a, b)
     assert (a.loc[a["doc_id"] < 40, "rare_permille"] == 0).all()
     assert (a.loc[a["doc_id"] >= 40, "rare_permille"] > 0).all()
+
+
+def test_empty_corpus_text_entry_points():
+    """An upstream filter can empty the corpus — bigram_pmi /
+    zipf_slope / bm25 must return typed empties, not crash on
+    int(None) / 0.0-division (review-caught)."""
+    import pandas as pd
+    import ray.data as rd
+    from no_fasel_scrapers_ray.ops.textops import (bigram_pmi,
+                                                   bm25_term_scores,
+                                                   zipf_slope)
+    empty = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "text": pd.Series([], dtype=object)}))
+    assert len(bigram_pmi(empty).to_pandas()) == 0
+    z = zipf_slope(empty)
+    z = z.to_pandas() if hasattr(z, "to_pandas") else z
+    assert list(z["slope"]) == [0.0]
+    assert len(bm25_term_scores(empty, ("table",)).to_pandas()) == 0
