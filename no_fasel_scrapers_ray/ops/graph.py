@@ -1610,3 +1610,161 @@ def label_propagation(pairs: rd.Dataset, col_a: str, col_b: str,
     out_r = ray.remote(lambda lab: pa.table(
         {"node_id": lab[0], "community": lab[1]}))
     return rd.from_arrow_refs([out_r.remote(l) for l in lab_k])
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (Bellman-Ford BSP) — the
+# weighted twin of bfs_hops. Same two-tier contract: a small edge set
+# pulls to one vectorized driver relaxation loop; past the cutover the
+# node-bucket BSP kernel runs with dist+w offers (edges hash-split by
+# SOURCE node once, only node-sized (neighbor, offer) minima move per
+# round, monotone dist-sum stall as the early exit).
+# ---------------------------------------------------------------------------
+
+def _driver_sssp(u: np.ndarray, v: np.ndarray, w: np.ndarray,
+                 source: int, max_rounds: int):
+    """Vectorized driver Bellman-Ford: one np.minimum.at relaxation of
+    EVERY edge per round (no per-node loop); stops at fixpoint."""
+    ids = np.unique(np.concatenate([u, v, np.array([source], np.int64)]))
+    su = np.searchsorted(ids, u)
+    sv = np.searchsorted(ids, v)
+    dist = np.full(len(ids), _BFS_INF, dtype=np.int64)
+    dist[np.searchsorted(ids, source)] = 0
+    for _ in range(min(max_rounds, max(len(ids) - 1, 1))):
+        cand = dist[su] + w          # INF + w << int64 max (INF = 2^60)
+        new = dist.copy()
+        np.minimum.at(new, sv, cand)
+        if np.array_equal(new, dist):
+            break
+        dist = new
+    m = dist < _BFS_INF
+    return ids[m], dist[m]
+
+
+def _sssp_prep_edges(*parts):
+    t = pa.concat_tables(parts)
+    node = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+    nbr = t.column("nbr").to_numpy(zero_copy_only=False).astype(np.int64)
+    w = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(node, kind="stable")
+    return (node[order], nbr[order], w[order])
+
+
+def _sssp_offers(eb, lab, n_buckets: int):
+    """One source-bucket's relaxation pass: each settled node offers
+    dist+w along its out-edges, pre-combined to the min per target,
+    split by the target's bucket."""
+    node_e, nbr_e, w_e = eb
+    nodes, labels = lab
+    if len(node_e) == 0:
+        z = np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+        return (tuple(z for _ in range(n_buckets))
+                if n_buckets > 1 else z)
+    d = labels[np.searchsorted(nodes, node_e)]
+    live = d < _BFS_INF
+    if not live.any():
+        z = np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+        return (tuple(z for _ in range(n_buckets))
+                if n_buckets > 1 else z)
+    off = d[live] + w_e[live]
+    tgt = nbr_e[live]
+    uq, inv = np.unique(tgt, return_inverse=True)
+    m = np.full(len(uq), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(m, inv, off)
+    out = tuple(_pr_split_arrays([uq, m], uq, n_buckets))
+    return out if n_buckets > 1 else out[0]
+
+
+def _sssp_out_table(lab) -> pa.Table:
+    nodes, labels = lab
+    m = labels < _BFS_INF
+    return pa.table({"node_id": nodes[m], "dist": labels[m]})
+
+
+def weighted_sssp(edges: rd.Dataset, source: int,
+                  max_rounds: int = 64, n_buckets: int = 64,
+                  small_threshold: int = 1 << 18) -> rd.Dataset:
+    """(node_id, dist) shortest weighted distance from ``source`` over
+    the DIRECTED edge dataset (columns u, v, w; integer non-negative
+    weights — int64-exact, mirrored by the bounded recursive-CTE
+    oracle). Unreachable nodes emit no row; the source reports 0 even
+    when isolated. Bellman-Ford rather than Dijkstra because BSP
+    rounds relax ALL frontier edges in parallel — a priority queue is
+    inherently sequential, while round count is bounded by the
+    shortest-path hop diameter (small for the clustered graphs this
+    engine sees), each round one bucket-local exchange."""
+    import ray
+
+    def mirror(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(w) and int(w.min()) < 0:
+            raise ValueError("weighted_sssp requires non-negative weights")
+        return pa.table({
+            "node": b["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "nbr": b["v"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "w": w})
+
+    e = edges.map_batches(mirror, batch_format="pyarrow").materialize()
+    n_edge_rows = e.count()
+
+    if n_edge_rows <= small_threshold:
+        df = e.to_pandas()
+        ids, dist = _driver_sssp(
+            df["node"].to_numpy(np.int64) if len(df) else
+            np.zeros(0, np.int64),
+            df["nbr"].to_numpy(np.int64) if len(df) else
+            np.zeros(0, np.int64),
+            df["w"].to_numpy(np.int64) if len(df) else
+            np.zeros(0, np.int64), int(source), max_rounds)
+        return rd.from_arrow(pa.table({"node_id": ids, "dist": dist}))
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        n = np.unique(np.concatenate([
+            b["node"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)]))
+        return pa.table({
+            "node": n,
+            "label": np.where(n == source, np.int64(0), _BFS_INF)})
+
+    labels = e.map_batches(init_labels, batch_format="pyarrow").union(
+        rd.from_arrow(pa.table({
+            "node": np.array([source], np.int64),
+            "label": np.zeros(1, np.int64)}))).materialize()
+
+    split_r = ray.remote(_pr_split_block)
+    prep_e = ray.remote(_sssp_prep_edges)
+    prep_l = ray.remote(_cc_prep_labels)
+    off_r = ray.remote(_sssp_offers)
+    red_r = ray.remote(_cc_reduce)
+    out_tbl_r = ray.remote(_sssp_out_table)
+
+    def _bucketize(ds: rd.Dataset, cols: list[str]):
+        per_block = [
+            split_r.options(num_returns=n_buckets).remote(
+                ref, cols, n_buckets)
+            for ref in ds.to_arrow_refs()]
+        if n_buckets == 1:
+            per_block = [[r] for r in per_block]
+        return [[blk[k] for blk in per_block] for k in range(n_buckets)]
+
+    edges_k = [prep_e.remote(*f)
+               for f in _bucketize(e, ["node", "nbr", "w"])]
+    lab_k = [prep_l.remote(*f)
+             for f in _bucketize(labels, ["node", "label"])]
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        oparts = [off_r.options(num_returns=n_buckets).remote(
+            edges_k[k], lab_k[k], n_buckets) for k in range(n_buckets)]
+        if n_buckets == 1:
+            oparts = [[o] for o in oparts]
+        outs = [red_r.options(num_returns=2).remote(
+            lab_k[j], *[oparts[k][j] for k in range(n_buckets)])
+            for j in range(n_buckets)]
+        lab_k = [o[0] for o in outs]
+        cur_sum = int(sum(ray.get([o[1] for o in outs])))
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return rd.from_arrow_refs([out_tbl_r.remote(l) for l in lab_k])

@@ -235,6 +235,21 @@ def bucketed_join(left: rd.Dataset, right: rd.Dataset, on: str,
 
     key_is_int = pa.types.is_integer(all_fields[on])
 
+    def _pad(n: int, typ: pa.DataType) -> pa.Array:
+        # Structural padding for the side that lacks a column — never
+        # read (join_bucket selects each side's OWN columns), so use
+        # typed ZEROS, not nulls: a null int64 column that transits a
+        # pandas block representation (Ray's sort can re-block the
+        # tagged union as pandas) becomes float64 NaN and poisons the
+        # column's dtype for BOTH sides' rows (graph_walks hop dtype
+        # drift at sf0.001, where the whole union fits in one block).
+        if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+            return pa.array(np.zeros(n, dtype=typ.to_pandas_dtype()),
+                            type=typ)
+        if pa.types.is_timestamp(typ):
+            return pa.array(np.zeros(n, dtype=np.int64), type=typ)
+        return pa.nulls(n, typ)   # strings/lists: object dtype, no upcast
+
     def tag(side: str):
         def _tag(batch: pa.Table) -> pa.Table:
             key = batch[on]
@@ -253,7 +268,7 @@ def bucketed_join(left: rd.Dataset, right: rd.Dataset, on: str,
             cols = {}
             for name, typ in all_fields.items():
                 cols[name] = (batch[name] if name in batch.column_names
-                              else pa.nulls(len(batch), typ))
+                              else _pad(len(batch), typ))
             cols["__bucket"] = bucket
             cols["__side"] = pa.array([side] * len(batch))
             return pa.table(cols)
@@ -1968,3 +1983,231 @@ def skyline_2d(ds: rd.Dataset, min_col: str, max_col: str) -> rd.Dataset:
     cand = ds.map_batches(local, batch_format="pandas")
     # candidates are frontier-bounded → a single block is safe
     return cand.repartition(1).map_batches(final, batch_format="pandas")
+
+
+def keyed_snapshot_diff(old: rd.Dataset, new: rd.Dataset, key: str,
+                        val_cols: list[str], missing: int = -1,
+                        n_buckets: int = 64) -> rd.Dataset:
+    """CDC-style keyed snapshot diff: rows present only in ``old`` →
+    'removed', only in ``new`` → 'added', in both with any ``val_cols``
+    value differing → 'changed'; identical rows are dropped. The change
+    feed an incremental pipeline consumes (the reference's old/new
+    catalog merge, `Common.py` merge-with-old, answers "which record
+    wins" — this answers "what changed", the audit/day-over-day twin).
+
+    Scale shape: ONE key-hash bucket shuffle per side (tag + union +
+    groupby), per-bucket outer pandas merge with indicator — the two
+    snapshots never materialize on the driver and a key's rows from
+    both sides co-locate by construction. Value columns must be
+    integer-exact (ids / cents); the outer merge's NaN-for-missing
+    transits float64, so values must stay < 2^53 (asserted) — the same
+    integer-cents discipline the revenue queries use. Missing side
+    values surface as ``missing`` (default -1), mirroring the oracle's
+    COALESCE."""
+    cols = [key] + list(val_cols)
+
+    def tag(side: str):
+        def _t(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({c: b[c].to_numpy(np.int64) for c in cols})
+            for c in val_cols:
+                a = out[c].to_numpy(np.int64)
+                if len(a) and int(np.abs(a).max()) >= (1 << 53):
+                    raise ValueError(
+                        f"keyed_snapshot_diff: |{c}| >= 2^53 would lose "
+                        "precision through the outer-merge float path")
+            out["__side"] = side
+            out["__bucket"] = stable_bucket_cols(out, [key], n_buckets)
+            return out
+        return _t
+
+    tagged = old.map_batches(tag("o"), batch_format="pandas").union(
+        new.map_batches(tag("n"), batch_format="pandas"))
+
+    def diff_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lm = g["__side"].to_numpy() == "o"
+        l = g.loc[lm, cols]
+        r = g.loc[~lm, cols]
+        m = l.merge(r, on=key, how="outer", suffixes=("_old", "_new"),
+                    indicator=True)
+        mg = m["_merge"].to_numpy()
+        changed = np.zeros(len(m), dtype=bool)
+        for c in val_cols:
+            vo = m[f"{c}_old"].to_numpy(np.float64)
+            vn = m[f"{c}_new"].to_numpy(np.float64)
+            changed |= vo != vn
+        out = {key: m[key].to_numpy(np.int64),
+               "change": np.where(mg == "left_only", "removed",
+                                  np.where(mg == "right_only", "added",
+                                           "changed"))}
+        for c in val_cols:
+            out[f"{c}_old"] = np.nan_to_num(
+                m[f"{c}_old"].to_numpy(np.float64),
+                nan=float(missing)).astype(np.int64)
+            out[f"{c}_new"] = np.nan_to_num(
+                m[f"{c}_new"].to_numpy(np.float64),
+                nan=float(missing)).astype(np.int64)
+        keep = (mg != "both") | changed
+        return pd.DataFrame(out)[keep]
+
+    return tagged.groupby("__bucket").map_groups(diff_bucket,
+                                                 batch_format="pandas")
+
+
+def profile_numeric_columns(ds: rd.Dataset, cols: list[str],
+                            n_buckets: int = 16) -> pd.DataFrame:
+    """One-scan data profiler over numeric columns: per column row
+    count, null count, EXACT distinct count, min and max — the
+    ingest-audit pass a pipeline runs before trusting a new drop of
+    data. The scan melts each batch to (column, value) partials:
+    min/max/counts reduce through one column-keyed multi-agg (state =
+    n_cols rows), the distinct count through a (column, value) preagg
+    whose state is bounded by VALUE cardinality, not row count, then a
+    second per-column count. Returns a driver pandas frame (n_cols
+    rows). At 100 TB swap the exact-distinct leg for the HLL sketch
+    (`ops/sketch.py::hll_count`) per column — same scan, constant
+    state; the exact leg here is the oracle-checkable twin."""
+    def melt(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            v = b[c].to_numpy(np.float64, na_value=np.nan) \
+                if b[c].dtype.kind in "if" else \
+                b[c].astype("float64").to_numpy()
+            frames.append(pd.DataFrame({
+                "col_name": c, "v": v,
+                "isnull": np.isnan(v).astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    melted = ds.map_batches(melt, batch_format="pandas").materialize()
+    stats = grouped_multi_agg(
+        melted, ["col_name"],
+        {"n_rows": ("v", "count"), "n_null": ("isnull", "sum"),
+         "min_val": ("v", "min"), "max_val": ("v", "max")},
+        n_buckets=n_buckets).to_pandas()
+    nn = melted.map_batches(
+        lambda b: b[b["isnull"].to_numpy() == 0][["col_name", "v"]],
+        batch_format="pandas")
+    dpairs = preagg_reduce(nn, ["col_name", "v"], "__n", "count",
+                           n_buckets=n_buckets)
+    ndist = preagg_reduce(dpairs, ["col_name"], "n_distinct", "count",
+                          n_buckets=n_buckets).to_pandas()
+    out = stats.merge(ndist, on="col_name", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_null"] = out["n_null"].astype(np.int64)
+    return out[["col_name", "n_rows", "n_null", "n_distinct",
+                "min_val", "max_val"]].sort_values(
+        "col_name", ignore_index=True)
+
+
+def consecutive_islands(ds: rd.Dataset, key: str, seq_col: str,
+                        n_buckets: int = 64) -> rd.Dataset:
+    """Gaps-and-islands: per key, maximal runs of CONSECUTIVE integer
+    ``seq_col`` values (daily-activity streaks, contiguous id ranges).
+    Returns one row per key: ``n_islands``, ``longest`` run length,
+    ``n_vals`` distinct values. Input pairs are deduplicated first
+    ((key, seq) preagg — shuffle state is bounded by distinct pairs),
+    then ONE key-hash bucket shuffle co-locates each key's whole
+    sequence; runs are found with shifted-array compares (no Python
+    per-key loop) — the same shifted-column trick as doc_repetition's
+    gram build."""
+    distinct = preagg_reduce(ds, [key, seq_col], "__n", "count",
+                             n_buckets=n_buckets)
+    tagged = distinct.map_batches(_bucket_tagger([key], n_buckets),
+                                  batch_format="pandas")
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, seq_col], ignore_index=True)
+        k = g[key].to_numpy(np.int64)
+        s = g[seq_col].to_numpy(np.int64)
+        if not len(k):
+            return pd.DataFrame({key: np.array([], np.int64),
+                                 "n_islands": np.array([], np.int64),
+                                 "longest": np.array([], np.int64),
+                                 "n_vals": np.array([], np.int64)})
+        start = np.ones(len(k), dtype=bool)
+        start[1:] = (k[1:] != k[:-1]) | (s[1:] != s[:-1] + 1)
+        starts_idx = np.flatnonzero(start)
+        lens = np.diff(np.append(starts_idx, len(k)))
+        isl = pd.DataFrame({key: k[starts_idx], "len": lens})
+        r = isl.groupby(key, as_index=False).agg(
+            n_islands=("len", "size"), longest=("len", "max"),
+            n_vals=("len", "sum"))
+        return r.astype({c: np.int64 for c in
+                         ("n_islands", "longest", "n_vals")})
+
+    return tagged.groupby("__bucket").map_groups(runs,
+                                                 batch_format="pandas")
+
+
+def grouped_weighted_median(ds: rd.Dataset, keys: list[str], val_col: str,
+                            weight_col: str,
+                            n_buckets: int = 16) -> rd.Dataset:
+    """Exact per-group WEIGHTED (lower) median: smallest value whose
+    cumulative weight reaches half the group's total. Weighted
+    quantiles are the data-mixture tool (median doc length weighted by
+    sampling weight; median price weighted by quantity). Exact at
+    scale via the value-domain histogram: the only shuffle moves
+    (keys, value)->sum(weight) partials — state bounded by value
+    quantization (the robust_zscore / median_cents discipline), never
+    by row count; the cumulative scan runs per key inside its bucket.
+    Values and weights must be integer (cents / rounded units)."""
+    hist = preagg_reduce(ds, keys + [val_col], weight_col, "sum",
+                         n_buckets=n_buckets)
+    tagged = hist.map_batches(_bucket_tagger(keys, n_buckets),
+                              batch_format="pandas")
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + [val_col], ignore_index=True)
+        grp = g.groupby(keys, sort=False)
+        cum = grp[weight_col].cumsum().to_numpy(np.int64)
+        tot = grp[weight_col].transform("sum").to_numpy(np.int64)
+        ok = 2 * cum >= tot
+        sel = g[ok].groupby(keys, as_index=False, sort=False).first()
+        return sel[keys + [val_col]]
+
+    return tagged.groupby("__bucket").map_groups(med,
+                                                 batch_format="pandas")
+
+
+def trailing_distinct_count(ds: rd.Dataset, bucket_col: str,
+                            entity_col: str, width: int, step: int,
+                            out_col: str = "n_distinct",
+                            n_buckets: int = 64) -> rd.Dataset:
+    """EXACT distinct entities per time bucket over a trailing window
+    of ``width`` buckets (step = bucket size in the column's units) —
+    'distinct users in the last 3 hours, per hour'. Sliding-window
+    COUNT DISTINCT can't pre-aggregate as counts (distinct isn't
+    summable), so the scale shape is window EXPANSION over the
+    DEDUPLICATED pair set: raw rows reduce to distinct (bucket,
+    entity) pairs first (the only row-count-bound shuffle), each pair
+    then fans out to the ≤ ``width`` future buckets it covers —
+    output volume is width × distinct-pairs, independent of raw row
+    count — and a second pair-dedup + per-bucket count finishes.
+    Buckets absent from the input emit no row (present-bucket filter
+    broadcast as a sorted array; bucket cardinality = time range /
+    step, small by nature)."""
+    pairs = preagg_reduce(ds, [bucket_col, entity_col], "__n", "count",
+                          n_buckets=n_buckets).materialize()
+    present = preagg_reduce(pairs, [bucket_col], "__n", "count",
+                            n_buckets=n_buckets).to_pandas()
+    pset = np.sort(present[bucket_col].to_numpy(np.int64))
+    pref = ray.put(pset)
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        tb = b[bucket_col].to_numpy(np.int64)
+        en = b[entity_col].to_numpy(np.int64)
+        t = (tb[:, None]
+             + np.arange(width, dtype=np.int64) * step).ravel()
+        e = np.repeat(en, width)
+        ps = broadcast_get(pref)
+        if len(ps):
+            idx = np.minimum(np.searchsorted(ps, t), len(ps) - 1)
+            m = ps[idx] == t
+            t, e = t[m], e[m]
+        return pd.DataFrame({bucket_col: t, entity_col: e})
+
+    expanded = pairs.map_batches(expand, batch_format="pandas")
+    dpairs = preagg_reduce(expanded, [bucket_col, entity_col], "__n",
+                           "count", n_buckets=n_buckets)
+    return preagg_reduce(dpairs, [bucket_col], out_col, "count",
+                         n_buckets=n_buckets)
