@@ -4519,6 +4519,202 @@ def q_doc_perplexity(sf_dir: str):
     return doc_perplexity(docs)
 
 
+def q_snapshot_diff_orders(sf_dir: str):
+    """CDC keyed snapshot diff (§ incremental processing — the
+    'what changed since yesterday' feed next to the reference's
+    old/new merge precedence, Common.py merge-with-old): two
+    deterministic snapshots of orders (old = keys %10≠0; new =
+    keys %7≠3 with a 500-cent bump on keys %5=0) diffed into
+    added/removed/changed rows via `ops/relational.py::
+    keyed_snapshot_diff` — one key-bucket shuffle per side, per-bucket
+    outer merge, integer-cents exact. Oracle: FULL OUTER JOIN with the
+    same COALESCE(-1) sentinels."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import keyed_snapshot_diff
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"],
+                   rows_per_block=65536)
+
+    def old_side(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        m = k % 10 != 0
+        c = np.round(b["o_totalprice"].to_numpy(np.float64)[m]
+                     * 100).astype(np.int64)
+        return pd.DataFrame({"o_orderkey": k[m], "cents": c})
+
+    def new_side(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        m = k % 7 != 3
+        k2 = k[m]
+        c = np.round(b["o_totalprice"].to_numpy(np.float64)[m]
+                     * 100).astype(np.int64)
+        c = c + np.where(k2 % 5 == 0, np.int64(500), np.int64(0))
+        return pd.DataFrame({"o_orderkey": k2, "cents": c})
+
+    old = orders.map_batches(old_side, batch_format="pandas")
+    new = orders.map_batches(new_side, batch_format="pandas")
+    return keyed_snapshot_diff(old, new, "o_orderkey", ["cents"])
+
+
+def q_profile_orders(sf_dir: str):
+    """One-scan numeric data profiler (§ data-quality audit): per
+    column of orders — row count, null count, exact distinct count,
+    min, max (`ops/relational.py::profile_numeric_columns`). The
+    ingest gate a pipeline runs before trusting new data; distinct is
+    exact via a (column, value)-bounded preagg (HLL is the 100 TB
+    swap-in, same scan). Oracle: UNION ALL of per-column aggregate
+    SELECTs."""
+    from no_fasel_scrapers_ray.ops.relational import (
+        profile_numeric_columns)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"],
+                   rows_per_block=65536)
+    return profile_numeric_columns(
+        orders, ["o_custkey", "o_orderkey", "o_totalprice"])
+
+
+def q_activity_islands(sf_dir: str):
+    """Gaps-and-islands (§ windowed/sessionized analytics): per user,
+    the count of maximal consecutive-day activity runs, the longest
+    streak, and distinct active days (`ops/relational.py::
+    consecutive_islands` — distinct-pair preagg, one user-bucket
+    shuffle, shifted-array run detection; no Python per-user loop).
+    Oracle: the classic day − row_number() island grouping."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import consecutive_islands
+    ev = _read(sf_dir, "events", ["user_id", "ts"],
+               rows_per_block=65536)
+    DAY_US = 86400 * 1000000
+
+    def days(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"user_id": b["user_id"].to_numpy(np.int64),
+                             "day": ts // DAY_US})
+
+    d = ev.map_batches(days, batch_format="pandas")
+    isl = consecutive_islands(d, "user_id", "day")
+    return isl.map_batches(
+        lambda b: b.rename(columns={"longest": "longest_streak",
+                                    "n_vals": "n_days"}),
+        batch_format="pandas")
+
+
+def q_weighted_median_price(sf_dir: str):
+    """Exact WEIGHTED median (§ statistical aggregates — the
+    data-mixture quantile): per return flag, the smallest price whose
+    cumulative line quantity reaches half the flag's total
+    (`ops/relational.py::grouped_weighted_median` — value-domain
+    histogram preagg, state bounded by price quantization). Oracle:
+    cumulative-weight window scan with the same lower-median rule."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        grouped_weighted_median)
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"],
+               rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_numpy(),
+            "cents": np.round(b["l_extendedprice"].to_numpy(np.float64)
+                              * 100).astype(np.int64),
+            "qty": np.round(b["l_quantity"].to_numpy(np.float64))
+            .astype(np.int64)})
+
+    v = li.map_batches(prep, batch_format="pandas")
+    out = grouped_weighted_median(v, ["l_returnflag"], "cents", "qty")
+    return out.map_batches(
+        lambda b: b.rename(columns={"cents": "median_cents"}),
+        batch_format="pandas")
+
+
+def q_rolling_distinct_users(sf_dir: str):
+    """Sliding-window COUNT DISTINCT (§ streaming analytics): distinct
+    users per hour over a trailing 3-hour window — NOT pre-aggregable
+    as counts, so the scale shape is dedup → window EXPANSION → dedup
+    (`ops/relational.py::trailing_distinct_count`; moved volume is
+    width × distinct pairs, independent of raw row count). Oracle:
+    present-hours × pairs interval join with COUNT(DISTINCT)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        trailing_distinct_count)
+    ev = _read(sf_dir, "events", ["ts", "user_id"],
+               rows_per_block=65536)
+    HOUR_US = 3600 * 1000000
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"hr_us": (ts // HOUR_US) * HOUR_US,
+                             "user_id": b["user_id"].to_numpy(np.int64)})
+
+    v = ev.map_batches(prep, batch_format="pandas")
+    out = trailing_distinct_count(v, "hr_us", "user_id", width=3,
+                                  step=HOUR_US, out_col="n_users")
+
+    def render(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hr": b["hr_us"].to_numpy(np.int64).astype("datetime64[us]"),
+            "n_users": b["n_users"].to_numpy(np.int64)})
+
+    return out.map_batches(render, batch_format="pandas")
+
+
+def q_sssp_nations(sf_dir: str, force_bsp: bool = False):
+    """Weighted single-source shortest paths (§ graph operators — the
+    weighted twin of bfs_fulfillment): distances from nation 0 over
+    the undirected supplier-nation ↔ customer-nation trade graph with
+    deterministic integer weights w = (u+v)%5 + 1
+    (`ops/graph.py::weighted_sssp`, Bellman-Ford; driver tier here —
+    25 nodes — with the node-bucket BSP kernel past the standing
+    cutover, tier-equality-tested). Oracle: bounded recursive-CTE
+    relaxation (d ≤ 130 > the 24·5 worst shortest distance, so no
+    shortest path is cut)."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.graph import weighted_sssp
+    from no_fasel_scrapers_ray.ops.relational import (broadcast_get,
+                                                      preagg_reduce)
+    cs = _fulfillment_edges(sf_dir)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = cust.sort_values("c_custkey")
+    supp = supp.sort_values("s_suppkey")
+    ck = ray.put(cust["c_custkey"].to_numpy(np.int64))
+    cn = ray.put(cust["c_nationkey"].to_numpy(np.int64))
+    sk = ray.put(supp["s_suppkey"].to_numpy(np.int64))
+    sn = ray.put(supp["s_nationkey"].to_numpy(np.int64))
+
+    def to_nations(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(np.int64)
+        s = b["s"].to_numpy(np.int64)
+        u = broadcast_get(sn)[np.searchsorted(broadcast_get(sk), s)]
+        v = broadcast_get(cn)[np.searchsorted(broadcast_get(ck), c)]
+        # undirected trade graph: emit both directions (a directed
+        # graph from a non-supplier source nation is trivially {0})
+        return pd.DataFrame({"u": np.concatenate([u, v]),
+                             "v": np.concatenate([v, u])})
+
+    dn = preagg_reduce(cs.map_batches(to_nations, batch_format="pandas"),
+                       ["u", "v"], "__n", "count", n_buckets=4)
+
+    def weight(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["u"].to_numpy(np.int64)
+        v = b["v"].to_numpy(np.int64)
+        return pd.DataFrame({"u": u, "v": v, "w": (u + v) % 5 + 1})
+
+    edges = dn.map_batches(weight, batch_format="pandas")
+    out = weighted_sssp(edges, source=0, n_buckets=4,
+                        small_threshold=(0 if force_bsp else 1 << 18))
+
+    def render(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "nation": b["node_id"].to_numpy(np.int64).astype(np.int32),
+            "dist": b["dist"].to_numpy(np.int64)})
+
+    return out.map_batches(render, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -4683,6 +4879,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_triples": q_frequent_triples,
         "embedding_stats": q_embedding_stats,
         "bfs_tier3": partial(q_bfs_fulfillment, tier3=True),
+        "snapshot_diff_orders": q_snapshot_diff_orders,
+        "profile_orders": q_profile_orders,
+        "activity_islands": q_activity_islands,
+        "weighted_median_price": q_weighted_median_price,
+        "rolling_distinct_users": q_rolling_distinct_users,
+        "sssp_nations": q_sssp_nations,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -4743,6 +4945,112 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        "snapshot_diff_orders": """
+            WITH snap_old AS (
+                SELECT o_orderkey AS k,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+                FROM orders WHERE o_orderkey % 10 != 0),
+            snap_new AS (
+                SELECT o_orderkey AS k,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       + CASE WHEN o_orderkey % 5 = 0
+                              THEN 500 ELSE 0 END AS v
+                FROM orders WHERE o_orderkey % 7 != 3)
+            SELECT COALESCE(snap_old.k, snap_new.k) AS o_orderkey,
+                   CASE WHEN snap_old.k IS NULL THEN 'added'
+                        WHEN snap_new.k IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change,
+                   COALESCE(snap_old.v, -1) AS cents_old,
+                   COALESCE(snap_new.v, -1) AS cents_new
+            FROM snap_old FULL OUTER JOIN snap_new
+                 ON snap_old.k = snap_new.k
+            WHERE snap_old.k IS NULL OR snap_new.k IS NULL
+               OR snap_old.v != snap_new.v
+        """,
+        "profile_orders": """
+            SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT(o_custkey) AS n_null,
+                   COUNT(DISTINCT o_custkey) AS n_distinct,
+                   CAST(MIN(o_custkey) AS DOUBLE) AS min_val,
+                   CAST(MAX(o_custkey) AS DOUBLE) AS max_val
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderkey', COUNT(*),
+                   COUNT(*) - COUNT(o_orderkey),
+                   COUNT(DISTINCT o_orderkey),
+                   CAST(MIN(o_orderkey) AS DOUBLE),
+                   CAST(MAX(o_orderkey) AS DOUBLE)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', COUNT(*),
+                   COUNT(*) - COUNT(o_totalprice),
+                   COUNT(DISTINCT o_totalprice),
+                   MIN(o_totalprice), MAX(o_totalprice)
+            FROM orders
+        """,
+        "activity_islands": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(epoch_us(date_trunc('day', ts))
+                                   // 86400000000 AS BIGINT) AS day
+                       FROM events),
+            r AS (SELECT user_id, day,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY day) AS rn
+                  FROM d),
+            g AS (SELECT user_id, grp, COUNT(*) AS len
+                  FROM (SELECT user_id, day - rn AS grp FROM r)
+                  GROUP BY user_id, grp)
+            SELECT user_id, COUNT(*) AS n_islands,
+                   CAST(MAX(len) AS BIGINT) AS longest_streak,
+                   CAST(SUM(len) AS BIGINT) AS n_days
+            FROM g GROUP BY user_id
+        """,
+        "weighted_median_price": """
+            WITH w AS (SELECT l_returnflag AS f,
+                              CAST(ROUND(l_extendedprice * 100)
+                                   AS BIGINT) AS cents,
+                              SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                                  AS wt
+                       FROM lineitem GROUP BY 1, 2),
+            c AS (SELECT f, cents,
+                         SUM(wt) OVER (PARTITION BY f ORDER BY cents)
+                             AS cum,
+                         SUM(wt) OVER (PARTITION BY f) AS tot
+                  FROM w)
+            SELECT f AS l_returnflag,
+                   CAST(MIN(cents) AS BIGINT) AS median_cents
+            FROM c WHERE cum * 2 >= tot GROUP BY f
+        """,
+        "rolling_distinct_users": """
+            WITH h AS (SELECT DISTINCT date_trunc('hour', ts) AS hr,
+                              user_id
+                       FROM events),
+            hrs AS (SELECT DISTINCT hr FROM h)
+            SELECT hrs.hr AS hr, COUNT(DISTINCT h.user_id) AS n_users
+            FROM hrs JOIN h ON h.hr <= hrs.hr
+                           AND h.hr >= hrs.hr - INTERVAL 2 HOUR
+            GROUP BY hrs.hr
+        """,
+        "sssp_nations": """
+            WITH RECURSIVE e0 AS (
+                SELECT DISTINCT s_nationkey AS a, c_nationkey AS b
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey),
+            e AS (SELECT a AS u, b AS v FROM e0
+                  UNION SELECT b, a FROM e0),
+            ew AS (SELECT u, v,
+                          CAST(((u + v) % 5) + 1 AS BIGINT) AS w
+                   FROM e),
+            sp AS (SELECT CAST(0 AS INTEGER) AS v, CAST(0 AS BIGINT) AS d
+                   UNION
+                   SELECT ew.v, sp.d + ew.w
+                   FROM sp JOIN ew ON ew.u = sp.v
+                   WHERE sp.d + ew.w <= 130)
+            SELECT v AS nation, CAST(MIN(d) AS BIGINT) AS dist
+            FROM sp GROUP BY v
         """,
         "lang_top_tokens": """
             WITH t AS (SELECT lang, unnest(string_split(text, ' '))

@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "corpus_mix_sample", "nation_top_parts", "lang_top_tokens",
     "lpa_communities",
     "asof_clicks_forward", "frequent_triples",
+    "snapshot_diff_orders", "profile_orders", "activity_islands",
+    "weighted_median_price", "rolling_distinct_users", "sssp_nations",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the

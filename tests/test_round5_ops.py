@@ -1,0 +1,105 @@
+"""Round-5 operator tests: snapshot diff, profiler, gaps-and-islands,
+weighted median, sliding-window distinct, weighted SSSP (both tiers)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from no_fasel_scrapers_ray.ops.graph import weighted_sssp
+from no_fasel_scrapers_ray.ops.relational import (
+    consecutive_islands, grouped_weighted_median, keyed_snapshot_diff,
+    profile_numeric_columns, trailing_distinct_count)
+
+
+def _ds(df, parts=2):
+    return rd.from_pandas(df).repartition(parts)
+
+
+def test_snapshot_diff_planted():
+    old = _ds(pd.DataFrame({"k": [1, 2, 3, 4], "v": [10, 20, 30, 40]}))
+    new = _ds(pd.DataFrame({"k": [2, 3, 5], "v": [20, 99, 50]}))
+    out = keyed_snapshot_diff(old, new, "k", ["v"]).to_pandas()
+    out = out.sort_values("k", ignore_index=True)
+    got = list(out.itertuples(index=False, name=None))
+    # k=2 unchanged → dropped; 1,4 removed; 3 changed; 5 added
+    assert got == [(1, "removed", 10, -1), (3, "changed", 30, 99),
+                   (4, "removed", 40, -1), (5, "added", -1, 50)]
+    assert out["v_old"].dtype == np.int64
+    assert out["v_new"].dtype == np.int64
+
+
+def test_profile_numeric_columns_nulls_and_distinct():
+    df = pd.DataFrame({
+        "a": [1.0, 2.0, 2.0, np.nan, 5.0],
+        "b": [7, 7, 7, 7, 8]})
+    out = profile_numeric_columns(_ds(df), ["a", "b"])
+    a = out[out["col_name"] == "a"].iloc[0]
+    b = out[out["col_name"] == "b"].iloc[0]
+    assert (a["n_rows"], a["n_null"], a["n_distinct"]) == (5, 1, 3)
+    assert (a["min_val"], a["max_val"]) == (1.0, 5.0)
+    assert (b["n_rows"], b["n_null"], b["n_distinct"]) == (5, 0, 2)
+    assert (b["min_val"], b["max_val"]) == (7.0, 8.0)
+
+
+def test_consecutive_islands_planted():
+    # user 1: days 1,2,3 + 7,8 → islands 2, longest 3, vals 5
+    # user 2: day 4 only; duplicates must not break runs
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1, 1, 1, 2],
+        "d": [1, 2, 3, 7, 8, 2, 4]})
+    out = consecutive_islands(_ds(df), "u", "d").to_pandas()
+    out = out.sort_values("u", ignore_index=True)
+    assert list(out.itertuples(index=False, name=None)) == [
+        (1, 2, 3, 5), (2, 1, 1, 1)]
+
+
+def test_grouped_weighted_median_planted():
+    # group x: values 1 (w=1), 2 (w=1), 10 (w=2) → total 4, cum at
+    # value 2 is 2 → 2*2 >= 4 → lower weighted median = 2
+    df = pd.DataFrame({"g": ["x", "x", "x", "y"],
+                       "v": [1, 2, 10, 5],
+                       "w": [1, 1, 2, 3]})
+    out = grouped_weighted_median(_ds(df), ["g"], "v", "w").to_pandas()
+    got = dict(zip(out["g"], out["v"]))
+    assert got == {"x": 2, "y": 5}
+
+
+def test_trailing_distinct_count_planted():
+    # buckets 0,10,20 (step 10, width 2): entity seen at 0 also counts
+    # at 10; bucket 30 absent from input → no row
+    df = pd.DataFrame({"t": [0, 0, 10, 20], "e": [1, 2, 2, 3]})
+    out = trailing_distinct_count(_ds(df), "t", "e", width=2,
+                                  step=10).to_pandas()
+    got = dict(zip(out["t"], out["n_distinct"]))
+    assert got == {0: 2, 10: 2, 20: 2}   # 20 sees {2 (from 10), 3}
+
+
+def _sssp_edges():
+    #     0 →1→ 1 →1→ 2        0 →5→ 2  (direct, worse)
+    # undirected weights given explicitly; 3 unreachable from 0
+    return _ds(pd.DataFrame({
+        "u": [0, 1, 0, 4],
+        "v": [1, 2, 2, 3],
+        "w": [1, 1, 5, 2]}))
+
+
+def test_weighted_sssp_driver_tier():
+    out = weighted_sssp(_sssp_edges(), source=0).to_pandas()
+    got = dict(zip(out["node_id"], out["dist"]))
+    assert got == {0: 0, 1: 1, 2: 2}   # 2 via 0→1→2, not direct 5
+
+
+def test_weighted_sssp_tier_equality():
+    a = weighted_sssp(_sssp_edges(), source=0).to_pandas()
+    b = weighted_sssp(_sssp_edges(), source=0, small_threshold=0,
+                      n_buckets=2).to_pandas()
+    a = a.sort_values("node_id", ignore_index=True)
+    b = b.sort_values("node_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_weighted_sssp_isolated_source():
+    edges = _ds(pd.DataFrame({"u": [5], "v": [6], "w": [2]}))
+    out = weighted_sssp(edges, source=99).to_pandas()
+    got = dict(zip(out["node_id"], out["dist"]))
+    assert got == {99: 0}
