@@ -4519,6 +4519,98 @@ def q_doc_perplexity(sf_dir: str):
     return doc_perplexity(docs)
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (§ LLM training-data prep —
+    the merge-table learning stage): top-30 byte-pair merges over the
+    documents corpus (`ops/textops.py::train_bpe_merges`). The corpus
+    collapses once to the distinct-word frequency vocab; all merge
+    iterations run over the vocab dataset (Heaps-law-bounded), never
+    re-reading the corpus. No SQL oracle by design (iterative argmax
+    is not SQL-expressible at depth 30) — exact merge-table equality
+    vs a single-process reference implementation is pinned in
+    tests/test_round5_ops.py."""
+    from no_fasel_scrapers_ray.ops.textops import train_bpe_merges
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return train_bpe_merges(docs, n_merges=30)
+
+
+def q_user_similarity(sf_dir: str):
+    """User-user Jaccard similarity over purchased-part sets, top-1
+    most similar per user (§ set-similarity join — the collaborative-
+    filtering neighbor step, the behavioral twin of the doc-level
+    n-gram Jaccard dedup). Scale shape: ONE orders⋈lineitem bucketed
+    join → distinct (user, part) preagg → ITEM-bucketed pair emission
+    (each part's user list self-merges in its own bucket — pair volume
+    is Σ|users(item)|², bounded by item fan-out, never all-pairs) →
+    pair-count preagg → jaccard from broadcast user set sizes → top-1
+    per user. Hot items at 100 TB take the same df-ordered prefix
+    filter as `ngram_jaccard` (documented cutover); exact here, which
+    is what the SQL oracle checks. Jaccard is ONE double division of
+    exact int64s — bit-identical to the oracle's expression."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (
+        broadcast_get, bucketed_join, preagg_reduce, topk_per_group)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                   rows_per_block=65536)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=65536).map_batches(
+        lambda b: pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].to_numpy(np.int64),
+            "item": b["l_partkey"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    j = bucketed_join(li, orders, on="o_orderkey", how="inner")
+    ui = preagg_reduce(
+        j.map_batches(lambda b: pd.DataFrame({
+            "u": b["o_custkey"].to_numpy(np.int64),
+            "item": b["item"].to_numpy(np.int64)}),
+            batch_format="pandas"),
+        ["u", "item"], "__n", "count").materialize()
+    sizes = preagg_reduce(ui, ["u"], "n_items", "count").to_pandas()
+    sizes = sizes.sort_values("u")
+    uk = ray.put(sizes["u"].to_numpy(np.int64))
+    un = ray.put(sizes["n_items"].to_numpy(np.int64))
+
+    from no_fasel_scrapers_ray.ops.relational import _bucket_tagger
+    tagged = ui.map_batches(_bucket_tagger(["item"], 64),
+                            batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        it = g[["item", "u"]]
+        m = it.merge(it, on="item", suffixes=("_a", "_b"))
+        m = m[m["u_a"] < m["u_b"]]
+        return pd.DataFrame({"u1": m["u_a"].to_numpy(np.int64),
+                             "u2": m["u_b"].to_numpy(np.int64)})
+
+    pair_ds = tagged.groupby("__bucket").map_groups(
+        pairs, batch_format="pandas")
+    inter = preagg_reduce(pair_ds, ["u1", "u2"], "inter", "count")
+
+    def jac_both(b: pd.DataFrame) -> pd.DataFrame:
+        u1 = b["u1"].to_numpy(np.int64)
+        u2 = b["u2"].to_numpy(np.int64)
+        iv = b["inter"].to_numpy(np.int64)
+        k = broadcast_get(uk)
+        n = broadcast_get(un)
+        n1 = n[np.searchsorted(k, u1)]
+        n2 = n[np.searchsorted(k, u2)]
+        jac = iv.astype(np.float64) / (n1 + n2 - iv)
+        return pd.DataFrame({
+            "u": np.concatenate([u1, u2]),
+            "other": np.concatenate([u2, u1]),
+            "jac": np.concatenate([jac, jac])})
+
+    both = inter.map_batches(jac_both, batch_format="pandas")
+    top = topk_per_group(both, ["u"], "jac", k=1, ascending=False,
+                         tie_cols=["other"])
+    return top.map_batches(
+        lambda b: pd.DataFrame({
+            "o_custkey": b["u"].to_numpy(np.int64),
+            "similar_cust": b["other"].to_numpy(np.int64),
+            "jaccard": b["jac"].to_numpy(np.float64)}),
+        batch_format="pandas")
+
+
 def q_snapshot_diff_orders(sf_dir: str):
     """CDC keyed snapshot diff (§ incremental processing — the
     'what changed since yesterday' feed next to the reference's
@@ -4879,6 +4971,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_triples": q_frequent_triples,
         "embedding_stats": q_embedding_stats,
         "bfs_tier3": partial(q_bfs_fulfillment, tier3=True),
+        "user_similarity": q_user_similarity,
+        "bpe_merges": q_bpe_merges,
         "snapshot_diff_orders": q_snapshot_diff_orders,
         "profile_orders": q_profile_orders,
         "activity_islands": q_activity_islands,
@@ -4945,6 +5039,32 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        "user_similarity": """
+            WITH ui AS (SELECT DISTINCT o_custkey AS u,
+                               l_partkey AS i
+                        FROM orders
+                        JOIN lineitem ON l_orderkey = o_orderkey),
+            sz AS (SELECT u, COUNT(*) AS n FROM ui GROUP BY u),
+            pr AS (SELECT a.u AS u1, b.u AS u2, COUNT(*) AS inter
+                   FROM ui a JOIN ui b ON a.i = b.i AND a.u < b.u
+                   GROUP BY 1, 2),
+            j AS (SELECT u1, u2,
+                         CAST(inter AS DOUBLE) / (s1.n + s2.n - inter)
+                             AS jac
+                  FROM pr
+                  JOIN sz s1 ON s1.u = u1
+                  JOIN sz s2 ON s2.u = u2),
+            b AS (SELECT u1 AS u, u2 AS other, jac FROM j
+                  UNION ALL SELECT u2, u1, jac FROM j),
+            r AS (SELECT u, other, jac,
+                         row_number() OVER (PARTITION BY u
+                                            ORDER BY jac DESC, other)
+                             AS rk
+                  FROM b)
+            SELECT u AS o_custkey, other AS similar_cust,
+                   jac AS jaccard
+            FROM r WHERE rk = 1
         """,
         "snapshot_diff_orders": """
             WITH snap_old AS (

@@ -895,3 +895,174 @@ def regex_scrub(docs: rd.Dataset, pattern: str,
         })
 
     return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+def train_bpe_merges(docs: rd.Dataset, n_merges: int,
+                     text_col: str = "text", min_count: int = 2,
+                     n_buckets: int = 16,
+                     driver_threshold: int = 1 << 17) -> pd.DataFrame:
+    """Distributed byte-pair-encoding merge training (Sennrich et al.
+    2016 — the tokenizer-training stage of an LLM data pipeline).
+    Returns the merge table as a driver frame: (rank, left, right,
+    freq), rank in merge order.
+
+    Scale shape — the standard BPE-on-vocabulary reduction: the corpus
+    collapses ONCE to the distinct-word frequency table (a (word,
+    count) preagg; vocabulary grows ~Heaps-law sublinearly in corpus
+    size), and all ``n_merges`` iterations run over the VOCAB dataset,
+    never re-touching the corpus. Per iteration: one vectorized
+    adjacent-pair count pass (flattened symbol arrays + shifted-column
+    compare, weighted by word count — the doc_repetition gram trick),
+    one (left,right)-bucket preagg, a block-top-1 argmax pull (few
+    rows), then a merge-apply pass that pre-filters to the words
+    actually CONTAINING the winning pair (vectorized flat scan) and
+    rewrites only those with the canonical left-to-right
+    non-overlapping merge loop. Pair counting matches the reference
+    definition: every adjacent occurrence counts (overlaps included),
+    weighted by word frequency; argmax ties break (freq desc, left
+    asc, right asc). Training stops early when the best pair's
+    frequency drops below ``min_count``.
+
+    Two tiers with the standing explicit cutover (the graph-ops
+    contract): a vocab of ≤ ``driver_threshold`` distinct words pulls
+    to the driver and iterates locally on the same vectorized kernels
+    (per-iteration Ray execution overhead — ~0.4 s × 2 × n_merges —
+    dwarfs the compute for the vocab sizes every tested corpus
+    produces); beyond, the iterations run over the vocab DATASET.
+    Tier equality is pinned in tests/test_round5_ops.py alongside
+    exact merge-table equality vs a single-process reference."""
+    from .relational import preagg_reduce
+
+    def word_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].str.split()
+        flat = [t for row in toks for t in row]
+        if not flat:
+            return pd.DataFrame({"word": pd.Series([], dtype=object),
+                                 "count": pd.Series([], dtype=np.int64)})
+        s = pd.Series(flat, dtype=object)
+        g = s.groupby(s).size()
+        return pd.DataFrame({"word": g.index.to_numpy(object),
+                             "count": g.to_numpy(np.int64)})
+
+    vocab_wc = preagg_reduce(docs.map_batches(word_counts,
+                                              batch_format="pandas"),
+                             ["word"], "count", "sum",
+                             n_buckets=n_buckets)
+
+    def init_syms(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "syms": [list(w) for w in b["word"]],
+            "count": b["count"].to_numpy(np.int64)})
+
+    vocab = vocab_wc.map_batches(init_syms,
+                                 batch_format="pandas").materialize()
+
+    def _flat(b: pd.DataFrame):
+        syms = list(b["syms"])
+        cnt = b["count"].to_numpy(np.int64)
+        lens = np.fromiter((len(s) for s in syms), np.int64,
+                           count=len(syms))
+        if not len(syms) or int(lens.sum()) == 0:
+            return None
+        flat = np.concatenate(
+            [np.asarray(list(s), dtype=object) for s in syms])
+        return flat, lens, cnt
+
+    def count_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"left": pd.Series([], dtype=object),
+                              "right": pd.Series([], dtype=object),
+                              "freq": pd.Series([], dtype=np.int64)})
+        f = _flat(b)
+        if f is None:
+            return empty
+        flat, lens, cnt = f
+        n = len(flat)
+        if n < 2:
+            return empty
+        same = np.ones(n - 1, dtype=bool)
+        ends = np.cumsum(lens)
+        same[ends[:-1] - 1] = False   # word boundaries pair nothing
+        w = np.repeat(cnt, lens)[:-1][same]
+        df = pd.DataFrame({"left": flat[:-1][same],
+                           "right": flat[1:][same], "freq": w})
+        return df.groupby(["left", "right"], as_index=False)["freq"].sum()
+
+    def apply_merge(b: pd.DataFrame, x: str, y: str,
+                    xy: str) -> pd.DataFrame:
+        fl = _flat(b)
+        if fl is None:
+            return b
+        flat, lens, _ = fl
+        n = len(flat)
+        hit_words = np.array([], dtype=np.int64)
+        if n >= 2:
+            same = np.ones(n - 1, dtype=bool)
+            ends = np.cumsum(lens)
+            same[ends[:-1] - 1] = False
+            m = same & (flat[:-1] == x) & (flat[1:] == y)
+            if m.any():
+                widx = np.repeat(np.arange(len(lens)), lens)
+                hit_words = np.unique(widx[:-1][m])
+        if not len(hit_words):
+            return b
+        syms = list(b["syms"])
+        for wi in hit_words:     # ONLY words containing the pair
+            s = syms[wi]
+            out = []
+            i = 0
+            L = len(s)
+            while i < L:
+                if i + 1 < L and s[i] == x and s[i + 1] == y:
+                    out.append(xy)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[wi] = out
+        return pd.DataFrame({"syms": syms,
+                             "count": b["count"].to_numpy(np.int64)})
+
+    def pick_best(pc_df: pd.DataFrame):
+        if not len(pc_df):
+            return None
+        pc_df = pc_df.sort_values(["freq", "left", "right"],
+                                  ascending=[False, True, True])
+        return (str(pc_df.iloc[0]["left"]), str(pc_df.iloc[0]["right"]),
+                int(pc_df.iloc[0]["freq"]))
+
+    merges = []
+    if vocab.count() <= driver_threshold:
+        # driver tier: same kernels, one local frame, no per-iteration
+        # Ray execution round-trips
+        vdf = vocab.to_pandas()
+        for rank in range(1, n_merges + 1):
+            best = pick_best(count_pairs(vdf))
+            if best is None or best[2] < min_count:
+                break
+            x, y, f = best
+            merges.append((rank, x, y, f))
+            vdf = apply_merge(vdf, x, y, x + y)
+    else:
+        for rank in range(1, n_merges + 1):
+            pc_ds = preagg_reduce(
+                vocab.map_batches(count_pairs, batch_format="pandas"),
+                ["left", "right"], "freq", "sum", n_buckets=n_buckets)
+            survivors = pc_ds.map_batches(
+                lambda b: b.sort_values(["freq", "left", "right"],
+                                        ascending=[False, True, True]
+                                        ).head(1),
+                batch_format="pandas").to_pandas()
+            best = pick_best(survivors)
+            if best is None or best[2] < min_count:
+                break
+            x, y, f = best
+            merges.append((rank, x, y, f))
+            vocab = vocab.map_batches(
+                lambda b, x=x, y=y, xy=x + y: apply_merge(b, x, y, xy),
+                batch_format="pandas").materialize()
+
+    return pd.DataFrame({
+        "rank": pd.array([m[0] for m in merges], dtype=np.int64),
+        "left": pd.array([m[1] for m in merges], dtype=object),
+        "right": pd.array([m[2] for m in merges], dtype=object),
+        "freq": pd.array([m[3] for m in merges], dtype=np.int64)})

@@ -103,3 +103,82 @@ def test_weighted_sssp_isolated_source():
     out = weighted_sssp(edges, source=99).to_pandas()
     got = dict(zip(out["node_id"], out["dist"]))
     assert got == {99: 0}
+
+
+# ---- BPE merge training vs single-process reference -----------------
+
+def _ref_bpe(texts, n_merges, min_count=2):
+    """Canonical single-process BPE (Sennrich et al.): word-frequency
+    vocab, overlapping adjacent-pair counts, (freq desc, left, right)
+    argmax, left-to-right non-overlapping merge apply."""
+    from collections import Counter
+    wc = Counter(t for s in texts for t in s.split())
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wc[w]
+        if not pairs:
+            break
+        (x, y), f = min(pairs.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if f < min_count:
+            break
+        merges.append((rank, x, y, f))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == x
+                        and syms[i + 1] == y):
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return pd.DataFrame({
+        "rank": pd.array([m[0] for m in merges], dtype=np.int64),
+        "left": pd.array([m[1] for m in merges], dtype=object),
+        "right": pd.array([m[2] for m in merges], dtype=object),
+        "freq": pd.array([m[3] for m in merges], dtype=np.int64)})
+
+
+def test_bpe_merges_matches_reference():
+    from no_fasel_scrapers_ray.ops.textops import train_bpe_merges
+    texts = ["the cat sat on the mat",
+             "the bat and the cat chat",
+             "that hat is flat flat flat",
+             "banana bandana banana"]
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts})).repartition(3)
+    got = train_bpe_merges(docs, n_merges=12)
+    want = _ref_bpe(texts, 12)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bpe_merges_overlap_and_stop():
+    from no_fasel_scrapers_ray.ops.textops import train_bpe_merges
+    # "aaaa" x3: pair (a,a) counts 3 overlapping occurrences per word;
+    # apply is non-overlapping -> aa aa; next merge (aa,aa)
+    texts = ["aaaa aaaa aaaa"]
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([0], dtype=np.int64), "text": texts}))
+    got = train_bpe_merges(docs, n_merges=10)
+    want = _ref_bpe(texts, 10)
+    pd.testing.assert_frame_equal(got, want)
+    assert list(got["left"])[:2] == ["a", "aa"]
+
+
+def test_bpe_merges_tier_equality():
+    from no_fasel_scrapers_ray.ops.textops import train_bpe_merges
+    texts = ["the cat sat on the mat",
+             "the bat and the cat chat"]
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts})).repartition(2)
+    a = train_bpe_merges(docs, n_merges=8)                      # driver
+    b = train_bpe_merges(docs, n_merges=8, driver_threshold=0)  # dataset
+    pd.testing.assert_frame_equal(a, b)
