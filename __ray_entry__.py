@@ -4519,6 +4519,121 @@ def q_doc_perplexity(sf_dir: str):
     return doc_perplexity(docs)
 
 
+def q_debounce_events(sf_dir: str):
+    """Event debouncing (§ stream cleaning — the dedup-by-recency
+    stage a clickstream pipeline runs before counting): drop any
+    event whose previous event of the same (user, type) lies within
+    6 h (the synthetic stream's density makes sub-minute windows
+    no-ops — 6 h drops ~10%); keep the rest. ONE (user, type)-bucket
+    shuffle via `windowed_lag` (each key's history meets in one
+    group, vectorized shift), then a streaming filter. Oracle: LAG
+    window + the same strict > 6 h keep rule."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import windowed_lag
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts"], rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "event_type": b["event_type"].to_numpy(),
+            "ts_us": b["ts"].to_numpy().astype("datetime64[us]")
+            .astype(np.int64)})
+
+    lag = windowed_lag(ev.map_batches(prep, batch_format="pandas"),
+                       ["user_id", "event_type"], "ts_us", "ts_us",
+                       "prev_us", tie_cols=["event_id"],
+                       default=-(1 << 62))
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["ts_us"].to_numpy(np.int64)
+             - b["prev_us"].to_numpy(np.int64)) > 21_600_000_000
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(np.int64)[m],
+            "user_id": b["user_id"].to_numpy(np.int64)[m]})
+
+    return lag.map_batches(keep, batch_format="pandas")
+
+
+def q_sample_k_per_nation(sf_dir: str):
+    """Deterministic EXACT-k stratified sample (§ sampling — the
+    fixed-budget twin of the rate-based `stratified_hash_sample`): 3
+    customers per nation, chosen by md5-of-key order so both engines
+    agree bit-for-bit with no RNG. `topk_per_group` prunes per batch
+    (≤ k rows per key per batch move through the shuffle). The per-row
+    md5 loop is bounded by batch size and exists only because md5 is
+    the one hash both engines share — at 100 TB swap both sides to a
+    vectorized shared hash. Oracle: row_number() over md5 order."""
+    import hashlib
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import topk_per_group
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"],
+                 rows_per_block=65536)
+
+    def add_h(b: pd.DataFrame) -> pd.DataFrame:
+        keys = b["c_custkey"].to_numpy(np.int64)
+        h = [hashlib.md5(str(k).encode()).hexdigest() for k in keys]
+        return pd.DataFrame({"c_custkey": keys,
+                             "c_nationkey":
+                             b["c_nationkey"].to_numpy(np.int32),
+                             "h": pd.array(h, dtype=object)})
+
+    top = topk_per_group(cust.map_batches(add_h, batch_format="pandas"),
+                         ["c_nationkey"], "h", k=3, ascending=True,
+                         tie_cols=["c_custkey"])
+    return top.map_batches(
+        lambda b: b[["c_nationkey", "c_custkey"]],
+        batch_format="pandas")
+
+
+def q_impute_acctbal(sf_dir: str):
+    """Group-median imputation (§ data repair — the fill-missing
+    stage): customers with negative account balance take their
+    nation's interpolated median balance. Medians via
+    `grouped_quantile_cont` (bit-identical interpolation expression
+    to DuckDB's median()), nation-sized result broadcast, one
+    streaming fill pass. Oracle: median() join + CASE."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (
+        broadcast_get, grouped_quantile_cont)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"],
+                 rows_per_block=65536)
+    med = grouped_quantile_cont(cust, ["c_nationkey"], "c_acctbal",
+                                0.5, "med").to_pandas()
+    med = med.sort_values("c_nationkey")
+    mk = ray.put(med["c_nationkey"].to_numpy(np.int64))
+    mv = ray.put(med["med"].to_numpy(np.float64))
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        bal = b["c_acctbal"].to_numpy(np.float64)
+        nk = b["c_nationkey"].to_numpy(np.int64)
+        m = broadcast_get(mv)[np.searchsorted(broadcast_get(mk), nk)]
+        return pd.DataFrame({
+            "c_custkey": b["c_custkey"].to_numpy(np.int64),
+            "acctbal_filled": np.where(bal < 0, m, bal)})
+
+    return cust.map_batches(fill, batch_format="pandas")
+
+
+def q_bpe_encode(sf_dir: str):
+    """BPE corpus encoding (§ LLM training-data prep — the consumer of
+    `bpe_merges`): tokenize every document with the learned top-30
+    merge table and report its BPE token count
+    (`ops/textops.py::bpe_encode_counts` — per-batch distinct-word
+    encode, counts fanned back by inverse indices). Rows-only (the
+    trainer itself is reference-pinned; the encoder has its own
+    reference-equality test)."""
+    from no_fasel_scrapers_ray.ops.textops import (bpe_encode_counts,
+                                                   train_bpe_merges)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = train_bpe_merges(docs, n_merges=30)
+    pairs = list(zip(merges["left"], merges["right"]))
+    return bpe_encode_counts(docs, pairs)
+
+
 def q_bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training (§ LLM training-data prep —
     the merge-table learning stage): top-30 byte-pair merges over the
@@ -4750,6 +4865,34 @@ def q_rolling_distinct_users(sf_dir: str):
     return out.map_batches(render, batch_format="pandas")
 
 
+def q_rolling_approx_users(sf_dir: str):
+    """APPROXIMATE sliding-window distinct users (§ sketches ×
+    streaming windows — the composition that shows why mergeable
+    sketches matter): same trailing 3-hour window as the exact
+    `rolling_distinct_users`, but each hour reduces once to a 4 KiB
+    HLL register blob and windows are register maxes — no width×
+    expansion, state independent of user cardinality
+    (`ops/sketch.py::rolling_approx_distinct`). Rows-only by design;
+    ±5% envelope vs the exact twin pinned in tests/test_sketch.py."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.sketch import rolling_approx_distinct
+    ev = _read(sf_dir, "events", ["ts", "user_id"],
+               rows_per_block=65536)
+    HOUR_US = 3600 * 1000000
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"hr_us": (ts // HOUR_US) * HOUR_US,
+                             "user_id": b["user_id"].to_numpy(np.int64)})
+
+    v = ev.map_batches(prep, batch_format="pandas")
+    out = rolling_approx_distinct(v, "hr_us", "user_id", width=3,
+                                  step=HOUR_US, out_col="n_users_approx")
+    return pd.DataFrame({
+        "hr": out["hr_us"].to_numpy(np.int64).astype("datetime64[us]"),
+        "n_users_approx": out["n_users_approx"].to_numpy(np.int64)})
+
+
 def q_sssp_nations(sf_dir: str, force_bsp: bool = False):
     """Weighted single-source shortest paths (§ graph operators — the
     weighted twin of bfs_fulfillment): distances from nation 0 over
@@ -4973,11 +5116,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_tier3": partial(q_bfs_fulfillment, tier3=True),
         "user_similarity": q_user_similarity,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
+        "debounce_events": q_debounce_events,
+        "sample_k_per_nation": q_sample_k_per_nation,
+        "impute_acctbal": q_impute_acctbal,
         "snapshot_diff_orders": q_snapshot_diff_orders,
         "profile_orders": q_profile_orders,
         "activity_islands": q_activity_islands,
         "weighted_median_price": q_weighted_median_price,
         "rolling_distinct_users": q_rolling_distinct_users,
+        "rolling_approx_users": q_rolling_approx_users,
         "sssp_nations": q_sssp_nations,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
@@ -5039,6 +5187,35 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        "debounce_events": """
+            WITH l AS (SELECT event_id, user_id, ts,
+                              lag(ts) OVER (PARTITION BY user_id,
+                                            event_type
+                                            ORDER BY ts, event_id)
+                                  AS pts
+                       FROM events)
+            SELECT event_id, user_id
+            FROM l
+            WHERE pts IS NULL OR ts - pts > INTERVAL 6 HOUR
+        """,
+        "sample_k_per_nation": """
+            WITH r AS (SELECT c_nationkey, c_custkey,
+                              row_number() OVER (
+                                  PARTITION BY c_nationkey
+                                  ORDER BY md5(CAST(c_custkey
+                                               AS VARCHAR)),
+                                           c_custkey) AS rk
+                       FROM customer)
+            SELECT c_nationkey, c_custkey FROM r WHERE rk <= 3
+        """,
+        "impute_acctbal": """
+            WITH m AS (SELECT c_nationkey, median(c_acctbal) AS med
+                       FROM customer GROUP BY 1)
+            SELECT c_custkey,
+                   CASE WHEN c_acctbal < 0 THEN med
+                        ELSE c_acctbal END AS acctbal_filled
+            FROM customer JOIN m USING (c_nationkey)
         """,
         "user_similarity": """
             WITH ui AS (SELECT DISTINCT o_custkey AS u,

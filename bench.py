@@ -93,7 +93,8 @@ BENCH_QUERIES = [
     "asof_clicks_forward", "frequent_triples",
     "snapshot_diff_orders", "profile_orders", "activity_islands",
     "weighted_median_price", "rolling_distinct_users", "sssp_nations",
-    "user_similarity", "bpe_merges",
+    "user_similarity", "bpe_merges", "bpe_encode", "debounce_events",
+    "sample_k_per_nation", "impute_acctbal", "rolling_approx_users",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the

@@ -81,25 +81,18 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
-def grouped_approx_count_distinct(ds: rd.Dataset, keys: list[str],
-                                  col: str, alias: str, p: int = 10,
-                                  n_buckets: int = 64) -> rd.Dataset:
-    """Per-group approximate COUNT(DISTINCT col): one 2^p-byte register
-    blob per key per batch moves through the key-bucket shuffle instead
-    of one row per DISTINCT VALUE — the trade that keeps shuffle volume
-    proportional to |keys| when values-per-key is huge (the exact
-    operator's partials grow with distinct values). p=10 → 1 KiB/key,
-    sigma ≈ 1.04/sqrt(1024) ≈ 3.3%. Registers ride as Arrow ``binary``
-    (ragged numeric sets in object columns trip Ray's TensorArray)."""
+def _hll_partial_fn(keys: list[str], col: str, p: int, n_buckets: int):
+    """Per-batch grouped HLL register partial: ONE np.maximum.at over
+    a (n_keys × m) register matrix — no per-key Python loop: rows are
+    flattened to key_code*m + idx. use_na_sentinel=False keeps NULL
+    keys as their own group (SQL GROUP BY semantics); the default -1
+    sentinel would wrap the flattened index into the LAST key's
+    register block and silently corrupt its count. Registers ride as
+    Arrow ``binary``. Shared by grouped_approx_count_distinct and
+    rolling_approx_distinct so the register contract can't drift."""
     m = 1 << p
 
     def partial(batch: pd.DataFrame) -> pa.Table:
-        # ONE np.maximum.at over a (n_keys × m) register matrix — no
-        # per-key Python loop: rows are flattened to key_code*m + idx.
-        # use_na_sentinel=False keeps NULL keys as their own group (SQL
-        # GROUP BY semantics); the default -1 sentinel would wrap the
-        # flattened index into the LAST key's register block and
-        # silently corrupt its count.
         codes, uniques = pd.factorize(
             pd.MultiIndex.from_frame(batch[keys]) if len(keys) > 1
             else batch[keys[0]], sort=False, use_na_sentinel=False)
@@ -121,6 +114,75 @@ def grouped_approx_count_distinct(ds: rd.Dataset, keys: list[str],
         tbl = pa.table(t)
         bucket = stable_bucket_cols(kf, keys, n_buckets)
         return tbl.append_column("__bucket", pa.array(bucket))
+
+    return partial
+
+
+def rolling_approx_distinct(ds: rd.Dataset, bucket_col: str, col: str,
+                            width: int, step: int,
+                            out_col: str = "n_approx",
+                            p: int = 12,
+                            n_buckets: int = 64) -> pd.DataFrame:
+    """APPROXIMATE sliding-window COUNT DISTINCT — the sketch twin of
+    `relational.trailing_distinct_count`, and the composition that
+    shows WHY mergeable sketches matter for streaming windows: exact
+    distinct can't pre-aggregate (the exact twin must re-deduplicate
+    width× expanded pairs), but HLL registers max-merge, so each time
+    bucket reduces ONCE to a 2^p-byte blob and every trailing window
+    is a register max over ``width`` blobs — no expansion, shuffle
+    volume = buckets × 2^p bytes regardless of raw rows or entity
+    cardinality. Per-bucket merge runs in the bucketed combine; the
+    window slide runs on the driver over the (n_buckets_time × m)
+    register matrix (time-bucket count is bounded by range/step —
+    hours of a year ≈ 8.8k → 36 MB at p=12). Returns a driver frame
+    (bucket, estimate), windows restricted to PRESENT buckets like
+    the exact twin. ±envelope vs the exact twin pinned in
+    tests/test_sketch.py."""
+    m = 1 << p
+    partial = _hll_partial_fn([bucket_col], col, p, n_buckets)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        rows, blobs = [], []
+        for kv, grp in g.groupby(bucket_col, sort=False, dropna=False):
+            merged = np.zeros(m, dtype=np.uint8)
+            for blob in grp["__regs"]:
+                np.maximum(merged, np.frombuffer(blob, dtype=np.uint8),
+                           out=merged)
+            rows.append(kv)
+            blobs.append(merged.tobytes())
+        return pd.DataFrame({bucket_col: rows,
+                             "__regs": pd.array(blobs, dtype=object)})
+
+    per_bucket = (ds.map_batches(partial, batch_format="pandas")
+                  .groupby("__bucket")
+                  .map_groups(combine, batch_format="pandas")
+                  .to_pandas())
+    per_bucket = per_bucket.sort_values(bucket_col, ignore_index=True)
+    tb = per_bucket[bucket_col].to_numpy(np.int64)
+    mat = np.stack([np.frombuffer(b, dtype=np.uint8)
+                    for b in per_bucket["__regs"]]) \
+        if len(per_bucket) else np.zeros((0, m), np.uint8)
+    ests = np.empty(len(tb), dtype=np.float64)
+    for i, t in enumerate(tb):
+        lo = np.searchsorted(tb, t - (width - 1) * step, side="left")
+        merged = mat[lo:i + 1][tb[lo:i + 1] >= t - (width - 1) * step]
+        ests[i] = hll_estimate(np.max(merged, axis=0))
+    return pd.DataFrame({bucket_col: tb,
+                         out_col: np.round(ests).astype(np.int64)})
+
+
+def grouped_approx_count_distinct(ds: rd.Dataset, keys: list[str],
+                                  col: str, alias: str, p: int = 10,
+                                  n_buckets: int = 64) -> rd.Dataset:
+    """Per-group approximate COUNT(DISTINCT col): one 2^p-byte register
+    blob per key per batch moves through the key-bucket shuffle instead
+    of one row per DISTINCT VALUE — the trade that keeps shuffle volume
+    proportional to |keys| when values-per-key is huge (the exact
+    operator's partials grow with distinct values). p=10 → 1 KiB/key,
+    sigma ≈ 1.04/sqrt(1024) ≈ 3.3%. Registers ride as Arrow ``binary``
+    (ragged numeric sets in object columns trip Ray's TensorArray)."""
+    m = 1 << p
+    partial = _hll_partial_fn(keys, col, p, n_buckets)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         rows_keys: dict[str, list] = {k: [] for k in keys}

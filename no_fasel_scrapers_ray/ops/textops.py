@@ -1066,3 +1066,57 @@ def train_bpe_merges(docs: rd.Dataset, n_merges: int,
         "left": pd.array([m[1] for m in merges], dtype=object),
         "right": pd.array([m[2] for m in merges], dtype=object),
         "freq": pd.array([m[3] for m in merges], dtype=np.int64)})
+
+
+def bpe_encode_counts(docs: rd.Dataset, merges: list[tuple[str, str]],
+                      text_col: str = "text") -> rd.Dataset:
+    """Apply a learned BPE merge table to the corpus: per doc, the BPE
+    token count after whitespace pre-tokenization + in-rank-order
+    merge application — the tokenize-and-count pass that sizes a
+    training mixture (the 100-TB-side consumer of
+    ``train_bpe_merges``). The merge list is tiny and captured by
+    value (serialized once per worker). Per batch the encoder runs
+    once per DISTINCT word (the vocab trick again — batch-local
+    dedup, then counts fan back through inverse indices), so the
+    per-word merge loop is bounded by batch vocabulary, not row
+    count. Pinned vs the single-process reference encoder in
+    tests/test_round5_ops.py."""
+    mseq = [(x, y, x + y) for x, y in merges]
+
+    def encode_len(word: str) -> int:
+        syms = list(word)
+        for x, y, xy in mseq:
+            if len(syms) < 2:
+                break
+            i, out = 0, []
+            L = len(syms)
+            while i < L:
+                if i + 1 < L and syms[i] == x and syms[i + 1] == y:
+                    out.append(xy)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    def per_batch(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].str.split()
+        lens = np.fromiter((len(t) for t in toks), np.int64,
+                           count=len(toks))
+        flat = np.array([w for row in toks for w in row], dtype=object)
+        if not len(flat):
+            return pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_tokens_bpe": np.zeros(len(b), np.int64)})
+        uniq, inv = np.unique(flat, return_inverse=True)
+        per_word = np.fromiter((encode_len(w) for w in uniq), np.int64,
+                               count=len(uniq))
+        per_tok = per_word[inv]
+        ends = np.cumsum(lens)
+        cs = np.concatenate([[0], np.cumsum(per_tok)])
+        n = cs[ends] - cs[ends - lens]
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                             "n_tokens_bpe": n.astype(np.int64)})
+
+    return docs.map_batches(per_batch, batch_format="pandas")

@@ -182,3 +182,37 @@ def test_bpe_merges_tier_equality():
     a = train_bpe_merges(docs, n_merges=8)                      # driver
     b = train_bpe_merges(docs, n_merges=8, driver_threshold=0)  # dataset
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bpe_encode_counts_matches_reference():
+    from no_fasel_scrapers_ray.ops.textops import (bpe_encode_counts,
+                                                   train_bpe_merges)
+    texts = ["the cat sat on the mat",
+             "the bat and the cat chat",
+             "banana bandana banana"]
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts})).repartition(2)
+    merges_df = train_bpe_merges(docs, n_merges=8)
+    pairs = list(zip(merges_df["left"], merges_df["right"]))
+
+    def ref_encode_len(word):
+        syms = list(word)
+        for x, y in pairs:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == x
+                        and syms[i + 1] == y):
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    got = bpe_encode_counts(docs, pairs).to_pandas()
+    got = got.sort_values("doc_id", ignore_index=True)
+    want = [sum(ref_encode_len(w) for w in t.split()) for t in texts]
+    assert list(got["n_tokens_bpe"]) == want
+    assert got["n_tokens_bpe"].dtype == np.int64

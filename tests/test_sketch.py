@@ -258,3 +258,21 @@ def test_grouped_heavy_hitters_raises_on_uniform_data():
     with pytest.raises(ValueError, match="no verifiable top"):
         grouped_heavy_hitters(rd.from_pandas(df).repartition(8),
                               "g", "item", topn=3, k_counters=64)
+
+
+def test_rolling_approx_distinct_envelope():
+    """The sketch twin of trailing_distinct_count stays inside the
+    p=12 HLL envelope (sigma ~1.6%; 5% bar) for every window."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+    from tests.conftest import SF_SMOKE
+    exact = entrymod.queries()["rolling_distinct_users"](
+        SF_SMOKE).to_pandas().sort_values("hr", ignore_index=True)
+    approx = entrymod.queries()["rolling_approx_users"](
+        SF_SMOKE).sort_values("hr", ignore_index=True)
+    assert list(exact["hr"]) == list(approx["hr"])
+    e = exact["n_users"].to_numpy(np.float64)
+    a = approx["n_users_approx"].to_numpy(np.float64)
+    rel = np.abs(a - e) / np.maximum(e, 1)
+    assert rel.max() <= 0.05, f"max rel err {rel.max():.4f}"
