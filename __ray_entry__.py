@@ -4865,6 +4865,201 @@ def q_rolling_distinct_users(sf_dir: str):
     return out.map_batches(render, batch_format="pandas")
 
 
+def q_intersect_all_users(sf_dir: str):
+    """INTERSECT ALL — bag semantics (§ set operations, completing
+    the family next to the DISTINCT-semantics `intersect_users`):
+    users kept with multiplicity min(click count, purchase count).
+    Set ops under bag semantics reduce to per-key COUNTS — two
+    per-side preaggs, one user-bucket join, a vectorized repeat; the
+    shuffle moves counts, never the multiset. Oracle: INTERSECT ALL."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (bucketed_join,
+                                                      preagg_reduce)
+    ev = _read(sf_dir, "events", ["user_id", "event_type"],
+               rows_per_block=65536)
+
+    def side(et: str, alias: str):
+        s = ev.map_batches(
+            lambda b, et=et: pd.DataFrame({
+                "user_id": b["user_id"].to_numpy(np.int64)[
+                    b["event_type"].to_numpy() == et]}),
+            batch_format="pandas")
+        return preagg_reduce(s, ["user_id"], alias, "count",
+                             n_buckets=16)
+
+    j = bucketed_join(side("click", "nl"), side("purchase", "nr"),
+                      on="user_id", how="inner", n_buckets=16)
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["user_id"].to_numpy(np.int64)
+        rep = np.minimum(b["nl"].to_numpy(np.int64),
+                         b["nr"].to_numpy(np.int64))
+        return pd.DataFrame({"user_id": np.repeat(u, rep)})
+
+    return j.map_batches(expand, batch_format="pandas")
+
+
+def q_except_all_clicks(sf_dir: str):
+    """EXCEPT ALL — bag semantics (the multiset difference):
+    click-user occurrences with multiplicity max(clicks − purchases,
+    0). Same count-reduction shape as INTERSECT ALL, with a LEFT
+    bucket join so click-only users keep their full multiplicity
+    (missing right counts surface as the join's float-NaN → 0, the
+    documented left-join contract). Oracle: EXCEPT ALL."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (bucketed_join,
+                                                      preagg_reduce)
+    ev = _read(sf_dir, "events", ["user_id", "event_type"],
+               rows_per_block=65536)
+
+    def side(et: str, alias: str):
+        s = ev.map_batches(
+            lambda b, et=et: pd.DataFrame({
+                "user_id": b["user_id"].to_numpy(np.int64)[
+                    b["event_type"].to_numpy() == et]}),
+            batch_format="pandas")
+        return preagg_reduce(s, ["user_id"], alias, "count",
+                             n_buckets=16)
+
+    j = bucketed_join(side("click", "nl"), side("purchase", "nr"),
+                      on="user_id", how="left", n_buckets=16)
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["user_id"].to_numpy(np.int64)
+        nl = b["nl"].to_numpy(np.int64)
+        nr = np.nan_to_num(b["nr"].to_numpy(np.float64),
+                           nan=0.0).astype(np.int64)
+        rep = np.maximum(nl - nr, 0)
+        return pd.DataFrame({"user_id": np.repeat(u, rep)})
+
+    return j.map_batches(expand, batch_format="pandas")
+
+
+def q_scd2_user_events(sf_dir: str):
+    """SCD2 validity intervals from a change log (§ warehouse/CDC —
+    the slowly-changing-dimension build: each state row becomes
+    [valid_from, valid_to) with valid_to = the next change's
+    timestamp, sentinel 2100-01-01 for the current row). ONE
+    user-bucket shuffle via `windowed_lead` (each user's history in
+    one group, vectorized shift); ties ordered by event_id on both
+    engines. Oracle: LEAD window + COALESCE(sentinel)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import windowed_lead
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts"], rows_per_block=65536)
+    SENTINEL_US = int(pd.Timestamp("2100-01-01").value // 1000)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "event_type": b["event_type"].to_numpy(),
+            "ts_us": b["ts"].to_numpy().astype("datetime64[us]")
+            .astype(np.int64)})
+
+    led = windowed_lead(ev.map_batches(prep, batch_format="pandas"),
+                        ["user_id"], "ts_us", "ts_us", "valid_to_us",
+                        tie_cols=["event_id"], default=SENTINEL_US)
+
+    def render(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "event_type": b["event_type"].to_numpy(),
+            "valid_from": b["ts_us"].to_numpy(np.int64)
+            .astype("datetime64[us]"),
+            "valid_to": b["valid_to_us"].to_numpy(np.int64)
+            .astype("datetime64[us]")})
+
+    return led.map_batches(render, batch_format="pandas")
+
+
+def q_nation_priority_kl(sf_dir: str):
+    """Per-nation KL divergence of the order-priority distribution vs
+    the global one (§ statistical aggregates — the drift/segmentation
+    score a data monitor computes per shard). Counts via ONE
+    (nation, priority) preagg with broadcast customer→nation dims
+    (bucketed join is the 100 TB path); the ≤ nations×priorities
+    count table finishes on the driver (dim-bounded pull, the
+    sketch-merge convention). ln is transcendental → round-6 contract
+    like pagerank. Oracle mirrors the same p·ln(p/q) expression."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (broadcast_get,
+                                                      preagg_reduce)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.sort_values("c_custkey")
+    ck = ray.put(cust["c_custkey"].to_numpy(np.int64))
+    cn = ray.put(cust["c_nationkey"].to_numpy(np.int64))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"],
+                   rows_per_block=65536)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["o_custkey"].to_numpy(np.int64)
+        nat = broadcast_get(cn)[np.searchsorted(broadcast_get(ck), c)]
+        return pd.DataFrame({"nation": nat,
+                             "pr": b["o_orderpriority"].to_numpy()})
+
+    counts = preagg_reduce(orders.map_batches(tag, batch_format="pandas"),
+                           ["nation", "pr"], "n", "count",
+                           n_buckets=8).to_pandas()
+    tn = counts.groupby("nation")["n"].transform("sum").to_numpy(
+        np.float64)
+    gn = counts.groupby("pr")["n"].transform("sum").to_numpy(np.float64)
+    at = float(counts["n"].sum())
+    p = counts["n"].to_numpy(np.float64) / tn
+    q = gn / at
+    counts["term"] = p * np.log(p / q)
+    kl = counts.groupby("nation", as_index=False)["term"].sum()
+    return pd.DataFrame({
+        "nation": kl["nation"].to_numpy(np.int64).astype(np.int32),
+        "kl": np.round(kl["term"].to_numpy(np.float64), 6)})
+
+
+def q_grouping_sets_orders(sf_dir: str):
+    """GROUPING SETS ((priority), (status), ()) in ONE scan (§
+    relational aggregates — the general form next to rollup/cube):
+    the scan reduces once to the (priority, status) pair table (≤
+    |priorities|×|statuses| rows), and all three grouping sets
+    aggregate from that dim-bounded table — the same
+    partial-reuse trick LMFAO-style batched aggregation exploits.
+    'ALL' sentinels mirror the oracle's COALESCE."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import preagg_sum_count
+    orders = _read(sf_dir, "orders",
+                   ["o_orderpriority", "o_orderstatus", "o_totalprice"],
+                   rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "pr": b["o_orderpriority"].to_numpy(),
+            "st": b["o_orderstatus"].to_numpy(),
+            "cents": np.round(b["o_totalprice"].to_numpy(np.float64)
+                              * 100).astype(np.int64)})
+
+    pairs = preagg_sum_count(orders.map_batches(prep,
+                                                batch_format="pandas"),
+                             ["pr", "st"], {"cents": "total_cents"},
+                             count_alias="n_orders",
+                             n_buckets=4).to_pandas()
+    by_pr = pairs.groupby("pr", as_index=False).agg(
+        n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
+    by_pr["st"] = "ALL"
+    by_st = pairs.groupby("st", as_index=False).agg(
+        n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
+    by_st["pr"] = "ALL"
+    total = pd.DataFrame({"pr": ["ALL"], "st": ["ALL"],
+                          "n_orders": [pairs["n_orders"].sum()],
+                          "total_cents": [pairs["total_cents"].sum()]})
+    out = pd.concat([by_pr, by_st, total], ignore_index=True)
+    return pd.DataFrame({
+        "grp_priority": out["pr"].to_numpy(object),
+        "grp_status": out["st"].to_numpy(object),
+        "n_orders": out["n_orders"].to_numpy(np.int64),
+        "total_cents": out["total_cents"].to_numpy(np.int64)})
+
+
 def q_rolling_approx_users(sf_dir: str):
     """APPROXIMATE sliding-window distinct users (§ sketches ×
     streaming windows — the composition that shows why mergeable
@@ -5126,6 +5321,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_price": q_weighted_median_price,
         "rolling_distinct_users": q_rolling_distinct_users,
         "rolling_approx_users": q_rolling_approx_users,
+        "scd2_user_events": q_scd2_user_events,
+        "intersect_all_users": q_intersect_all_users,
+        "except_all_clicks": q_except_all_clicks,
+        "nation_priority_kl": q_nation_priority_kl,
+        "grouping_sets_orders": q_grouping_sets_orders,
         "sssp_nations": q_sssp_nations,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
@@ -5187,6 +5387,58 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        "intersect_all_users": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT ALL
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "except_all_clicks": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT ALL
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "scd2_user_events": """
+            WITH l AS (SELECT event_id, user_id, event_type,
+                              ts AS valid_from,
+                              lead(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                                  AS vt
+                       FROM events)
+            SELECT event_id, user_id, event_type, valid_from,
+                   COALESCE(vt, TIMESTAMP '2100-01-01') AS valid_to
+            FROM l
+        """,
+        "nation_priority_kl": """
+            WITH c AS (SELECT c_nationkey AS nation,
+                              o_orderpriority AS pr, COUNT(*) AS n
+                       FROM orders
+                       JOIN customer ON o_custkey = c_custkey
+                       GROUP BY 1, 2),
+            tn AS (SELECT nation, CAST(SUM(n) AS DOUBLE) AS tn
+                   FROM c GROUP BY 1),
+            gn AS (SELECT pr, CAST(SUM(n) AS DOUBLE) AS gn
+                   FROM c GROUP BY 1),
+            at AS (SELECT CAST(SUM(n) AS DOUBLE) AS at FROM c)
+            SELECT nation,
+                   ROUND(SUM((CAST(n AS DOUBLE) / tn.tn)
+                             * LN((CAST(n AS DOUBLE) / tn.tn)
+                                  / (gn.gn / at.at))), 6) AS kl
+            FROM c
+            JOIN tn USING (nation)
+            JOIN gn USING (pr)
+            CROSS JOIN at
+            GROUP BY nation
+        """,
+        "grouping_sets_orders": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS grp_priority,
+                   COALESCE(o_orderstatus, 'ALL') AS grp_status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority),
+                                    (o_orderstatus), ())
         """,
         "debounce_events": """
             WITH l AS (SELECT event_id, user_id, ts,

@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "weighted_median_price", "rolling_distinct_users", "sssp_nations",
     "user_similarity", "bpe_merges", "bpe_encode", "debounce_events",
     "sample_k_per_nation", "impute_acctbal", "rolling_approx_users",
+    "scd2_user_events", "nation_priority_kl", "grouping_sets_orders",
+    "intersect_all_users", "except_all_clicks",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the
