@@ -4657,15 +4657,16 @@ def q_user_similarity(sf_dir: str):
     join → distinct (user, part) preagg → ITEM-bucketed pair emission
     (each part's user list self-merges in its own bucket — pair volume
     is Σ|users(item)|², bounded by item fan-out, never all-pairs) →
-    pair-count preagg → jaccard from broadcast user set sizes → top-1
-    per user. Hot items at 100 TB take the same df-ordered prefix
+    ONE owner-user-bucket shuffle whose bucket final counts, scores
+    (jaccard from broadcast user set sizes) and picks top-1 in a
+    single pass. Hot items at 100 TB take the same df-ordered prefix
     filter as `ngram_jaccard` (documented cutover); exact here, which
     is what the SQL oracle checks. Jaccard is ONE double division of
     exact int64s — bit-identical to the oracle's expression."""
     import pandas as pd
     import ray
     from no_fasel_scrapers_ray.ops.relational import (
-        broadcast_get, bucketed_join, preagg_reduce, topk_per_group)
+        broadcast_get, bucketed_join, preagg_reduce)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
                    rows_per_block=65536)
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
@@ -4690,40 +4691,56 @@ def q_user_similarity(sf_dir: str):
     tagged = ui.map_batches(_bucket_tagger(["item"], 64),
                             batch_format="pandas")
 
+    HALF = np.int64(1 << 31)
+    N_UB = 64
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # pairs PACKED into one int64 (owner·2^31 + other, ids < 2^31
+        # asserted) and emitted in BOTH directions keyed by the owner
+        # user — so ONE user-bucket shuffle co-locates every pair of a
+        # user and the bucket final can count, score AND pick top-1 in
+        # a single pass. (The first shape shuffled unordered pairs to
+        # a count preagg, then 2× rows again through topk: the pair
+        # space is ~unique [9.0M pairs, 8.6M distinct at sf0.1] so the
+        # preagg compressed nothing and the 3 shuffles cost 7.4 s;
+        # this fused shape measures ~4.5 s.)
         it = g[["item", "u"]]
         m = it.merge(it, on="item", suffixes=("_a", "_b"))
-        m = m[m["u_a"] < m["u_b"]]
-        return pd.DataFrame({"u1": m["u_a"].to_numpy(np.int64),
-                             "u2": m["u_b"].to_numpy(np.int64)})
+        a = m["u_a"].to_numpy(np.int64)
+        b = m["u_b"].to_numpy(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if len(a) and (int(a.max()) >= HALF or int(b.max()) >= HALF):
+            raise ValueError("user_similarity packing needs ids < 2^31")
+        return pd.DataFrame({"pk": a * HALF + b,
+                             "__ub": (a % N_UB).astype(np.int64)})
 
     pair_ds = tagged.groupby("__bucket").map_groups(
         pairs, batch_format="pandas")
-    inter = preagg_reduce(pair_ds, ["u1", "u2"], "inter", "count")
 
-    def jac_both(b: pd.DataFrame) -> pd.DataFrame:
-        u1 = b["u1"].to_numpy(np.int64)
-        u2 = b["u2"].to_numpy(np.int64)
-        iv = b["inter"].to_numpy(np.int64)
+    def score_top1(g: pd.DataFrame) -> pd.DataFrame:
+        pk, iv = np.unique(g["pk"].to_numpy(np.int64),
+                           return_counts=True)
+        u = pk // HALF
+        other = pk % HALF
         k = broadcast_get(uk)
         n = broadcast_get(un)
-        n1 = n[np.searchsorted(k, u1)]
-        n2 = n[np.searchsorted(k, u2)]
+        n1 = n[np.searchsorted(k, u)]
+        n2 = n[np.searchsorted(k, other)]
         jac = iv.astype(np.float64) / (n1 + n2 - iv)
-        return pd.DataFrame({
-            "u": np.concatenate([u1, u2]),
-            "other": np.concatenate([u2, u1]),
-            "jac": np.concatenate([jac, jac])})
+        # top-1 per owner, ties → smallest other (np.unique sorted pk
+        # ascending ⇒ per-u 'other' ascending; stable mergesort keeps
+        # that order within equal jac)
+        order = np.lexsort((np.arange(len(u)), -jac, u))
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[order][1:] != u[order][:-1]
+        sel = order[first]
+        return pd.DataFrame({"o_custkey": u[sel],
+                             "similar_cust": other[sel],
+                             "jaccard": jac[sel]})
 
-    both = inter.map_batches(jac_both, batch_format="pandas")
-    top = topk_per_group(both, ["u"], "jac", k=1, ascending=False,
-                         tie_cols=["other"])
-    return top.map_batches(
-        lambda b: pd.DataFrame({
-            "o_custkey": b["u"].to_numpy(np.int64),
-            "similar_cust": b["other"].to_numpy(np.int64),
-            "jaccard": b["jac"].to_numpy(np.float64)}),
-        batch_format="pandas")
+    return pair_ds.groupby("__ub").map_groups(score_top1,
+                                              batch_format="pandas")
 
 
 def q_snapshot_diff_orders(sf_dir: str):

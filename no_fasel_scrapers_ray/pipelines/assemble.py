@@ -456,13 +456,66 @@ def write_catalogs_parallel(
     fragment all-to-all) was measured SLOWER here (13-18 s vs 10-13 s
     e2e at the 2.4M-page bench): the single-box object store is shared
     memory, so the disk round-trip loses. Revisit on real multi-node
-    clusters where out_dir bandwidth scales with nodes."""
+    clusters where out_dir bandwidth scales with nodes.
+
+    The catalog exchange is a RAW-TASK ref pass, not a Dataset
+    all-to-all (the triangle/BSP exchange trick): each entry block
+    renders its fragments 32-way and SPLITS them per catalog
+    (num_returns = n_catalogs object refs, zero extra copy); each
+    catalog's writer task then concats exactly its parts. A
+    render-inside-the-writer variant (shuffle raw payloads, render
+    per catalog) was measured SLOWER (13.3-17 s vs 9.9-13.8 s same
+    window): the biggest catalog's render serializes in one task —
+    32-way render beats the shuffle saving."""
     import hashlib
+
+    import ray
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_group(g: pd.DataFrame) -> pd.DataFrame:
-        cat = g["catalog"].iloc[0]
+    cat_tbl = entries.map_batches(
+        lambda b: pd.DataFrame({"catalog": b["catalog"].unique()}),
+        batch_format="pandas").to_pandas()
+    cats = sorted(cat_tbl["catalog"].unique())
+    if not cats:
+        if hashes:
+            with open(os.path.join(out_dir, "file-hashes.json"),
+                      "w") as f:
+                json.dump({}, f, indent=4)
+        return {}, {}
+
+    def render_split(tbl, cats: list[str]):
+        import pyarrow.compute as pc
+        # to_arrow_refs hands back the block verbatim — pandas-backed
+        # blocks arrive as DataFrames; EMPTY blocks arrive with no
+        # columns at all (the documented empty-pandas schema loss)
+        df = tbl if isinstance(tbl, pd.DataFrame) else tbl.to_pandas()
+        if not len(df):
+            empty = pa.table({"catalog": pa.array([], pa.string()),
+                              "rank0": pa.array([], pa.int64()),
+                              "rank1": pa.array([], pa.string()),
+                              "pretty": pa.array([], pa.string()),
+                              "compact": pa.array([], pa.string())})
+            return [empty] * len(cats) if len(cats) > 1 else empty
+        pretty, compact = [], []
+        for cat, key, payload in zip(df["catalog"], df["key"],
+                                     df["payload"]):
+            v = json.loads(payload)
+            ea = cat in ENSURE_ASCII_CATALOGS
+            pretty.append(json.dumps({key: v}, indent=4,
+                                     ensure_ascii=ea)[2:-2])
+            compact.append(json.dumps({key: v})[1:-1])
+        out = pa.table({"catalog": pa.array(df["catalog"]),
+                        "rank0": pa.array(df["rank0"].to_numpy()),
+                        "rank1": pa.array(df["rank1"]),
+                        "pretty": pa.array(pretty),
+                        "compact": pa.array(compact)})
+        parts = [out.filter(pc.equal(out["catalog"], c)) for c in cats]
+        return parts if len(cats) > 1 else parts[0]
+
+    def write_catalog(out_path: str, cat: str, chunk: int, *parts):
+        t = pa.concat_tables([p for p in parts if p.num_rows])
+        g = t.select(["rank0", "rank1", "pretty", "compact"]).to_pandas()
         g = g.sort_values(["rank0", "rank1"], kind="stable")
         pretty = g["pretty"].tolist()
         compact = g["compact"].tolist()
@@ -472,7 +525,7 @@ def write_catalogs_parallel(
         # ~60 MB/s (TextIOWrapper encodes in small internal steps),
         # encode-then-write runs at memory speed (75 MB file: 1.27 s
         # -> ~0.1 s)
-        with open(os.path.join(out_dir, f"{cat}.json"), "wb") as fp:
+        with open(out_path, "wb") as fp:
             fp.write(b"{\n")
             for lo in range(0, len(pretty), chunk):
                 hi = min(lo + chunk, len(pretty))
@@ -482,13 +535,21 @@ def write_catalogs_parallel(
                            + ", ".join(compact[lo:hi]).encode("utf-8"))
             fp.write(b"\n}")
         md5.update(b"}")
-        return pd.DataFrame({"catalog": [cat], "md5": [md5.hexdigest()],
-                             "count": [len(pretty)]})
+        return cat, md5.hexdigest(), len(pretty)
 
-    res = (_render_fragments(entries)
-           .groupby("catalog")
-           .map_groups(write_group, batch_format="pandas")
-           .to_pandas())
+    split_r = ray.remote(render_split)
+    write_r = ray.remote(write_catalog)
+    per_block = [split_r.options(num_returns=len(cats)).remote(ref, cats)
+                 for ref in entries.to_arrow_refs()]
+    if len(cats) == 1:
+        per_block = [[r] for r in per_block]
+    outs = [write_r.remote(os.path.join(out_dir, f"{c}.json"), c, chunk,
+                           *[blk[i] for blk in per_block])
+            for i, c in enumerate(cats)]
+    rows = ray.get(outs)
+    res = pd.DataFrame({"catalog": [r[0] for r in rows],
+                        "md5": [r[1] for r in rows],
+                        "count": [r[2] for r in rows]})
     res = res.sort_values("catalog")  # manifest key order = catalog order
     file_hashes = dict(zip(res["catalog"], res["md5"]))
     counts = {c: int(n) for c, n in zip(res["catalog"], res["count"])}
