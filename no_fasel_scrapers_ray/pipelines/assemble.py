@@ -265,7 +265,16 @@ def assemble_records(records: rd.Dataset, old_catalogs: dict | None = None,
     """Distributed end-to-end assembly. Returns the FINAL entry Dataset
     (catalog, key, rank0, rank1, payload) with nesting, deltas and merge
     precedence already applied; (rank0, rank1) sorts a catalog into the
-    reference's exact key order."""
+    reference's exact key order.
+
+    The unit exchange is a RAW-TASK ref pass (the writer's / triangle
+    BSP trick, not a Dataset groupby all-to-all): each record block
+    buckets and SPLITS itself (num_returns = n_buckets object refs),
+    each bucket task concats exactly its parts and runs the nesting
+    pass — the per-bucket compute is ~0.5 s of spread wall-time while
+    the groupby shuffle machinery alone measured ~6 s at the
+    2.4M-page bench."""
+    import ray
 
     if old_catalogs:
         new_cats = _distinct_catalogs(records)
@@ -319,10 +328,41 @@ def assemble_records(records: rd.Dataset, old_catalogs: dict | None = None,
             "payload": pa.array(out["payload"], type=pa.string()),
         })
 
-    return (records
-            .map_batches(add_bucket, batch_format="pandas")
-            .groupby("bucket")
-            .map_groups(per_bucket, batch_format="pandas"))
+    SHUFFLE_COLS = ["catalog", "record_type", "key", "series_key",
+                    "season_key", "order_key", "payload"]
+
+    def split_block(tbl, nb: int):
+        import numpy as np
+        df = tbl if isinstance(tbl, pd.DataFrame) else tbl.to_pandas()
+        if not len(df):
+            empty = pa.table({c: pa.array([], pa.string())
+                              for c in SHUFFLE_COLS})
+            return [empty] * nb if nb > 1 else empty
+        df = add_bucket(df)
+        b = df["bucket"].to_numpy(np.int64)
+        order = np.argsort(b, kind="stable")
+        cuts = np.searchsorted(b[order], np.arange(nb + 1))
+        t = pa.Table.from_pandas(df[SHUFFLE_COLS],
+                                 preserve_index=False)
+        parts = [t.take(order[cuts[k]:cuts[k + 1]]) for k in range(nb)]
+        return parts if nb > 1 else parts[0]
+
+    def emit_bucket(*parts) -> pa.Table:
+        g = pa.concat_tables(
+            [p for p in parts if p.num_rows]).to_pandas() \
+            if any(p.num_rows for p in parts) else \
+            pd.DataFrame({c: [] for c in SHUFFLE_COLS})
+        return per_bucket(g)
+
+    split_r = ray.remote(split_block)
+    emit_r = ray.remote(emit_bucket)
+    per_block = [split_r.options(num_returns=n_buckets).remote(
+        ref, n_buckets) for ref in records.to_arrow_refs()]
+    if n_buckets == 1:
+        per_block = [[r] for r in per_block]
+    return rd.from_arrow_refs(
+        [emit_r.remote(*[blk[k] for blk in per_block])
+         for k in range(n_buckets)])
 
 
 # --------------------------------------------------------------------------
