@@ -5077,6 +5077,33 @@ def q_grouping_sets_orders(sf_dir: str):
         "total_cents": out["total_cents"].to_numpy(np.int64)})
 
 
+def q_msf_fulfillment(sf_dir: str, force_distributed: bool = False):
+    """Minimum spanning forest (§ graph operators — single-linkage
+    clustering's backbone) over the bipartite customer–supplier
+    fulfillment graph with deterministic integer weights
+    w = (c·2654435761 + s·40503) mod 9973 + 1 (pseudo-unique, so the
+    MSF is essentially unique and run-independent). Borůvka with the
+    standing two-tier cutover (`ops/graph.py::minimum_spanning_forest`
+    — driver Kruskal under it, distributed component-min rounds
+    beyond, edge set never leaves the cluster). Customers offset by
+    2^40 into their own node space (the pagerank contract). No SQL
+    oracle by design (MSF is not SQL-expressible) — Kruskal-reference
+    + tier-equality pinned in tests/test_round5_ops.py."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.graph import minimum_spanning_forest
+    cs = _fulfillment_edges(sf_dir)
+
+    def weight(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(np.int64)
+        s = b["s"].to_numpy(np.int64)
+        w = (c * 2654435761 + s * 40503) % 9973 + 1
+        return pd.DataFrame({"u": c + (1 << 40), "v": s, "w": w})
+
+    edges = cs.map_batches(weight, batch_format="pandas")
+    return minimum_spanning_forest(
+        edges, small_threshold=(0 if force_distributed else 1 << 18))
+
+
 def q_rolling_approx_users(sf_dir: str):
     """APPROXIMATE sliding-window distinct users (§ sketches ×
     streaming windows — the composition that shows why mergeable
@@ -5344,6 +5371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_priority_kl": q_nation_priority_kl,
         "grouping_sets_orders": q_grouping_sets_orders,
         "sssp_nations": q_sssp_nations,
+        "msf_fulfillment": q_msf_fulfillment,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,

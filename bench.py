@@ -96,7 +96,7 @@ BENCH_QUERIES = [
     "user_similarity", "bpe_merges", "bpe_encode", "debounce_events",
     "sample_k_per_nation", "impute_acctbal", "rolling_approx_users",
     "scd2_user_events", "nation_priority_kl", "grouping_sets_orders",
-    "intersect_all_users", "except_all_clicks",
+    "intersect_all_users", "except_all_clicks", "msf_fulfillment",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the

@@ -1768,3 +1768,172 @@ def weighted_sssp(edges: rd.Dataset, source: int,
         prev_sum = cur_sum
 
     return rd.from_arrow_refs([out_tbl_r.remote(l) for l in lab_k])
+
+
+# ---------------------------------------------------------------------------
+# Minimum spanning forest (Borůvka) — completes the graph family next
+# to CC/BFS/SSSP: the clustering backbone (single-linkage clustering IS
+# the MSF), cheapest-network design, and the contraction pattern every
+# distributed-graph text teaches.
+# ---------------------------------------------------------------------------
+
+class _UnionFind:
+    """Driver union-find over arbitrary int node ids (path halving +
+    union by root id — smaller root wins, keeping labels canonical)."""
+
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        while p.get(x, x) != x:
+            p[x] = p.get(p[x], p[x])
+            x = p[x]
+        return x
+
+    def union(self, a: int, b: int) -> bool:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return False
+        if rb < ra:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        return True
+
+
+def _driver_kruskal(u: np.ndarray, v: np.ndarray, w: np.ndarray):
+    order = np.lexsort((v, u, w))
+    uf = _UnionFind()
+    keep = []
+    for i in order:
+        if uf.union(int(u[i]), int(v[i])):
+            keep.append(i)
+    keep = np.asarray(keep, dtype=np.int64)
+    return u[keep], v[keep], w[keep]
+
+
+def minimum_spanning_forest(edges: rd.Dataset,
+                            n_buckets: int = 64,
+                            small_threshold: int = 1 << 18,
+                            max_rounds: int = 40) -> rd.Dataset:
+    """(u, v, w) forest edges of the minimum spanning forest over the
+    UNDIRECTED weighted edge dataset (integer non-negative weights).
+    Deterministic under weight ties via the lexicographic (w, u, v)
+    order on both tiers; with unique weights the MSF is unique and
+    both tiers provably agree (tier-equality + Kruskal-reference
+    tests in tests/test_round5_ops.py).
+
+    Two tiers with the standing explicit cutover: ≤ small_threshold
+    edge rows pull to one driver Kruskal; beyond, Borůvka rounds —
+    each component picks its lightest outgoing edge, chosen edges
+    union, repeat (≤ log₂ n rounds). The EDGE SET stays distributed
+    throughout: per round each edge batch annotates its endpoints'
+    components from the broadcast compacted union-find map,
+    intra-component edges are filtered out PERMANENTLY (the edge set
+    only shrinks), and the per-component lightest edge reduces through
+    `topk_per_group` (≤ 1 row per component per batch moves). Driver
+    state is the union-find over FOREST edges — node-bounded, the
+    same convention as the graph tiers' label pulls; a
+    billion-node-scale tier would move the union-find itself into the
+    CC BSP kernel (documented limit)."""
+    import ray
+
+    from .relational import broadcast_get, topk_per_group
+
+    def canon(b: pa.Table) -> pa.Table:
+        uu = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vv = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ww = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ww) and int(ww.min()) < 0:
+            raise ValueError("minimum_spanning_forest requires "
+                             "non-negative weights")
+        lo = np.minimum(uu, vv)
+        hi = np.maximum(uu, vv)
+        m = lo != hi                      # self-loops never span
+        return pa.table({"u": lo[m], "v": hi[m], "w": ww[m]})
+
+    live = edges.map_batches(canon, batch_format="pyarrow").materialize()
+    n_edges = live.count()
+
+    if n_edges <= small_threshold:
+        df = live.to_pandas()
+        if not len(df):
+            return rd.from_arrow(pa.table({
+                "u": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64()),
+                "w": pa.array([], pa.int64())}))
+        fu, fv, fw = _driver_kruskal(df["u"].to_numpy(np.int64),
+                                     df["v"].to_numpy(np.int64),
+                                     df["w"].to_numpy(np.int64))
+        return rd.from_arrow(pa.table({"u": fu, "v": fv, "w": fw}))
+
+    uf = _UnionFind()
+    forest: list[tuple[int, int, int]] = []
+    for _ in range(max_rounds):
+        # compacted label map: only nodes whose root differs from
+        # themselves ride the broadcast (identity is the default)
+        items = sorted((n, uf.find(n)) for n in uf.parent)
+        keys = np.array([k for k, _ in items], dtype=np.int64)
+        roots = np.array([r for _, r in items], dtype=np.int64)
+        kref, rref = ray.put(keys), ray.put(roots)
+
+        def lookup(arr, k, r):
+            if not len(k):
+                return arr
+            pos = np.minimum(np.searchsorted(k, arr), len(k) - 1)
+            hit = k[pos] == arr
+            out = arr.copy()
+            out[hit] = r[pos[hit]]
+            return out
+
+        def annotate(b: pd.DataFrame) -> pd.DataFrame:
+            k = broadcast_get(kref)
+            r = broadcast_get(rref)
+            uu = b["u"].to_numpy(np.int64)
+            vv = b["v"].to_numpy(np.int64)
+            ww = b["w"].to_numpy(np.int64)
+            cu = lookup(uu, k, r)
+            cv = lookup(vv, k, r)
+            m = cu != cv
+            return pd.DataFrame({
+                "u": uu[m], "v": vv[m], "w": ww[m],
+                "cu": cu[m], "cv": cv[m]})
+
+        live = live.map_batches(annotate,
+                                batch_format="pandas").materialize()
+        if live.count() == 0:
+            break
+
+        both = live.map_batches(
+            lambda b: pd.DataFrame({
+                "comp": np.concatenate([b["cu"].to_numpy(np.int64),
+                                        b["cv"].to_numpy(np.int64)]),
+                "u": np.tile(b["u"].to_numpy(np.int64), 2),
+                "v": np.tile(b["v"].to_numpy(np.int64), 2),
+                "w": np.tile(b["w"].to_numpy(np.int64), 2)}),
+            batch_format="pandas")
+        chosen = topk_per_group(both, ["comp"], "w", k=1,
+                                ascending=True, tie_cols=["u", "v"],
+                                n_buckets=n_buckets).to_pandas()
+        # deterministic union ORDER: under weight ties the set of safe
+        # edges admitted in a round depends on processing order —
+        # (w, u, v) makes it run-independent (block arrival order from
+        # to_pandas is not)
+        chosen = chosen.sort_values(["w", "u", "v"], ignore_index=True)
+        added = 0
+        for uu, vv, ww in zip(chosen["u"].to_numpy(np.int64),
+                              chosen["v"].to_numpy(np.int64),
+                              chosen["w"].to_numpy(np.int64)):
+            if uf.union(int(uu), int(vv)):
+                forest.append((int(uu), int(vv), int(ww)))
+                added += 1
+        if not added:
+            break
+        live = live.map_batches(
+            lambda b: b[["u", "v", "w"]], batch_format="pandas")
+
+    forest.sort()
+    return rd.from_arrow(pa.table({
+        "u": np.array([f[0] for f in forest], dtype=np.int64),
+        "v": np.array([f[1] for f in forest], dtype=np.int64),
+        "w": np.array([f[2] for f in forest], dtype=np.int64)}))

@@ -216,3 +216,106 @@ def test_bpe_encode_counts_matches_reference():
     want = [sum(ref_encode_len(w) for w in t.split()) for t in texts]
     assert list(got["n_tokens_bpe"]) == want
     assert got["n_tokens_bpe"].dtype == np.int64
+
+
+# ---- minimum spanning forest (Boruvka) -------------------------------
+
+def _kruskal_ref(edges):
+    """Reference Kruskal with the same (w, u, v) tie order."""
+    es = sorted((w, min(u, v), max(u, v)) for u, v, w in edges
+                if u != v)
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    out = []
+    for w, u, v in es:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+            out.append((u, v, w))
+    return sorted(out)
+
+
+def _msf_out(ds):
+    df = ds.to_pandas()
+    return sorted(zip(df["u"].astype(int), df["v"].astype(int),
+                      df["w"].astype(int)))
+
+
+def test_msf_planted():
+    from no_fasel_scrapers_ray.ops.graph import minimum_spanning_forest
+    # square 0-1-2-3 with a heavy diagonal and a self-loop; forest
+    # drops the heaviest cycle edge (2,3,9) and the loop
+    df = pd.DataFrame({"u": [0, 1, 2, 3, 0, 4],
+                       "v": [1, 2, 3, 0, 2, 4],
+                       "w": [1, 2, 9, 3, 4, 7]})
+    got = _msf_out(minimum_spanning_forest(_ds(df)))
+    assert got == [(0, 1, 1), (0, 2, 4), (0, 3, 3)] or \
+        got == _kruskal_ref(list(zip(df["u"], df["v"], df["w"])))
+    assert got == _kruskal_ref(list(zip(df["u"], df["v"], df["w"])))
+
+
+def test_msf_tier_equality_unique_weights():
+    from no_fasel_scrapers_ray.ops.graph import minimum_spanning_forest
+    # deterministic pseudo-random graph with UNIQUE weights -> the MSF
+    # is unique, so Kruskal (tier 1) and Boruvka (tier 2) must agree
+    n, m = 40, 160
+    u = np.arange(m, dtype=np.int64) * 37 % n
+    v = (np.arange(m, dtype=np.int64) * 53 + 11) % n
+    keep = u != v
+    u, v = u[keep], v[keep]
+    w = np.arange(len(u), dtype=np.int64) * 7919 % 10007  # distinct
+    # dedupe multi-edges keeping the lightest (undirected canonical)
+    seen = {}
+    for a, b, ww in zip(u, v, w):
+        key = (min(a, b), max(a, b))
+        if key not in seen or ww < seen[key]:
+            seen[key] = ww
+    u = np.array([k[0] for k in seen], dtype=np.int64)
+    v = np.array([k[1] for k in seen], dtype=np.int64)
+    w = np.array(list(seen.values()), dtype=np.int64)
+    df = pd.DataFrame({"u": u, "v": v, "w": w})
+    t1 = _msf_out(minimum_spanning_forest(_ds(df, parts=3)))
+    t2 = _msf_out(minimum_spanning_forest(_ds(df, parts=3),
+                                          small_threshold=0,
+                                          n_buckets=4))
+    ref = _kruskal_ref(list(zip(u, v, w)))
+    assert t1 == ref
+    assert t2 == ref
+
+
+def test_msf_disconnected_and_empty():
+    from no_fasel_scrapers_ray.ops.graph import minimum_spanning_forest
+    df = pd.DataFrame({"u": [1, 5, 9], "v": [2, 6, 9], "w": [3, 4, 1]})
+    got = _msf_out(minimum_spanning_forest(_ds(df)))
+    assert got == [(1, 2, 3), (5, 6, 4)]   # two trees; self-loop dropped
+    empty = pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                          "v": pd.Series([], dtype=np.int64),
+                          "w": pd.Series([], dtype=np.int64)})
+    out = minimum_spanning_forest(_ds(empty, parts=1)).to_pandas()
+    assert len(out) == 0
+
+
+def test_msf_fulfillment_query_tiers_and_reference():
+    """The driver query matches the Kruskal reference on its own edge
+    set at smoke scale, on BOTH tiers."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+    from tests.conftest import SF_SMOKE
+    t1 = _msf_out(entrymod.q_msf_fulfillment(SF_SMOKE))
+    t2 = _msf_out(entrymod.q_msf_fulfillment(SF_SMOKE,
+                                             force_distributed=True))
+    ed = entrymod._fulfillment_edges(SF_SMOKE).to_pandas()
+    c = ed["c"].to_numpy(np.int64)
+    s = ed["s"].to_numpy(np.int64)
+    w = (c * 2654435761 + s * 40503) % 9973 + 1
+    ref = _kruskal_ref(list(zip(c + (1 << 40), s, w)))
+    assert t1 == ref
+    assert t2 == ref
+    assert len(t1) > 50
