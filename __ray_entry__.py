@@ -4882,6 +4882,22 @@ def q_rolling_distinct_users(sf_dir: str):
     return out.map_batches(render, batch_format="pandas")
 
 
+def _event_user_counts(sf_dir: str, et: str, alias: str):
+    """Per-user count of events of one type — the count-reduction both
+    bag-semantics set ops share (bag INTERSECT/EXCEPT reduce to
+    per-key counts; one helper so the two queries can't drift)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import preagg_reduce
+    ev = _read(sf_dir, "events", ["user_id", "event_type"],
+               rows_per_block=65536)
+    s = ev.map_batches(
+        lambda b, et=et: pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64)[
+                b["event_type"].to_numpy() == et]}),
+        batch_format="pandas")
+    return preagg_reduce(s, ["user_id"], alias, "count", n_buckets=16)
+
+
 def q_intersect_all_users(sf_dir: str):
     """INTERSECT ALL — bag semantics (§ set operations, completing
     the family next to the DISTINCT-semantics `intersect_users`):
@@ -4890,21 +4906,10 @@ def q_intersect_all_users(sf_dir: str):
     per-side preaggs, one user-bucket join, a vectorized repeat; the
     shuffle moves counts, never the multiset. Oracle: INTERSECT ALL."""
     import pandas as pd
-    from no_fasel_scrapers_ray.ops.relational import (bucketed_join,
-                                                      preagg_reduce)
-    ev = _read(sf_dir, "events", ["user_id", "event_type"],
-               rows_per_block=65536)
+    from no_fasel_scrapers_ray.ops.relational import bucketed_join
 
-    def side(et: str, alias: str):
-        s = ev.map_batches(
-            lambda b, et=et: pd.DataFrame({
-                "user_id": b["user_id"].to_numpy(np.int64)[
-                    b["event_type"].to_numpy() == et]}),
-            batch_format="pandas")
-        return preagg_reduce(s, ["user_id"], alias, "count",
-                             n_buckets=16)
-
-    j = bucketed_join(side("click", "nl"), side("purchase", "nr"),
+    j = bucketed_join(_event_user_counts(sf_dir, "click", "nl"),
+                      _event_user_counts(sf_dir, "purchase", "nr"),
                       on="user_id", how="inner", n_buckets=16)
 
     def expand(b: pd.DataFrame) -> pd.DataFrame:
@@ -4919,26 +4924,16 @@ def q_intersect_all_users(sf_dir: str):
 def q_except_all_clicks(sf_dir: str):
     """EXCEPT ALL — bag semantics (the multiset difference):
     click-user occurrences with multiplicity max(clicks − purchases,
-    0). Same count-reduction shape as INTERSECT ALL, with a LEFT
-    bucket join so click-only users keep their full multiplicity
-    (missing right counts surface as the join's float-NaN → 0, the
-    documented left-join contract). Oracle: EXCEPT ALL."""
+    0). Same count-reduction shape as INTERSECT ALL (shared
+    `_event_user_counts`), with a LEFT bucket join so click-only users
+    keep their full multiplicity (missing right counts surface as the
+    join's float-NaN → 0, the documented left-join contract). Oracle:
+    EXCEPT ALL."""
     import pandas as pd
-    from no_fasel_scrapers_ray.ops.relational import (bucketed_join,
-                                                      preagg_reduce)
-    ev = _read(sf_dir, "events", ["user_id", "event_type"],
-               rows_per_block=65536)
+    from no_fasel_scrapers_ray.ops.relational import bucketed_join
 
-    def side(et: str, alias: str):
-        s = ev.map_batches(
-            lambda b, et=et: pd.DataFrame({
-                "user_id": b["user_id"].to_numpy(np.int64)[
-                    b["event_type"].to_numpy() == et]}),
-            batch_format="pandas")
-        return preagg_reduce(s, ["user_id"], alias, "count",
-                             n_buckets=16)
-
-    j = bucketed_join(side("click", "nl"), side("purchase", "nr"),
+    j = bucketed_join(_event_user_counts(sf_dir, "click", "nl"),
+                      _event_user_counts(sf_dir, "purchase", "nr"),
                       on="user_id", how="left", n_buckets=16)
 
     def expand(b: pd.DataFrame) -> pd.DataFrame:

@@ -1622,15 +1622,19 @@ def label_propagation(pairs: rd.Dataset, col_a: str, col_b: str,
 # ---------------------------------------------------------------------------
 
 def _driver_sssp(u: np.ndarray, v: np.ndarray, w: np.ndarray,
-                 source: int, max_rounds: int):
+                 source: int):
     """Vectorized driver Bellman-Ford: one np.minimum.at relaxation of
-    EVERY edge per round (no per-node loop); stops at fixpoint."""
+    EVERY edge per round (no per-node loop). Runs to the fixpoint —
+    with non-negative weights Bellman-Ford converges within n−1
+    rounds, so the cap is a guarantee, not a truncation (SSSP's
+    contract is the unconditional shortest distance; review-caught:
+    an arbitrary round cap silently reported far nodes unreachable)."""
     ids = np.unique(np.concatenate([u, v, np.array([source], np.int64)]))
     su = np.searchsorted(ids, u)
     sv = np.searchsorted(ids, v)
     dist = np.full(len(ids), _BFS_INF, dtype=np.int64)
     dist[np.searchsorted(ids, source)] = 0
-    for _ in range(min(max_rounds, max(len(ids) - 1, 1))):
+    for _ in range(max(len(ids) - 1, 1)):
         cand = dist[su] + w          # INF + w << int64 max (INF = 2^60)
         new = dist.copy()
         np.minimum.at(new, sv, cand)
@@ -1682,7 +1686,7 @@ def _sssp_out_table(lab) -> pa.Table:
 
 
 def weighted_sssp(edges: rd.Dataset, source: int,
-                  max_rounds: int = 64, n_buckets: int = 64,
+                  max_rounds: int = 4096, n_buckets: int = 64,
                   small_threshold: int = 1 << 18) -> rd.Dataset:
     """(node_id, dist) shortest weighted distance from ``source`` over
     the DIRECTED edge dataset (columns u, v, w; integer non-negative
@@ -1692,7 +1696,12 @@ def weighted_sssp(edges: rd.Dataset, source: int,
     rounds relax ALL frontier edges in parallel — a priority queue is
     inherently sequential, while round count is bounded by the
     shortest-path hop diameter (small for the clustered graphs this
-    engine sees), each round one bucket-local exchange."""
+    engine sees), each round one bucket-local exchange. SSSP's
+    contract is the UNCONDITIONAL shortest distance — both tiers run
+    to the monotone fixpoint; the BSP tier RAISES if ``max_rounds``
+    (a runaway backstop, not a result parameter) is exhausted before
+    the stall, instead of silently reporting under-relaxed distances
+    (review-caught)."""
     import ray
 
     def mirror(b: pa.Table) -> pa.Table:
@@ -1715,7 +1724,7 @@ def weighted_sssp(edges: rd.Dataset, source: int,
             df["nbr"].to_numpy(np.int64) if len(df) else
             np.zeros(0, np.int64),
             df["w"].to_numpy(np.int64) if len(df) else
-            np.zeros(0, np.int64), int(source), max_rounds)
+            np.zeros(0, np.int64), int(source))
         return rd.from_arrow(pa.table({"node_id": ids, "dist": dist}))
 
     def init_labels(b: pa.Table) -> pa.Table:
@@ -1730,6 +1739,17 @@ def weighted_sssp(edges: rd.Dataset, source: int,
         rd.from_arrow(pa.table({
             "node": np.array([source], np.int64),
             "label": np.zeros(1, np.int64)}))).materialize()
+
+    # the bfs_hops sizing contract: clamp bucket count to the node
+    # count and coarsen edge blocks, so a just-over-cutover graph
+    # doesn't pay 64×64 tiny-task exchanges per round (review-caught)
+    n_nodes = labels.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].unique()}),
+        batch_format="pandas").count()
+    n_buckets = int(min(n_buckets, max(2, n_nodes // 4096)))
+    target_blocks = int(max(1, min(64, n_edge_rows // 65536 + 1)))
+    if e.num_blocks() > 2 * target_blocks:
+        e = e.repartition(target_blocks).materialize()
 
     split_r = ray.remote(_pr_split_block)
     prep_e = ray.remote(_sssp_prep_edges)
@@ -1766,6 +1786,11 @@ def weighted_sssp(edges: rd.Dataset, source: int,
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"weighted_sssp: no fixpoint within max_rounds="
+            f"{max_rounds}; the hop diameter exceeds the backstop — "
+            "raise max_rounds (distances would be silently wrong)")
 
     return rd.from_arrow_refs([out_tbl_r.remote(l) for l in lab_k])
 
@@ -1838,7 +1863,7 @@ def minimum_spanning_forest(edges: rd.Dataset,
     CC BSP kernel (documented limit)."""
     import ray
 
-    from .relational import broadcast_get, topk_per_group
+    from .relational import topk_per_group
 
     def canon(b: pa.Table) -> pa.Table:
         uu = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1887,8 +1912,14 @@ def minimum_spanning_forest(edges: rd.Dataset,
             return out
 
         def annotate(b: pd.DataFrame) -> pd.DataFrame:
-            k = broadcast_get(kref)
-            r = broadcast_get(rref)
+            # plain ray.get, NOT relational.broadcast_get: that cache
+            # never evicts, and this op puts a FRESH node-bounded
+            # snapshot per round — caching every round's map would pin
+            # O(rounds × n_nodes) dead arrays in every worker
+            # (review-caught). Plasma still serves local zero-copy
+            # reads; only the per-task deserialization is repaid.
+            k = ray.get(kref)
+            r = ray.get(rref)
             uu = b["u"].to_numpy(np.int64)
             vv = b["v"].to_numpy(np.int64)
             ww = b["w"].to_numpy(np.int64)

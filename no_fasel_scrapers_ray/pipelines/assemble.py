@@ -392,22 +392,31 @@ def write_entries(entries: rd.Dataset, out_dir: str) -> None:
     entries.write_parquet(out_dir, partition_cols=["catalog"])
 
 
+def _fragment_lists(cats, keys, payloads) -> tuple[list, list]:
+    """THE byte-critical fragment render, in exactly one place (both
+    writers call it — a drift between them would silently desync files
+    from manifests): the pretty fragment (indent=4, the reference file
+    body) and the compact fragment (default dumps, the md5_of_json
+    stream). Dumping the single-entry dict and stripping the outer
+    braces reproduces the whole-file json.dump byte-for-byte after a
+    ",\\n" join."""
+    pretty, compact = [], []
+    for cat, key, payload in zip(cats, keys, payloads):
+        v = json.loads(payload)
+        ea = cat in ENSURE_ASCII_CATALOGS
+        pretty.append(json.dumps({key: v}, indent=4,
+                                 ensure_ascii=ea)[2:-2])
+        compact.append(json.dumps({key: v})[1:-1])
+    return pretty, compact
+
+
 def _render_fragments(entries: rd.Dataset) -> rd.Dataset:
-    """Worker-side render of each entry's two serializations: the
-    pretty fragment (indent=4, the reference file body) and the compact
-    fragment (default dumps, the md5_of_json stream). Dumping the
-    single-entry dict and stripping the outer braces reproduces the
-    whole-file json.dump byte-for-byte after a ",\\n" join."""
+    """Worker-side render of each entry's two serializations
+    (see `_fragment_lists`)."""
 
     def render(df: pd.DataFrame) -> pd.DataFrame:
-        pretty, compact = [], []
-        for cat, key, payload in zip(df["catalog"], df["key"],
-                                     df["payload"]):
-            v = json.loads(payload)
-            ea = cat in ENSURE_ASCII_CATALOGS
-            pretty.append(json.dumps({key: v}, indent=4,
-                                     ensure_ascii=ea)[2:-2])
-            compact.append(json.dumps({key: v})[1:-1])
+        pretty, compact = _fragment_lists(df["catalog"], df["key"],
+                                          df["payload"])
         return pd.DataFrame({
             "catalog": df["catalog"], "rank0": df["rank0"],
             "rank1": df["rank1"], "pretty": pretty, "compact": compact})
@@ -513,6 +522,12 @@ def write_catalogs_parallel(
 
     os.makedirs(out_dir, exist_ok=True)
 
+    # ONE execution of the (possibly lazy) entry plan: the catalog
+    # discovery scan below and to_arrow_refs must see the SAME blocks
+    # — running the upstream plan twice doubles assembly cost and a
+    # nondeterministic upstream could desync `cats` from the blocks
+    # actually split (review-caught)
+    entries = entries.materialize()
     cat_tbl = entries.map_batches(
         lambda b: pd.DataFrame({"catalog": b["catalog"].unique()}),
         batch_format="pandas").to_pandas()
@@ -537,14 +552,8 @@ def write_catalogs_parallel(
                               "pretty": pa.array([], pa.string()),
                               "compact": pa.array([], pa.string())})
             return [empty] * len(cats) if len(cats) > 1 else empty
-        pretty, compact = [], []
-        for cat, key, payload in zip(df["catalog"], df["key"],
-                                     df["payload"]):
-            v = json.loads(payload)
-            ea = cat in ENSURE_ASCII_CATALOGS
-            pretty.append(json.dumps({key: v}, indent=4,
-                                     ensure_ascii=ea)[2:-2])
-            compact.append(json.dumps({key: v})[1:-1])
+        pretty, compact = _fragment_lists(df["catalog"], df["key"],
+                                          df["payload"])
         out = pa.table({"catalog": pa.array(df["catalog"]),
                         "rank0": pa.array(df["rank0"].to_numpy()),
                         "rank1": pa.array(df["rank1"]),

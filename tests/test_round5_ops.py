@@ -255,8 +255,9 @@ def test_msf_planted():
                        "v": [1, 2, 3, 0, 2, 4],
                        "w": [1, 2, 9, 3, 4, 7]})
     got = _msf_out(minimum_spanning_forest(_ds(df)))
-    assert got == [(0, 1, 1), (0, 2, 4), (0, 3, 3)] or \
-        got == _kruskal_ref(list(zip(df["u"], df["v"], df["w"])))
+    # MSF drops the two heaviest cycle edges (0-2 w4, 2-3 w9) and the
+    # self-loop; the isolated 4-4 loop contributes nothing
+    assert got == [(0, 1, 1), (0, 3, 3), (1, 2, 2)]
     assert got == _kruskal_ref(list(zip(df["u"], df["v"], df["w"])))
 
 
