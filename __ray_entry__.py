@@ -5099,6 +5099,90 @@ def q_msf_fulfillment(sf_dir: str, force_distributed: bool = False):
         edges, small_threshold=(0 if force_distributed else 1 << 18))
 
 
+def q_interpolate_hourly(sf_dir: str):
+    """Time-series gap fill with LINEAR INTERPOLATION (§ resampling —
+    the sensor/metrics repair stage next to the zero-fill
+    `events_hourly_dense`): mean purchase value per hour on the dense
+    min..max grid; absent hours take prev + (next−prev)·frac between
+    the nearest present hours. The hourly reduce is distributed
+    (integer-cents sum + count preagg); the grid walk runs on the
+    driver over the dim-bounded present-hours table (hours = range/1h
+    — the sketch-merge convention). Means and interpolation use ONE
+    fixed float expression mirrored in SQL → bit-exact."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import grouped_multi_agg
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"],
+               rows_per_block=65536)
+    HOUR_US = 3600 * 1000000
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["event_type"].to_numpy() == "purchase"
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(
+            np.int64)[m]
+        cents = np.round(b["value"].to_numpy(np.float64)[m]
+                         * 100).astype(np.int64)
+        return pd.DataFrame({"hr_us": (ts // HOUR_US) * HOUR_US,
+                             "cents": cents})
+
+    hourly = grouped_multi_agg(
+        ev.map_batches(prep, batch_format="pandas"), ["hr_us"],
+        {"sum_cents": ("cents", "sum"), "n": ("cents", "count")},
+        n_buckets=8).to_pandas().sort_values("hr_us",
+                                             ignore_index=True)
+    hrs = hourly["hr_us"].to_numpy(np.int64)
+    v = (hourly["sum_cents"].to_numpy(np.int64).astype(np.float64)
+         / hourly["n"].to_numpy(np.int64) / 100.0)
+    grid = np.arange(hrs[0], hrs[-1] + HOUR_US, HOUR_US,
+                     dtype=np.int64)
+    pos = np.searchsorted(hrs, grid)
+    present = (pos < len(hrs)) & (hrs[np.minimum(pos, len(hrs) - 1)]
+                                  == grid)
+    nxt = np.minimum(pos, len(hrs) - 1)
+    prv = np.maximum(pos - 1, 0)
+    frac = ((grid - hrs[prv]).astype(np.float64)
+            / np.maximum(hrs[nxt] - hrs[prv], 1).astype(np.float64))
+    interp = v[prv] + (v[nxt] - v[prv]) * frac
+    out_v = np.where(present, v[np.minimum(pos, len(hrs) - 1)], interp)
+    return pd.DataFrame({
+        "hr": grid.astype("datetime64[us]"),
+        "value": out_v,
+        "filled": (~present).astype(np.int64)})
+
+
+def q_stock_balance_clamped(sf_dir: str):
+    """Zero-clamped running stock balance per part (§ stateful scans —
+    the no-overdraft accumulator that LOOKS inherently sequential):
+    shipments add quantity, returns (l_returnflag='R') remove it,
+    stock never goes negative. Parallelized via the clamp identity
+    B_i = C_i − min(0, runmin(C_i)) over plain prefix sums
+    (`ops/relational.py::clamped_running_balance` — one part-bucket
+    shuffle, vectorized cumsum/cummin, no Python recurrence). Oracle:
+    the same identity as nested window SUM/MIN."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        clamped_running_balance)
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_orderkey", "l_linenumber", "l_quantity",
+                "l_returnflag", "l_shipdate"], rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.round(b["l_quantity"].to_numpy(np.float64)).astype(
+            np.int64)
+        sign = np.where(b["l_returnflag"].to_numpy() == "R", -1, 1)
+        return pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(np.int64),
+            "ship_us": b["l_shipdate"].to_numpy()
+            .astype("datetime64[us]").astype(np.int64),
+            "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+            "l_linenumber": b["l_linenumber"].to_numpy(np.int64),
+            "delta": q * sign})
+
+    v = li.map_batches(prep, batch_format="pandas")
+    return clamped_running_balance(
+        v, "l_partkey", ["ship_us", "l_orderkey", "l_linenumber"],
+        "delta")
+
+
 def q_rolling_approx_users(sf_dir: str):
     """APPROXIMATE sliding-window distinct users (§ sketches ×
     streaming windows — the composition that shows why mergeable
@@ -5367,6 +5451,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets_orders": q_grouping_sets_orders,
         "sssp_nations": q_sssp_nations,
         "msf_fulfillment": q_msf_fulfillment,
+        "stock_balance_clamped": q_stock_balance_clamped,
+        "interpolate_hourly": q_interpolate_hourly,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -5427,6 +5513,78 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        "interpolate_hourly": """
+            WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+                              CAST(SUM(CAST(ROUND(value * 100)
+                                            AS BIGINT)) AS DOUBLE)
+                              / COUNT(*) / 100.0 AS v
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY 1),
+            grid AS (SELECT unnest(generate_series(
+                         (SELECT MIN(hr) FROM h),
+                         (SELECT MAX(hr) FROM h),
+                         INTERVAL 1 HOUR)) AS hr),
+            j AS (SELECT g.hr, h.v,
+                         (SELECT MAX(h2.hr) FROM h h2
+                          WHERE h2.hr <= g.hr) AS prev_hr,
+                         (SELECT MIN(h2.hr) FROM h h2
+                          WHERE h2.hr >= g.hr) AS next_hr
+                  FROM grid g LEFT JOIN h ON h.hr = g.hr)
+            SELECT hr,
+                   CASE WHEN v IS NOT NULL THEN v
+                        ELSE (SELECT v FROM h WHERE h.hr = j.prev_hr)
+                             + ((SELECT v FROM h
+                                 WHERE h.hr = j.next_hr)
+                                - (SELECT v FROM h
+                                   WHERE h.hr = j.prev_hr))
+                               * (CAST(epoch_us(j.hr)
+                                       - epoch_us(prev_hr) AS DOUBLE)
+                                  / CAST(epoch_us(next_hr)
+                                         - epoch_us(prev_hr)
+                                         AS DOUBLE))
+                   END AS value,
+                   CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS filled
+            FROM j
+        """,
+        "stock_balance_clamped": """
+            WITH d AS (SELECT l_partkey, l_shipdate, l_orderkey,
+                              l_linenumber,
+                              CASE WHEN l_returnflag = 'R'
+                                   THEN -CAST(ROUND(l_quantity)
+                                              AS BIGINT)
+                                   ELSE CAST(ROUND(l_quantity)
+                                             AS BIGINT) END AS delta
+                       FROM lineitem),
+            c AS (SELECT l_partkey, l_shipdate, l_orderkey,
+                         l_linenumber,
+                         CAST(SUM(delta) OVER (
+                             PARTITION BY l_partkey
+                             ORDER BY l_shipdate, l_orderkey,
+                                      l_linenumber) AS BIGINT) AS cum
+                  FROM d),
+            m AS (SELECT l_partkey, l_shipdate, l_orderkey,
+                         l_linenumber, cum,
+                         CAST(MIN(cum) OVER (
+                             PARTITION BY l_partkey
+                             ORDER BY l_shipdate, l_orderkey,
+                                      l_linenumber) AS BIGINT)
+                             AS runmin
+                  FROM c),
+            b AS (SELECT l_partkey,
+                         cum - LEAST(runmin, 0) AS bal,
+                         row_number() OVER (
+                             PARTITION BY l_partkey
+                             ORDER BY l_shipdate DESC,
+                                      l_orderkey DESC,
+                                      l_linenumber DESC) AS rn
+                  FROM m)
+            SELECT l_partkey,
+                   CAST(MAX(CASE WHEN rn = 1 THEN bal END) AS BIGINT)
+                       AS final_balance,
+                   CAST(MAX(bal) AS BIGINT) AS peak_balance
+            FROM b GROUP BY l_partkey
         """,
         "intersect_all_users": """
             SELECT user_id FROM events WHERE event_type = 'click'

@@ -2211,3 +2211,38 @@ def trailing_distinct_count(ds: rd.Dataset, bucket_col: str,
                            "count", n_buckets=n_buckets)
     return preagg_reduce(dpairs, [bucket_col], out_col, "count",
                          n_buckets=n_buckets)
+
+
+def clamped_running_balance(ds: rd.Dataset, key: str,
+                            order_cols: list[str], delta_col: str,
+                            n_buckets: int = 64) -> rd.Dataset:
+    """Per-key FINAL and PEAK of the zero-clamped running balance
+    (stock levels, account balances with no overdraft): the recurrence
+    B_i = max(B_{i−1} + d_i, 0) looks inherently sequential, but the
+    lower-clamp-at-zero scan has a closed form over plain prefix sums
+    — B_i = C_i − min(0, min_{j≤i} C_j) with C the running sum — so
+    one key-bucket shuffle + vectorized cumsum/cummin per key computes
+    it with no Python recurrence loop (the identity the SQL oracle
+    mirrors as window SUM + window MIN). Deltas must be integer.
+    Output: (key, final_balance, peak_balance), int64."""
+    add_bucket = _bucket_tagger([key], n_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order_cols, kind="stable",
+                          ignore_index=True)
+        grp = g.groupby(key, sort=False)
+        cum = grp[delta_col].cumsum().to_numpy(np.int64)
+        g = g.assign(__cum=cum)
+        runmin = g.groupby(key, sort=False)["__cum"].cummin() \
+            .to_numpy(np.int64)
+        bal = cum - np.minimum(runmin, 0)
+        g = g.assign(__bal=bal)
+        agg = g.groupby(key, sort=False).agg(
+            final_balance=("__bal", "last"),
+            peak_balance=("__bal", "max")).reset_index()
+        return agg.astype({"final_balance": np.int64,
+                           "peak_balance": np.int64})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas"))

@@ -320,3 +320,50 @@ def test_msf_fulfillment_query_tiers_and_reference():
     assert t1 == ref
     assert t2 == ref
     assert len(t1) > 50
+
+
+def test_weighted_sssp_long_chain_converges():
+    # 80-hop chain: further than any fixed small round cap — both
+    # tiers must still report the full distances (review r5 fix)
+    n = 80
+    df = pd.DataFrame({"u": np.arange(n, dtype=np.int64),
+                       "v": np.arange(1, n + 1, dtype=np.int64),
+                       "w": np.ones(n, dtype=np.int64)})
+    out = weighted_sssp(_ds(df, parts=3), source=0).to_pandas()
+    got = dict(zip(out["node_id"], out["dist"]))
+    assert got[n] == n and len(got) == n + 1
+    out2 = weighted_sssp(_ds(df, parts=3), source=0,
+                         small_threshold=0, n_buckets=2).to_pandas()
+    got2 = dict(zip(out2["node_id"], out2["dist"]))
+    assert got2 == got
+
+
+def test_weighted_sssp_bsp_backstop_raises():
+    import pytest
+    df = pd.DataFrame({"u": [0, 1, 2], "v": [1, 2, 3],
+                       "w": [1, 1, 1]})
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        weighted_sssp(_ds(df), source=0, small_threshold=0,
+                      n_buckets=2, max_rounds=2)
+
+
+def test_clamped_running_balance_matches_recurrence():
+    from no_fasel_scrapers_ray.ops.relational import (
+        clamped_running_balance)
+    rng_deltas = [3, -5, 4, -1, -10, 7]      # forces two clamps
+    df = pd.DataFrame({"k": [1] * 6 + [2, 2],
+                       "o": list(range(6)) + [0, 1],
+                       "d": rng_deltas + [-4, 9]})
+    out = clamped_running_balance(_ds(df), "k", ["o"], "d").to_pandas()
+    got = {r.k: (r.final_balance, r.peak_balance)
+           for r in out.itertuples()}
+
+    def seq(ds_):
+        b, peak = 0, 0
+        for d in ds_:
+            b = max(b + d, 0)
+            peak = max(peak, b)
+        return b, peak
+
+    assert got == {1: seq(rng_deltas), 2: seq([-4, 9])}
+    assert out["final_balance"].dtype == np.int64
