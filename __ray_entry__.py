@@ -5099,6 +5099,71 @@ def q_msf_fulfillment(sf_dir: str, force_distributed: bool = False):
         edges, small_threshold=(0 if force_distributed else 1 << 18))
 
 
+def q_top_session_paths(sf_dir: str):
+    """Top-10 session-opening paths (§ sequence analytics — the
+    clickstream path analysis next to funnels/transitions): sessions
+    cut at 30-min inactivity (the sessionize contract), each session
+    reduced to its first 3 event types joined 'a>b>c', counted
+    corpus-wide. ONE user-bucket shuffle (a user's sessions co-locate
+    by construction), vectorized boundary/rank arithmetic, per-bucket
+    path partials → ONE path-count preagg → block-top-10 survivors →
+    tiny global sort (the top_terms shape). Oracle: window
+    sessionization + ordered string_agg."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (_bucket_tagger,
+                                                      preagg_reduce)
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts"], rows_per_block=65536)
+    GAP_US = 30 * 60 * 1000000
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "event_type": b["event_type"].to_numpy(),
+            "ts_us": b["ts"].to_numpy().astype("datetime64[us]")
+            .astype(np.int64)})
+
+    tagged = ev.map_batches(prep, batch_format="pandas").map_batches(
+        _bucket_tagger(["user_id"], 32), batch_format="pandas")
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          ignore_index=True)
+        if not len(g):
+            return pd.DataFrame({"path": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts_us"].to_numpy(np.int64)
+        start = np.ones(len(g), dtype=bool)
+        start[1:] = (u[1:] != u[:-1]) | (t[1:] - t[:-1] > GAP_US)
+        sid = np.cumsum(start) - 1
+        starts_idx = np.flatnonzero(start)
+        rank = np.arange(len(g)) - starts_idx[sid]
+        head = g[rank < 3].assign(__sid=sid[rank < 3])
+        p = head.groupby("__sid", sort=False)["event_type"].agg(
+            ">".join)
+        vc = p.value_counts()
+        return pd.DataFrame({"path": vc.index.to_numpy(object),
+                             "n": vc.to_numpy(np.int64)})
+
+    partials = tagged.groupby("__bucket").map_groups(
+        paths, batch_format="pandas")
+    counts = preagg_reduce(partials, ["path"], "n", "sum",
+                           n_buckets=8)
+
+    def block_top(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n", "path"],
+                             ascending=[False, True]).head(10)
+
+    surv = counts.map_batches(block_top, batch_format="pandas")
+    top = surv.sort(["n", "path"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda b: pd.DataFrame({"path": b["path"].to_numpy(object),
+                                "n_sessions": b["n"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+
 def q_interpolate_hourly(sf_dir: str):
     """Time-series gap fill with LINEAR INTERPOLATION (§ resampling —
     the sensor/metrics repair stage next to the zero-fill
@@ -5453,6 +5518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "msf_fulfillment": q_msf_fulfillment,
         "stock_balance_clamped": q_stock_balance_clamped,
         "interpolate_hourly": q_interpolate_hourly,
+        "top_session_paths": q_top_session_paths,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -5513,6 +5579,30 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        "top_session_paths": """
+            WITH g AS (SELECT user_id, ts, event_id, event_type,
+                              CASE WHEN ts - lag(ts) OVER (
+                                       PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+                                   > INTERVAL 30 MINUTE
+                                   THEN 1 ELSE 0 END AS ns
+                       FROM events),
+            s AS (SELECT user_id, ts, event_id, event_type,
+                         SUM(ns) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS sid
+                  FROM g),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY user_id, sid
+                      ORDER BY ts, event_id) AS rk
+                  FROM s),
+            p AS (SELECT user_id, sid,
+                         string_agg(event_type, '>'
+                                    ORDER BY ts, event_id) AS path
+                  FROM r WHERE rk <= 3 GROUP BY user_id, sid)
+            SELECT path, COUNT(*) AS n_sessions
+            FROM p GROUP BY path
+            ORDER BY n_sessions DESC, path LIMIT 10
         """,
         "interpolate_hourly": """
             WITH h AS (SELECT date_trunc('hour', ts) AS hr,

@@ -97,7 +97,7 @@ BENCH_QUERIES = [
     "sample_k_per_nation", "impute_acctbal", "rolling_approx_users",
     "scd2_user_events", "nation_priority_kl", "grouping_sets_orders",
     "intersect_all_users", "except_all_clicks", "msf_fulfillment",
-    "stock_balance_clamped", "interpolate_hourly",
+    "stock_balance_clamped", "interpolate_hourly", "top_session_paths",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the
