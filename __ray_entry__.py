@@ -5333,6 +5333,181 @@ def q_sssp_nations(sf_dir: str, force_bsp: bool = False):
     return out.map_batches(render, batch_format="pandas")
 
 
+def q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation (§ scoring — the classic CRM/feature
+    pipeline: quintile scores for Recency/Frequency/Monetary and a
+    composite segment code). Per-customer profile via ONE bucketed
+    multi-agg pass over orders; each score is a GLOBAL NTILE(5) from
+    `ops/relational.py::global_ntile` — the range-partitioned scan
+    (sampled value ranges → per-range base ranks → one range shuffle),
+    because a global ranking cannot hash-bucket. o_custkey breaks
+    every tie so both engines assign identical tiles at boundaries.
+    Integer days/cents throughout → hash-exact."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (global_ntile,
+                                                      grouped_multi_agg)
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"],
+                   rows_per_block=65536)
+    DAY_US = 86400 * 1000000
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(np.int64),
+            "od_us": b["o_orderdate"].to_numpy()
+            .astype("datetime64[us]").astype(np.int64),
+            "cents": (b["o_totalprice"] * 100).round().astype("int64")
+            .to_numpy()})
+
+    prof = grouped_multi_agg(
+        orders.map_batches(prep, batch_format="pandas"), ["o_custkey"],
+        {"last_us": ("od_us", "max"), "freq": ("od_us", "count"),
+         "mon_cents": ("cents", "sum")}, n_buckets=16).materialize()
+    gmax = int(prof.max("last_us"))
+
+    def add_rec(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rec_days"] = (gmax - b["last_us"].to_numpy(np.int64)) // DAY_US
+        return b.drop(columns="last_us")
+
+    scored = global_ntile(
+        global_ntile(
+            global_ntile(
+                prof.map_batches(add_rec, batch_format="pandas"),
+                "rec_days", ["o_custkey"], 5, "r_score", n_buckets=16),
+            "freq", ["o_custkey"], 5, "f_score", n_buckets=16),
+        "mon_cents", ["o_custkey"], 5, "m_score", n_buckets=16)
+
+    def render(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["r_score"].to_numpy(np.int64)
+        f = b["f_score"].to_numpy(np.int64)
+        m = b["m_score"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(np.int64),
+            "rec_days": b["rec_days"].to_numpy(np.int64),
+            "freq": b["freq"].to_numpy(np.int64),
+            "mon_cents": b["mon_cents"].to_numpy(np.int64),
+            "r_score": r, "f_score": f, "m_score": m,
+            "segment": r * 100 + f * 10 + m})
+
+    return scored.map_batches(render, batch_format="pandas")
+
+
+def q_gini_nation_spend(sf_dir: str):
+    """Per-nation Gini coefficient of customer order spend (§
+    statistical aggregates — the inequality/concentration score next
+    to the KL drift monitor). Spend per (nation, customer) via one
+    bucketed agg with the broadcast customer→nation dim (searchsorted
+    map-side join, the `nation_priority_kl` shape); then the key scale
+    move: reduce to the (nation, spend-value) DISTINCT-VALUE count
+    table before ranking, so the per-nation pass sorts distinct values
+    (≪ customers) and computes the tie-group rank sum
+    Σ v·(k·s0 + k(k+1)/2) in exact int64 — identical to the oracle's
+    row_number formulation because permuting equal values never
+    changes Σ i·x_i. Final Gini = 2S/(n·Σx) − (n+1)/n in ONE mirrored
+    float expression, round-6 contract (int64 S is exact at bench
+    scales; the 100 TB path would hold S in float with a tolerance
+    gate)."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (broadcast_get,
+                                                      grouped_multi_agg,
+                                                      preagg_reduce)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.sort_values("c_custkey")
+    ck = ray.put(cust["c_custkey"].to_numpy(np.int64))
+    cn = ray.put(cust["c_nationkey"].to_numpy(np.int64))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                   rows_per_block=65536)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["o_custkey"].to_numpy(np.int64)
+        nat = broadcast_get(cn)[np.searchsorted(broadcast_get(ck), c)]
+        return pd.DataFrame({
+            "nation": nat, "cust": c,
+            "cents": (b["o_totalprice"] * 100).round().astype("int64")
+            .to_numpy()})
+
+    spend = grouped_multi_agg(
+        orders.map_batches(tag, batch_format="pandas"),
+        ["nation", "cust"], {"cents": ("cents", "sum")}, n_buckets=16)
+    vals = preagg_reduce(
+        spend.map_batches(
+            lambda b: b[["nation", "cents"]], batch_format="pandas"),
+        ["nation", "cents"], "k", "count", n_buckets=8)
+
+    def gini(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents", ignore_index=True)
+        v = g["cents"].to_numpy(np.int64)
+        k = g["k"].to_numpy(np.int64)
+        s0 = np.cumsum(k) - k
+        S = int(np.sum(v * (k * s0 + k * (k + 1) // 2)))
+        n = int(k.sum())
+        s = int(np.sum(v * k))
+        val = np.round(2.0 * float(S) / (float(n) * float(s))
+                       - (float(n) + 1.0) / float(n), 6)
+        return pd.DataFrame({
+            "c_nationkey": np.array([g["nation"].iloc[0]],
+                                    dtype=np.int32),
+            "gini": np.array([val], dtype=np.float64)})
+
+    return vals.groupby("nation").map_groups(gini,
+                                             batch_format="pandas")
+
+
+def q_acf_daily_revenue(sf_dir: str):
+    """Autocorrelation function of daily purchase revenue at lags 1–7
+    (§ time-series analytics — the seasonality probe next to EWMA and
+    the interpolating gap-fill). The daily reduce is distributed
+    (integer-cents sum per day, one bucketed agg); the ACF itself runs
+    on the driver over the dim-bounded day series (days = range/1d,
+    the sketch-merge convention) using exact int64 moment sums
+    (Σx, Σx², Σx·x₊ₖ) so numerator/denominator come from ONE mirrored
+    float expression on both engines — no float accumulation order to
+    drift (round-6 contract for the final ratio). ACF here is the
+    series-index form (rows ordered by day, lag = index offset), the
+    standard definition for regularly-reported metrics."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import grouped_multi_agg
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"],
+               rows_per_block=65536)
+    DAY_US = 86400 * 1000000
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["event_type"].to_numpy() == "purchase"
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(
+            np.int64)[m]
+        cents = np.round(b["value"].to_numpy(np.float64)[m]
+                         * 100).astype(np.int64)
+        return pd.DataFrame({"day_us": (ts // DAY_US) * DAY_US,
+                             "cents": cents})
+
+    daily = grouped_multi_agg(
+        ev.map_batches(prep, batch_format="pandas"), ["day_us"],
+        {"cents": ("cents", "sum")}, n_buckets=8).to_pandas()
+    daily = daily.sort_values("day_us", ignore_index=True)
+    x = daily["cents"].to_numpy(np.int64)
+    n = len(x)
+    s1 = int(x.sum())
+    s2 = int(np.dot(x, x))
+    mu = float(s1) / float(n)
+    lags, acf = [], []
+    for k in range(1, 8):
+        if k >= n:
+            break
+        sxy = int(np.dot(x[:-k], x[k:]))
+        sx = int(x[:-k].sum())
+        sy = int(x[k:].sum())
+        num = (float(sxy) - mu * (float(sx) + float(sy))
+               + float(n - k) * mu * mu)
+        den = float(s2) - float(n) * mu * mu
+        lags.append(k)
+        acf.append(np.round(num / den, 6))
+    return pd.DataFrame({"lag": np.array(lags, dtype=np.int64),
+                         "acf": np.array(acf, dtype=np.float64)})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5519,6 +5694,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stock_balance_clamped": q_stock_balance_clamped,
         "interpolate_hourly": q_interpolate_hourly,
         "top_session_paths": q_top_session_paths,
+        "rfm_segments": q_rfm_segments,
+        "gini_nation_spend": q_gini_nation_spend,
+        "acf_daily_revenue": q_acf_daily_revenue,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -5637,6 +5815,89 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END
                         AS BIGINT) AS filled
             FROM j
+        """,
+        "rfm_segments": """
+            WITH base AS (
+                SELECT o_custkey,
+                       (epoch_us((SELECT MAX(o_orderdate) FROM orders))
+                        - epoch_us(MAX(o_orderdate))) // 86400000000
+                           AS rec_days,
+                       CAST(COUNT(*) AS BIGINT) AS freq,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS mon_cents
+                FROM orders GROUP BY o_custkey),
+            sc AS (SELECT o_custkey, rec_days, freq, mon_cents,
+                          NTILE(5) OVER (ORDER BY rec_days, o_custkey)
+                              AS r_score,
+                          NTILE(5) OVER (ORDER BY freq, o_custkey)
+                              AS f_score,
+                          NTILE(5) OVER (ORDER BY mon_cents, o_custkey)
+                              AS m_score
+                   FROM base)
+            SELECT o_custkey, CAST(rec_days AS BIGINT) AS rec_days,
+                   freq, mon_cents, r_score, f_score, m_score,
+                   r_score * 100 + f_score * 10 + m_score AS segment
+            FROM sc
+        """,
+        "gini_nation_spend": """
+            WITH spend AS (
+                SELECT c_nationkey, o_custkey,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders JOIN customer ON c_custkey = o_custkey
+                GROUP BY 1, 2),
+            r AS (SELECT c_nationkey, cents,
+                         row_number() OVER (PARTITION BY c_nationkey
+                                            ORDER BY cents) AS i
+                  FROM spend),
+            a AS (SELECT c_nationkey,
+                         CAST(SUM(i * cents) AS BIGINT) AS s_rank,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(cents) AS BIGINT) AS s
+                  FROM r GROUP BY 1)
+            SELECT c_nationkey,
+                   ROUND(2.0 * CAST(s_rank AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                         - (CAST(n AS DOUBLE) + 1.0)
+                           / CAST(n AS DOUBLE), 6) AS gini
+            FROM a
+        """,
+        "acf_daily_revenue": """
+            WITH d AS (SELECT date_trunc('day', ts) AS day,
+                              CAST(SUM(CAST(ROUND(value * 100)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS cents
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY 1),
+            i AS (SELECT row_number() OVER (ORDER BY day) AS idx,
+                         cents
+                  FROM d),
+            g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(cents) AS BIGINT) AS s1,
+                         CAST(SUM(cents * cents) AS BIGINT) AS s2
+                  FROM i),
+            ks AS (SELECT unnest(generate_series(1, 7)) AS lag),
+            j AS (SELECT ks.lag AS lag,
+                         CAST(SUM(a.cents * b.cents) AS BIGINT) AS sxy,
+                         CAST(SUM(a.cents) AS BIGINT) AS sx,
+                         CAST(SUM(b.cents) AS BIGINT) AS sy
+                  FROM ks JOIN i a ON TRUE
+                  JOIN i b ON b.idx = a.idx + ks.lag
+                  GROUP BY 1)
+            SELECT CAST(j.lag AS BIGINT) AS lag,
+                   ROUND((CAST(sxy AS DOUBLE)
+                          - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(sx AS DOUBLE) + CAST(sy AS DOUBLE))
+                          + CAST(n - j.lag AS DOUBLE)
+                            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                         / (CAST(s2 AS DOUBLE)
+                            - CAST(n AS DOUBLE)
+                              * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))),
+                         6) AS acf
+            FROM j, g
+            WHERE j.lag < n
         """,
         "stock_balance_clamped": """
             WITH d AS (SELECT l_partkey, l_shipdate, l_orderkey,

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "scd2_user_events", "nation_priority_kl", "grouping_sets_orders",
     "intersect_all_users", "except_all_clicks", "msf_fulfillment",
     "stock_balance_clamped", "interpolate_hourly", "top_session_paths",
+    "rfm_segments", "gini_nation_spend", "acf_daily_revenue",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the

@@ -1834,6 +1834,83 @@ def ordered_prefix_sum(ds: rd.Dataset, order_col: str, val_col: str,
                                                  batch_format="pandas")
 
 
+def global_ntile(ds: rd.Dataset, order_col: str, tie_cols: list[str],
+                 n_tiles: int, alias: str,
+                 n_buckets: int = 64) -> rd.Dataset:
+    """``NTILE(n) OVER (ORDER BY order_col, tie_cols)`` — the GLOBAL
+    (un-partitioned) twin of ``grouped_ntile``, for scoring shapes like
+    RFM quintiles where every row competes in one ranking. A global
+    ntile needs each row's global rank, so it range-partitions on the
+    order column (the ``ordered_prefix_sum`` scan topology — a hash
+    bucket cannot carry order):
+
+    1. a stride sample of ``order_col`` fixes ``n_buckets`` contiguous
+       value ranges (all ties of one value land in ONE range, so the
+       per-range tie-break sort is globally correct);
+    2. per-range row counts (``n_buckets`` ints) come to the driver,
+       which exclusive-cumsums them into per-range base ranks;
+    3. ONE range shuffle; each range sorts by (order_col, tie_cols)
+       locally and emits SQL's exact uneven-tile assignment from
+       ``base[range] + local position`` — with N rows and k tiles the
+       first ``N % k`` tiles get ``N // k + 1`` rows.
+
+    ``order_col`` must be int64; ``tie_cols`` must make the total order
+    unique or the boundary assignment is engine-dependent. Range
+    boundaries affect parallelism only, never the result."""
+    import ray
+
+    samp = ds.map_batches(
+        lambda b: pd.DataFrame({"k": np.sort(
+            b[order_col].to_numpy(np.int64))[::max(1, len(b) // 64)]}),
+        batch_format="pandas").to_pandas()["k"].to_numpy(np.int64)
+    qs = np.linspace(0.0, 1.0, n_buckets + 1)[1:-1]
+    bounds = np.unique(np.quantile(samp, qs).astype(np.int64)) \
+        if len(samp) else np.array([], dtype=np.int64)
+    bounds_ref = ray.put(bounds)
+
+    def tag(b: pd.DataFrame) -> pa.Table:
+        k = b[order_col].to_numpy(np.int64)
+        bd = broadcast_get(bounds_ref)
+        return pa.Table.from_pandas(
+            b.assign(__bucket=np.searchsorted(bd, k, side="right")),
+            preserve_index=False)
+
+    tagged = ds.map_batches(tag, batch_format="pandas").materialize()
+
+    def cnt(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "__bucket": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64)})
+        g = b.groupby("__bucket", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    partials = tagged.map_batches(cnt, batch_format="pandas").to_pandas()
+    per_range = partials.groupby("__bucket")["n"].sum()
+    total = int(per_range.sum())
+    base = np.zeros(len(bounds) + 2, dtype=np.int64)
+    np.add.at(base, per_range.index.to_numpy(np.int64) + 1,
+              per_range.to_numpy(np.int64))
+    base = np.cumsum(base)
+    base_ref = ray.put(base)
+    size, rem = total // n_tiles, total % n_tiles
+    big_span = rem * (size + 1)
+
+    def assign(g: pd.DataFrame) -> pa.Table:
+        b = int(g["__bucket"].iloc[0])
+        g = g.drop(columns="__bucket").sort_values(
+            [order_col] + tie_cols, kind="stable")
+        p = broadcast_get(base_ref)[b] + np.arange(len(g),
+                                                   dtype=np.int64)
+        t = np.where(p < big_span, p // max(size + 1, 1),
+                     rem + (p - big_span) // max(size, 1))
+        g[alias] = t.astype(np.int64) + 1
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return tagged.groupby("__bucket").map_groups(assign,
+                                                 batch_format="pandas")
+
+
 def global_order_page(ds: rd.Dataset, col: str, tie_col: str,
                       offset: int, limit: int,
                       max_collect: int = 1_000_000) -> pd.DataFrame:
