@@ -5508,6 +5508,227 @@ def q_acf_daily_revenue(sf_dir: str):
                          "acf": np.array(acf, dtype=np.float64)})
 
 
+def q_spearman_qty_price(sf_dir: str):
+    """Global Spearman rank correlation between line quantity and
+    extended price (§ statistical aggregates — the monotone-association
+    twin of the Pearson `corr_qty_price`). The whole rank machinery is
+    distributed: distinct (qty, cents) pair counts, per-column tied
+    doubled-ranks via the range-partitioned scan (no broadcast of the
+    near-distinct price domain), two bucketed joins over the PAIR
+    table, exact integer moment sums combined in big-int space, ONE
+    mirrored float closed form (ops/relational.py::spearman_corr)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import spearman_corr
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"],
+               rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "q": np.round(b["l_quantity"].to_numpy(np.float64))
+            .astype(np.int64),
+            "c": np.round(b["l_extendedprice"].to_numpy(np.float64)
+                          * 100).astype(np.int64)})
+
+    return spearman_corr(li.map_batches(prep, batch_format="pandas"),
+                         "q", "c", "spearman")
+
+
+def q_pct_rank_nation_spend(sf_dir: str):
+    """PERCENT_RANK of each customer's total order spend within their
+    nation (§ window functions — the grouped rank-score shape used for
+    within-cohort percentiles). Spend per customer is one bucketed agg;
+    the rank itself runs on the DISTINCT (nation, spend) count table —
+    a hot nation costs its distinct spend values, never its customer
+    count — then one key-bucketed merge stitches scores back
+    (ops/relational.py::percent_rank_in_group)."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (
+        broadcast_get, percent_rank_in_group, preagg_reduce)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.sort_values("c_custkey")
+    ck = ray.put(cust["c_custkey"].to_numpy(np.int64))
+    cn = ray.put(cust["c_nationkey"].to_numpy(np.int32))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                   rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": b["o_custkey"].to_numpy(np.int64),
+            "spend_cents": np.round(
+                b["o_totalprice"].to_numpy(np.float64) * 100)
+            .astype(np.int64)})
+
+    spend = preagg_reduce(
+        orders.map_batches(prep, batch_format="pandas"),
+        ["c_custkey"], "spend_cents", "sum")
+
+    def add_nation(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c_custkey"].to_numpy(np.int64)
+        b = b.copy()
+        b["c_nationkey"] = broadcast_get(cn)[
+            np.searchsorted(broadcast_get(ck), c)]
+        return b
+
+    tagged = spend.map_batches(add_nation, batch_format="pandas")
+    return percent_rank_in_group(tagged, "c_nationkey", "spend_cents",
+                                 "pr")
+
+
+def q_fd_cust_priority(sf_dir: str):
+    """Functional-dependency audit (§ data-quality profiling, next to
+    `profile_orders`): customers whose orders carry MORE than one
+    distinct order priority, with the distinct-priority count —
+    `o_custkey → o_orderpriority` holds iff empty. Two bucketed
+    distinct reduces; the fact table streams once
+    (ops/relational.py::fd_violations)."""
+    from no_fasel_scrapers_ray.ops.relational import fd_violations
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"],
+                   rows_per_block=65536)
+    return fd_violations(orders, "o_custkey", "o_orderpriority",
+                         "n_priorities")
+
+
+def q_theil_sen_cust_trend(sf_dir: str):
+    """Per-customer Theil–Sen robust spend trend (§ statistical
+    aggregates — the outlier-immune regression next to the OLS
+    `price_qty_regression`): median pairwise slope of (order day,
+    order cents) for customers with ≥ 6 orders. Many-small-groups
+    O(k²) shape: one key-bucket shuffle, vectorized triu pairs per
+    group, loud failure past the group-size bound
+    (ops/relational.py::theil_sen_grouped)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import theil_sen_grouped
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"],
+                   rows_per_block=65536)
+    DAY_US = 86400 * 1000000
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["o_orderdate"].to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(np.int64),
+            "day": ts // DAY_US,
+            "cents": np.round(b["o_totalprice"].to_numpy(np.float64)
+                              * 100).astype(np.int64)})
+
+    return theil_sen_grouped(
+        orders.map_batches(prep, batch_format="pandas"),
+        "o_custkey", "day", "cents", "trend_slope", min_points=6)
+
+
+def q_benford_totalprice(sf_dir: str):
+    """Benford leading-digit audit of order totals in cents (§
+    data-quality profiling — the fraud/sensor screen): observed count
+    per digit 1-9, Benford expectation, per-digit χ² contribution.
+    Vectorized integer digit extraction per batch, 9-int partials,
+    mirrored float expectation (ops/relational.py::benford_digits)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import benford_digits
+    orders = _read(sf_dir, "orders", ["o_totalprice"],
+                   rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cents": np.round(
+            b["o_totalprice"].to_numpy(np.float64) * 100)
+            .astype(np.int64)})
+
+    return benford_digits(orders.map_batches(prep,
+                                             batch_format="pandas"),
+                          "cents")
+
+
+def q_ztest_urgent_nation(sf_dir: str):
+    """Per-nation two-proportion z-test of the URGENT-order share
+    against the rest of the world (§ statistical aggregates — the
+    segment-vs-complement significance screen). Counts come from one
+    bucketed agg with the broadcast customer→nation dim; the z
+    statistic is ONE mirrored float expression over the 25-row
+    nation frame (exact integer counts in, float out)."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (broadcast_get,
+                                                      grouped_multi_agg)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.sort_values("c_custkey")
+    ck = ray.put(cust["c_custkey"].to_numpy(np.int64))
+    cn = ray.put(cust["c_nationkey"].to_numpy(np.int32))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"],
+                   rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["o_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "c_nationkey": broadcast_get(cn)[
+                np.searchsorted(broadcast_get(ck), c)],
+            "one": np.ones(len(b), dtype=np.int64),
+            "urgent": (b["o_orderpriority"].to_numpy()
+                       == "1-URGENT").astype(np.int64)})
+
+    a = grouped_multi_agg(
+        orders.map_batches(prep, batch_format="pandas"),
+        ["c_nationkey"], {"n_orders": ("one", "sum"),
+                          "n_urgent": ("urgent", "sum")},
+        n_buckets=8).to_pandas()
+    N = float(int(a["n_orders"].sum()))
+    X = float(int(a["n_urgent"].sum()))
+    n = a["n_orders"].to_numpy(np.int64).astype(np.float64)
+    x = a["n_urgent"].to_numpy(np.int64).astype(np.float64)
+    # expression order mirrored in the SQL oracle — keep in sync
+    p1 = x / n
+    p2 = (X - x) / (N - n)
+    pp = X / N
+    a["z"] = (p1 - p2) / np.sqrt(pp * (1.0 - pp)
+                                 * (1.0 / n + 1.0 / (N - n)))
+    return a
+
+
+def q_cusum_daily_revenue(sf_dir: str):
+    """CUSUM change-point monitor over daily order revenue (§
+    time-series analytics — the drift detector next to the ACF
+    seasonality probe): standardized daily revenue, then the one-sided
+    clamped cumulative sums C⁺/C⁻ with drift k = 0.5. The recurrence
+    max(0, prev + z − k) is computed via the clamped-scan closed form
+    C_t − min(0, min_{j≤t} C_j) (the `stock_balance_clamped` identity)
+    so the oracle mirrors it with window SUM + window MIN. Daily
+    reduce is distributed; the scan runs on the driver over the
+    dim-bounded day series (days = range/1d)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import grouped_multi_agg
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"],
+                   rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["o_orderdate"].to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "day_us": ts,
+            "cents": np.round(b["o_totalprice"].to_numpy(np.float64)
+                              * 100).astype(np.int64)})
+
+    daily = grouped_multi_agg(
+        orders.map_batches(prep, batch_format="pandas"), ["day_us"],
+        {"r": ("cents", "sum")}, n_buckets=8).to_pandas()
+    daily = daily.sort_values("day_us", ignore_index=True)
+    r = daily["r"].to_numpy(np.int64)
+    nf = float(len(r))
+    s = float(sum(int(v) for v in r))            # exact big-int sums
+    ss = float(sum(int(v) * int(v) for v in r))
+    # expression order mirrored in the SQL oracle — keep in sync
+    mu = s / nf
+    std = np.sqrt(ss / nf - mu * mu)
+    z = (r.astype(np.float64) - mu) / std
+    cp = np.cumsum(z - 0.5)
+    cn_ = np.cumsum(-z - 0.5)
+    pos = cp - np.minimum(np.minimum.accumulate(cp), 0.0)
+    neg = cn_ - np.minimum(np.minimum.accumulate(cn_), 0.0)
+    return pd.DataFrame({"day_us": daily["day_us"].to_numpy(np.int64),
+                         "cusum_pos": pos, "cusum_neg": neg})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5697,6 +5918,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": q_rfm_segments,
         "gini_nation_spend": q_gini_nation_spend,
         "acf_daily_revenue": q_acf_daily_revenue,
+        "spearman_qty_price": q_spearman_qty_price,
+        "pct_rank_nation_spend": q_pct_rank_nation_spend,
+        "fd_cust_priority": q_fd_cust_priority,
+        "theil_sen_cust_trend": q_theil_sen_cust_trend,
+        "benford_totalprice": q_benford_totalprice,
+        "ztest_urgent_nation": q_ztest_urgent_nation,
+        "cusum_daily_revenue": q_cusum_daily_revenue,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -5898,6 +6126,140 @@ def _oracle_sql_literal() -> dict[str, str]:
                          6) AS acf
             FROM j, g
             WHERE j.lag < n
+        """,
+        "spearman_qty_price": """
+            -- tied doubled-ranks (2*cum_below + cnt + 1 =
+            -- 2*RANK() + tie_count - 1), exact HUGEINT moment sums,
+            -- mirrored closed form
+            WITH b AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                              CAST(ROUND(l_extendedprice * 100)
+                                   AS BIGINT) AS c
+                       FROM lineitem),
+            r AS (SELECT 2 * RANK() OVER (ORDER BY q)
+                           + COUNT(*) OVER (PARTITION BY q) - 1 AS rx,
+                         2 * RANK() OVER (ORDER BY c)
+                           + COUNT(*) OVER (PARTITION BY c) - 1 AS ry
+                  FROM b),
+            s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                         CAST(SUM(rx) AS DOUBLE) AS sx,
+                         CAST(SUM(ry) AS DOUBLE) AS sy,
+                         CAST(SUM(rx * ry) AS DOUBLE) AS sxy,
+                         CAST(SUM(rx * rx) AS DOUBLE) AS sxx,
+                         CAST(SUM(ry * ry) AS DOUBLE) AS syy
+                  FROM r)
+            SELECT (n * sxy - sx * sy)
+                   / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                       AS spearman
+            FROM s
+        """,
+        "pct_rank_nation_spend": """
+            WITH s AS (SELECT o_custkey AS c_custkey,
+                              CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS spend_cents
+                       FROM orders GROUP BY o_custkey)
+            SELECT s.c_custkey, c.c_nationkey, s.spend_cents,
+                   PERCENT_RANK() OVER (PARTITION BY c.c_nationkey
+                                        ORDER BY s.spend_cents) AS pr
+            FROM s JOIN customer c USING (c_custkey)
+        """,
+        "fd_cust_priority": """
+            SELECT o_custkey,
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+                       AS n_priorities
+            FROM orders GROUP BY o_custkey
+            HAVING COUNT(DISTINCT o_orderpriority) > 1
+        """,
+        "theil_sen_cust_trend": """
+            -- median of pairwise slopes; pairs taken once (a.d < b.d),
+            -- slope is swap-symmetric so orientation is irrelevant;
+            -- same-day pairs contribute no slope on either engine
+            WITH o AS (SELECT o_custkey,
+                              CAST(epoch_us(o_orderdate) AS BIGINT)
+                                  // 86400000000 AS d,
+                              CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                  AS c
+                       FROM orders),
+            g AS (SELECT o_custkey FROM o GROUP BY o_custkey
+                  HAVING COUNT(*) >= 6),
+            p AS (SELECT a.o_custkey,
+                         CAST(b.c - a.c AS DOUBLE)
+                         / CAST(b.d - a.d AS DOUBLE) AS sl
+                  FROM o a JOIN o b
+                    ON a.o_custkey = b.o_custkey AND a.d < b.d)
+            SELECT p.o_custkey, MEDIAN(sl) AS trend_slope
+            FROM p JOIN g USING (o_custkey)
+            GROUP BY p.o_custkey
+        """,
+        "benford_totalprice": """
+            WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS c FROM orders),
+            d AS (SELECT CAST(SUBSTR(CAST(c AS VARCHAR), 1, 1)
+                              AS BIGINT) AS digit,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM v GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM d)
+            SELECT digit, n,
+                   total * ln(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                       / ln(10.0) AS expected_n,
+                   (CAST(n AS DOUBLE)
+                    - total * ln(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                      / ln(10.0))
+                   * (CAST(n AS DOUBLE)
+                      - total * ln(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                        / ln(10.0))
+                   / (total * ln(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                      / ln(10.0)) AS chi2
+            FROM d, t
+        """,
+        "ztest_urgent_nation": """
+            WITH a AS (SELECT c_nationkey,
+                              CAST(COUNT(*) AS BIGINT) AS n_orders,
+                              CAST(SUM(CASE WHEN o_orderpriority =
+                                            '1-URGENT' THEN 1 ELSE 0
+                                       END) AS BIGINT) AS n_urgent
+                       FROM orders
+                       JOIN customer ON o_custkey = c_custkey
+                       GROUP BY c_nationkey),
+            t AS (SELECT CAST(SUM(n_orders) AS DOUBLE) AS nn,
+                         CAST(SUM(n_urgent) AS DOUBLE) AS xx FROM a)
+            SELECT c_nationkey, n_orders, n_urgent,
+                   (CAST(n_urgent AS DOUBLE) / CAST(n_orders AS DOUBLE)
+                    - (xx - CAST(n_urgent AS DOUBLE))
+                      / (nn - CAST(n_orders AS DOUBLE)))
+                   / sqrt((xx / nn) * (1.0 - xx / nn)
+                          * (1.0 / CAST(n_orders AS DOUBLE)
+                             + 1.0 / (nn - CAST(n_orders AS DOUBLE))))
+                       AS z
+            FROM a, t
+        """,
+        "cusum_daily_revenue": """
+            -- clamped-scan closed form: C_t - min(0, running min C)
+            WITH d AS (SELECT CAST(epoch_us(o_orderdate) AS BIGINT)
+                              AS day_us,
+                              CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                            AS BIGINT)) AS BIGINT) AS r
+                       FROM orders GROUP BY 1),
+            m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                         CAST(SUM(r) AS DOUBLE) AS s,
+                         CAST(SUM(CAST(r AS HUGEINT)
+                                  * CAST(r AS HUGEINT)) AS DOUBLE)
+                             AS ss
+                  FROM d),
+            z AS (SELECT day_us,
+                         (CAST(r AS DOUBLE) - s / n)
+                         / sqrt(ss / n - (s / n) * (s / n)) AS z
+                  FROM d, m),
+            c AS (SELECT day_us,
+                         SUM(z - 0.5) OVER (ORDER BY day_us) AS cp,
+                         SUM(-z - 0.5) OVER (ORDER BY day_us) AS cn
+                  FROM z)
+            SELECT day_us,
+                   cp - LEAST(MIN(cp) OVER (ORDER BY day_us), 0.0)
+                       AS cusum_pos,
+                   cn - LEAST(MIN(cn) OVER (ORDER BY day_us), 0.0)
+                       AS cusum_neg
+            FROM c
         """,
         "stock_balance_clamped": """
             WITH d AS (SELECT l_partkey, l_shipdate, l_orderkey,

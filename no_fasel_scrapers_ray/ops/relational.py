@@ -2323,3 +2323,273 @@ def clamped_running_balance(ds: rd.Dataset, key: str,
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("__bucket").map_groups(per_bucket,
                                             batch_format="pandas"))
+
+
+# --------------------------------------------------------------------------
+# Rank-based and robust statistics (engine additions, round 4 cont.:
+# Spearman via distributed tied-rank assignment, grouped PERCENT_RANK,
+# Theil–Sen robust trend, functional-dependency profiling, Benford
+# leading-digit audit). No reference analogue (the reference computes no
+# statistics; SURVEY §2.8 engine-addition track).
+# --------------------------------------------------------------------------
+
+def _rank2_map(counts: rd.Dataset, col: str, cnt_col: str,
+               rank_alias: str, n_buckets: int = 64) -> rd.Dataset:
+    """Tied-average-rank assignment over a DISTINCT-VALUE count table:
+    for each distinct value v with count c and ``cum`` rows strictly
+    below it, the average 1-indexed rank of v's rows is
+    ``cum + (c+1)/2`` — kept as the INTEGER doubled rank
+    ``rank2 = 2*cum + c + 1`` so every downstream moment sum stays in
+    exact integer space (Pearson is scale-invariant, so correlating
+    doubled ranks equals correlating ranks). ``cum`` comes from the
+    range-partitioned scan primitive (``ordered_prefix_sum``), so the
+    distinct table never needs to fit anywhere whole: this is the
+    100-TB path for rank statistics over near-distinct columns, where
+    a broadcast value→rank array would not fit. ``col`` must be
+    int64-valued (use cents)."""
+    ranked = ordered_prefix_sum(counts, col, cnt_col, "__cum",
+                                n_buckets=n_buckets)
+
+    def to_rank2(b: pd.DataFrame) -> pd.DataFrame:
+        r2 = (2 * b["__cum"].to_numpy(np.int64)
+              + b[cnt_col].to_numpy(np.int64) + 1)
+        return pd.DataFrame({col: b[col].to_numpy(np.int64),
+                             rank_alias: r2})
+
+    return ranked.map_batches(to_rank2, batch_format="pandas")
+
+
+def spearman_corr(ds: rd.Dataset, xcol: str, ycol: str, alias: str,
+                  n_buckets: int = 16) -> pd.DataFrame:
+    """GLOBAL Spearman rank correlation of two INTEGER columns, exact
+    against a SQL oracle that evaluates the same closed form on the
+    same integers.
+
+    Spearman = Pearson on tied-average ranks. The scale shape:
+
+    1. reduce the fact table to the DISTINCT (x, y) pair-count table
+       (one bucketed count — pairs ≤ rows, often ≪);
+    2. per column, reduce further to distinct-VALUE counts and assign
+       ``rank2 = 2*cum_below + cnt + 1`` via the range-partitioned
+       scan (``_rank2_map`` — no broadcast of the value domain);
+    3. two bucketed joins stitch rank2_x / rank2_y back onto the pair
+       table (3-int rows, never the fact rows);
+    4. exact int64 per-batch moment partials weighted by the pair
+       count, combined on the driver in Python-int space, then ONE
+       float64 closed form mirrored verbatim in the oracle.
+
+    Overflow bound: per-batch Σ cnt·rx2·ry2 ≤ N·(2N+1)² must fit
+    int64 within one batch of the PAIR table — holds through N ≈ 10⁸
+    rows per batch-covered mass; the driver combine is arbitrary
+    precision. Returns a 1-row driver DataFrame {alias: float64}."""
+    pairs = preagg_reduce(ds, [xcol, ycol], "__cnt", "count",
+                          n_buckets=n_buckets).materialize()
+
+    for col, ralias in ((xcol, "__rx2"), (ycol, "__ry2")):
+        counts = preagg_reduce(pairs.map_batches(
+            lambda b, c=col: pd.DataFrame(
+                {c: b[c].to_numpy(np.int64),
+                 "__c": b["__cnt"].to_numpy(np.int64)}),
+            batch_format="pandas"), [col], "__c", "sum",
+            n_buckets=n_buckets)
+        ranks = _rank2_map(counts, col, "__c", ralias,
+                           n_buckets=n_buckets)
+        pairs = bucketed_join(pairs, ranks, on=col,
+                              n_buckets=n_buckets).materialize()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["__cnt"].to_numpy(np.int64)
+        rx = b["__rx2"].to_numpy(np.int64)
+        ry = b["__ry2"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n": [int(c.sum())], "sx": [int((c * rx).sum())],
+            "sy": [int((c * ry).sum())],
+            "sxy": [int((c * rx * ry).sum())],
+            "sxx": [int((c * rx * rx).sum())],
+            "syy": [int((c * ry * ry).sum())]})
+
+    p = pairs.map_batches(partial, batch_format="pandas").to_pandas()
+    # driver combine in Python-int (object) space — exact at any scale
+    n, sx, sy, sxy, sxx, syy = (
+        float(sum(int(v) for v in p[c])) for c in
+        ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    # expression order mirrored in the SQL oracle — keep in sync
+    rho = (n * sxy - sx * sy) / np.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy))
+    return pd.DataFrame({alias: np.array([rho], dtype=np.float64)})
+
+
+def percent_rank_in_group(ds: rd.Dataset, key: str, val_col: str,
+                          alias: str, n_buckets: int = 64) -> rd.Dataset:
+    """``PERCENT_RANK() OVER (PARTITION BY key ORDER BY val_col)`` —
+    the per-row grouped rank score, without ever holding a whole
+    group's ROWS in one worker: the rank of a row depends only on its
+    (key, value) pair, so the op ranks the DISTINCT (key, value) count
+    table (per-key exclusive cumsum over sorted distinct values —
+    distinct values per key ≪ rows per key for score-like columns)
+    and stitches the scores back with one key-bucketed merge. A hot
+    key costs its distinct-value count, not its row count.
+    ``val_col`` must be integer-valued (cents). pr of a 1-row group is
+    0.0, matching SQL. Output: input columns + ``alias`` float64."""
+    counts = preagg_reduce(ds, [key, val_col], "__cnt", "count",
+                           n_buckets=n_buckets)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, val_col], kind="stable",
+                          ignore_index=True)
+        grp = g.groupby(key, sort=False)
+        c = g["__cnt"].to_numpy(np.int64)
+        cum = grp["__cnt"].cumsum().to_numpy(np.int64) - c
+        n_g = grp["__cnt"].transform("sum").to_numpy(np.int64)
+        # mirrored in the oracle: (rank-1)/(n-1), 0.0 for n==1
+        pr = np.where(n_g > 1, cum / np.maximum(n_g - 1, 1), 0.0)
+        return pd.DataFrame({key: g[key], val_col: g[val_col],
+                             "__pr": pr})
+
+    pr_tbl = (counts.map_batches(_bucket_tagger([key], n_buckets),
+                                 batch_format="pandas")
+              .groupby("__bucket").map_groups(per_key,
+                                              batch_format="pandas"))
+
+    # stitch back: tag both sides with the SAME key bucket, merge per
+    # bucket on (key, value) — supports the composite key without
+    # packing, one shuffle per side. The pr side pads the fact columns
+    # it lacks with TYPED ZEROS (never read — merge_bucket splits the
+    # sides before touching them): null padding would make the
+    # per-bucket pandas conversion upcast the FACT rows' int columns
+    # to float64 (the bucketed_join dtype trap).
+    fact_fields = _resolve_fields(ds)
+    fact_cols = list(fact_fields)
+
+    def _pad(n: int, typ: pa.DataType):
+        if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+            return np.zeros(n, dtype=typ.to_pandas_dtype())
+        return pd.Series([""] * n)
+
+    def tag_fact(b: pd.DataFrame) -> pa.Table:
+        b = b.assign(__pr=np.nan,
+                     __bucket=stable_bucket_cols(b, [key], n_buckets))
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def tag_pr(b: pd.DataFrame) -> pa.Table:
+        out = {c: (b[c] if c in b.columns else
+                   _pad(len(b), fact_fields[c])) for c in fact_cols}
+        out["__pr"] = b["__pr"]
+        out["__bucket"] = stable_bucket_cols(b, [key], n_buckets)
+        return pa.Table.from_pandas(pd.DataFrame(out),
+                                    preserve_index=False)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_pr = g["__pr"].notna()
+        facts = g[~is_pr][fact_cols]
+        prs = g[is_pr][[key, val_col, "__pr"]]
+        out = facts.merge(prs, on=[key, val_col], how="left")
+        return out.rename(columns={"__pr": alias})
+
+    tagged = ds.map_batches(tag_fact, batch_format="pandas").union(
+        pr_tbl.map_batches(tag_pr, batch_format="pandas"))
+    return tagged.groupby("__bucket").map_groups(merge_bucket,
+                                                 batch_format="pandas")
+
+
+def fd_violations(ds: rd.Dataset, lhs: str, rhs: str, alias: str,
+                  n_buckets: int = 64) -> rd.Dataset:
+    """Functional-dependency profiling (the data-quality audit shape):
+    every ``lhs`` value that maps to MORE than one distinct ``rhs``
+    value, with its distinct-rhs count — ``lhs → rhs`` holds iff the
+    result is empty. Two bucketed pre-aggregated reduces (distinct
+    pairs, then pair counts per lhs); the fact table streams once and
+    only distinct pairs shuffle. Output: (lhs, alias int64)."""
+    pairs = preagg_reduce(ds, [lhs, rhs], "__cnt", "count",
+                          n_buckets=n_buckets)
+    per_lhs = preagg_reduce(pairs, [lhs], alias, "count",
+                            n_buckets=n_buckets)
+    return per_lhs.map_batches(
+        lambda b: b[b[alias].to_numpy() > 1],
+        batch_format="pandas")
+
+
+def theil_sen_grouped(ds: rd.Dataset, key: str, xcol: str, ycol: str,
+                      alias: str, min_points: int = 3,
+                      max_points: int = 10_000,
+                      n_buckets: int = 64) -> rd.Dataset:
+    """Per-group Theil–Sen robust slope: the MEDIAN of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i), x_i ≠ x_j — the outlier-immune
+    trend estimator (breakdown point 29%). Inherently O(k²) per group,
+    so this op is for MANY SMALL groups (per-customer order trends,
+    per-host latency drift): one key-bucket shuffle, then per-group
+    vectorized triu pair generation. Groups larger than ``max_points``
+    fail loudly rather than silently exploding (the sampled-pair
+    estimator would be the scale path for big groups). Groups with
+    fewer than ``min_points`` points or no x-distinct pair are
+    dropped. x/y int64 (days, cents); slopes float64; median = mean of
+    the two middle order statistics, matching SQL MEDIAN."""
+    add_bucket = _bucket_tagger([key], n_buckets,
+                                cols=[key, xcol, ycol])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys_out, slopes_out = [], []
+        for kv, gg in g.groupby(key, sort=False):
+            k = len(gg)
+            if k < min_points:
+                continue
+            if k > max_points:
+                raise ValueError(
+                    f"theil_sen_grouped: group {kv!r} has {k} points "
+                    f"(> max_points={max_points}); use a sampled-pair "
+                    "estimator for big groups")
+            x = gg[xcol].to_numpy(np.int64)
+            y = gg[ycol].to_numpy(np.int64)
+            iu, iv = np.triu_indices(k, k=1)
+            dx = x[iv] - x[iu]
+            keep = dx != 0
+            if not keep.any():
+                continue
+            sl = (y[iv] - y[iu])[keep] / dx[keep]
+            keys_out.append(kv)
+            slopes_out.append(float(np.median(sl)))
+        return pd.DataFrame({key: keys_out,
+                             alias: np.array(slopes_out,
+                                             dtype=np.float64)})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas"))
+
+
+def benford_digits(ds: rd.Dataset, col: str) -> pd.DataFrame:
+    """Benford leading-digit audit of a positive INTEGER column: the
+    observed count per leading digit 1-9 next to the Benford-law
+    expectation and the per-digit χ² contribution — the fraud/sensor
+    data-quality screen. Per-batch vectorized digit extraction
+    (repeated integer division — ≤ 19 passes over the batch, no
+    string round-trip), 9-int partials, driver combine; expected_n
+    and chi2 evaluate ONE mirrored float expression. Returns the
+    9-row driver DataFrame (digit int64, n int64, expected_n, chi2
+    float64)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(np.int64).copy()
+        if (v <= 0).any():
+            raise ValueError("benford_digits: column must be positive")
+        while True:
+            big = v >= 10
+            if not big.any():
+                break
+            v[big] //= 10
+        cnt = np.bincount(v, minlength=10)[1:10]
+        return pd.DataFrame({"digit": np.arange(1, 10, dtype=np.int64),
+                             "n": cnt.astype(np.int64)})
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = p.groupby("digit", as_index=False)["n"].sum() \
+        .sort_values("digit", ignore_index=True)
+    total = float(agg["n"].sum())
+    d = agg["digit"].to_numpy(np.float64)
+    # mirrored in the SQL oracle: ln(1+1/d)/ln(10)
+    share = np.log(1.0 + 1.0 / d) / np.log(10.0)
+    expected = total * share
+    obs = agg["n"].to_numpy(np.int64).astype(np.float64)
+    agg["expected_n"] = expected
+    agg["chi2"] = (obs - expected) * (obs - expected) / expected
+    return agg
