@@ -5729,6 +5729,75 @@ def q_cusum_daily_revenue(sf_dir: str):
                          "cusum_pos": pos, "cusum_neg": neg})
 
 
+def q_local_clustering(sf_dir: str):
+    """Per-node local clustering coefficient over the part
+    co-occurrence graph (§ graph operators — the node-level
+    cohesion score next to the global `triangle_parts`): for every
+    part with co-occurrence degree ≥ 2, its triangle participation
+    count and lcc = 2·T/(deg·(deg−1)). Degree-oriented per-bucket
+    wedge closing with node-sized dense partials
+    (ops/graph.py::local_clustering); each triangle credited to all
+    three corners exactly once."""
+    from no_fasel_scrapers_ray.ops.graph import local_clustering
+    edges = _part_cooccurrence_edges(sf_dir)
+    return local_clustering(edges)
+
+
+def q_mannwhitney_discount(sf_dir: str):
+    """Mann–Whitney U rank-sum test (§ statistical aggregates — the
+    nonparametric two-sample screen next to the z-test): do discounted
+    line items (l_discount ≥ 0.05) have a different extended-price
+    distribution than barely-discounted ones? The combined tied-rank
+    sum for the A sample comes from the SAME distinct-value count
+    machinery as Spearman (doubled ranks over the distinct-cents
+    table — no value-domain broadcast), tie correction from exact
+    Σ(t³−t); U, its null mean and the tie-corrected normal z evaluate
+    ONE mirrored float expression from exact big-int sums."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (grouped_multi_agg,
+                                                      ordered_prefix_sum)
+    li = _read(sf_dir, "lineitem", ["l_extendedprice", "l_discount"],
+               rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": np.round(b["l_extendedprice"].to_numpy(np.float64)
+                          * 100).astype(np.int64),
+            "f": (b["l_discount"].to_numpy(np.float64) >= 0.05)
+            .astype(np.int64),
+            "one": np.ones(len(b), dtype=np.int64)})
+
+    counts = grouped_multi_agg(
+        li.map_batches(prep, batch_format="pandas"), ["v"],
+        {"cnt": ("one", "sum"), "cnt_a": ("f", "sum")}, n_buckets=16)
+    ranked = ordered_prefix_sum(counts, "v", "cnt", "__cum",
+                                n_buckets=16)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cnt = b["cnt"].to_numpy(np.int64)
+        ca = b["cnt_a"].to_numpy(np.int64)
+        r2 = 2 * b["__cum"].to_numpy(np.int64) + cnt + 1
+        return pd.DataFrame({
+            "s2ra": [int((ca * r2).sum())],
+            "tie": [int((cnt * cnt * cnt - cnt).sum())],
+            "na": [int(ca.sum())], "n": [int(cnt.sum())]})
+
+    p = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    s2ra = float(sum(int(v) for v in p["s2ra"]))
+    tie = float(sum(int(v) for v in p["tie"]))
+    na = float(sum(int(v) for v in p["na"]))
+    n = float(sum(int(v) for v in p["n"]))
+    nb = n - na
+    # expression order mirrored in the SQL oracle — keep in sync
+    u_a = s2ra / 2.0 - na * (na + 1.0) / 2.0
+    z = (u_a - na * nb / 2.0) / np.sqrt(
+        (na * nb / 12.0) * ((n + 1.0) - tie / (n * (n - 1.0))))
+    return pd.DataFrame({"n_a": np.array([na], dtype=np.int64),
+                         "n_b": np.array([nb], dtype=np.int64),
+                         "u_a": np.array([u_a], dtype=np.float64),
+                         "z": np.array([z], dtype=np.float64)})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5925,6 +5994,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_totalprice": q_benford_totalprice,
         "ztest_urgent_nation": q_ztest_urgent_nation,
         "cusum_daily_revenue": q_cusum_daily_revenue,
+        "local_clustering": q_local_clustering,
+        "mannwhitney_discount": q_mannwhitney_discount,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -6260,6 +6331,67 @@ def _oracle_sql_literal() -> dict[str, str]:
                    cn - LEAST(MIN(cn) OVER (ORDER BY day_us), 0.0)
                        AS cusum_neg
             FROM c
+        """,
+        "local_clustering": """
+            -- triangles once per (pa < pb < pc) triple, credited to
+            -- all three corners; lcc mirrored float expression
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+                  FROM op a JOIN op b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM (SELECT pa AS node FROM e
+                          UNION ALL SELECT pb FROM e)
+                    GROUP BY node),
+            tr AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS w
+                   FROM e e1
+                   JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+                   JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+            tri AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+                    FROM (SELECT x AS node FROM tr
+                          UNION ALL SELECT y FROM tr
+                          UNION ALL SELECT w FROM tr)
+                    GROUP BY node)
+            SELECT d.node, d.deg,
+                   CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+                   2.0 * CAST(COALESCE(t.n_tri, 0) AS DOUBLE)
+                   / (CAST(d.deg AS DOUBLE)
+                      * (CAST(d.deg AS DOUBLE) - 1.0)) AS lcc
+            FROM deg d LEFT JOIN tri t USING (node)
+            WHERE d.deg >= 2
+        """,
+        "mannwhitney_discount": """
+            -- doubled tied ranks over the distinct-value count table
+            -- (2*cum_below + cnt + 1); exact HUGEINT sums; mirrored
+            -- U / tie-corrected z
+            WITH b AS (SELECT CAST(ROUND(l_extendedprice * 100)
+                              AS BIGINT) AS v,
+                              CASE WHEN l_discount >= 0.05 THEN 1
+                                   ELSE 0 END AS f
+                       FROM lineitem),
+            r AS (SELECT v, COUNT(*) AS cnt, SUM(f) AS cnt_a
+                  FROM b GROUP BY v),
+            w AS (SELECT cnt, cnt_a,
+                         2 * (SUM(cnt) OVER (ORDER BY v) - cnt)
+                           + cnt + 1 AS rank2
+                  FROM r),
+            s AS (SELECT CAST(SUM(cnt_a * rank2) AS DOUBLE) AS s2ra,
+                         CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE)
+                             AS tie,
+                         CAST(SUM(cnt_a) AS DOUBLE) AS na,
+                         CAST(SUM(cnt) AS DOUBLE) AS n
+                  FROM w)
+            SELECT CAST(na AS BIGINT) AS n_a,
+                   CAST(n - na AS BIGINT) AS n_b,
+                   s2ra / 2.0 - na * (na + 1.0) / 2.0 AS u_a,
+                   (s2ra / 2.0 - na * (na + 1.0) / 2.0
+                    - na * (n - na) / 2.0)
+                   / sqrt((na * (n - na) / 12.0)
+                          * ((n + 1.0)
+                             - tie / (n * (n - 1.0)))) AS z
+            FROM s
         """,
         "stock_balance_clamped": """
             WITH d AS (SELECT l_partkey, l_shipdate, l_orderkey,

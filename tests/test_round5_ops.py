@@ -367,3 +367,63 @@ def test_clamped_running_balance_matches_recurrence():
 
     assert got == {1: seq(rng_deltas), 2: seq([-4, 9])}
     assert out["final_balance"].dtype == np.int64
+
+
+def test_local_clustering_planted_and_tiers():
+    from no_fasel_scrapers_ray.ops.graph import local_clustering
+    # K4 on {1,2,3,4} plus pendant 5–1 and isolated edge 6–7:
+    # every K4 node sits in 3 triangles; deg(1)=4 → lcc 3/6=0.5,
+    # deg(2,3,4)=3 → lcc 3/3=1.0; 5 (deg 1) and 6,7 excluded... except
+    # 6,7 have deg 1 → excluded too
+    e = pd.DataFrame({"a": [1, 1, 1, 2, 2, 3, 1, 6],
+                      "b": [2, 3, 4, 3, 4, 4, 5, 7]})
+    out = local_clustering(_ds(e)).sort_values("node",
+                                               ignore_index=True)
+    assert list(out["node"]) == [1, 2, 3, 4]
+    assert list(out["n_tri"]) == [3, 3, 3, 3]
+    assert list(out["deg"]) == [4, 3, 3, 3]
+    np.testing.assert_allclose(out["lcc"], [0.5, 1.0, 1.0, 1.0])
+    assert out["n_tri"].dtype == np.int64 and out["deg"].dtype == np.int64
+    # forced broadcast tier must agree exactly with the driver tier
+    forced = local_clustering(_ds(e), small_threshold=0) \
+        .sort_values("node", ignore_index=True)
+    pd.testing.assert_frame_equal(out, forced)
+
+
+def test_local_clustering_zero_triangle_nodes_kept():
+    from no_fasel_scrapers_ray.ops.graph import local_clustering
+    # path 1-2-3: node 2 has deg 2 but no triangle → row with lcc 0.0
+    e = pd.DataFrame({"a": [1, 2], "b": [2, 3]})
+    out = local_clustering(_ds(e))
+    assert list(out["node"]) == [2]
+    assert list(out["n_tri"]) == [0]
+    assert list(out["lcc"]) == [0.0]
+
+
+def test_spearman_corr_planted():
+    from no_fasel_scrapers_ray.ops.relational import spearman_corr
+    # perfectly monotone (nonlinear) relation → rho exactly 1.0
+    x = np.arange(1, 101, dtype=np.int64)
+    ds = _ds(pd.DataFrame({"x": x, "y": x * x}), parts=4)
+    out = spearman_corr(ds, "x", "y", "rho")
+    np.testing.assert_allclose(out["rho"], [1.0])
+    # anti-monotone → -1; ties collapse toward 0 vs scipy reference
+    ds2 = _ds(pd.DataFrame({"x": x, "y": -3 * x}), parts=4)
+    np.testing.assert_allclose(
+        spearman_corr(ds2, "x", "y", "rho")["rho"], [-1.0])
+
+
+def test_theil_sen_outlier_immunity():
+    from no_fasel_scrapers_ray.ops.relational import theil_sen_grouped
+    # slope 2 line with one wild outlier: OLS would move, median slope
+    # stays 2.0; group "b" too small → dropped
+    x = np.arange(10, dtype=np.int64)
+    y = 2 * x
+    y[9] = 1000
+    df = pd.DataFrame({"k": ["a"] * 10 + ["b"] * 2,
+                       "x": np.concatenate([x, [0, 1]]),
+                       "y": np.concatenate([y, [5, 6]])})
+    out = theil_sen_grouped(_ds(df, parts=3), "k", "x", "y", "slope",
+                            min_points=3).to_pandas()
+    assert list(out["k"]) == ["a"]
+    np.testing.assert_allclose(out["slope"], [2.0])
