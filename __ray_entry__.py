@@ -5798,6 +5798,156 @@ def q_mannwhitney_discount(sf_dir: str):
                          "z": np.array([z], dtype=np.float64)})
 
 
+def q_mad_nation_price(sf_dir: str):
+    """Per-nation median absolute deviation of order totals (§
+    statistical aggregates — the robust scale estimator next to
+    Theil–Sen's robust slope and the winsorized mean). Two composed
+    exact-quantile passes over integer cents: per-nation cont median
+    (doubled to stay integer), broadcast of the 25 medians, then the
+    cont median of |2·cents − 2·median| halved — every interpolation
+    is the same two order statistics DuckDB picks, so the float
+    matches bit-for-bit."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (
+        broadcast_get, grouped_quantile_cont)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.sort_values("c_custkey")
+    ck = ray.put(cust["c_custkey"].to_numpy(np.int64))
+    cn = ray.put(cust["c_nationkey"].to_numpy(np.int32))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                   rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["o_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "c_nationkey": broadcast_get(cn)[
+                np.searchsorted(broadcast_get(ck), c)],
+            "cents": np.round(b["o_totalprice"].to_numpy(np.float64)
+                              * 100).astype(np.int64)})
+
+    tagged = orders.map_batches(prep,
+                                batch_format="pandas").materialize()
+    med = grouped_quantile_cont(tagged, ["c_nationkey"], "cents", 0.5,
+                                "med").to_pandas()
+    med = med.sort_values("c_nationkey")
+    # 2·(interpolated median of ints) is mathematically an integer —
+    # the cast is exact on both engines
+    mk = ray.put(med["c_nationkey"].to_numpy(np.int32))
+    mv = ray.put((2.0 * med["med"].to_numpy(np.float64))
+                 .astype(np.int64))
+
+    def dev(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["c_nationkey"].to_numpy(np.int32)
+        med2 = broadcast_get(mv)[
+            np.searchsorted(broadcast_get(mk), n)]
+        return pd.DataFrame({
+            "c_nationkey": n,
+            "d2": np.abs(2 * b["cents"].to_numpy(np.int64) - med2)})
+
+    mad2 = grouped_quantile_cont(
+        tagged.map_batches(dev, batch_format="pandas"),
+        ["c_nationkey"], "d2", 0.5, "mad2").to_pandas()
+    mad2["mad"] = mad2["mad2"].to_numpy(np.float64) / 2.0
+    return mad2[["c_nationkey", "mad"]]
+
+
+def q_chisq_nation_priority(sf_dir: str):
+    """χ² contingency audit of nation × order priority (§ statistical
+    aggregates — the independence screen generalizing the two-sample
+    z-test): observed cell counts from one bucketed agg with the
+    broadcast customer→nation dim, expectations and per-cell χ²
+    contributions from ONE mirrored float expression over the
+    125-cell driver frame. Cells absent from the data are absent on
+    both engines (observed-support convention)."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (broadcast_get,
+                                                      preagg_reduce)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.sort_values("c_custkey")
+    ck = ray.put(cust["c_custkey"].to_numpy(np.int64))
+    cn = ray.put(cust["c_nationkey"].to_numpy(np.int32))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"],
+                   rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["o_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "c_nationkey": broadcast_get(cn)[
+                np.searchsorted(broadcast_get(ck), c)],
+            "o_orderpriority": b["o_orderpriority"].to_numpy()})
+
+    a = preagg_reduce(orders.map_batches(prep, batch_format="pandas"),
+                      ["c_nationkey", "o_orderpriority"], "n",
+                      "count", n_buckets=8).to_pandas()
+    rn = a.groupby("c_nationkey")["n"].transform("sum") \
+        .to_numpy(np.int64).astype(np.float64)
+    cnn = a.groupby("o_orderpriority")["n"].transform("sum") \
+        .to_numpy(np.int64).astype(np.float64)
+    tot = float(int(a["n"].sum()))
+    obs = a["n"].to_numpy(np.int64).astype(np.float64)
+    # expression order mirrored in the SQL oracle — keep in sync
+    e = rn * cnn / tot
+    a["expected_n"] = e
+    a["chi2"] = (obs - e) * (obs - e) / e
+    return a
+
+
+def q_mutual_info_priority_status(sf_dir: str):
+    """Mutual information between order priority and order status (§
+    statistical aggregates — the dependence strength score next to
+    the χ² audit and the KL drift monitor): exact joint/marginal
+    counts over the ≤ 15-cell support, ONE mirrored float expression
+    Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) in nats."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import preagg_reduce
+    orders = _read(sf_dir, "orders",
+                   ["o_orderpriority", "o_orderstatus"],
+                   rows_per_block=65536)
+    a = preagg_reduce(orders, ["o_orderpriority", "o_orderstatus"],
+                      "n", "count", n_buckets=8).to_pandas()
+    npp = a.groupby("o_orderpriority")["n"].transform("sum") \
+        .to_numpy(np.int64).astype(np.float64)
+    ns = a.groupby("o_orderstatus")["n"].transform("sum") \
+        .to_numpy(np.int64).astype(np.float64)
+    tot = float(int(a["n"].sum()))
+    obs = a["n"].to_numpy(np.int64).astype(np.float64)
+    # expression order mirrored in the SQL oracle — keep in sync
+    mi = float(np.sum((obs / tot) * np.log(obs * tot / (npp * ns))))
+    return pd.DataFrame({"mi": np.array([mi], dtype=np.float64)})
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Top-100 vocabulary with cumulative corpus coverage (§ text
+    analysis — the tokenizer-budget planning curve next to the BPE
+    trainer): term counts via the bucketed wordcount, the coverage
+    denominator from per-batch token-count partials (never a token
+    shuffle), cumulative share over the deterministic
+    (count desc, term) order on the 100-row driver frame."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.textops import top_terms
+    docs = _read(sf_dir, "documents", ["text"])
+    top = top_terms(docs, k=100)
+    top = (top.to_pandas() if hasattr(top, "to_pandas") else top)
+    top = top.sort_values(["n", "term"], ascending=[False, True],
+                          ignore_index=True)
+
+    def tok_count(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].astype(str)
+        return pd.DataFrame({"t": [int(s.str.count(" ").sum())
+                                   + len(s)]})
+
+    total = float(int(_read(sf_dir, "documents", ["text"])
+                      .map_batches(tok_count, batch_format="pandas")
+                      .to_pandas()["t"].sum()))
+    cum = np.cumsum(top["n"].to_numpy(np.int64))
+    top["cum_share"] = cum.astype(np.float64) / total
+    return top
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5996,6 +6146,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_daily_revenue": q_cusum_daily_revenue,
         "local_clustering": q_local_clustering,
         "mannwhitney_discount": q_mannwhitney_discount,
+        "mad_nation_price": q_mad_nation_price,
+        "chisq_nation_priority": q_chisq_nation_priority,
+        "mutual_info_priority_status": q_mutual_info_priority_status,
+        "vocab_coverage": q_vocab_coverage,
         "crawl_catalogs": q_crawl_catalogs,
         "crawl_frontier_log": q_crawl_frontier_log,
         "crawl_all_content": q_crawl_all_content,
@@ -6392,6 +6546,69 @@ def _oracle_sql_literal() -> dict[str, str]:
                           * ((n + 1.0)
                              - tie / (n * (n - 1.0)))) AS z
             FROM s
+        """,
+        "mad_nation_price": """
+            -- doubled medians stay integer (cont median of ints is a
+            -- half-integer), so both passes are exact order statistics
+            WITH b AS (SELECT c_nationkey,
+                              CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                  AS c
+                       FROM orders
+                       JOIN customer ON o_custkey = c_custkey),
+            m AS (SELECT c_nationkey,
+                         CAST(2.0 * quantile_cont(c, 0.5) AS BIGINT)
+                             AS med2
+                  FROM b GROUP BY c_nationkey),
+            d AS (SELECT b.c_nationkey, ABS(2 * b.c - m.med2) AS d2
+                  FROM b JOIN m USING (c_nationkey))
+            SELECT c_nationkey, quantile_cont(d2, 0.5) / 2.0 AS mad
+            FROM d GROUP BY c_nationkey
+        """,
+        "chisq_nation_priority": """
+            WITH a AS (SELECT c_nationkey, o_orderpriority,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM orders
+                       JOIN customer ON o_custkey = c_custkey
+                       GROUP BY c_nationkey, o_orderpriority),
+            r AS (SELECT c_nationkey, CAST(SUM(n) AS DOUBLE) AS rn
+                  FROM a GROUP BY c_nationkey),
+            c AS (SELECT o_orderpriority, CAST(SUM(n) AS DOUBLE) AS cn
+                  FROM a GROUP BY o_orderpriority),
+            t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM a)
+            SELECT a.c_nationkey, a.o_orderpriority, a.n,
+                   rn * cn / tot AS expected_n,
+                   (CAST(n AS DOUBLE) - rn * cn / tot)
+                   * (CAST(n AS DOUBLE) - rn * cn / tot)
+                   / (rn * cn / tot) AS chi2
+            FROM a JOIN r USING (c_nationkey)
+            JOIN c USING (o_orderpriority), t
+        """,
+        "mutual_info_priority_status": """
+            WITH a AS (SELECT o_orderpriority AS p, o_orderstatus AS s,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM orders GROUP BY 1, 2),
+            r AS (SELECT p, CAST(SUM(n) AS DOUBLE) AS np FROM a
+                  GROUP BY p),
+            c AS (SELECT s, CAST(SUM(n) AS DOUBLE) AS ns FROM a
+                  GROUP BY s),
+            t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM a)
+            SELECT CAST(SUM((CAST(n AS DOUBLE) / tot)
+                            * ln(CAST(n AS DOUBLE) * tot / (np * ns)))
+                        AS DOUBLE) AS mi
+            FROM a JOIN r USING (p) JOIN c USING (s), t
+        """,
+        "vocab_coverage": """
+            WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM tok GROUP BY term),
+            tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+            top AS (SELECT term, n FROM cnt
+                    ORDER BY n DESC, term LIMIT 100)
+            SELECT term, n,
+                   CAST(SUM(n) OVER (ORDER BY n DESC, term)
+                        AS DOUBLE) / total AS cum_share
+            FROM top, tot
         """,
         "stock_balance_clamped": """
             WITH d AS (SELECT l_partkey, l_shipdate, l_orderkey,
