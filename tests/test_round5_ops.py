@@ -427,3 +427,14 @@ def test_theil_sen_outlier_immunity():
                             min_points=3).to_pandas()
     assert list(out["k"]) == ["a"]
     np.testing.assert_allclose(out["slope"], [2.0])
+
+
+def test_spearman_tiers_agree():
+    from no_fasel_scrapers_ray.ops.relational import spearman_corr
+    x = np.arange(1, 501, dtype=np.int64)
+    y = (x * 7919) % 1009
+    ds = _ds(pd.DataFrame({"x": x % 37, "y": y}), parts=4)
+    a = spearman_corr(ds, "x", "y", "rho")["rho"][0]
+    # forced bucketed-join tier must produce the identical float
+    b = spearman_corr(ds, "x", "y", "rho", broadcast_cutover=0)["rho"][0]
+    assert a == b
