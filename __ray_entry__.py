@@ -5948,6 +5948,83 @@ def q_vocab_coverage(sf_dir: str):
     return top
 
 
+def q_anova_nation_spend(sf_dir: str):
+    """One-way ANOVA of order totals across nations (§ statistical
+    aggregates — the k-sample generalization of the two-proportion
+    z-test): F = (SSB/(k−1)) / (SSW/(n−k)) from exact per-nation
+    moment sums (n, Σx, Σx²) in integer cents, combined in Python-int
+    space, then ONE mirrored float expression. One bucketed agg with
+    the broadcast customer→nation dim; constant rows cross the
+    wire."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (broadcast_get,
+                                                      grouped_multi_agg)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.sort_values("c_custkey")
+    ck = ray.put(cust["c_custkey"].to_numpy(np.int64))
+    cn = ray.put(cust["c_nationkey"].to_numpy(np.int32))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                   rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["o_custkey"].to_numpy(np.int64)
+        cents = np.round(b["o_totalprice"].to_numpy(np.float64)
+                         * 100).astype(np.int64)
+        return pd.DataFrame({
+            "c_nationkey": broadcast_get(cn)[
+                np.searchsorted(broadcast_get(ck), c)],
+            "one": np.ones(len(b), dtype=np.int64),
+            "sx": cents, "sxx": cents * cents})
+
+    a = grouped_multi_agg(
+        orders.map_batches(prep, batch_format="pandas"),
+        ["c_nationkey"], {"n": ("one", "sum"), "sx": ("sx", "sum"),
+                          "sxx": ("sxx", "sum")},
+        n_buckets=8).to_pandas()
+    k = float(len(a))
+    n_tot = float(sum(int(v) for v in a["n"]))
+    sx_tot = float(sum(int(v) for v in a["sx"]))
+    ni = a["n"].to_numpy(np.int64).astype(np.float64)
+    sxi = a["sx"].to_numpy(np.int64).astype(np.float64)
+    sxxi = np.array([float(int(v)) for v in a["sxx"]])
+    # expression order mirrored in the SQL oracle — keep in sync
+    grand = sx_tot / n_tot
+    ssb = float(np.sum(ni * (sxi / ni - grand) * (sxi / ni - grand)))
+    ssw = float(np.sum(sxxi - sxi * sxi / ni))
+    f_stat = (ssb / (k - 1.0)) / (ssw / (n_tot - k))
+    return pd.DataFrame({"k_groups": np.array([k], dtype=np.int64),
+                         "f_stat": np.array([f_stat],
+                                            dtype=np.float64)})
+
+
+def q_spearman_by_returnflag(sf_dir: str):
+    """Per-returnflag Spearman rank correlation of quantity vs
+    extended price (§ statistical aggregates — the grouped twin of the
+    global `spearman_qty_price`): per-group doubled tied ranks over
+    the distinct (group, value) count table, two key-bucketed stitch
+    merges, exact per-group big-int moment sums, ONE mirrored float
+    closed form (ops/relational.py::grouped_spearman)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import grouped_spearman
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"],
+               rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_numpy(),
+            "q": np.round(b["l_quantity"].to_numpy(np.float64))
+            .astype(np.int64),
+            "c": np.round(b["l_extendedprice"].to_numpy(np.float64)
+                          * 100).astype(np.int64)})
+
+    return grouped_spearman(
+        li.map_batches(prep, batch_format="pandas"),
+        "l_returnflag", "q", "c", "spearman")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6147,6 +6224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_clustering": q_local_clustering,
         "mannwhitney_discount": q_mannwhitney_discount,
         "mad_nation_price": q_mad_nation_price,
+        "anova_nation_spend": q_anova_nation_spend,
+        "spearman_by_returnflag": q_spearman_by_returnflag,
         "chisq_nation_priority": q_chisq_nation_priority,
         "mutual_info_priority_status": q_mutual_info_priority_status,
         "vocab_coverage": q_vocab_coverage,
@@ -6546,6 +6625,58 @@ def _oracle_sql_literal() -> dict[str, str]:
                           * ((n + 1.0)
                              - tie / (n * (n - 1.0)))) AS z
             FROM s
+        """,
+        "spearman_by_returnflag": """
+            WITH b AS (SELECT l_returnflag,
+                              CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                              CAST(ROUND(l_extendedprice * 100)
+                                   AS BIGINT) AS c
+                       FROM lineitem),
+            r AS (SELECT l_returnflag,
+                         2 * RANK() OVER (PARTITION BY l_returnflag
+                                          ORDER BY q)
+                           + COUNT(*) OVER (PARTITION BY l_returnflag,
+                                            q) - 1 AS rx,
+                         2 * RANK() OVER (PARTITION BY l_returnflag
+                                          ORDER BY c)
+                           + COUNT(*) OVER (PARTITION BY l_returnflag,
+                                            c) - 1 AS ry
+                  FROM b),
+            s AS (SELECT l_returnflag,
+                         CAST(COUNT(*) AS DOUBLE) AS n,
+                         CAST(SUM(rx) AS DOUBLE) AS sx,
+                         CAST(SUM(ry) AS DOUBLE) AS sy,
+                         CAST(SUM(rx * ry) AS DOUBLE) AS sxy,
+                         CAST(SUM(rx * rx) AS DOUBLE) AS sxx,
+                         CAST(SUM(ry * ry) AS DOUBLE) AS syy
+                  FROM r GROUP BY l_returnflag)
+            SELECT l_returnflag,
+                   (n * sxy - sx * sy)
+                   / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                       AS spearman
+            FROM s
+        """,
+        "anova_nation_spend": """
+            WITH b AS (SELECT c_nationkey,
+                              CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                  AS x
+                       FROM orders
+                       JOIN customer ON o_custkey = c_custkey),
+            a AS (SELECT c_nationkey,
+                         CAST(COUNT(*) AS DOUBLE) AS n,
+                         CAST(SUM(x) AS DOUBLE) AS sx,
+                         CAST(SUM(CAST(x AS HUGEINT)
+                                  * CAST(x AS HUGEINT)) AS DOUBLE)
+                             AS sxx
+                  FROM b GROUP BY c_nationkey),
+            t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+                         SUM(n) AS n_tot, SUM(sx) AS sx_tot FROM a)
+            SELECT CAST(t.k AS BIGINT) AS k_groups,
+                   (SUM(n * (sx / n - sx_tot / n_tot)
+                        * (sx / n - sx_tot / n_tot)) / (t.k - 1.0))
+                   / (SUM(sxx - sx * sx / n) / (t.n_tot - t.k))
+                       AS f_stat
+            FROM a, t GROUP BY t.k, t.n_tot, t.sx_tot
         """,
         "mad_nation_price": """
             -- doubled medians stay integer (cont median of ints is a

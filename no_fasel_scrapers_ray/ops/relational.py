@@ -2626,3 +2626,144 @@ def benford_digits(ds: rd.Dataset, col: str) -> pd.DataFrame:
     agg["expected_n"] = expected
     agg["chi2"] = (obs - expected) * (obs - expected) / expected
     return agg
+
+
+def grouped_spearman(ds: rd.Dataset, key: str, xcol: str, ycol: str,
+                     alias: str, n_buckets: int = 64,
+                     broadcast_cutover: int = 1 << 22) -> rd.Dataset:
+    """PER-GROUP Spearman rank correlation — the partitioned twin of
+    ``spearman_corr`` (which see for the doubled-tied-rank integer
+    argument). Everything stays distinct-value sized: per-group
+    distinct (x, y) PAIR counts, per-(group, value) doubled ranks from
+    a per-key exclusive cumsum over the sorted distinct-value table
+    (a hot group costs its distinct values, never its rows), two
+    key-bucketed stitch merges, then per-group exact integer moment
+    sums combined in Python-int space and ONE mirrored float closed
+    form. Output: (key, alias float64), one row per group with ≥ 2
+    distinct ranks on each side.
+
+    Tiered like ``spearman_corr``: while the distinct (group, value)
+    table fits ``broadcast_cutover``, the per-group value→rank2 map is
+    broadcast as a per-key arrays dict and attached map-side (no pair
+    shuffle); beyond, the rank table stays a Dataset and stitches via
+    the key-bucketed union merge."""
+    pairs = preagg_reduce(ds, [key, xcol, ycol], "__cnt", "count",
+                          n_buckets=n_buckets).materialize()
+
+    def _attach_rank(pairs: rd.Dataset, col: str,
+                     ralias: str) -> rd.Dataset:
+        counts = preagg_reduce(pairs.map_batches(
+            lambda b, c=col: pd.DataFrame(
+                {key: b[key], c: b[c].to_numpy(np.int64),
+                 "__c": b["__cnt"].to_numpy(np.int64)}),
+            batch_format="pandas"), [key, col], "__c", "sum",
+            n_buckets=n_buckets).materialize()
+
+        if counts.count() <= broadcast_cutover:
+            cdf = counts.to_pandas().sort_values(
+                [key, col], ignore_index=True)
+            c = cdf["__c"].to_numpy(np.int64)
+            cum = cdf.groupby(key, sort=False)["__c"].cumsum() \
+                .to_numpy(np.int64) - c
+            r2 = 2 * cum + c + 1
+            rmap = {k: (g[col].to_numpy(np.int64),
+                        r2[g.index.to_numpy()])
+                    for k, g in cdf.groupby(key, sort=False)}
+            ref = ray.put(rmap)
+
+            def attach(b: pd.DataFrame) -> pd.DataFrame:
+                m = broadcast_get(ref)
+                out = np.empty(len(b), dtype=np.int64)
+                vals = b[col].to_numpy(np.int64)
+                for k, idx in b.groupby(key, sort=False).indices.items():
+                    kv, kr = m[k]
+                    out[idx] = kr[np.searchsorted(kv, vals[idx])]
+                b = b.copy()
+                b[ralias] = out
+                return b
+
+            return pairs.map_batches(attach,
+                                     batch_format="pandas")
+
+        def per_key(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values([key, col], kind="stable",
+                              ignore_index=True)
+            grp = g.groupby(key, sort=False)
+            c = g["__c"].to_numpy(np.int64)
+            cum = grp["__c"].cumsum().to_numpy(np.int64) - c
+            return pd.DataFrame({key: g[key],
+                                 col: g[col].to_numpy(np.int64),
+                                 ralias: 2 * cum + c + 1})
+
+        ranks = (counts.map_batches(_bucket_tagger([key], n_buckets),
+                                    batch_format="pandas")
+                 .groupby("__bucket").map_groups(
+                     per_key, batch_format="pandas"))
+
+        # stitch: both sides tagged with the SAME key bucket; typed
+        # zero pads (never read — the merge splits sides first)
+        pair_fields = _resolve_fields(pairs)
+        pair_cols = list(pair_fields)
+
+        def tag_pairs(b: pd.DataFrame) -> pa.Table:
+            b = b.assign(**{ralias: np.int64(-1)})
+            b["__bucket"] = stable_bucket_cols(b, [key], n_buckets)
+            return pa.Table.from_pandas(b, preserve_index=False)
+
+        def tag_ranks(b: pd.DataFrame) -> pa.Table:
+            out = {c: (b[c] if c in b.columns else
+                       np.zeros(len(b), dtype=np.int64))
+                   for c in pair_cols}
+            out[ralias] = b[ralias]
+            out["__bucket"] = stable_bucket_cols(b, [key], n_buckets)
+            return pa.Table.from_pandas(pd.DataFrame(out),
+                                        preserve_index=False)
+
+        def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            is_rank = g[ralias].to_numpy() >= 0
+            facts = g[~is_rank][pair_cols]
+            ranks_ = g[is_rank][[key, col, ralias]]
+            return facts.merge(ranks_, on=[key, col], how="left")
+
+        tagged = pairs.map_batches(tag_pairs,
+                                   batch_format="pandas").union(
+            ranks.map_batches(tag_ranks, batch_format="pandas"))
+        return tagged.groupby("__bucket").map_groups(
+            merge_bucket, batch_format="pandas").materialize()
+
+    pairs = _attach_rank(pairs, xcol, "__rx2")
+    pairs = _attach_rank(pairs, ycol, "__ry2")
+
+    moment_cols = ["__n", "__sx", "__sy", "__sxy", "__sxx", "__syy"]
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        c = b["__cnt"].to_numpy(np.int64)
+        rx = b["__rx2"].to_numpy(np.int64)
+        ry = b["__ry2"].to_numpy(np.int64)
+        t = pd.DataFrame({key: b[key]})
+        t["__n"] = c
+        t["__sx"], t["__sy"] = c * rx, c * ry
+        t["__sxy"] = c * rx * ry
+        t["__sxx"], t["__syy"] = c * rx * rx, c * ry * ry
+        g = t.groupby([key], as_index=False, sort=False).sum()
+        g["__bucket"] = stable_bucket_cols(g, [key], n_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = pd.concat(  # object dtype → exact big-int accumulation
+            [g[[key]], g[moment_cols].astype(object)], axis=1)
+        r = g.groupby([key], as_index=False, sort=False)[
+            moment_cols].sum()
+        nf, sx, sy, sxy, sxx, syy = (
+            r[c].astype(np.float64).to_numpy() for c in moment_cols)
+        # expression order mirrored in the SQL oracle — keep in sync
+        num = nf * sxy - sx * sy
+        den = np.sqrt((nf * sxx - sx * sx) * (nf * syy - sy * sy))
+        out = r[[key]].copy()
+        out[alias] = num / den
+        keep = den > 0       # constant side → undefined, drop
+        return out[keep]
+
+    return (pairs.map_batches(partial, batch_format="pandas")
+            .groupby("__bucket").map_groups(final,
+                                            batch_format="pandas"))

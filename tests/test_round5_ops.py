@@ -438,3 +438,19 @@ def test_spearman_tiers_agree():
     # forced bucketed-join tier must produce the identical float
     b = spearman_corr(ds, "x", "y", "rho", broadcast_cutover=0)["rho"][0]
     assert a == b
+
+
+def test_grouped_spearman_tiers_agree_and_planted():
+    from no_fasel_scrapers_ray.ops.relational import grouped_spearman
+    x = np.arange(1, 301, dtype=np.int64)
+    df = pd.DataFrame({"k": np.where(x % 2 == 0, "a", "b"),
+                       "x": x, "y": np.where(x % 2 == 0, x * x, -x)})
+    ds = _ds(df, parts=4)
+    out = grouped_spearman(ds, "k", "x", "y", "rho").to_pandas() \
+        .sort_values("k", ignore_index=True)
+    # group a: monotone increasing → +1; group b: decreasing → -1
+    np.testing.assert_allclose(out["rho"], [1.0, -1.0])
+    forced = grouped_spearman(ds, "k", "x", "y", "rho",
+                              broadcast_cutover=0).to_pandas() \
+        .sort_values("k", ignore_index=True)
+    pd.testing.assert_frame_equal(out, forced)
