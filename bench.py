@@ -99,6 +99,13 @@ BENCH_QUERIES = [
     "intersect_all_users", "except_all_clicks", "msf_fulfillment",
     "stock_balance_clamped", "interpolate_hourly", "top_session_paths",
     "rfm_segments", "gini_nation_spend", "acf_daily_revenue",
+    "spearman_qty_price", "spearman_by_returnflag",
+    "pct_rank_nation_spend", "fd_cust_priority",
+    "theil_sen_cust_trend", "benford_totalprice",
+    "ztest_urgent_nation", "cusum_daily_revenue",
+    "local_clustering", "mannwhitney_discount", "mad_nation_price",
+    "anova_nation_spend", "chisq_nation_priority",
+    "mutual_info_priority_status", "vocab_coverage",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the
