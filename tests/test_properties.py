@@ -106,3 +106,51 @@ def test_cuckoo_filter_never_false_negative(keys):
     # seen-set fast path relies on (misses fall through to the exact
     # spill probe)
     assert f.contains_many(h).all()
+
+
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(-50, 50)),
+                min_size=5, max_size=120))
+@RAY_SETTINGS
+def test_spearman_matches_pandas(pairs):
+    from no_fasel_scrapers_ray.ops.relational import spearman_corr
+    df = pd.DataFrame(pairs, columns=["x", "y"])
+    if df["x"].nunique() < 2 or df["y"].nunique() < 2:
+        return
+    rx = df["x"].rank(method="average").to_numpy()
+    ry = df["y"].rank(method="average").to_numpy()
+    expected = np.corrcoef(rx, ry)[0, 1]
+    ds = rd.from_pandas(df).repartition(3)
+    got = float(spearman_corr(ds, "x", "y", "rho")["rho"][0])
+    np.testing.assert_allclose(got, expected, atol=1e-9)
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 40)),
+                min_size=4, max_size=120))
+@RAY_SETTINGS
+def test_percent_rank_matches_pandas(rows):
+    from no_fasel_scrapers_ray.ops.relational import \
+        percent_rank_in_group
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    df["rid"] = np.arange(len(df), dtype=np.int64)
+    ds = rd.from_pandas(df).repartition(3)
+    out = percent_rank_in_group(ds, "k", "v", "pr").to_pandas() \
+        .sort_values("rid", ignore_index=True)
+    grp = df.groupby("k")["v"]
+    n_g = grp.transform("size")
+    expected = np.where(
+        n_g > 1,
+        (grp.rank(method="min") - 1) / np.maximum(n_g - 1, 1), 0.0)
+    np.testing.assert_allclose(out["pr"].to_numpy(), expected,
+                               atol=1e-12)
+
+
+@given(st.lists(st.integers(1, 10**7), min_size=1, max_size=300))
+@RAY_SETTINGS
+def test_benford_counts_match_string_digits(vals):
+    from no_fasel_scrapers_ray.ops.relational import benford_digits
+    df = pd.DataFrame({"c": np.array(vals, dtype=np.int64)})
+    out = benford_digits(rd.from_pandas(df).repartition(2), "c")
+    ref = pd.Series([int(str(v)[0]) for v in vals]) \
+        .value_counts().reindex(range(1, 10), fill_value=0)
+    assert list(out["n"]) == list(ref)
+    assert abs(float(out["expected_n"].sum()) - len(vals)) < 1e-6
