@@ -6025,6 +6025,33 @@ def q_spearman_by_returnflag(sf_dir: str):
         "l_returnflag", "q", "c", "spearman")
 
 
+def q_kendall_cust_trend(sf_dir: str):
+    """Per-customer Kendall τ-b between order date and order value (§
+    statistical aggregates — the concordance score completing the rank
+    family next to Theil–Sen's slope): exact concordant/discordant/tie
+    pair counts per customer with ≥ 6 orders, ONE mirrored float
+    (ops/relational.py::kendall_tau_grouped)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import kendall_tau_grouped
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"],
+                   rows_per_block=65536)
+    DAY_US = 86400 * 1000000
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["o_orderdate"].to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(np.int64),
+            "day": ts // DAY_US,
+            "cents": np.round(b["o_totalprice"].to_numpy(np.float64)
+                              * 100).astype(np.int64)})
+
+    return kendall_tau_grouped(
+        orders.map_batches(prep, batch_format="pandas"),
+        "o_custkey", "day", "cents", "tau_b", min_points=6)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6226,6 +6253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_nation_price": q_mad_nation_price,
         "anova_nation_spend": q_anova_nation_spend,
         "spearman_by_returnflag": q_spearman_by_returnflag,
+        "kendall_cust_trend": q_kendall_cust_trend,
         "chisq_nation_priority": q_chisq_nation_priority,
         "mutual_info_priority_status": q_mutual_info_priority_status,
         "vocab_coverage": q_vocab_coverage,
@@ -6655,6 +6683,41 @@ def _oracle_sql_literal() -> dict[str, str]:
                    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
                        AS spearman
             FROM s
+        """,
+        "kendall_cust_trend": """
+            -- unordered pairs once (a.o_orderkey < b.o_orderkey);
+            -- concordance counts are orientation-symmetric
+            WITH o AS (SELECT o_custkey, o_orderkey,
+                              CAST(epoch_us(o_orderdate) AS BIGINT)
+                                  // 86400000000 AS d,
+                              CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                  AS c
+                       FROM orders),
+            g AS (SELECT o_custkey FROM o GROUP BY o_custkey
+                  HAVING COUNT(*) >= 6),
+            p AS (SELECT a.o_custkey,
+                         CASE WHEN (b.d - a.d) * (b.c - a.c) > 0
+                              THEN 1 ELSE 0 END AS con,
+                         CASE WHEN (b.d - a.d) * (b.c - a.c) < 0
+                              THEN 1 ELSE 0 END AS dis,
+                         CASE WHEN b.d = a.d THEN 1 ELSE 0 END AS tx,
+                         CASE WHEN b.c = a.c THEN 1 ELSE 0 END AS ty
+                  FROM o a JOIN o b
+                    ON a.o_custkey = b.o_custkey
+                   AND a.o_orderkey < b.o_orderkey),
+            s AS (SELECT p.o_custkey,
+                         CAST(SUM(con) AS BIGINT) AS c,
+                         CAST(SUM(dis) AS BIGINT) AS d,
+                         CAST(SUM(tx) AS BIGINT) AS tx,
+                         CAST(SUM(ty) AS BIGINT) AS ty,
+                         CAST(COUNT(*) AS BIGINT) AS n0
+                  FROM p JOIN g USING (o_custkey)
+                  GROUP BY p.o_custkey)
+            SELECT o_custkey,
+                   (CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+                   / sqrt(CAST(n0 - tx AS DOUBLE)
+                          * CAST(n0 - ty AS DOUBLE)) AS tau_b
+            FROM s WHERE n0 <> tx AND n0 <> ty
         """,
         "anova_nation_spend": """
             WITH b AS (SELECT c_nationkey,

@@ -2767,3 +2767,54 @@ def grouped_spearman(ds: rd.Dataset, key: str, xcol: str, ycol: str,
     return (pairs.map_batches(partial, batch_format="pandas")
             .groupby("__bucket").map_groups(final,
                                             batch_format="pandas"))
+
+
+def kendall_tau_grouped(ds: rd.Dataset, key: str, xcol: str, ycol: str,
+                        alias: str, min_points: int = 3,
+                        max_points: int = 10_000,
+                        n_buckets: int = 64) -> rd.Dataset:
+    """Per-group Kendall τ-b rank correlation — the concordance twin
+    of ``theil_sen_grouped`` (same many-small-groups O(k²) shape, same
+    loud group-size bound): over all unordered row pairs, concordant
+    C (Δx·Δy > 0), discordant D (< 0), x-ties tx (Δx = 0), y-ties ty;
+    τ-b = (C − D)/√((n₀ − tx)(n₀ − ty)) with n₀ = k(k−1)/2. All
+    counts exact int64; ONE mirrored float expression. Groups smaller
+    than ``min_points`` or with a constant side are dropped."""
+    add_bucket = _bucket_tagger([key], n_buckets,
+                                cols=[key, xcol, ycol])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys_out, taus = [], []
+        for kv, gg in g.groupby(key, sort=False):
+            k = len(gg)
+            if k < min_points:
+                continue
+            if k > max_points:
+                raise ValueError(
+                    f"kendall_tau_grouped: group {kv!r} has {k} points "
+                    f"(> max_points={max_points}); use an O(k log k) "
+                    "merge-sort inversion counter for big groups")
+            x = gg[xcol].to_numpy(np.int64)
+            y = gg[ycol].to_numpy(np.int64)
+            iu, iv = np.triu_indices(k, k=1)
+            dx = x[iv] - x[iu]
+            dy = y[iv] - y[iu]
+            s = np.sign(dx) * np.sign(dy)
+            c = int((s > 0).sum())
+            d = int((s < 0).sum())
+            tx = int((dx == 0).sum())
+            ty = int((dy == 0).sum())
+            n0 = k * (k - 1) // 2
+            if n0 == tx or n0 == ty:
+                continue    # constant side → undefined
+            # expression order mirrored in the SQL oracle
+            tau = (float(c) - float(d)) / np.sqrt(
+                float(n0 - tx) * float(n0 - ty))
+            keys_out.append(kv)
+            taus.append(tau)
+        return pd.DataFrame({key: keys_out,
+                             alias: np.array(taus, dtype=np.float64)})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas"))

@@ -454,3 +454,18 @@ def test_grouped_spearman_tiers_agree_and_planted():
                               broadcast_cutover=0).to_pandas() \
         .sort_values("k", ignore_index=True)
     pd.testing.assert_frame_equal(out, forced)
+
+
+def test_kendall_tau_planted():
+    from no_fasel_scrapers_ray.ops.relational import kendall_tau_grouped
+    x = np.arange(8, dtype=np.int64)
+    df = pd.DataFrame({
+        "k": ["up"] * 8 + ["down"] * 8 + ["tiny"] * 2,
+        "x": np.concatenate([x, x, [0, 1]]),
+        "y": np.concatenate([2 * x, -x, [5, 6]])})
+    out = kendall_tau_grouped(_ds(df, parts=3), "k", "x", "y", "tau",
+                              min_points=3).to_pandas() \
+        .sort_values("k", ignore_index=True)
+    # monotone up → +1, monotone down → -1, tiny group dropped
+    assert list(out["k"]) == ["down", "up"]
+    np.testing.assert_allclose(out["tau"], [-1.0, 1.0])
