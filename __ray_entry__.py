@@ -6052,6 +6052,96 @@ def q_kendall_cust_trend(sf_dir: str):
         "o_custkey", "day", "cents", "tau_b", min_points=6)
 
 
+def q_psi_order_value_drift(sf_dir: str):
+    """Population stability index of the order-value distribution,
+    1996 vs 1997 (§ statistical aggregates — the ML-monitoring drift
+    score next to the KL monitor and the CUSUM detector): fixed
+    equal-width cent bins (10 × $30k, open-ended top), exact per-bin
+    counts for both windows from ONE pruned streaming pass, then the
+    mirrored float Σ (p−q)·ln(p/q). Bins with support in only one
+    window would make PSI infinite; the fixed-bin width is chosen so
+    both windows populate every bin (asserted)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import grouped_multi_agg
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"],
+                   rows_per_block=65536)
+    BIN = 3_000_000          # cents
+    NBINS = 10
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["o_orderdate"].to_numpy().astype("datetime64[us]")
+        yr = ts.astype("datetime64[Y]").astype(np.int64) + 1970
+        m = (yr == 1996) | (yr == 1997)
+        cents = np.round(b["o_totalprice"].to_numpy(np.float64)[m]
+                         * 100).astype(np.int64)
+        binv = np.minimum(cents // BIN, NBINS - 1)
+        return pd.DataFrame({
+            "bin": binv,
+            "ref": (yr[m] == 1996).astype(np.int64),
+            "cur": (yr[m] == 1997).astype(np.int64)})
+
+    a = grouped_multi_agg(
+        orders.map_batches(prep, batch_format="pandas"), ["bin"],
+        {"n_ref": ("ref", "sum"), "n_cur": ("cur", "sum")},
+        n_buckets=8).to_pandas().sort_values("bin", ignore_index=True)
+    if (a["n_ref"].to_numpy() == 0).any() or \
+            (a["n_cur"].to_numpy() == 0).any():
+        raise ValueError("psi: a bin has support in only one window; "
+                         "widen the bins")
+    nr = float(int(a["n_ref"].sum()))
+    nc = float(int(a["n_cur"].sum()))
+    p = a["n_ref"].to_numpy(np.int64).astype(np.float64) / nr
+    q = a["n_cur"].to_numpy(np.int64).astype(np.float64) / nc
+    # expression order mirrored in the SQL oracle — keep in sync
+    a["psi_part"] = (q - p) * np.log(q / p)
+    return a[["bin", "n_ref", "n_cur", "psi_part"]]
+
+
+def q_welch_ttest_discount(sf_dir: str):
+    """Welch's unequal-variance t statistic comparing extended prices
+    of discounted (l_discount ≥ 0.05) vs barely-discounted line items
+    (§ statistical aggregates — the parametric twin of the
+    Mann–Whitney screen): exact per-side integer moment sums
+    (n, Σx, Σx²) combined in Python-int space, sample variance
+    s² = (Σx² − (Σx)²/n)/(n−1), ONE mirrored float t and
+    Welch–Satterthwaite df."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import grouped_multi_agg
+    li = _read(sf_dir, "lineitem", ["l_extendedprice", "l_discount"],
+               rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["l_extendedprice"].to_numpy(np.float64)
+                         * 100).astype(np.int64)
+        return pd.DataFrame({
+            "side": (b["l_discount"].to_numpy(np.float64) >= 0.05)
+            .astype(np.int64),
+            "one": np.ones(len(b), dtype=np.int64),
+            "sx": cents, "sxx": cents * cents})
+
+    a = grouped_multi_agg(
+        li.map_batches(prep, batch_format="pandas"), ["side"],
+        {"n": ("one", "sum"), "sx": ("sx", "sum"),
+         "sxx": ("sxx", "sum")}, n_buckets=8).to_pandas() \
+        .sort_values("side", ignore_index=True)
+    n0, n1 = (float(int(v)) for v in a["n"])
+    sx0, sx1 = (float(int(v)) for v in a["sx"])
+    ss0, ss1 = (float(int(v)) for v in a["sxx"])
+    # expression order mirrored in the SQL oracle — keep in sync
+    m0, m1 = sx0 / n0, sx1 / n1
+    v0 = (ss0 - sx0 * sx0 / n0) / (n0 - 1.0)
+    v1 = (ss1 - sx1 * sx1 / n1) / (n1 - 1.0)
+    se2 = v0 / n0 + v1 / n1
+    t = (m1 - m0) / np.sqrt(se2)
+    df = se2 * se2 / ((v0 / n0) * (v0 / n0) / (n0 - 1.0)
+                      + (v1 / n1) * (v1 / n1) / (n1 - 1.0))
+    return pd.DataFrame({
+        "n_a": np.array([n1], dtype=np.int64),
+        "n_b": np.array([n0], dtype=np.int64),
+        "t_stat": np.array([t], dtype=np.float64),
+        "welch_df": np.array([df], dtype=np.float64)})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6254,6 +6344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anova_nation_spend": q_anova_nation_spend,
         "spearman_by_returnflag": q_spearman_by_returnflag,
         "kendall_cust_trend": q_kendall_cust_trend,
+        "psi_order_value_drift": q_psi_order_value_drift,
+        "welch_ttest_discount": q_welch_ttest_discount,
         "chisq_nation_priority": q_chisq_nation_priority,
         "mutual_info_priority_status": q_mutual_info_priority_status,
         "vocab_coverage": q_vocab_coverage,
@@ -6683,6 +6775,62 @@ def _oracle_sql_literal() -> dict[str, str]:
                    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
                        AS spearman
             FROM s
+        """,
+        "psi_order_value_drift": """
+            WITH b AS (SELECT LEAST(CAST(ROUND(o_totalprice * 100)
+                                         AS BIGINT) // 3000000, 9)
+                                  AS bin,
+                              CASE WHEN year(o_orderdate) = 1996
+                                   THEN 1 ELSE 0 END AS ref,
+                              CASE WHEN year(o_orderdate) = 1997
+                                   THEN 1 ELSE 0 END AS cur
+                       FROM orders
+                       WHERE year(o_orderdate) IN (1996, 1997)),
+            a AS (SELECT bin, CAST(SUM(ref) AS BIGINT) AS n_ref,
+                         CAST(SUM(cur) AS BIGINT) AS n_cur
+                  FROM b GROUP BY bin),
+            t AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS nr,
+                         CAST(SUM(n_cur) AS DOUBLE) AS nc FROM a)
+            SELECT bin, n_ref, n_cur,
+                   (CAST(n_cur AS DOUBLE) / nc
+                    - CAST(n_ref AS DOUBLE) / nr)
+                   * ln((CAST(n_cur AS DOUBLE) / nc)
+                        / (CAST(n_ref AS DOUBLE) / nr)) AS psi_part
+            FROM a, t
+        """,
+        "welch_ttest_discount": """
+            WITH b AS (SELECT CASE WHEN l_discount >= 0.05 THEN 1
+                                   ELSE 0 END AS side,
+                              CAST(ROUND(l_extendedprice * 100)
+                                   AS BIGINT) AS x
+                       FROM lineitem),
+            a AS (SELECT side, CAST(COUNT(*) AS DOUBLE) AS n,
+                         CAST(SUM(x) AS DOUBLE) AS sx,
+                         CAST(SUM(CAST(x AS HUGEINT)
+                                  * CAST(x AS HUGEINT)) AS DOUBLE)
+                             AS ss
+                  FROM b GROUP BY side),
+            s AS (SELECT
+                    MAX(CASE WHEN side = 0 THEN n END) AS n0,
+                    MAX(CASE WHEN side = 1 THEN n END) AS n1,
+                    MAX(CASE WHEN side = 0 THEN sx END) AS sx0,
+                    MAX(CASE WHEN side = 1 THEN sx END) AS sx1,
+                    MAX(CASE WHEN side = 0 THEN ss END) AS ss0,
+                    MAX(CASE WHEN side = 1 THEN ss END) AS ss1
+                  FROM a),
+            v AS (SELECT n0, n1, sx0, sx1,
+                         (ss0 - sx0 * sx0 / n0) / (n0 - 1.0) AS v0,
+                         (ss1 - sx1 * sx1 / n1) / (n1 - 1.0) AS v1
+                  FROM s)
+            SELECT CAST(n1 AS BIGINT) AS n_a,
+                   CAST(n0 AS BIGINT) AS n_b,
+                   (sx1 / n1 - sx0 / n0)
+                   / sqrt(v0 / n0 + v1 / n1) AS t_stat,
+                   (v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1)
+                   / ((v0 / n0) * (v0 / n0) / (n0 - 1.0)
+                      + (v1 / n1) * (v1 / n1) / (n1 - 1.0))
+                       AS welch_df
+            FROM v
         """,
         "kendall_cust_trend": """
             -- unordered pairs once (a.o_orderkey < b.o_orderkey);

@@ -106,7 +106,8 @@ BENCH_QUERIES = [
     "local_clustering", "mannwhitney_discount", "mad_nation_price",
     "anova_nation_spend", "chisq_nation_priority",
     "mutual_info_priority_status", "vocab_coverage",
-    "kendall_cust_trend",
+    "kendall_cust_trend", "psi_order_value_drift",
+    "welch_ttest_discount",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the
