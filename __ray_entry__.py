@@ -6142,6 +6142,55 @@ def q_welch_ttest_discount(sf_dir: str):
         "welch_df": np.array([df], dtype=np.float64)})
 
 
+def q_ppr_top_customers(sf_dir: str):
+    """Personalized PageRank over the customer→supplier fulfillment
+    graph, teleporting to the five lowest-id purchasing customers (§
+    graph operators — the seed-proximity primitive next to global
+    PageRank; the graph analogue of seed-based corpus expansion).
+    Same edge build as `pagerank_cust_supp` (distinct pairs via the
+    bucketed orders⋈lineitem join, supplier ids offset by 2^40);
+    3 damped iterations, round-9 contract (round-6 lands exact
+    half-boundary ties where numpy half-even and SQL half-away
+    disagree; at 9 decimals the analytic values are never ties)
+    (ops/graph.py::personalized_pagerank)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.graph import personalized_pagerank
+    from no_fasel_scrapers_ray.ops.relational import (bucketed_join,
+                                                      preagg_reduce,
+                                                      round_columns)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                   rows_per_block=65536)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"],
+               rows_per_block=65536)
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].to_numpy(),
+            "dst": b["l_suppkey"].to_numpy() + (1 << 40)})
+
+    j = bucketed_join(li.map_batches(li_prep, batch_format="pandas"),
+                      orders, on="o_orderkey", how="inner")
+
+    def to_edge(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": b["o_custkey"].to_numpy(),
+                             "dst": b["dst"].to_numpy(),
+                             "one": np.ones(len(b), dtype=np.int64)})
+
+    edges = preagg_reduce(
+        j.map_batches(to_edge, batch_format="pandas"),
+        ["src", "dst"], "one", "min").drop_columns(["one"]) \
+        .materialize()
+    srcs = preagg_reduce(
+        edges.map_batches(lambda b: pd.DataFrame(
+            {"node": b["src"], "one": np.int64(1)}),
+            batch_format="pandas"),
+        ["node"], "one", "min").to_pandas()
+    seeds = np.sort(srcs["node"].to_numpy(np.int64))[:5].tolist()
+    return round_columns(
+        personalized_pagerank(edges, seeds, damping=0.85, iters=3),
+        {"rank": 9})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6345,6 +6394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_by_returnflag": q_spearman_by_returnflag,
         "kendall_cust_trend": q_kendall_cust_trend,
         "psi_order_value_drift": q_psi_order_value_drift,
+        "ppr_top_customers": q_ppr_top_customers,
         "welch_ttest_discount": q_welch_ttest_discount,
         "chisq_nation_priority": q_chisq_nation_priority,
         "mutual_info_priority_status": q_mutual_info_priority_status,
@@ -6775,6 +6825,67 @@ def _oracle_sql_literal() -> dict[str, str]:
                    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
                        AS spearman
             FROM s
+        """,
+        "ppr_top_customers": """
+            -- 3 unrolled damped iterations; teleport vector p on the
+            -- 5 lowest-id purchasing customers; dangling mass returns
+            -- to p; mirrored update expression, round-6
+            WITH e AS (
+                SELECT DISTINCT o_custkey AS src,
+                       1099511627776 + l_suppkey AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            seeds AS (SELECT DISTINCT src AS node FROM e
+                      ORDER BY node LIMIT 5),
+            ks AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM seeds),
+            pv AS (SELECT nd.node,
+                          CASE WHEN s.node IS NOT NULL
+                               THEN 1.0 / (SELECT k FROM ks)
+                               ELSE 0.0 END AS p
+                   FROM nodes nd
+                   LEFT JOIN seeds s ON nd.node = s.node),
+            deg AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE)
+                               AS deg
+                    FROM e GROUP BY src),
+            r0 AS (SELECT node, p AS r FROM pv),
+            d1 AS (SELECT COALESCE(SUM(r.r), 0) AS dang FROM r0 r
+                   LEFT JOIN deg d ON r.node = d.node
+                   WHERE d.node IS NULL),
+            c1 AS (SELECT e.dst AS node, SUM(r.r / d.deg) AS contrib
+                   FROM e JOIN r0 r ON e.src = r.node
+                   JOIN deg d ON e.src = d.node GROUP BY e.dst),
+            r1 AS (SELECT pv.node,
+                          (1.0 - 0.85) * pv.p
+                          + 0.85 * (COALESCE(c.contrib, 0)
+                                    + (SELECT dang FROM d1) * pv.p)
+                              AS r
+                   FROM pv LEFT JOIN c1 c ON pv.node = c.node),
+            d2 AS (SELECT COALESCE(SUM(r.r), 0) AS dang FROM r1 r
+                   LEFT JOIN deg d ON r.node = d.node
+                   WHERE d.node IS NULL),
+            c2 AS (SELECT e.dst AS node, SUM(r.r / d.deg) AS contrib
+                   FROM e JOIN r1 r ON e.src = r.node
+                   JOIN deg d ON e.src = d.node GROUP BY e.dst),
+            r2 AS (SELECT pv.node,
+                          (1.0 - 0.85) * pv.p
+                          + 0.85 * (COALESCE(c.contrib, 0)
+                                    + (SELECT dang FROM d2) * pv.p)
+                              AS r
+                   FROM pv LEFT JOIN c2 c ON pv.node = c.node),
+            d3 AS (SELECT COALESCE(SUM(r.r), 0) AS dang FROM r2 r
+                   LEFT JOIN deg d ON r.node = d.node
+                   WHERE d.node IS NULL),
+            c3 AS (SELECT e.dst AS node, SUM(r.r / d.deg) AS contrib
+                   FROM e JOIN r2 r ON e.src = r.node
+                   JOIN deg d ON e.src = d.node GROUP BY e.dst),
+            r3 AS (SELECT pv.node,
+                          (1.0 - 0.85) * pv.p
+                          + 0.85 * (COALESCE(c.contrib, 0)
+                                    + (SELECT dang FROM d3) * pv.p)
+                              AS r
+                   FROM pv LEFT JOIN c3 c ON pv.node = c.node)
+            SELECT node, ROUND(r, 9) AS rank FROM r3
         """,
         "psi_order_value_drift": """
             WITH b AS (SELECT LEAST(CAST(ROUND(o_totalprice * 100)

@@ -107,7 +107,7 @@ BENCH_QUERIES = [
     "anova_nation_spend", "chisq_nation_priority",
     "mutual_info_priority_status", "vocab_coverage",
     "kendall_cust_trend", "psi_order_value_drift",
-    "welch_ttest_discount",
+    "welch_ttest_discount", "ppr_top_customers",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the

@@ -2142,3 +2142,125 @@ def local_clustering(edges: rd.Dataset, n_buckets: int = 64,
         np.add.at(tri, parts["idx"].to_numpy(np.int64),
                   parts["t"].to_numpy(np.int64))
     return _finish(ids_arr, deg_arr, tri)
+
+
+def personalized_pagerank(edges: rd.Dataset, seeds: "list[int]",
+                          damping: float = 0.85, iters: int = 3,
+                          n_buckets: int = 64,
+                          small_threshold: int = 1 << 18) -> rd.Dataset:
+    """Personalized PageRank: the random walk teleports to the SEED
+    set instead of the whole node universe — rank mass concentrates
+    around the seeds, the classic graph-proximity primitive
+    (seed-based corpus expansion, trust propagation, related-item
+    retrieval). Update rule r ← (1−d)·p + d·(contrib + dang·p) with
+    p = 1/|seeds| on seeds and 0 elsewhere (dangling mass returns to
+    the seeds, so total mass stays exactly 1). Engine addition (§
+    graph operators); no reference analogue.
+
+    Tiers mirror ``pagerank``: driver power iteration below
+    ``small_threshold`` edges, else the tier-2 broadcast-rank shape —
+    node state broadcast via ``ray.put``, edges streamed once per
+    iteration, one node-sized bucketed reduce per iteration. The
+    tier-3 posture is identical to ``pagerank``'s BSP kernel (the
+    static edge split carries any restart vector — p is node-sized
+    state like rank), so the 100-TB path is the same topology; this
+    op keeps the two tiers its bench sizes exercise. Seeds must be
+    graph nodes (raises otherwise — a silent drop would desync the
+    mirrored oracle). Returns (node, rank) unrounded."""
+    import ray
+
+    from .relational import broadcast_get, preagg_reduce
+
+    seeds_arr = np.unique(np.asarray(seeds, dtype=np.int64))
+    if not len(seeds_arr):
+        raise ValueError("personalized_pagerank: empty seed set")
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        raise ValueError("personalized_pagerank: empty edge list")
+
+    def _iterate(ids: np.ndarray, deg: np.ndarray,
+                 contrib_fn) -> "pa.Table":
+        n = len(ids)
+        spos = np.searchsorted(ids, seeds_arr)
+        spos_ok = (spos < n) & (ids[np.minimum(spos, n - 1)]
+                                == seeds_arr)
+        if not spos_ok.all():
+            raise ValueError("personalized_pagerank: seeds "
+                             f"{seeds_arr[~spos_ok].tolist()} are not "
+                             "graph nodes")
+        p = np.zeros(n)
+        p[spos] = 1.0 / len(seeds_arr)
+        rank = p.copy()
+        for _ in range(iters):
+            contrib = contrib_fn(rank)
+            dang = rank[deg == 0].sum()
+            # mirrored in the SQL oracle — keep in sync
+            rank = (1.0 - damping) * p \
+                + damping * (contrib + dang * p)
+        return pa.table({"node": ids, "rank": rank})
+
+    if n_edges <= small_threshold:
+        df = edges.to_pandas()
+        src = df["src"].to_numpy(np.int64)
+        dst = df["dst"].to_numpy(np.int64)
+        ids = np.unique(np.concatenate([src, dst]))
+        si = np.searchsorted(ids, src)
+        di = np.searchsorted(ids, dst)
+        deg = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(deg, si, 1)
+
+        def contrib_driver(rank: np.ndarray) -> np.ndarray:
+            contrib = np.zeros(len(ids))
+            np.add.at(contrib, di, rank[si] / deg[si])
+            return contrib
+
+        return rd.from_arrow(_iterate(ids, deg, contrib_driver))
+
+    # tier 2: broadcast node state, stream edges once per iteration
+    def _nodes_of(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": pd.unique(np.concatenate(
+            [b["src"].to_numpy(np.int64),
+             b["dst"].to_numpy(np.int64)])), "one": np.int64(1)})
+
+    node_ds = preagg_reduce(
+        edges.map_batches(_nodes_of, batch_format="pandas"),
+        ["node"], "one", "min", n_buckets=n_buckets)
+    ids = np.sort(node_ds.to_pandas()["node"].to_numpy(np.int64))
+    n = len(ids)
+    deg_df = preagg_reduce(
+        edges.map_batches(lambda b: pd.DataFrame({"node": b["src"]}),
+                          batch_format="pandas"),
+        ["node"], "deg", "count", n_buckets=n_buckets).to_pandas()
+    deg = np.zeros(n, dtype=np.int64)
+    deg[np.searchsorted(ids, deg_df["node"].to_numpy(np.int64))] = \
+        deg_df["deg"].to_numpy(np.int64)
+    ids_ref = ray.put(ids)
+    deg_ref = ray.put(deg)
+
+    def contrib_bcast(rank: np.ndarray) -> np.ndarray:
+        rank_ref = ray.put(rank)
+
+        def contrib_batch(b: pd.DataFrame) -> pd.DataFrame:
+            _ids = broadcast_get(ids_ref)
+            _deg = broadcast_get(deg_ref)
+            _rank = broadcast_get(rank_ref)
+            si = np.searchsorted(_ids, b["src"].to_numpy(np.int64))
+            share = _rank[si] / _deg[si]
+            return pd.DataFrame(
+                {"node": b["dst"].to_numpy(np.int64),
+                 "contrib": share}) \
+                .groupby("node", as_index=False)["contrib"].sum()
+
+        agg = preagg_reduce(
+            edges.map_batches(contrib_batch, batch_format="pandas"),
+            ["node"], "contrib", "sum", n_buckets=n_buckets) \
+            .to_pandas()
+        contrib = np.zeros(n)
+        contrib[np.searchsorted(
+            ids, agg["node"].to_numpy(np.int64))] = \
+            agg["contrib"].to_numpy()
+        return contrib
+
+    return rd.from_arrow(_iterate(ids, deg, contrib_bcast))

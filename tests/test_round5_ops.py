@@ -469,3 +469,29 @@ def test_kendall_tau_planted():
     # monotone up → +1, monotone down → -1, tiny group dropped
     assert list(out["k"]) == ["down", "up"]
     np.testing.assert_allclose(out["tau"], [-1.0, 1.0])
+
+
+def test_personalized_pagerank_tiers_and_concentration():
+    from no_fasel_scrapers_ray.ops.graph import personalized_pagerank
+    # star around seed 1 plus a far chain: mass concentrates near the
+    # seed; tier-2 (forced) must match the driver tier exactly
+    e = pd.DataFrame({"src": [1, 1, 1, 2, 3, 4, 5, 6],
+                      "dst": [2, 3, 4, 5, 6, 7, 8, 9]})
+    ds = _ds(e, parts=2)
+    a = personalized_pagerank(ds, [1], iters=3).to_pandas() \
+        .sort_values("node", ignore_index=True)
+    b = personalized_pagerank(ds, [1], iters=3, small_threshold=0) \
+        .to_pandas().sort_values("node", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    r = dict(zip(a["node"], a["rank"]))
+    # finite-iteration PPR on a DAG is a traveling wave, so no
+    # monotone-decay claim; the invariants: the seed keeps at least
+    # its teleport floor (1-d)·1, nodes unreachable in ≤3 hops from
+    # the seed hold exactly 0, total mass is conserved
+    assert r[1] >= 0.15
+    assert all(r[n] > 0 for n in [2, 3, 4, 5, 6, 7, 8, 9])
+    np.testing.assert_allclose(a["rank"].sum(), 1.0)  # mass conserved
+    # seeds must be graph nodes
+    import pytest
+    with pytest.raises(ValueError):
+        personalized_pagerank(ds, [999], iters=1)
