@@ -5952,14 +5952,17 @@ def q_anova_nation_spend(sf_dir: str):
     """One-way ANOVA of order totals across nations (§ statistical
     aggregates — the k-sample generalization of the two-proportion
     z-test): F = (SSB/(k−1)) / (SSW/(n−k)) from exact per-nation
-    moment sums (n, Σx, Σx²) in integer cents, combined in Python-int
-    space, then ONE mirrored float expression. One bucketed agg with
-    the broadcast customer→nation dim; constant rows cross the
-    wire."""
+    moment sums (n, Σx, Σx²) in integer cents: per-batch int64
+    partials at a batch size bounded so batch·max(x²) fits int64
+    (cents < 2³¹ → 2048 rows is safe), combined on the driver in
+    Python-int (object) space — the grouped_corr overflow discipline;
+    a GROUP total Σx² exceeds int64 from sf≈0.3, so the group combine
+    must never run in int64. One streaming pass with the broadcast
+    customer→nation dim; one tiny partial row per nation per batch
+    crosses the wire."""
     import pandas as pd
     import ray
-    from no_fasel_scrapers_ray.ops.relational import (broadcast_get,
-                                                      grouped_multi_agg)
+    from no_fasel_scrapers_ray.ops.relational import broadcast_get
     cust = _read(sf_dir, "customer",
                  ["c_custkey", "c_nationkey"]).to_pandas()
     cust = cust.sort_values("c_custkey")
@@ -5968,21 +5971,22 @@ def q_anova_nation_spend(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
                    rows_per_block=65536)
 
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
         c = b["o_custkey"].to_numpy(np.int64)
         cents = np.round(b["o_totalprice"].to_numpy(np.float64)
                          * 100).astype(np.int64)
-        return pd.DataFrame({
+        t = pd.DataFrame({
             "c_nationkey": broadcast_get(cn)[
                 np.searchsorted(broadcast_get(ck), c)],
-            "one": np.ones(len(b), dtype=np.int64),
+            "n": np.ones(len(b), dtype=np.int64),
             "sx": cents, "sxx": cents * cents})
+        return t.groupby("c_nationkey", as_index=False).sum()
 
-    a = grouped_multi_agg(
-        orders.map_batches(prep, batch_format="pandas"),
-        ["c_nationkey"], {"n": ("one", "sum"), "sx": ("sx", "sum"),
-                          "sxx": ("sxx", "sum")},
-        n_buckets=8).to_pandas()
+    a = (orders.map_batches(partial, batch_format="pandas",
+                            batch_size=2048).to_pandas()
+         .astype({"n": object, "sx": object, "sxx": object})
+         .groupby("c_nationkey", as_index=False)[["n", "sx", "sxx"]]
+         .sum())
     k = float(len(a))
     n_tot = float(sum(int(v) for v in a["n"]))
     sx_tot = float(sum(int(v) for v in a["sx"]))
@@ -6101,29 +6105,33 @@ def q_welch_ttest_discount(sf_dir: str):
     """Welch's unequal-variance t statistic comparing extended prices
     of discounted (l_discount ≥ 0.05) vs barely-discounted line items
     (§ statistical aggregates — the parametric twin of the
-    Mann–Whitney screen): exact per-side integer moment sums
-    (n, Σx, Σx²) combined in Python-int space, sample variance
+    Mann–Whitney screen): per-side integer moment sums (n, Σx, Σx²)
+    from per-batch int64 partials at an overflow-safe batch size
+    (cents < 2³¹ → 2048 rows), combined on the driver in Python-int
+    (object) space — a SIDE total Σx² passes int64 already near
+    sf≈0.3, so the side combine must never run in int64 (the
+    grouped_corr discipline). Sample variance
     s² = (Σx² − (Σx)²/n)/(n−1), ONE mirrored float t and
     Welch–Satterthwaite df."""
     import pandas as pd
-    from no_fasel_scrapers_ray.ops.relational import grouped_multi_agg
     li = _read(sf_dir, "lineitem", ["l_extendedprice", "l_discount"],
                rows_per_block=65536)
 
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
         cents = np.round(b["l_extendedprice"].to_numpy(np.float64)
                          * 100).astype(np.int64)
-        return pd.DataFrame({
+        t = pd.DataFrame({
             "side": (b["l_discount"].to_numpy(np.float64) >= 0.05)
             .astype(np.int64),
-            "one": np.ones(len(b), dtype=np.int64),
+            "n": np.ones(len(b), dtype=np.int64),
             "sx": cents, "sxx": cents * cents})
+        return t.groupby("side", as_index=False).sum()
 
-    a = grouped_multi_agg(
-        li.map_batches(prep, batch_format="pandas"), ["side"],
-        {"n": ("one", "sum"), "sx": ("sx", "sum"),
-         "sxx": ("sxx", "sum")}, n_buckets=8).to_pandas() \
-        .sort_values("side", ignore_index=True)
+    a = (li.map_batches(partial, batch_format="pandas",
+                        batch_size=2048).to_pandas()
+         .astype({"n": object, "sx": object, "sxx": object})
+         .groupby("side", as_index=False)[["n", "sx", "sxx"]].sum()
+         .sort_values("side", ignore_index=True))
     n0, n1 = (float(int(v)) for v in a["n"])
     sx0, sx1 = (float(int(v)) for v in a["sx"])
     ss0, ss1 = (float(int(v)) for v in a["sxx"])
@@ -6825,6 +6833,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
                        AS spearman
             FROM s
+            WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
         """,
         "ppr_top_customers": """
             -- 3 unrolled damped iterations; teleport vector p on the

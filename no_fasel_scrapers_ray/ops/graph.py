@@ -535,42 +535,72 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
         for j in range(n_buckets)])))
 
 
+def _restart_vector(ids: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """Teleport vector for personalized PageRank: 1/|seeds| on the
+    seed nodes, 0 elsewhere. Seeds absent from the node set raise —
+    a silent drop would desync any mirrored oracle."""
+    n = len(ids)
+    pos = np.searchsorted(ids, seeds)
+    ok = (pos < n) & (ids[np.minimum(pos, n - 1)] == seeds)
+    if not ok.all():
+        raise ValueError("personalized_pagerank: seeds "
+                         f"{seeds[~ok].tolist()} are not graph nodes")
+    p = np.zeros(n)
+    p[pos] = 1.0 / len(seeds)
+    return p
+
+
 def _driver_pagerank(src: np.ndarray, dst: np.ndarray, damping: float,
-                     iters: int) -> pa.Table:
+                     iters: int,
+                     seeds: np.ndarray | None = None) -> pa.Table:
     """Power iteration over an edge list small enough for the driver
     (the same size cutover as ``connected_components``). Vectorized:
-    per-iteration contribution scatter via ``np.add.at``."""
+    per-iteration contribution scatter via ``np.add.at``. With
+    ``seeds`` the walk teleports to the seed set (personalized
+    PageRank: init = p, update (1−d)·p + d·(contrib + dang·p));
+    without, the uniform expressions are kept verbatim so global
+    pagerank stays bitwise-stable against its recorded oracles."""
     nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
     n = len(nodes)
     s, d = inv[:len(src)], inv[len(src):]
     deg = np.zeros(n, dtype=np.int64)
     np.add.at(deg, s, 1)
-    rank = np.full(n, 1.0 / n)
+    p = _restart_vector(nodes, seeds) if seeds is not None else None
+    rank = p.copy() if p is not None else np.full(n, 1.0 / n)
     for _ in range(iters):
         dang = rank[deg == 0].sum()
         contrib = np.zeros(n)
         np.add.at(contrib, d, rank[s] / deg[s])
-        rank = (1.0 - damping) / n + damping * (contrib + dang / n)
+        if p is not None:   # mirrored in the PPR SQL oracle
+            rank = (1.0 - damping) * p + damping * (contrib + dang * p)
+        else:
+            rank = (1.0 - damping) / n + damping * (contrib + dang / n)
     return pa.table({"node": nodes, "rank": rank})
 
 
 def _broadcast_pagerank(edges: rd.Dataset, node_ds: rd.Dataset,
                         damping: float, iters: int, n_buckets: int,
                         broadcast_get,
-                        checkpoint_dir: str | None = None) -> rd.Dataset:
+                        checkpoint_dir: str | None = None,
+                        seeds: np.ndarray | None = None) -> rd.Dataset:
     """Tier-2 PageRank: node state (ids / deg / rank, ~24 B per node)
     lives as driver arrays broadcast via ``ray.put``; edges stay
     distributed and are streamed ONCE per iteration. Per iteration:
     one map over edge blocks (searchsorted src → share, per-batch
     partial dst-sums so the shuffle moves ≤ distinct-dst-per-batch
     rows) + one node-sized bucketed sum-reduce + a driver scatter for
-    the update rule. No joins, no edge movement."""
+    the update rule. No joins, no edge movement. With ``seeds`` the
+    update teleports to the seed set (personalized PageRank; the
+    restart vector is node-sized state exactly like rank, so the
+    topology is unchanged); without, the uniform expressions are kept
+    verbatim for bitwise stability of global pagerank."""
     import ray
 
     from .relational import preagg_reduce
 
     ids = np.sort(node_ds.to_pandas()["node"].to_numpy(dtype=np.int64))
     n = len(ids)
+    p = _restart_vector(ids, seeds) if seeds is not None else None
 
     # out-degree per src, aligned to ids — built distributed, pulled
     # once (node-sized by definition of this tier)
@@ -584,12 +614,14 @@ def _broadcast_pagerank(edges: rd.Dataset, node_ds: rd.Dataset,
 
     ids_ref = ray.put(ids)
     deg_ref = ray.put(deg)
-    rank = np.full(n, 1.0 / n)
+    rank = p.copy() if p is not None else np.full(n, 1.0 / n)
 
     start_iter, ck_path = _ckpt_resume(
         checkpoint_dir, "pagerank",
         {"op": "pagerank2", "n_nodes": n, "damping": damping,
-         "iters": iters}, max_iters=iters)
+         "iters": iters,
+         "seeds": (np.sort(seeds).tolist() if seeds is not None
+                   else None)}, max_iters=iters)
     if ck_path and start_iter > 0:
         import pyarrow.parquet as pq
         t = pq.read_table(ck_path)
@@ -618,7 +650,10 @@ def _broadcast_pagerank(edges: rd.Dataset, node_ds: rd.Dataset,
             ids, agg["node"].to_numpy(dtype=np.int64))] = \
             agg["contrib"].to_numpy()
         dang = rank[deg == 0].sum()
-        rank = (1.0 - damping) / n + damping * (contrib + dang / n)
+        if p is not None:   # mirrored in the PPR SQL oracle
+            rank = (1.0 - damping) * p + damping * (contrib + dang * p)
+        else:
+            rank = (1.0 - damping) / n + damping * (contrib + dang / n)
         if checkpoint_dir:
             _ckpt_write_table(checkpoint_dir, "pagerank", _it + 1,
                               pa.table({"node": ids, "rank": rank}))
@@ -2017,7 +2052,9 @@ def _tri_participation(u: np.ndarray, v: np.ndarray,
 
 
 def local_clustering(edges: rd.Dataset, n_buckets: int = 64,
-                     small_threshold: int = 1 << 18) -> pd.DataFrame:
+                     small_threshold: int = 1 << 18,
+                     broadcast_edge_threshold: int = 1 << 25
+                     ) -> pd.DataFrame:
     """Per-node triangle count and local clustering coefficient
     ``lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1))`` over a DISTINCT
     canonical edge list (columns ``a`` < ``b``), for every node with
@@ -2115,6 +2152,18 @@ def local_clustering(edges: rd.Dataset, n_buckets: int = 64,
 
     directed = edges.map_batches(orient,
                                  batch_format="pandas").materialize()
+    # the broadcast closing check pulls the packed edge-key set to the
+    # driver (8 B/edge) — the SAME budget triangle_count's middle tier
+    # enforces; beyond it the per-node variant would need the BSP
+    # closing exchange (triangle_count's tier 3 with per-corner
+    # emission), which this op does not implement — fail loudly
+    # instead of OOMing the driver
+    if n_edges > broadcast_edge_threshold:
+        raise ValueError(
+            f"local_clustering: {n_edges} edges exceed the broadcast "
+            f"closing-key budget ({broadcast_edge_threshold}); extend "
+            "with the triangle_count tier-3 exchange for larger "
+            "graphs")
     ek = directed.to_pandas()
     du, dv = ek["u"].to_numpy(), ek["v"].to_numpy()
     keys_ref = ray.put(np.sort(np.where(
@@ -2147,7 +2196,9 @@ def local_clustering(edges: rd.Dataset, n_buckets: int = 64,
 def personalized_pagerank(edges: rd.Dataset, seeds: "list[int]",
                           damping: float = 0.85, iters: int = 3,
                           n_buckets: int = 64,
-                          small_threshold: int = 1 << 18) -> rd.Dataset:
+                          small_threshold: int = 1 << 18,
+                          checkpoint_dir: str | None = None
+                          ) -> rd.Dataset:
     """Personalized PageRank: the random walk teleports to the SEED
     set instead of the whole node universe — rank mass concentrates
     around the seeds, the classic graph-proximity primitive
@@ -2157,18 +2208,15 @@ def personalized_pagerank(edges: rd.Dataset, seeds: "list[int]",
     the seeds, so total mass stays exactly 1). Engine addition (§
     graph operators); no reference analogue.
 
-    Tiers mirror ``pagerank``: driver power iteration below
-    ``small_threshold`` edges, else the tier-2 broadcast-rank shape —
-    node state broadcast via ``ray.put``, edges streamed once per
-    iteration, one node-sized bucketed reduce per iteration. The
-    tier-3 posture is identical to ``pagerank``'s BSP kernel (the
-    static edge split carries any restart vector — p is node-sized
-    state like rank), so the 100-TB path is the same topology; this
-    op keeps the two tiers its bench sizes exercise. Seeds must be
-    graph nodes (raises otherwise — a silent drop would desync the
-    mirrored oracle). Returns (node, rank) unrounded."""
-    import ray
-
+    Thin dispatcher over the SAME kernels as ``pagerank`` — the
+    restart vector is node-sized state exactly like rank, so
+    ``_driver_pagerank`` / ``_broadcast_pagerank`` carry it with a
+    branch in the update rule (checkpoint manifests fingerprint the
+    seed set). The tier-3 posture is identical to pagerank's BSP
+    kernel for the same reason; this op keeps the two tiers its bench
+    sizes exercise. Seeds must be graph nodes (raises otherwise — a
+    silent drop would desync the mirrored oracle). Returns
+    (node, rank) unrounded."""
     from .relational import broadcast_get, preagg_reduce
 
     seeds_arr = np.unique(np.asarray(seeds, dtype=np.int64))
@@ -2180,45 +2228,13 @@ def personalized_pagerank(edges: rd.Dataset, seeds: "list[int]",
     if n_edges == 0:
         raise ValueError("personalized_pagerank: empty edge list")
 
-    def _iterate(ids: np.ndarray, deg: np.ndarray,
-                 contrib_fn) -> "pa.Table":
-        n = len(ids)
-        spos = np.searchsorted(ids, seeds_arr)
-        spos_ok = (spos < n) & (ids[np.minimum(spos, n - 1)]
-                                == seeds_arr)
-        if not spos_ok.all():
-            raise ValueError("personalized_pagerank: seeds "
-                             f"{seeds_arr[~spos_ok].tolist()} are not "
-                             "graph nodes")
-        p = np.zeros(n)
-        p[spos] = 1.0 / len(seeds_arr)
-        rank = p.copy()
-        for _ in range(iters):
-            contrib = contrib_fn(rank)
-            dang = rank[deg == 0].sum()
-            # mirrored in the SQL oracle — keep in sync
-            rank = (1.0 - damping) * p \
-                + damping * (contrib + dang * p)
-        return pa.table({"node": ids, "rank": rank})
-
     if n_edges <= small_threshold:
         df = edges.to_pandas()
-        src = df["src"].to_numpy(np.int64)
-        dst = df["dst"].to_numpy(np.int64)
-        ids = np.unique(np.concatenate([src, dst]))
-        si = np.searchsorted(ids, src)
-        di = np.searchsorted(ids, dst)
-        deg = np.zeros(len(ids), dtype=np.int64)
-        np.add.at(deg, si, 1)
+        return rd.from_arrow(_driver_pagerank(
+            df["src"].to_numpy(np.int64),
+            df["dst"].to_numpy(np.int64), damping, iters,
+            seeds=seeds_arr))
 
-        def contrib_driver(rank: np.ndarray) -> np.ndarray:
-            contrib = np.zeros(len(ids))
-            np.add.at(contrib, di, rank[si] / deg[si])
-            return contrib
-
-        return rd.from_arrow(_iterate(ids, deg, contrib_driver))
-
-    # tier 2: broadcast node state, stream edges once per iteration
     def _nodes_of(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": pd.unique(np.concatenate(
             [b["src"].to_numpy(np.int64),
@@ -2227,40 +2243,7 @@ def personalized_pagerank(edges: rd.Dataset, seeds: "list[int]",
     node_ds = preagg_reduce(
         edges.map_batches(_nodes_of, batch_format="pandas"),
         ["node"], "one", "min", n_buckets=n_buckets)
-    ids = np.sort(node_ds.to_pandas()["node"].to_numpy(np.int64))
-    n = len(ids)
-    deg_df = preagg_reduce(
-        edges.map_batches(lambda b: pd.DataFrame({"node": b["src"]}),
-                          batch_format="pandas"),
-        ["node"], "deg", "count", n_buckets=n_buckets).to_pandas()
-    deg = np.zeros(n, dtype=np.int64)
-    deg[np.searchsorted(ids, deg_df["node"].to_numpy(np.int64))] = \
-        deg_df["deg"].to_numpy(np.int64)
-    ids_ref = ray.put(ids)
-    deg_ref = ray.put(deg)
-
-    def contrib_bcast(rank: np.ndarray) -> np.ndarray:
-        rank_ref = ray.put(rank)
-
-        def contrib_batch(b: pd.DataFrame) -> pd.DataFrame:
-            _ids = broadcast_get(ids_ref)
-            _deg = broadcast_get(deg_ref)
-            _rank = broadcast_get(rank_ref)
-            si = np.searchsorted(_ids, b["src"].to_numpy(np.int64))
-            share = _rank[si] / _deg[si]
-            return pd.DataFrame(
-                {"node": b["dst"].to_numpy(np.int64),
-                 "contrib": share}) \
-                .groupby("node", as_index=False)["contrib"].sum()
-
-        agg = preagg_reduce(
-            edges.map_batches(contrib_batch, batch_format="pandas"),
-            ["node"], "contrib", "sum", n_buckets=n_buckets) \
-            .to_pandas()
-        contrib = np.zeros(n)
-        contrib[np.searchsorted(
-            ids, agg["node"].to_numpy(np.int64))] = \
-            agg["contrib"].to_numpy()
-        return contrib
-
-    return rd.from_arrow(_iterate(ids, deg, contrib_bcast))
+    return _broadcast_pagerank(edges, node_ds, damping, iters,
+                               n_buckets, broadcast_get,
+                               checkpoint_dir=checkpoint_dir,
+                               seeds=seeds_arr)

@@ -2359,6 +2359,67 @@ def _rank2_map(counts: rd.Dataset, col: str, cnt_col: str,
     return ranked.map_batches(to_rank2, batch_format="pandas")
 
 
+_MOMENT_INT64_LIM = 4.0e18   # half the int64 range: estimate slack
+
+
+def _moment_chunk_bounds(c: np.ndarray, rx: np.ndarray,
+                         ry: np.ndarray):
+    """Split batch rows into contiguous chunks whose weighted moment
+    sums (Σ c·rx·ry, Σ c·rx², Σ c·ry² — all positive) provably fit
+    int64: per-row float estimates of the LARGEST moment are
+    cumulative-summed and cut at multiples of ``_MOMENT_INT64_LIM``,
+    so each chunk total stays below 2·LIM < 2⁶³ and no single in-chunk
+    addend wraps elementwise. Rows whose single addend alone clears
+    the limit are returned separately for exact Python-int math.
+    Returns (solo_indices, [(start, end), ...])."""
+    cf = c.astype(np.float64)
+    big = np.maximum(cf * rx * ry,
+                     np.maximum(cf * rx * rx, cf * ry * ry))
+    solo = big >= _MOMENT_INT64_LIM
+    keep_idx = np.flatnonzero(~solo)
+    bounds = []
+    if len(keep_idx):
+        b2 = big[keep_idx]
+        cuts = np.flatnonzero(np.diff(np.floor(
+            np.cumsum(b2) / _MOMENT_INT64_LIM)))
+        starts = np.concatenate([[0], cuts + 1])
+        ends = np.concatenate([cuts + 1, [len(keep_idx)]])
+        bounds = list(zip(starts, ends))
+    return np.flatnonzero(solo), keep_idx, bounds
+
+
+def _weighted_moment_rows(c: np.ndarray, rx: np.ndarray,
+                          ry: np.ndarray) -> list[tuple]:
+    """Exact weighted moment partials (n, Σc·rx, Σc·ry, Σc·rx·ry,
+    Σc·rx², Σc·ry²) as a LIST of int64-safe rows — the overflow-proof
+    twin of a single int64 reduction (see ``_moment_chunk_bounds``)."""
+    solo, keep_idx, bounds = _moment_chunk_bounds(c, rx, ry)
+    out = []
+    for i in solo:     # hot pair: split its count into safe sub-rows
+        ci, xi, yi = int(c[i]), int(rx[i]), int(ry[i])
+        unit = float(max(xi * yi, xi * xi, yi * yi))
+        if unit >= _MOMENT_INT64_LIM:
+            raise ValueError(
+                "weighted moment partial: a single rank² product "
+                f"exceeds int64 (rx2={xi}, ry2={yi}); the rank domain "
+                "is too large for int64 partials — shard the input")
+        step = max(1, int(_MOMENT_INT64_LIM // unit))
+        left = ci
+        while left > 0:
+            k = min(step, left)
+            out.append((k, k * xi, k * yi, k * xi * yi,
+                        k * xi * xi, k * yi * yi))
+            left -= k
+    for s, e in bounds:
+        idx = keep_idx[s:e]
+        cc, xx, yy = c[idx], rx[idx], ry[idx]
+        out.append((int(cc.sum()), int((cc * xx).sum()),
+                    int((cc * yy).sum()), int((cc * xx * yy).sum()),
+                    int((cc * xx * xx).sum()),
+                    int((cc * yy * yy).sum())))
+    return out
+
+
 def spearman_corr(ds: rd.Dataset, xcol: str, ycol: str, alias: str,
                   n_buckets: int = 16,
                   broadcast_cutover: int = 1 << 22) -> pd.DataFrame:
@@ -2379,10 +2440,14 @@ def spearman_corr(ds: rd.Dataset, xcol: str, ycol: str, alias: str,
        count, combined on the driver in Python-int space, then ONE
        float64 closed form mirrored verbatim in the oracle.
 
-    Overflow bound: per-batch Σ cnt·rx2·ry2 ≤ N·(2N+1)² must fit
-    int64 within one batch of the PAIR table — holds through N ≈ 10⁸
-    rows per batch-covered mass; the driver combine is arbitrary
-    precision. Returns a 1-row driver DataFrame {alias: float64}.
+    Overflow discipline: each weighted moment sum is estimated in
+    float first; batches whose estimate clears 4·10¹⁸ (half the int64
+    range — ample slack for the estimate's own rounding) recompute in
+    exact Python-int space instead of the vectorized int64 fast path,
+    so a single hot pair (cnt·rx2·ry2 ≈ 4N³ wraps from N ≈ 1.3·10⁶)
+    can never silently corrupt the sums. The driver combine is always
+    arbitrary precision. Returns a 1-row driver DataFrame
+    {alias: float64}.
 
     Tiered like ``tfidf_top_terms``: a column whose distinct-value
     table fits ``broadcast_cutover`` gets its value→rank2 map
@@ -2430,16 +2495,16 @@ def spearman_corr(ds: rd.Dataset, xcol: str, ycol: str, alias: str,
 
         pairs = pairs.map_batches(attach, batch_format="pandas")
 
+    cols = ("n", "sx", "sy", "sxy", "sxx", "syy")
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        c = b["__cnt"].to_numpy(np.int64)
-        rx = b["__rx2"].to_numpy(np.int64)
-        ry = b["__ry2"].to_numpy(np.int64)
-        return pd.DataFrame({
-            "n": [int(c.sum())], "sx": [int((c * rx).sum())],
-            "sy": [int((c * ry).sum())],
-            "sxy": [int((c * rx * ry).sum())],
-            "sxx": [int((c * rx * rx).sum())],
-            "syy": [int((c * ry * ry).sum())]})
+        rows = _weighted_moment_rows(b["__cnt"].to_numpy(np.int64),
+                                     b["__rx2"].to_numpy(np.int64),
+                                     b["__ry2"].to_numpy(np.int64))
+        if not rows:
+            return pd.DataFrame({k: np.array([], dtype=np.int64)
+                                 for k in cols})
+        return pd.DataFrame(rows, columns=cols)
 
     p = pairs.map_batches(partial, batch_format="pandas").to_pandas()
     # driver combine in Python-int (object) space — exact at any scale
@@ -2464,6 +2529,9 @@ def percent_rank_in_group(ds: rd.Dataset, key: str, val_col: str,
     key costs its distinct-value count, not its row count.
     ``val_col`` must be integer-valued (cents). pr of a 1-row group is
     0.0, matching SQL. Output: input columns + ``alias`` float64."""
+    # the input feeds BOTH the counts branch and the stitch union —
+    # pin it so the caller's upstream lineage runs once, not twice
+    ds = ds.materialize()
     counts = preagg_reduce(ds, [key, val_col], "__cnt", "count",
                            n_buckets=n_buckets)
 
@@ -2617,6 +2685,9 @@ def benford_digits(ds: rd.Dataset, col: str) -> pd.DataFrame:
     p = ds.map_batches(partial, batch_format="pandas").to_pandas()
     agg = p.groupby("digit", as_index=False)["n"].sum() \
         .sort_values("digit", ignore_index=True)
+    # observed-support convention (mirrors the oracle's GROUP BY over
+    # observed values): digits that never lead are absent, not 0-rows
+    agg = agg[agg["n"] > 0].reset_index(drop=True)
     total = float(agg["n"].sum())
     d = agg["digit"].to_numpy(np.float64)
     # mirrored in the SQL oracle: ln(1+1/d)/ln(10)
@@ -2740,12 +2811,48 @@ def grouped_spearman(ds: rd.Dataset, key: str, xcol: str, ycol: str,
         c = b["__cnt"].to_numpy(np.int64)
         rx = b["__rx2"].to_numpy(np.int64)
         ry = b["__ry2"].to_numpy(np.int64)
-        t = pd.DataFrame({key: b[key]})
-        t["__n"] = c
-        t["__sx"], t["__sy"] = c * rx, c * ry
-        t["__sxy"] = c * rx * ry
-        t["__sxx"], t["__syy"] = c * rx * rx, c * ry * ry
-        g = t.groupby([key], as_index=False, sort=False).sum()
+        # overflow-proof: process the batch in chunks whose int64
+        # moment sums provably cannot wrap (per-key sums ≤ chunk
+        # totals); keys repeating across chunks just emit extra
+        # partial rows for the object-space final combine
+        solo, keep_idx, bounds = _moment_chunk_bounds(c, rx, ry)
+        parts = []
+        for i in solo:   # hot pair: split its count into safe sub-rows
+            ci, xi, yi = int(c[i]), int(rx[i]), int(ry[i])
+            unit = float(max(xi * yi, xi * xi, yi * yi))
+            if unit >= _MOMENT_INT64_LIM:
+                raise ValueError(
+                    "grouped_spearman: a single rank² product exceeds "
+                    "int64; the rank domain is too large — shard the "
+                    "hot group first")
+            step = max(1, int(_MOMENT_INT64_LIM // unit))
+            ks = []
+            left = ci
+            while left > 0:
+                ks.append(min(step, left))
+                left -= ks[-1]
+            ka = np.array(ks, dtype=np.int64)
+            t = pd.DataFrame({key: [b[key].iloc[i]] * len(ka)})
+            t["__n"] = ka
+            t["__sx"], t["__sy"] = ka * xi, ka * yi
+            t["__sxy"] = ka * (xi * yi)
+            t["__sxx"], t["__syy"] = ka * (xi * xi), ka * (yi * yi)
+            parts.append(t)
+        for s, e in bounds:
+            idx = keep_idx[s:e]
+            cc, xx, yy = c[idx], rx[idx], ry[idx]
+            t = pd.DataFrame({key: b[key].iloc[idx].to_numpy()})
+            t["__n"] = cc
+            t["__sx"], t["__sy"] = cc * xx, cc * yy
+            t["__sxy"] = cc * xx * yy
+            t["__sxx"], t["__syy"] = cc * xx * xx, cc * yy * yy
+            parts.append(t.groupby([key], as_index=False,
+                                   sort=False).sum())
+        g = (pd.concat(parts, ignore_index=True) if parts else
+             pd.DataFrame({key: b[key].iloc[:0],
+                           **{m: np.array([], dtype=np.int64)
+                              for m in ("__n", "__sx", "__sy",
+                                        "__sxy", "__sxx", "__syy")}}))
         g["__bucket"] = stable_bucket_cols(g, [key], n_buckets)
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -2756,13 +2863,18 @@ def grouped_spearman(ds: rd.Dataset, key: str, xcol: str, ycol: str,
             moment_cols].sum()
         nf, sx, sy, sxy, sxx, syy = (
             r[c].astype(np.float64).to_numpy() for c in moment_cols)
+        # constant side → zero rank variance → undefined: drop BEFORE
+        # the division (the oracle mirrors the drop with a WHERE on
+        # the same variance terms, so row counts agree on any input)
+        vx = nf * sxx - sx * sx
+        vy = nf * syy - sy * sy
+        keep = (vx > 0) & (vy > 0)
         # expression order mirrored in the SQL oracle — keep in sync
-        num = nf * sxy - sx * sy
-        den = np.sqrt((nf * sxx - sx * sx) * (nf * syy - sy * sy))
-        out = r[[key]].copy()
+        num = (nf * sxy - sx * sy)[keep]
+        den = np.sqrt(vx[keep] * vy[keep])
+        out = r.loc[keep, [key]].copy()
         out[alias] = num / den
-        keep = den > 0       # constant side → undefined, drop
-        return out[keep]
+        return out
 
     return (pairs.map_batches(partial, batch_format="pandas")
             .groupby("__bucket").map_groups(final,
