@@ -5729,7 +5729,7 @@ def q_cusum_daily_revenue(sf_dir: str):
                          "cusum_pos": pos, "cusum_neg": neg})
 
 
-def q_local_clustering(sf_dir: str):
+def q_local_clustering(sf_dir: str, tier3: bool = False):
     """Per-node local clustering coefficient over the part
     co-occurrence graph (§ graph operators — the node-level
     cohesion score next to the global `triangle_parts`): for every
@@ -5737,10 +5737,15 @@ def q_local_clustering(sf_dir: str):
     count and lcc = 2·T/(deg·(deg−1)). Degree-oriented per-bucket
     wedge closing with node-sized dense partials
     (ops/graph.py::local_clustering); each triangle credited to all
-    three corners exactly once."""
+    three corners exactly once. ``tier3=True`` (query
+    ``local_clustering_tier3``) forces the fully distributed BSP
+    closing exchange with per-corner crediting, so the 100-TB tier
+    runs against the same oracle every round."""
     from no_fasel_scrapers_ray.ops.graph import local_clustering
     edges = _part_cooccurrence_edges(sf_dir)
-    return local_clustering(edges)
+    kw = ({"small_threshold": 0, "broadcast_edge_threshold": 0}
+          if tier3 else {})
+    return local_clustering(edges, **kw)
 
 
 def q_mannwhitney_discount(sf_dir: str):
@@ -6396,6 +6401,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ztest_urgent_nation": q_ztest_urgent_nation,
         "cusum_daily_revenue": q_cusum_daily_revenue,
         "local_clustering": q_local_clustering,
+        "local_clustering_tier3": partial(q_local_clustering,
+                                          tier3=True),
         "mannwhitney_discount": q_mannwhitney_discount,
         "mad_nation_price": q_mad_nation_price,
         "anova_nation_spend": q_anova_nation_spend,
@@ -6427,6 +6434,7 @@ def oracle_sql() -> dict[str, str]:
     d["lpa_communities"] = _lpa_oracle_sql(3)
     d["lpa_tier3"] = d["lpa_communities"]
     d["dedup_clusters_tier3"] = d["dedup_clusters"]
+    d["local_clustering_tier3"] = d["local_clustering"]
     return d
 
 

@@ -2152,18 +2152,15 @@ def local_clustering(edges: rd.Dataset, n_buckets: int = 64,
 
     directed = edges.map_batches(orient,
                                  batch_format="pandas").materialize()
-    # the broadcast closing check pulls the packed edge-key set to the
-    # driver (8 B/edge) — the SAME budget triangle_count's middle tier
-    # enforces; beyond it the per-node variant would need the BSP
-    # closing exchange (triangle_count's tier 3 with per-corner
-    # emission), which this op does not implement — fail loudly
-    # instead of OOMing the driver
+    # beyond the broadcast closing-key budget (8 B/edge on the driver,
+    # triangle_count's middle-tier bound) the closing check runs as
+    # the fully distributed BSP exchange with per-corner crediting —
+    # edge keys never collect on the driver, only the node-sized
+    # sparse partials do (node-sized final state is inherent to this
+    # per-node output)
     if n_edges > broadcast_edge_threshold:
-        raise ValueError(
-            f"local_clustering: {n_edges} edges exceed the broadcast "
-            f"closing-key budget ({broadcast_edge_threshold}); extend "
-            "with the triangle_count tier-3 exchange for larger "
-            "graphs")
+        tri = _lcc_tier3_counts(directed, n_nodes, n_buckets)
+        return _finish(ids_arr, deg_arr, tri)
     ek = directed.to_pandas()
     du, dv = ek["u"].to_numpy(), ek["v"].to_numpy()
     keys_ref = ray.put(np.sort(np.where(
@@ -2247,3 +2244,117 @@ def personalized_pagerank(edges: rd.Dataset, seeds: "list[int]",
                                n_buckets, broadcast_get,
                                checkpoint_dir=checkpoint_dir,
                                seeds=seeds_arr)
+
+
+def _lcc_wedges(eb, n_nodes: int, n_buckets: int):
+    """Per-u-bucket wedge generation for per-node triangle counting:
+    like ``_tri_wedges`` but each key-bucket part carries the wedge
+    CENTER alongside the packed endpoint key (the center is what the
+    closing check must credit — it is unrecoverable from the key).
+    Returns refs of (wk, center) array pairs; see
+    ``_tri_split_edge_keys`` for why refs, not raw returns."""
+    import ray
+    u, v = eb
+    out_k = [[] for _ in range(n_buckets)]
+    out_c = [[] for _ in range(n_buckets)]
+    if len(u):
+        _, starts, counts = np.unique(u, return_index=True,
+                                      return_counts=True)
+        for st, c in zip(starts, counts):
+            if c < 2:
+                continue
+            nb = v[st:st + c]
+            iu, iv_ = np.triu_indices(c, k=1)
+            wk = nb[iu] * n_nodes + nb[iv_]
+            ctr = np.full(len(wk), u[st], dtype=np.int64)
+            b = _pr_bucket_of(wk, n_buckets)
+            order = np.argsort(b, kind="stable")
+            cuts = np.searchsorted(b[order], np.arange(n_buckets + 1))
+            for k in range(n_buckets):
+                s, e = cuts[k], cuts[k + 1]
+                if e > s:
+                    out_k[k].append(wk[order[s:e]])
+                    out_c[k].append(ctr[order[s:e]])
+    empty = np.array([], dtype=np.int64)
+    parts = tuple(ray.put((np.concatenate(k) if k else empty,
+                           np.concatenate(c) if c else empty))
+                  for k, c in zip(out_k, out_c))
+    return parts if n_buckets > 1 else parts[0]
+
+
+def _lcc_count(keys_sorted: np.ndarray, n_nodes: int, *wedge_parts):
+    """Closing check for one key-bucket, crediting all THREE corners
+    of each closed wedge. Returns a ray.put ref of sparse
+    (node, count) arrays — per-task compression to ≤ n_nodes entries
+    so the exchange back to the driver is node-bounded, not
+    triangle-bounded."""
+    import ray
+    acc_nodes, acc_cnts = [], []
+    for ref in wedge_parts:
+        wk, ctr = ray.get(ref)
+        if not len(wk) or not len(keys_sorted):
+            continue
+        pos = np.searchsorted(keys_sorted, wk)
+        pos[pos >= len(keys_sorted)] = len(keys_sorted) - 1
+        closed = keys_sorted[pos] == wk
+        if not closed.any():
+            continue
+        wkc = wk[closed]
+        corners = np.concatenate([ctr[closed], wkc // n_nodes,
+                                  wkc % n_nodes])
+        nodes, cnts = np.unique(corners, return_counts=True)
+        acc_nodes.append(nodes)
+        acc_cnts.append(cnts)
+    if not acc_nodes:
+        z = np.array([], dtype=np.int64)
+        return ray.put((z, z))
+    nodes = np.concatenate(acc_nodes)
+    cnts = np.concatenate(acc_cnts)
+    order = np.argsort(nodes, kind="stable")
+    nodes, cnts = nodes[order], cnts[order]
+    uniq, starts = np.unique(nodes, return_index=True)
+    sums = np.add.reduceat(cnts, starts)
+    return ray.put((uniq, sums.astype(np.int64)))
+
+
+def _lcc_tier3_counts(directed: rd.Dataset, n_nodes: int,
+                      n_buckets: int) -> np.ndarray:
+    """Fully distributed per-node triangle participation — the
+    triangle_count tier-3 BSP exchange extended with per-corner
+    crediting: edges split ONCE by u (wedge side) and by packed key
+    (membership side), wedge (key, center) pairs move exactly once,
+    each key-bucket's closing task returns a node-BOUNDED sparse
+    partial, and the driver scatters the ≤ n_buckets sparse parts
+    into the node-sized dense array this output inherently is."""
+    import ray
+    split_r = ray.remote(_pr_split_block)
+    ksplit_r = ray.remote(_tri_split_edge_keys)
+    prep_e_r = ray.remote(_tri_prep_edges)
+    prep_k_r = ray.remote(_tri_prep_keys)
+    wedge_r = ray.remote(_lcc_wedges)
+    count_r = ray.remote(_lcc_count)
+
+    refs = directed.to_arrow_refs()
+    eparts = [split_r.options(num_returns=n_buckets).remote(
+        r, ["u", "v"], n_buckets) for r in refs]
+    kparts = [ksplit_r.options(num_returns=n_buckets).remote(
+        r, n_nodes, n_buckets) for r in refs]
+    if n_buckets == 1:
+        eparts = [[e] for e in eparts]
+        kparts = [[k] for k in kparts]
+    edges_k = [prep_e_r.remote(*[e[k] for e in eparts])
+               for k in range(n_buckets)]
+    keys_k = [prep_k_r.remote(*[p[k] for p in kparts])
+              for k in range(n_buckets)]
+    wparts = [wedge_r.options(num_returns=n_buckets).remote(
+        edges_k[k], n_nodes, n_buckets) for k in range(n_buckets)]
+    if n_buckets == 1:
+        wparts = [[w] for w in wparts]
+    sparse_refs = ray.get([count_r.remote(
+        keys_k[j], n_nodes, *[wparts[k][j] for k in range(n_buckets)])
+        for j in range(n_buckets)])
+    tri = np.zeros(n_nodes, dtype=np.int64)
+    for nodes, cnts in ray.get(sparse_refs):
+        if len(nodes):
+            np.add.at(tri, nodes, cnts)
+    return tri

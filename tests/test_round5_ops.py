@@ -495,3 +495,17 @@ def test_personalized_pagerank_tiers_and_concentration():
     import pytest
     with pytest.raises(ValueError):
         personalized_pagerank(ds, [999], iters=1)
+
+
+def test_local_clustering_tier3_forced():
+    from no_fasel_scrapers_ray.ops.graph import local_clustering
+    # K4 + pendant + far edge, forced through the BSP closing
+    # exchange with per-corner crediting — must equal the driver tier
+    e = pd.DataFrame({"a": [1, 1, 1, 2, 2, 3, 1, 6],
+                      "b": [2, 3, 4, 3, 4, 4, 5, 7]})
+    ds = _ds(e, parts=3)
+    drv = local_clustering(ds).sort_values("node", ignore_index=True)
+    t3 = local_clustering(ds, small_threshold=0,
+                          broadcast_edge_threshold=0) \
+        .sort_values("node", ignore_index=True)
+    pd.testing.assert_frame_equal(drv, t3)
