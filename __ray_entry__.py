@@ -5959,7 +5959,8 @@ def q_anova_nation_spend(sf_dir: str):
     z-test): F = (SSB/(k−1)) / (SSW/(n−k)) from exact per-nation
     moment sums (n, Σx, Σx²) in integer cents: per-batch int64
     partials at a batch size bounded so batch·max(x²) fits int64
-    (cents < 2³¹ → 2048 rows is safe), combined on the driver in
+    (2048 rows requires elements ≤ ~6.7·10⁷ cents — TPC-H order
+    totals top out near 6·10⁷), combined on the driver in
     Python-int (object) space — the grouped_corr overflow discipline;
     a GROUP total Σx² exceeds int64 from sf≈0.3, so the group combine
     must never run in int64. One streaming pass with the broadcast
@@ -6112,7 +6113,8 @@ def q_welch_ttest_discount(sf_dir: str):
     (§ statistical aggregates — the parametric twin of the
     Mann–Whitney screen): per-side integer moment sums (n, Σx, Σx²)
     from per-batch int64 partials at an overflow-safe batch size
-    (cents < 2³¹ → 2048 rows), combined on the driver in Python-int
+    (2048 rows requires elements ≤ ~6.7·10⁷ cents; extended prices
+    top out near 10⁷), combined on the driver in Python-int
     (object) space — a SIDE total Σx² passes int64 already near
     sf≈0.3, so the side combine must never run in int64 (the
     grouped_corr discipline). Sample variance
