@@ -242,6 +242,20 @@ def _fetch_with_retry(fetcher, batch: pa.Table, fail_plan: dict | None,
 
 
 @ray.remote
+def _split_pop_table(refs: list, locs: list):
+    """Slice one shard's popped table into per-block parts ON THE
+    SHARD'S OWN NODE (scheduled with its node affinity): each block
+    then gathers only its own slices, so every popped byte crosses a
+    raylet boundary at most ONCE — without the pre-split, every node
+    pulls every shard's WHOLE table (≈3× the bytes on a 4-node
+    cluster). Returns a tuple of ray.put refs, not raw arrays — small
+    task returns would funnel the slices through the driver's
+    in-process store (see _tri_split_edge_keys)."""
+    t = _bget(refs[0], pin=False)
+    return tuple(ray.put(t.take(pa.array(loc))) for loc in locs)
+
+
+@ray.remote
 def _crawl_block(parts: list, refs: list, shards, n_shards: int,
                  challenge_every: int, out_path: str, pages_path: str,
                  dead_path: str, max_attempts: int) -> tuple[int, int]:
@@ -264,9 +278,15 @@ def _crawl_block(parts: list, refs: list, shards, n_shards: int,
     # refs wrapped in a list so Ray does NOT auto-dereference them —
     # the workers resolve them once via the per-process caches
     table_refs, corpus_ref, state_ref = refs
-    block = pa.concat_tables([
-        _bget(table_refs[slot], pin=False).take(pa.array(loc))
-        for slot, loc in parts])
+    if parts and not isinstance(parts[0], tuple):
+        # pre-split mode (multi-raylet): parts are refs to this
+        # block's OWN slices, already cut on each shard's node —
+        # gather moves exactly this block's bytes, once
+        block = pa.concat_tables([_bget(r, pin=False) for r in parts])
+    else:
+        block = pa.concat_tables([
+            _bget(table_refs[slot], pin=False).take(pa.array(loc))
+            for slot, loc in parts])
     fetcher = get_fetcher(corpus_ref, challenge_every)
     state = _bget(state_ref)
     fail_plan = state.get("fail_plan")
@@ -396,6 +416,15 @@ class CrawlEngine:
         self._use_affinity = (
             os.environ.get("CRAWL_NODE_AFFINITY", "1") != "0"
             and len(set(self._shard_nodes)) > 1)
+        # pre-split popped tables into per-block slices on their
+        # owning shard's node (each byte crosses a raylet once). On a
+        # single node the whole-table gather is already zero-copy
+        # plasma-shared, so the extra task wave buys nothing — default
+        # follows the multi-raylet detection; CRAWL_PRESPLIT forces
+        # either way (tests force =1 to pin single-node equivalence).
+        self._presplit = (os.environ.get(
+            "CRAWL_PRESPLIT",
+            "1" if self._use_affinity else "0") != "0")
         self.max_pop = max_pop_per_round
         self.max_attempts = max_attempts
         self.metrics = {"rounds": 0, "popped": 0, "records": 0,
@@ -500,6 +529,31 @@ class CrawlEngine:
         os.makedirs(pages_dir, exist_ok=True)
         os.makedirs(dead_dir, exist_ok=True)
         parts_blocks, table_refs, live_idx = self._plan_round(metas)
+        block_parts: list | None = None
+        if self._presplit and parts_blocks:
+            # per-slot slice plan in BLOCK order; within a block the
+            # slice order must match the legacy gather's sorted-slot
+            # order exactly (row order feeds the fetch sequence)
+            per_slot: dict[int, list] = {}
+            for k, parts in enumerate(parts_blocks):
+                for s, loc in parts:
+                    per_slot.setdefault(int(s), []).append((k, loc))
+            split_refs = {}
+            for s, entries in per_slot.items():
+                task = _split_pop_table
+                if self._use_affinity:
+                    task = _split_pop_table.options(
+                        scheduling_strategy=NodeAffinitySchedulingStrategy(
+                            node_id=self._shard_nodes[live_idx[s]],
+                            soft=True))
+                split_refs[s] = task.remote(
+                    [table_refs[s]], [loc for _, loc in entries])
+            by_block: list[dict] = [dict() for _ in parts_blocks]
+            for s, entries in per_slot.items():
+                refs_tuple = ray.get(split_refs[s])
+                for (k, _), r in zip(entries, refs_tuple):
+                    by_block[k][s] = r
+            block_parts = [[d[s] for s in sorted(d)] for d in by_block]
         refs = []
         for k, parts in enumerate(parts_blocks):
             task = _crawl_block
@@ -510,7 +564,8 @@ class CrawlEngine:
                         node_id=self._shard_nodes[live_idx[big]],
                         soft=True))
             refs.append(task.remote(
-                parts, [table_refs, self.corpus_ref, self.state_ref],
+                block_parts[k] if block_parts is not None else parts,
+                [table_refs, self.corpus_ref, self.state_ref],
                 self.shards, self.n_shards, self.challenge_every,
                 os.path.join(out_dir, f"part-{k:05d}.parquet"),
                 os.path.join(pages_dir, f"part-{k:05d}.parquet"),

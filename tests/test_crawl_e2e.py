@@ -109,3 +109,19 @@ def test_span_sequence_invariant(tiny_corpus):
         got = PageView(out.column("spans")[i].as_py()).sequence()
         exp = PageView(sample.column("spans")[i].as_py()).sequence()
         assert got == exp
+
+
+def test_presplit_gather_equivalence(tiny_corpus, engine_run,
+                                     tmp_path_factory, monkeypatch):
+    """The shard-local pre-split gather (CRAWL_PRESPLIT=1 — the
+    multi-raylet transfer optimization) must produce IDENTICAL
+    catalogs to the whole-table gather, on the same corpus."""
+    corpus, seeds = tiny_corpus
+    monkeypatch.setenv("CRAWL_PRESPLIT", "1")
+    run_dir = str(tmp_path_factory.mktemp("crawl_presplit"))
+    eng = CrawlEngine(corpus, seeds.to_pylist(), run_dir, n_shards=3)
+    assert eng._presplit
+    eng.run()
+    got = build_catalogs(assemble_records(eng.records_dataset()))
+    _, want = engine_run
+    assert got == want
