@@ -242,17 +242,19 @@ def _fetch_with_retry(fetcher, batch: pa.Table, fail_plan: dict | None,
 
 
 @ray.remote
-def _split_pop_table(refs: list, locs: list):
+def _split_pop_table(refs: list, *locs):
     """Slice one shard's popped table into per-block parts ON THE
     SHARD'S OWN NODE (scheduled with its node affinity): each block
     then gathers only its own slices, so every popped byte crosses a
     raylet boundary at most ONCE — without the pre-split, every node
     pulls every shard's WHOLE table (≈3× the bytes on a 4-node
-    cluster). Returns a tuple of ray.put refs, not raw arrays — small
-    task returns would funnel the slices through the driver's
-    in-process store (see _tri_split_edge_keys)."""
+    cluster). Uses direct ``num_returns`` task returns so the
+    per-slice refs exist at SUBMISSION time — no driver ray.get
+    barrier between the split wave and the block launches (a blocking
+    resolve measured as a visible per-round latency tax)."""
     t = _bget(refs[0], pin=False)
-    return tuple(ray.put(t.take(pa.array(loc))) for loc in locs)
+    out = [t.take(pa.array(loc)) for loc in locs]
+    return out[0] if len(out) == 1 else tuple(out)
 
 
 @ray.remote
@@ -538,20 +540,21 @@ class CrawlEngine:
             for k, parts in enumerate(parts_blocks):
                 for s, loc in parts:
                     per_slot.setdefault(int(s), []).append((k, loc))
-            split_refs = {}
+            by_block: list[dict] = [dict() for _ in parts_blocks]
             for s, entries in per_slot.items():
-                task = _split_pop_table
+                task = _split_pop_table.options(
+                    num_returns=len(entries))
                 if self._use_affinity:
                     task = _split_pop_table.options(
+                        num_returns=len(entries),
                         scheduling_strategy=NodeAffinitySchedulingStrategy(
                             node_id=self._shard_nodes[live_idx[s]],
                             soft=True))
-                split_refs[s] = task.remote(
-                    [table_refs[s]], [loc for _, loc in entries])
-            by_block: list[dict] = [dict() for _ in parts_blocks]
-            for s, entries in per_slot.items():
-                refs_tuple = ray.get(split_refs[s])
-                for (k, _), r in zip(entries, refs_tuple):
+                slice_refs = task.remote(
+                    [table_refs[s]], *[loc for _, loc in entries])
+                if len(entries) == 1:
+                    slice_refs = [slice_refs]
+                for (k, _), r in zip(entries, slice_refs):
                     by_block[k][s] = r
             block_parts = [[d[s] for s in sorted(d)] for d in by_block]
         refs = []
