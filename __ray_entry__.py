@@ -6206,6 +6206,106 @@ def q_ppr_top_customers(sf_dir: str):
         {"rank": 9})
 
 
+def q_auc_price_discount(sf_dir: str):
+    """Exact ROC AUC of extended price as a 'was discounted' predictor
+    (§ statistical aggregates — the ML-evaluation score riding the
+    Mann–Whitney identity AUC = U_A/(n_A·n_B), tie-corrected by the
+    averaged ranks): the SAME distinct-value doubled-rank machinery as
+    `mannwhitney_discount`, one extra mirrored division. An AUC over
+    10¹⁰ scored rows costs one distinct-value reduce, never a sort of
+    the scores."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (grouped_multi_agg,
+                                                      ordered_prefix_sum)
+    li = _read(sf_dir, "lineitem", ["l_extendedprice", "l_discount"],
+               rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": np.round(b["l_extendedprice"].to_numpy(np.float64)
+                          * 100).astype(np.int64),
+            "f": (b["l_discount"].to_numpy(np.float64) >= 0.05)
+            .astype(np.int64),
+            "one": np.ones(len(b), dtype=np.int64)})
+
+    counts = grouped_multi_agg(
+        li.map_batches(prep, batch_format="pandas"), ["v"],
+        {"cnt": ("one", "sum"), "cnt_a": ("f", "sum")}, n_buckets=16)
+    ranked = ordered_prefix_sum(counts, "v", "cnt", "__cum",
+                                n_buckets=16)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cnt = b["cnt"].to_numpy(np.int64)
+        ca = b["cnt_a"].to_numpy(np.int64)
+        r2 = 2 * b["__cum"].to_numpy(np.int64) + cnt + 1
+        return pd.DataFrame({
+            "s2ra": [int((ca * r2).sum())],
+            "na": [int(ca.sum())], "n": [int(cnt.sum())]})
+
+    p = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    s2ra = float(sum(int(v) for v in p["s2ra"]))
+    na = float(sum(int(v) for v in p["na"]))
+    n = float(sum(int(v) for v in p["n"]))
+    nb = n - na
+    # expression order mirrored in the SQL oracle — keep in sync
+    auc = (s2ra / 2.0 - na * (na + 1.0) / 2.0) / (na * nb)
+    return pd.DataFrame({"n_pos": np.array([na], dtype=np.int64),
+                         "n_neg": np.array([nb], dtype=np.int64),
+                         "auc": np.array([auc], dtype=np.float64)})
+
+
+def q_lift_table_urgent(sf_dir: str):
+    """Decile lift table for customer spend as an 'ever placed an
+    URGENT order' predictor (§ statistical aggregates — the campaign-
+    targeting gains curve): per spend decile (NTILE 10 descending),
+    customers, positives, positive rate, and lift vs the base rate.
+    One bucketed per-customer agg → the range-partitioned global NTILE
+    (`ops/relational.py::global_ntile` — no global sort) → a 10-row
+    mirrored float frame."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (global_ntile,
+                                                      grouped_multi_agg)
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_totalprice", "o_orderpriority"],
+                   rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c": b["o_custkey"].to_numpy(np.int64),
+            "cents": np.round(b["o_totalprice"].to_numpy(np.float64)
+                              * 100).astype(np.int64),
+            "urgent": (b["o_orderpriority"].to_numpy()
+                       == "1-URGENT").astype(np.int64)})
+
+    cust = grouped_multi_agg(
+        orders.map_batches(prep, batch_format="pandas"), ["c"],
+        {"spend": ("cents", "sum"), "pos": ("urgent", "max")},
+        n_buckets=16)
+
+    def neg_spend(b: pd.DataFrame) -> pd.DataFrame:
+        # descending deciles via ascending ntile on the negated spend
+        b = b.copy()
+        b["neg"] = -b["spend"].to_numpy(np.int64)
+        return b
+
+    tiled = global_ntile(cust.map_batches(neg_spend,
+                                          batch_format="pandas"),
+                         "neg", ["c"], 10, "decile")
+    agg = grouped_multi_agg(
+        tiled, ["decile"],
+        {"n_cust": ("pos", "count"), "n_pos": ("pos", "sum")},
+        n_buckets=4).to_pandas().sort_values("decile",
+                                             ignore_index=True)
+    n_tot = float(int(agg["n_cust"].sum()))
+    pos_tot = float(int(agg["n_pos"].sum()))
+    nc = agg["n_cust"].to_numpy(np.int64).astype(np.float64)
+    npos = agg["n_pos"].to_numpy(np.int64).astype(np.float64)
+    # expression order mirrored in the SQL oracle — keep in sync
+    agg["pos_rate"] = npos / nc
+    agg["lift"] = (npos / nc) / (pos_tot / n_tot)
+    return agg
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6411,6 +6511,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_by_returnflag": q_spearman_by_returnflag,
         "kendall_cust_trend": q_kendall_cust_trend,
         "psi_order_value_drift": q_psi_order_value_drift,
+        "auc_price_discount": q_auc_price_discount,
+        "lift_table_urgent": q_lift_table_urgent,
         "ppr_top_customers": q_ppr_top_customers,
         "welch_ttest_discount": q_welch_ttest_discount,
         "chisq_nation_priority": q_chisq_nation_priority,
@@ -6905,6 +7007,53 @@ def _oracle_sql_literal() -> dict[str, str]:
                               AS r
                    FROM pv LEFT JOIN c3 c ON pv.node = c.node)
             SELECT node, ROUND(r, 9) AS rank FROM r3
+        """,
+        "auc_price_discount": """
+            -- AUC = U_A/(nA*nB) via tie-averaged doubled ranks
+            WITH b AS (SELECT CAST(ROUND(l_extendedprice * 100)
+                              AS BIGINT) AS v,
+                              CASE WHEN l_discount >= 0.05 THEN 1
+                                   ELSE 0 END AS f
+                       FROM lineitem),
+            r AS (SELECT v, COUNT(*) AS cnt, SUM(f) AS cnt_a
+                  FROM b GROUP BY v),
+            w AS (SELECT cnt, cnt_a,
+                         2 * (SUM(cnt) OVER (ORDER BY v) - cnt)
+                           + cnt + 1 AS rank2
+                  FROM r),
+            s AS (SELECT CAST(SUM(cnt_a * rank2) AS DOUBLE) AS s2ra,
+                         CAST(SUM(cnt_a) AS DOUBLE) AS na,
+                         CAST(SUM(cnt) AS DOUBLE) AS n
+                  FROM w)
+            SELECT CAST(na AS BIGINT) AS n_pos,
+                   CAST(n - na AS BIGINT) AS n_neg,
+                   (s2ra / 2.0 - na * (na + 1.0) / 2.0)
+                   / (na * (n - na)) AS auc
+            FROM s
+        """,
+        "lift_table_urgent": """
+            WITH cust AS (SELECT o_custkey AS c,
+                                 CAST(SUM(CAST(ROUND(o_totalprice
+                                               * 100) AS BIGINT))
+                                      AS BIGINT) AS spend,
+                                 MAX(CASE WHEN o_orderpriority =
+                                          '1-URGENT' THEN 1 ELSE 0
+                                     END) AS pos
+                          FROM orders GROUP BY o_custkey),
+            t AS (SELECT NTILE(10) OVER (ORDER BY spend DESC, c)
+                             AS decile, pos
+                  FROM cust),
+            a AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
+                         CAST(SUM(pos) AS BIGINT) AS n_pos
+                  FROM t GROUP BY decile),
+            g AS (SELECT CAST(SUM(n_cust) AS DOUBLE) AS n_tot,
+                         CAST(SUM(n_pos) AS DOUBLE) AS pos_tot FROM a)
+            SELECT decile, n_cust, n_pos,
+                   CAST(n_pos AS DOUBLE) / CAST(n_cust AS DOUBLE)
+                       AS pos_rate,
+                   (CAST(n_pos AS DOUBLE) / CAST(n_cust AS DOUBLE))
+                   / (pos_tot / n_tot) AS lift
+            FROM a, g
         """,
         "psi_order_value_drift": """
             WITH b AS (SELECT LEAST(CAST(ROUND(o_totalprice * 100)
