@@ -155,3 +155,38 @@ def test_benford_counts_match_string_digits(vals):
         .value_counts().sort_index()
     assert list(out["digit"]) == list(ref.index)
     assert list(out["n"]) == list(ref)
+
+
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(-9, 9)),
+                min_size=6, max_size=40))
+@RAY_SETTINGS
+def test_kendall_tau_matches_bruteforce(pairs):
+    from no_fasel_scrapers_ray.ops.relational import kendall_tau_grouped
+    df = pd.DataFrame(pairs, columns=["x", "y"])
+    df["k"] = "g"
+    x = df["x"].to_numpy()
+    y = df["y"].to_numpy()
+    c = d = tx = ty = 0
+    n = len(df)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = x[j] - x[i], y[j] - y[i]
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+    n0 = n * (n - 1) // 2
+    ds = rd.from_pandas(df).repartition(2)
+    out = kendall_tau_grouped(ds, "k", "x", "y", "tau",
+                              min_points=3).to_pandas()
+    if n0 == tx or n0 == ty:          # constant side → dropped
+        assert len(out) == 0
+        return
+    want = (float(c) - float(d)) / np.sqrt(
+        float(n0 - tx) * float(n0 - ty))
+    np.testing.assert_allclose(out["tau"].to_numpy(), [want],
+                               atol=1e-12)
