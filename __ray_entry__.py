@@ -6306,6 +6306,66 @@ def q_lift_table_urgent(sf_dir: str):
     return agg
 
 
+def q_km_return_survival(sf_dir: str):
+    """Kaplan–Meier survival curve over ship delay (days from order to
+    ship), with 'returned' (l_returnflag = R) as the event and other
+    lines right-censored at their ship day (§ statistical aggregates —
+    the survival-analysis family: time-to-event with censoring, which
+    no plain aggregate expresses). One bucketed orders⋈lineitem join
+    for the delay, distinct-day (event, censor) counts via one reduce,
+    then the day-domain-bounded driver pass computes at-risk counts
+    and the product-limit estimator as a cumulative product of
+    (1 − d/n) — mirrored with DuckDB's product() window aggregate
+    (a log-sum form would blow up on the terminal event day where
+    d = n_risk and the factor is exactly 0). Rows at event days only
+    (censored-only days contribute factor 1 on both engines)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (bucketed_join,
+                                                      grouped_multi_agg)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"],
+                   rows_per_block=65536)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_shipdate", "l_returnflag"],
+               rows_per_block=65536)
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].to_numpy(np.int64),
+            "ship_us": b["l_shipdate"].to_numpy()
+            .astype("datetime64[us]").astype(np.int64),
+            "e": (b["l_returnflag"].to_numpy() == "R")
+            .astype(np.int64)})
+
+    j = bucketed_join(li.map_batches(li_prep, batch_format="pandas"),
+                      orders, on="o_orderkey", how="inner")
+    DAY_US = 86400 * 1000000
+
+    def delay(b: pd.DataFrame) -> pd.DataFrame:
+        od = b["o_orderdate"].to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "t": (b["ship_us"].to_numpy(np.int64) - od) // DAY_US,
+            "e": b["e"].to_numpy(np.int64),
+            "one": np.ones(len(b), dtype=np.int64)})
+
+    g = grouped_multi_agg(
+        j.map_batches(delay, batch_format="pandas"), ["t"],
+        {"d": ("e", "sum"), "n_all": ("one", "sum")},
+        n_buckets=8).to_pandas().sort_values("t", ignore_index=True)
+    total = int(g["n_all"].sum())
+    leave = g["n_all"].to_numpy(np.int64)
+    n_risk = total - (np.cumsum(leave) - leave)
+    d = g["d"].to_numpy(np.int64)
+    keep = d > 0
+    # expression order mirrored in the SQL oracle — keep in sync
+    surv = np.cumprod(1.0 - d[keep].astype(np.float64)
+                      / n_risk[keep].astype(np.float64))
+    return pd.DataFrame({"day": g["t"].to_numpy(np.int64)[keep],
+                         "n_events": d[keep],
+                         "n_risk": n_risk[keep],
+                         "survival": surv})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6513,6 +6573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_order_value_drift": q_psi_order_value_drift,
         "auc_price_discount": q_auc_price_discount,
         "lift_table_urgent": q_lift_table_urgent,
+        "km_return_survival": q_km_return_survival,
         "ppr_top_customers": q_ppr_top_customers,
         "welch_ttest_discount": q_welch_ttest_discount,
         "chisq_nation_priority": q_chisq_nation_priority,
@@ -7007,6 +7068,37 @@ def _oracle_sql_literal() -> dict[str, str]:
                               AS r
                    FROM pv LEFT JOIN c3 c ON pv.node = c.node)
             SELECT node, ROUND(r, 9) AS rank FROM r3
+        """,
+        "km_return_survival": """
+            -- product-limit estimator via the product() window
+            -- aggregate (log-sum would hit ln(0) on the terminal
+            -- event day); WHERE d > 0 binds before the window, so
+            -- the cumulative product runs over event days only
+            -- (censored-only days contribute factor 1 on both
+            -- engines)
+            WITH b AS (SELECT CAST(epoch_us(l_shipdate)
+                              - epoch_us(o_orderdate) AS BIGINT)
+                              // 86400000000 AS t,
+                              CASE WHEN l_returnflag = 'R' THEN 1
+                                   ELSE 0 END AS e
+                       FROM lineitem
+                       JOIN orders ON l_orderkey = o_orderkey),
+            g AS (SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+                         CAST(COUNT(*) AS BIGINT) AS n_all
+                  FROM b GROUP BY t),
+            r AS (SELECT t, d,
+                         CAST((SELECT COUNT(*) FROM b) AS BIGINT)
+                         - CAST(COALESCE(SUM(n_all) OVER (
+                               ORDER BY t ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0)
+                               AS BIGINT) AS n_risk
+                  FROM g),
+            s AS (SELECT t, d, n_risk,
+                         product(1.0 - CAST(d AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE))
+                             OVER (ORDER BY t) AS survival
+                  FROM r WHERE d > 0)
+            SELECT t AS day, d AS n_events, n_risk, survival FROM s
         """,
         "auc_price_discount": """
             -- AUC = U_A/(nA*nB) via tie-averaged doubled ranks
