@@ -6366,6 +6366,80 @@ def q_km_return_survival(sf_dir: str):
                          "survival": surv})
 
 
+def q_logrank_discount_survival(sf_dir: str):
+    """Log-rank test comparing the ship-delay-to-return survival of
+    discounted (l_discount ≥ 0.05) vs barely-discounted line items (§
+    statistical aggregates — the two-sample companion of the
+    Kaplan–Meier curve): at every event day, observed group-1 events
+    vs the hypergeometric expectation d·n₁/n and variance
+    d·(n₁/n)·(n₂/n)·(n−d)/(n−1) from exact at-risk counts, one
+    mirrored float z over the day-domain-bounded frame. Counts reduce
+    distributed (one bucketed join + one grouped agg); the scan runs
+    on the driver over ≤ delay-domain rows."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (bucketed_join,
+                                                      grouped_multi_agg)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"],
+                   rows_per_block=65536)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_shipdate", "l_returnflag",
+                "l_discount"],
+               rows_per_block=65536)
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].to_numpy(np.int64),
+            "ship_us": b["l_shipdate"].to_numpy()
+            .astype("datetime64[us]").astype(np.int64),
+            "e": (b["l_returnflag"].to_numpy() == "R")
+            .astype(np.int64),
+            "grp": (b["l_discount"].to_numpy(np.float64) >= 0.05)
+            .astype(np.int64)})
+
+    j = bucketed_join(li.map_batches(li_prep, batch_format="pandas"),
+                      orders, on="o_orderkey", how="inner")
+    DAY_US = 86400 * 1000000
+
+    def delay(b: pd.DataFrame) -> pd.DataFrame:
+        od = b["o_orderdate"].to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        e = b["e"].to_numpy(np.int64)
+        g = b["grp"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "t": (b["ship_us"].to_numpy(np.int64) - od) // DAY_US,
+            "d1": e * g, "d": e, "l1": g,
+            "one": np.ones(len(b), dtype=np.int64)})
+
+    c = grouped_multi_agg(
+        j.map_batches(delay, batch_format="pandas"), ["t"],
+        {"d1": ("d1", "sum"), "d": ("d", "sum"),
+         "l1": ("l1", "sum"), "l": ("one", "sum")},
+        n_buckets=8).to_pandas().sort_values("t", ignore_index=True)
+    tot1 = int(c["l1"].sum())
+    tot = int(c["l"].sum())
+    l1 = c["l1"].to_numpy(np.int64)
+    l = c["l"].to_numpy(np.int64)
+    n1 = tot1 - (np.cumsum(l1) - l1)
+    n = tot - (np.cumsum(l) - l)
+    d1 = c["d1"].to_numpy(np.int64)
+    d = c["d"].to_numpy(np.int64)
+    keep = d > 0
+    n1f = n1[keep].astype(np.float64)
+    nf = n[keep].astype(np.float64)
+    df_ = d[keep].astype(np.float64)
+    # expression order mirrored in the SQL oracle — keep in sync
+    o1 = float(int(d1[keep].sum()))
+    e1 = float(np.sum(df_ * n1f / nf))
+    v = float(np.sum(df_ * (n1f / nf) * ((nf - n1f) / nf)
+                     * ((nf - df_) / np.maximum(nf - 1.0, 1.0))))
+    z = (o1 - e1) / np.sqrt(v)
+    return pd.DataFrame({
+        "observed_1": np.array([o1], dtype=np.int64),
+        "expected_1": np.array([e1], dtype=np.float64),
+        "variance": np.array([v], dtype=np.float64),
+        "z": np.array([z], dtype=np.float64)})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6574,6 +6648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auc_price_discount": q_auc_price_discount,
         "lift_table_urgent": q_lift_table_urgent,
         "km_return_survival": q_km_return_survival,
+        "logrank_discount_survival": q_logrank_discount_survival,
         "ppr_top_customers": q_ppr_top_customers,
         "welch_ttest_discount": q_welch_ttest_discount,
         "chisq_nation_priority": q_chisq_nation_priority,
@@ -7068,6 +7143,53 @@ def _oracle_sql_literal() -> dict[str, str]:
                               AS r
                    FROM pv LEFT JOIN c3 c ON pv.node = c.node)
             SELECT node, ROUND(r, 9) AS rank FROM r3
+        """,
+        "logrank_discount_survival": """
+            WITH b AS (SELECT CAST(epoch_us(l_shipdate)
+                              - epoch_us(o_orderdate) AS BIGINT)
+                              // 86400000000 AS t,
+                              CASE WHEN l_returnflag = 'R' THEN 1
+                                   ELSE 0 END AS e,
+                              CASE WHEN l_discount >= 0.05 THEN 1
+                                   ELSE 0 END AS g
+                       FROM lineitem
+                       JOIN orders ON l_orderkey = o_orderkey),
+            c AS (SELECT t,
+                         CAST(SUM(e * g) AS BIGINT) AS d1,
+                         CAST(SUM(e) AS BIGINT) AS d,
+                         CAST(SUM(g) AS BIGINT) AS l1,
+                         CAST(COUNT(*) AS BIGINT) AS l
+                  FROM b GROUP BY t),
+            r AS (SELECT t, d1, d,
+                         CAST((SELECT SUM(g) FROM b) AS BIGINT)
+                         - CAST(COALESCE(SUM(l1) OVER (
+                               ORDER BY t ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0)
+                               AS BIGINT) AS n1,
+                         CAST((SELECT COUNT(*) FROM b) AS BIGINT)
+                         - CAST(COALESCE(SUM(l) OVER (
+                               ORDER BY t ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0)
+                               AS BIGINT) AS n
+                  FROM c),
+            s AS (SELECT CAST(SUM(d1) AS DOUBLE) AS o1,
+                         SUM(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+                             / CAST(n AS DOUBLE)) AS e1,
+                         SUM(CAST(d AS DOUBLE)
+                             * (CAST(n1 AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                             * ((CAST(n AS DOUBLE)
+                                 - CAST(n1 AS DOUBLE))
+                                / CAST(n AS DOUBLE))
+                             * ((CAST(n AS DOUBLE)
+                                 - CAST(d AS DOUBLE))
+                                / GREATEST(CAST(n AS DOUBLE) - 1.0,
+                                           1.0))) AS v
+                  FROM r WHERE d > 0)
+            SELECT CAST(o1 AS BIGINT) AS observed_1,
+                   e1 AS expected_1, v AS variance,
+                   (o1 - e1) / sqrt(v) AS z
+            FROM s
         """,
         "km_return_survival": """
             -- product-limit estimator via the product() window
