@@ -5748,19 +5748,19 @@ def q_local_clustering(sf_dir: str, tier3: bool = False):
     return local_clustering(edges, **kw)
 
 
-def q_mannwhitney_discount(sf_dir: str):
-    """Mann–Whitney U rank-sum test (§ statistical aggregates — the
-    nonparametric two-sample screen next to the z-test): do discounted
-    line items (l_discount ≥ 0.05) have a different extended-price
-    distribution than barely-discounted ones? The combined tied-rank
-    sum for the A sample comes from the SAME distinct-value count
-    machinery as Spearman (doubled ranks over the distinct-cents
-    table — no value-domain broadcast), tie correction from exact
-    Σ(t³−t); U, its null mean and the tie-corrected normal z evaluate
-    ONE mirrored float expression from exact big-int sums."""
+def _discount_rank_stats(sf_dir: str) -> tuple[float, float, float,
+                                               float]:
+    """Shared rank machinery for the Mann–Whitney / AUC twins (they
+    are the same statistic up to the final expression — AUC =
+    U/(nA·nB)): distinct-cents counts with per-value discounted
+    share, doubled tied ranks via the range-partitioned scan, then
+    overflow-PROOF partials (`ops/relational.py::rank_sum_rows` —
+    chunked int64 rows with hot-value splitting, the
+    _weighted_moment_rows discipline) combined in Python-int space.
+    Returns exact (Σ cnt_a·rank2, Σ t³−t, n_A, n) as floats."""
     import pandas as pd
-    from no_fasel_scrapers_ray.ops.relational import (grouped_multi_agg,
-                                                      ordered_prefix_sum)
+    from no_fasel_scrapers_ray.ops.relational import (
+        grouped_multi_agg, ordered_prefix_sum, rank_sum_rows)
     li = _read(sf_dir, "lineitem", ["l_extendedprice", "l_discount"],
                rows_per_block=65536)
 
@@ -5777,21 +5777,35 @@ def q_mannwhitney_discount(sf_dir: str):
         {"cnt": ("one", "sum"), "cnt_a": ("f", "sum")}, n_buckets=16)
     ranked = ordered_prefix_sum(counts, "v", "cnt", "__cum",
                                 n_buckets=16)
+    cols = ("s2ra", "tie", "na", "n")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         cnt = b["cnt"].to_numpy(np.int64)
         ca = b["cnt_a"].to_numpy(np.int64)
         r2 = 2 * b["__cum"].to_numpy(np.int64) + cnt + 1
-        return pd.DataFrame({
-            "s2ra": [int((ca * r2).sum())],
-            "tie": [int((cnt * cnt * cnt - cnt).sum())],
-            "na": [int(ca.sum())], "n": [int(cnt.sum())]})
+        rows = rank_sum_rows(cnt, ca, r2)
+        if not rows:
+            return pd.DataFrame({k: np.array([], dtype=np.int64)
+                                 for k in cols})
+        return pd.DataFrame(rows, columns=cols)
 
     p = ranked.map_batches(partial, batch_format="pandas").to_pandas()
-    s2ra = float(sum(int(v) for v in p["s2ra"]))
-    tie = float(sum(int(v) for v in p["tie"]))
-    na = float(sum(int(v) for v in p["na"]))
-    n = float(sum(int(v) for v in p["n"]))
+    return tuple(float(sum(int(v) for v in p[c])) for c in cols)
+
+
+def q_mannwhitney_discount(sf_dir: str):
+    """Mann–Whitney U rank-sum test (§ statistical aggregates — the
+    nonparametric two-sample screen next to the z-test): do discounted
+    line items (l_discount ≥ 0.05) have a different extended-price
+    distribution than barely-discounted ones? The combined tied-rank
+    sum for the A sample comes from the SAME distinct-value count
+    machinery as Spearman (doubled ranks over the distinct-cents
+    table — no value-domain broadcast, `_discount_rank_stats`), tie
+    correction from exact Σ(t³−t); U, its null mean and the
+    tie-corrected normal z evaluate ONE mirrored float expression
+    from exact big-int sums."""
+    import pandas as pd
+    s2ra, tie, na, n = _discount_rank_stats(sf_dir)
     nb = n - na
     # expression order mirrored in the SQL oracle — keep in sync
     u_a = s2ra / 2.0 - na * (na + 1.0) / 2.0
@@ -6215,37 +6229,7 @@ def q_auc_price_discount(sf_dir: str):
     10¹⁰ scored rows costs one distinct-value reduce, never a sort of
     the scores."""
     import pandas as pd
-    from no_fasel_scrapers_ray.ops.relational import (grouped_multi_agg,
-                                                      ordered_prefix_sum)
-    li = _read(sf_dir, "lineitem", ["l_extendedprice", "l_discount"],
-               rows_per_block=65536)
-
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "v": np.round(b["l_extendedprice"].to_numpy(np.float64)
-                          * 100).astype(np.int64),
-            "f": (b["l_discount"].to_numpy(np.float64) >= 0.05)
-            .astype(np.int64),
-            "one": np.ones(len(b), dtype=np.int64)})
-
-    counts = grouped_multi_agg(
-        li.map_batches(prep, batch_format="pandas"), ["v"],
-        {"cnt": ("one", "sum"), "cnt_a": ("f", "sum")}, n_buckets=16)
-    ranked = ordered_prefix_sum(counts, "v", "cnt", "__cum",
-                                n_buckets=16)
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        cnt = b["cnt"].to_numpy(np.int64)
-        ca = b["cnt_a"].to_numpy(np.int64)
-        r2 = 2 * b["__cum"].to_numpy(np.int64) + cnt + 1
-        return pd.DataFrame({
-            "s2ra": [int((ca * r2).sum())],
-            "na": [int(ca.sum())], "n": [int(cnt.sum())]})
-
-    p = ranked.map_batches(partial, batch_format="pandas").to_pandas()
-    s2ra = float(sum(int(v) for v in p["s2ra"]))
-    na = float(sum(int(v) for v in p["na"]))
-    n = float(sum(int(v) for v in p["n"]))
+    s2ra, _tie, na, n = _discount_rank_stats(sf_dir)
     nb = n - na
     # expression order mirrored in the SQL oracle — keep in sync
     auc = (s2ra / 2.0 - na * (na + 1.0) / 2.0) / (na * nb)
@@ -6306,6 +6290,58 @@ def q_lift_table_urgent(sf_dir: str):
     return agg
 
 
+def _ship_delay_day_counts(sf_dir: str,
+                           with_group: bool) -> "Any":
+    """Shared reduce for the survival family (Kaplan–Meier and its
+    log-rank companion): ship delay in days per line item via one
+    bucketed orders⋈lineitem join, with 'returned' as the event (and,
+    when ``with_group``, the l_discount ≥ 0.05 group flag), reduced
+    to the day-domain-bounded per-day count frame sorted by day."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (bucketed_join,
+                                                      grouped_multi_agg)
+    cols = ["l_orderkey", "l_shipdate", "l_returnflag"]
+    if with_group:
+        cols.append("l_discount")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"],
+                   rows_per_block=65536)
+    li = _read(sf_dir, "lineitem", cols, rows_per_block=65536)
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            "o_orderkey": b["l_orderkey"].to_numpy(np.int64),
+            "ship_us": b["l_shipdate"].to_numpy()
+            .astype("datetime64[us]").astype(np.int64),
+            "e": (b["l_returnflag"].to_numpy() == "R")
+            .astype(np.int64)}
+        if with_group:
+            out["grp"] = (b["l_discount"].to_numpy(np.float64)
+                          >= 0.05).astype(np.int64)
+        return pd.DataFrame(out)
+
+    j = bucketed_join(li.map_batches(li_prep, batch_format="pandas"),
+                      orders, on="o_orderkey", how="inner")
+    DAY_US = 86400 * 1000000
+
+    def delay(b: pd.DataFrame) -> pd.DataFrame:
+        od = b["o_orderdate"].to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        e = b["e"].to_numpy(np.int64)
+        out = {"t": (b["ship_us"].to_numpy(np.int64) - od) // DAY_US,
+               "d": e, "one": np.ones(len(b), dtype=np.int64)}
+        if with_group:
+            g = b["grp"].to_numpy(np.int64)
+            out["d1"], out["l1"] = e * g, g
+        return pd.DataFrame(out)
+
+    specs = {"d": ("d", "sum"), "n_all": ("one", "sum")}
+    if with_group:
+        specs.update({"d1": ("d1", "sum"), "l1": ("l1", "sum")})
+    return grouped_multi_agg(
+        j.map_batches(delay, batch_format="pandas"), ["t"], specs,
+        n_buckets=8).to_pandas().sort_values("t", ignore_index=True)
+
+
 def q_km_return_survival(sf_dir: str):
     """Kaplan–Meier survival curve over ship delay (days from order to
     ship), with 'returned' (l_returnflag = R) as the event and other
@@ -6318,40 +6354,11 @@ def q_km_return_survival(sf_dir: str):
     (1 − d/n) — mirrored with DuckDB's product() window aggregate
     (a log-sum form would blow up on the terminal event day where
     d = n_risk and the factor is exactly 0). Rows at event days only
-    (censored-only days contribute factor 1 on both engines)."""
+    (censored-only days contribute factor 1 on both engines).
+    Day-count reduce shared with the log-rank twin
+    (`_ship_delay_day_counts`)."""
     import pandas as pd
-    from no_fasel_scrapers_ray.ops.relational import (bucketed_join,
-                                                      grouped_multi_agg)
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"],
-                   rows_per_block=65536)
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_shipdate", "l_returnflag"],
-               rows_per_block=65536)
-
-    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "o_orderkey": b["l_orderkey"].to_numpy(np.int64),
-            "ship_us": b["l_shipdate"].to_numpy()
-            .astype("datetime64[us]").astype(np.int64),
-            "e": (b["l_returnflag"].to_numpy() == "R")
-            .astype(np.int64)})
-
-    j = bucketed_join(li.map_batches(li_prep, batch_format="pandas"),
-                      orders, on="o_orderkey", how="inner")
-    DAY_US = 86400 * 1000000
-
-    def delay(b: pd.DataFrame) -> pd.DataFrame:
-        od = b["o_orderdate"].to_numpy().astype(
-            "datetime64[us]").astype(np.int64)
-        return pd.DataFrame({
-            "t": (b["ship_us"].to_numpy(np.int64) - od) // DAY_US,
-            "e": b["e"].to_numpy(np.int64),
-            "one": np.ones(len(b), dtype=np.int64)})
-
-    g = grouped_multi_agg(
-        j.map_batches(delay, batch_format="pandas"), ["t"],
-        {"d": ("e", "sum"), "n_all": ("one", "sum")},
-        n_buckets=8).to_pandas().sort_values("t", ignore_index=True)
+    g = _ship_delay_day_counts(sf_dir, with_group=False)
     total = int(g["n_all"].sum())
     leave = g["n_all"].to_numpy(np.int64)
     n_risk = total - (np.cumsum(leave) - leave)
@@ -6375,50 +6382,14 @@ def q_logrank_discount_survival(sf_dir: str):
     d·(n₁/n)·(n₂/n)·(n−d)/(n−1) from exact at-risk counts, one
     mirrored float z over the day-domain-bounded frame. Counts reduce
     distributed (one bucketed join + one grouped agg); the scan runs
-    on the driver over ≤ delay-domain rows."""
+    on the driver over ≤ delay-domain rows. Day-count reduce shared
+    with the Kaplan–Meier twin (`_ship_delay_day_counts`)."""
     import pandas as pd
-    from no_fasel_scrapers_ray.ops.relational import (bucketed_join,
-                                                      grouped_multi_agg)
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"],
-                   rows_per_block=65536)
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_shipdate", "l_returnflag",
-                "l_discount"],
-               rows_per_block=65536)
-
-    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "o_orderkey": b["l_orderkey"].to_numpy(np.int64),
-            "ship_us": b["l_shipdate"].to_numpy()
-            .astype("datetime64[us]").astype(np.int64),
-            "e": (b["l_returnflag"].to_numpy() == "R")
-            .astype(np.int64),
-            "grp": (b["l_discount"].to_numpy(np.float64) >= 0.05)
-            .astype(np.int64)})
-
-    j = bucketed_join(li.map_batches(li_prep, batch_format="pandas"),
-                      orders, on="o_orderkey", how="inner")
-    DAY_US = 86400 * 1000000
-
-    def delay(b: pd.DataFrame) -> pd.DataFrame:
-        od = b["o_orderdate"].to_numpy().astype(
-            "datetime64[us]").astype(np.int64)
-        e = b["e"].to_numpy(np.int64)
-        g = b["grp"].to_numpy(np.int64)
-        return pd.DataFrame({
-            "t": (b["ship_us"].to_numpy(np.int64) - od) // DAY_US,
-            "d1": e * g, "d": e, "l1": g,
-            "one": np.ones(len(b), dtype=np.int64)})
-
-    c = grouped_multi_agg(
-        j.map_batches(delay, batch_format="pandas"), ["t"],
-        {"d1": ("d1", "sum"), "d": ("d", "sum"),
-         "l1": ("l1", "sum"), "l": ("one", "sum")},
-        n_buckets=8).to_pandas().sort_values("t", ignore_index=True)
+    c = _ship_delay_day_counts(sf_dir, with_group=True)
     tot1 = int(c["l1"].sum())
-    tot = int(c["l"].sum())
+    tot = int(c["n_all"].sum())
     l1 = c["l1"].to_numpy(np.int64)
-    l = c["l"].to_numpy(np.int64)
+    l = c["n_all"].to_numpy(np.int64)
     n1 = tot1 - (np.cumsum(l1) - l1)
     n = tot - (np.cumsum(l) - l)
     d1 = c["d1"].to_numpy(np.int64)

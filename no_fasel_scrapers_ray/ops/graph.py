@@ -927,36 +927,11 @@ def _tri_prep_keys(*parts):
 
 
 def _tri_wedges(eb, n_nodes: int, n_buckets: int):
-    """Run-based wedge keys for one u-bucket (sorted out-neighbor runs
-    → triu pairs, v < w by construction), split by key bucket. Wedge
-    volume per bucket is bounded by m·sqrt(2m)/n_buckets under the
-    degree orientation."""
-    import ray
-    u, v = eb
-    out = [[] for _ in range(n_buckets)]
-    if len(u):
-        _, starts, counts = np.unique(u, return_index=True,
-                                      return_counts=True)
-        for st, c in zip(starts, counts):
-            if c < 2:
-                continue
-            nb = v[st:st + c]          # ascending within the run
-            iu, iv_ = np.triu_indices(c, k=1)
-            wk = nb[iu] * n_nodes + nb[iv_]
-            b = _pr_bucket_of(wk, n_buckets)
-            order = np.argsort(b, kind="stable")
-            cuts = np.searchsorted(b[order], np.arange(n_buckets + 1))
-            for k in range(n_buckets):
-                s, e = cuts[k], cuts[k + 1]
-                if e > s:
-                    out[k].append(wk[order[s:e]])
-    empty = np.array([], dtype=np.int64)
-    # refs, not arrays — see _tri_split_edge_keys: small raw returns
-    # would funnel the whole wedge set through the driver's in-process
-    # store
-    parts = tuple(ray.put(np.concatenate(p) if p else empty)
-                  for p in out)
-    return parts if n_buckets > 1 else parts[0]
+    """Run-based wedge keys for one u-bucket — the keys-only
+    projection of the shared ``_wedge_parts`` kernel. Wedge volume
+    per bucket is bounded by m·sqrt(2m)/n_buckets under the degree
+    orientation."""
+    return _wedge_parts(eb, n_nodes, n_buckets, with_center=False)
 
 
 def _tri_count(keys_sorted: np.ndarray, *wedge_parts) -> int:
@@ -2062,17 +2037,17 @@ def local_clustering(edges: rd.Dataset, n_buckets: int = 64,
     WHERE in the oracle). Engine addition (§ graph operators); no
     reference analogue.
 
-    Tiers mirror ``triangle_count``: a driver pass below
-    ``small_threshold`` edges, else the degree-oriented wedge closing
-    runs per-u-bucket (run-based wedge generation fused with the
-    broadcast sorted-edge-key membership test — wedges never
-    materialize or shuffle) with each bucket returning a node-sized
-    dense int64 participation partial, summed on the driver. Node-
-    sized driver state is INHERENT to this output (one row per node),
-    so the broadcast tier's budget is the honest ceiling; a 10^10-node
-    graph would keep the counts as a Dataset and bucketed-join degrees
-    instead of the driver merge. Output: driver DataFrame
-    (node, deg, n_tri int64, lcc float64)."""
+    THREE tiers mirroring ``triangle_count``: a driver pass below
+    ``small_threshold`` edges; a broadcast tier (run-based wedge
+    generation fused with the broadcast sorted-edge-key membership
+    test — wedges never materialize or shuffle, node-sized dense
+    participation partials per bucket) while the packed key set fits
+    ``broadcast_edge_threshold``; beyond that, the fully distributed
+    BSP closing exchange with per-corner crediting
+    (``_lcc_tier3_counts`` — edge keys never collect on the driver,
+    only node-BOUNDED sparse partials do). Node-sized driver state is
+    INHERENT to this output (one row per node). Output: driver
+    DataFrame (node, deg, n_tri int64, lcc float64)."""
     import ray
 
     from .relational import broadcast_get, preagg_reduce
@@ -2246,13 +2221,16 @@ def personalized_pagerank(edges: rd.Dataset, seeds: "list[int]",
                                seeds=seeds_arr)
 
 
-def _lcc_wedges(eb, n_nodes: int, n_buckets: int):
-    """Per-u-bucket wedge generation for per-node triangle counting:
-    like ``_tri_wedges`` but each key-bucket part carries the wedge
-    CENTER alongside the packed endpoint key (the center is what the
-    closing check must credit — it is unrecoverable from the key).
-    Returns refs of (wk, center) array pairs; see
-    ``_tri_split_edge_keys`` for why refs, not raw returns."""
+def _wedge_parts(eb, n_nodes: int, n_buckets: int,
+                 with_center: bool):
+    """Shared per-u-bucket wedge generation (run-based sorted-
+    out-neighbor triu pairs, v < w by construction, split by packed
+    key bucket) for BOTH closing kernels: the global count
+    (``_tri_wedges`` — keys only) and the per-node variant
+    (``_lcc_wedges`` — each part also carries the wedge CENTER, which
+    the per-corner crediting needs and which is unrecoverable from
+    the key). Returns refs (see ``_tri_split_edge_keys`` for why
+    refs, not raw returns)."""
     import ray
     u, v = eb
     out_k = [[] for _ in range(n_buckets)]
@@ -2266,7 +2244,6 @@ def _lcc_wedges(eb, n_nodes: int, n_buckets: int):
             nb = v[st:st + c]
             iu, iv_ = np.triu_indices(c, k=1)
             wk = nb[iu] * n_nodes + nb[iv_]
-            ctr = np.full(len(wk), u[st], dtype=np.int64)
             b = _pr_bucket_of(wk, n_buckets)
             order = np.argsort(b, kind="stable")
             cuts = np.searchsorted(b[order], np.arange(n_buckets + 1))
@@ -2274,12 +2251,22 @@ def _lcc_wedges(eb, n_nodes: int, n_buckets: int):
                 s, e = cuts[k], cuts[k + 1]
                 if e > s:
                     out_k[k].append(wk[order[s:e]])
-                    out_c[k].append(ctr[order[s:e]])
+                    if with_center:
+                        out_c[k].append(np.full(
+                            e - s, u[st], dtype=np.int64))
     empty = np.array([], dtype=np.int64)
-    parts = tuple(ray.put((np.concatenate(k) if k else empty,
-                           np.concatenate(c) if c else empty))
-                  for k, c in zip(out_k, out_c))
+    if with_center:
+        parts = tuple(ray.put((np.concatenate(k) if k else empty,
+                               np.concatenate(c) if c else empty))
+                      for k, c in zip(out_k, out_c))
+    else:
+        parts = tuple(ray.put(np.concatenate(k) if k else empty)
+                      for k in out_k)
     return parts if n_buckets > 1 else parts[0]
+
+
+def _lcc_wedges(eb, n_nodes: int, n_buckets: int):
+    return _wedge_parts(eb, n_nodes, n_buckets, with_center=True)
 
 
 def _lcc_count(keys_sorted: np.ndarray, n_nodes: int, *wedge_parts):

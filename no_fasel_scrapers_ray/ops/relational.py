@@ -2930,3 +2930,49 @@ def kendall_tau_grouped(ds: rd.Dataset, key: str, xcol: str, ycol: str,
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("__bucket").map_groups(per_bucket,
                                             batch_format="pandas"))
+
+
+def rank_sum_rows(cnt: np.ndarray, cnt_a: np.ndarray,
+                  r2: np.ndarray) -> list[tuple]:
+    """Exact rank-sum partials for the Mann–Whitney / AUC family over
+    a distinct-value batch: rows of int64-safe
+    (Σ cnt_a·rank2, Σ cnt³−cnt, Σ cnt_a, Σ cnt). Same overflow
+    discipline as ``_weighted_moment_rows``: per-element float
+    estimates pick chunk cuts below half the int64 range, and any
+    single oversized addend (a hot value's cnt_a·rank2 or cnt³) is
+    computed in Python-int and SPLIT across filler rows ≤ the limit —
+    the column sums are what matters, so value-splitting preserves
+    exactness while keeping every emitted cell Arrow-int64-safe."""
+    cf = cnt.astype(np.float64)
+    f1 = cnt_a.astype(np.float64) * r2
+    f2 = cf * cf * cf
+    big = np.maximum(f1, f2)
+    solo = big >= _MOMENT_INT64_LIM
+    out = []
+    LIM = int(_MOMENT_INT64_LIM)
+    for i in np.flatnonzero(solo):
+        t1 = int(cnt_a[i]) * int(r2[i])
+        c_i = int(cnt[i])
+        t2 = c_i * c_i * c_i - c_i
+        na_i, n_i = int(cnt_a[i]), c_i
+        while t1 > 0 or t2 > 0 or n_i > 0:
+            out.append((min(t1, LIM), min(t2, LIM), na_i, n_i))
+            t1 = max(0, t1 - LIM)
+            t2 = max(0, t2 - LIM)
+            na_i = n_i = 0
+    keep_idx = np.flatnonzero(~solo)
+    if len(keep_idx):
+        b2 = big[keep_idx]
+        cuts = np.flatnonzero(np.diff(np.floor(
+            np.cumsum(b2) / _MOMENT_INT64_LIM)))
+        starts = np.concatenate([[0], cuts + 1])
+        ends = np.concatenate([cuts + 1, [len(keep_idx)]])
+        for s, e in zip(starts, ends):
+            idx = keep_idx[s:e]
+            c = cnt[idx]
+            ca = cnt_a[idx]
+            rr = r2[idx]
+            out.append((int((ca * rr).sum()),
+                        int((c * c * c - c).sum()),
+                        int(ca.sum()), int(c.sum())))
+    return out

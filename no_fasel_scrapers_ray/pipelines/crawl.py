@@ -252,7 +252,10 @@ def _split_pop_table(refs: list, *locs):
     per-slice refs exist at SUBMISSION time — no driver ray.get
     barrier between the split wave and the block launches (a blocking
     resolve measured as a visible per-round latency tax)."""
-    t = _bget(refs[0], pin=False)
+    # plain ray.get: the popped table is consumed once per round by
+    # this split — caching it would evict genuinely reusable LRU
+    # entries (corpus partitions, broadcast state) on every round
+    t = ray.get(refs[0])
     out = [t.take(pa.array(loc)) for loc in locs]
     return out[0] if len(out) == 1 else tuple(out)
 
@@ -284,7 +287,10 @@ def _crawl_block(parts: list, refs: list, shards, n_shards: int,
         # pre-split mode (multi-raylet): parts are refs to this
         # block's OWN slices, already cut on each shard's node —
         # gather moves exactly this block's bytes, once
-        block = pa.concat_tables([_bget(r, pin=False) for r in parts])
+        # plain ray.get: each slice is consumed by exactly this
+        # block — LRU-caching single-use tables would only evict
+        # reusable entries (corpus partitions, broadcast state)
+        block = pa.concat_tables(ray.get(list(parts)))
     else:
         block = pa.concat_tables([
             _bget(table_refs[slot], pin=False).take(pa.array(loc))
@@ -542,14 +548,13 @@ class CrawlEngine:
                     per_slot.setdefault(int(s), []).append((k, loc))
             by_block: list[dict] = [dict() for _ in parts_blocks]
             for s, entries in per_slot.items():
-                task = _split_pop_table.options(
-                    num_returns=len(entries))
+                opts = {"num_returns": len(entries)}
                 if self._use_affinity:
-                    task = _split_pop_table.options(
-                        num_returns=len(entries),
-                        scheduling_strategy=NodeAffinitySchedulingStrategy(
+                    opts["scheduling_strategy"] = \
+                        NodeAffinitySchedulingStrategy(
                             node_id=self._shard_nodes[live_idx[s]],
-                            soft=True))
+                            soft=True)
+                task = _split_pop_table.options(**opts)
                 slice_refs = task.remote(
                     [table_refs[s]], *[loc for _, loc in entries])
                 if len(entries) == 1:
