@@ -6411,6 +6411,37 @@ def q_logrank_discount_survival(sf_dir: str):
         "z": np.array([z], dtype=np.float64)})
 
 
+def q_km_by_discount_group(sf_dir: str):
+    """Per-group Kaplan–Meier curves (§ statistical aggregates — the
+    stratified twin of `km_return_survival`, the curves the log-rank
+    test compares): one survival curve per discount stratum over the
+    same shared day-count reduce (`_ship_delay_day_counts`), each
+    group's product-limit estimator mirrored with the product()
+    window aggregate partitioned by group."""
+    import pandas as pd
+    c = _ship_delay_day_counts(sf_dir, with_group=True)
+    out = []
+    for grp in (0, 1):
+        if grp == 1:
+            d = c["d1"].to_numpy(np.int64)
+            leave = c["l1"].to_numpy(np.int64)
+        else:
+            d = (c["d"] - c["d1"]).to_numpy(np.int64)
+            leave = (c["n_all"] - c["l1"]).to_numpy(np.int64)
+        total = int(leave.sum())
+        n_risk = total - (np.cumsum(leave) - leave)
+        keep = d > 0
+        # expression order mirrored in the SQL oracle — keep in sync
+        surv = np.cumprod(1.0 - d[keep].astype(np.float64)
+                          / n_risk[keep].astype(np.float64))
+        out.append(pd.DataFrame({
+            "grp": np.full(int(keep.sum()), grp, dtype=np.int64),
+            "day": c["t"].to_numpy(np.int64)[keep],
+            "n_events": d[keep], "n_risk": n_risk[keep],
+            "survival": surv}))
+    return pd.concat(out, ignore_index=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6620,6 +6651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lift_table_urgent": q_lift_table_urgent,
         "km_return_survival": q_km_return_survival,
         "logrank_discount_survival": q_logrank_discount_survival,
+        "km_by_discount_group": q_km_by_discount_group,
         "ppr_top_customers": q_ppr_top_customers,
         "welch_ttest_discount": q_welch_ttest_discount,
         "chisq_nation_priority": q_chisq_nation_priority,
@@ -7114,6 +7146,40 @@ def _oracle_sql_literal() -> dict[str, str]:
                               AS r
                    FROM pv LEFT JOIN c3 c ON pv.node = c.node)
             SELECT node, ROUND(r, 9) AS rank FROM r3
+        """,
+        "km_by_discount_group": """
+            -- one product-limit curve per discount stratum; the
+            -- per-group at-risk counts use each group's OWN totals
+            WITH b AS (SELECT CAST(epoch_us(l_shipdate)
+                              - epoch_us(o_orderdate) AS BIGINT)
+                              // 86400000000 AS t,
+                              CASE WHEN l_returnflag = 'R' THEN 1
+                                   ELSE 0 END AS e,
+                              CASE WHEN l_discount >= 0.05 THEN 1
+                                   ELSE 0 END AS g
+                       FROM lineitem
+                       JOIN orders ON l_orderkey = o_orderkey),
+            c AS (SELECT CAST(g AS BIGINT) AS grp, t,
+                         CAST(SUM(e) AS BIGINT) AS d,
+                         CAST(COUNT(*) AS BIGINT) AS n_all
+                  FROM b GROUP BY g, t),
+            r AS (SELECT grp, t, d,
+                         CAST(SUM(n_all) OVER (PARTITION BY grp)
+                              AS BIGINT)
+                         - CAST(COALESCE(SUM(n_all) OVER (
+                               PARTITION BY grp ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT)
+                             AS n_risk
+                  FROM c),
+            s AS (SELECT grp, t, d, n_risk,
+                         product(1.0 - CAST(d AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE))
+                             OVER (PARTITION BY grp ORDER BY t)
+                             AS survival
+                  FROM r WHERE d > 0)
+            SELECT grp, t AS day, d AS n_events, n_risk, survival
+            FROM s
         """,
         "logrank_discount_survival": """
             WITH b AS (SELECT CAST(epoch_us(l_shipdate)

@@ -109,7 +109,7 @@ BENCH_QUERIES = [
     "kendall_cust_trend", "psi_order_value_drift",
     "welch_ttest_discount", "ppr_top_customers",
     "auc_price_discount", "lift_table_urgent", "km_return_survival",
-    "logrank_discount_survival",
+    "logrank_discount_survival", "km_by_discount_group",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the
