@@ -77,3 +77,21 @@ def test_weighted_moment_rows_exact_past_int64():
     # every emitted row must individually fit int64 (Arrow-safe)
     flat = [v for r in rows for v in r]
     assert max(flat) < 2 ** 63
+
+
+def test_rank_sum_rows_exact_past_int64():
+    from no_fasel_scrapers_ray.ops.relational import rank_sum_rows
+    # hot value: cnt so large that cnt^3 and cnt_a*rank2 both exceed
+    # int64 — the split-filler path must still sum exactly
+    cnt = np.array([3_000_000, 7, 11], dtype=np.int64)
+    ca = np.array([2_999_999, 3, 11], dtype=np.int64)
+    r2 = np.array([4_000_001, 9, 31], dtype=np.int64)
+    rows = rank_sum_rows(cnt, ca, r2)
+    got = [sum(int(r[i]) for r in rows) for i in range(4)]
+    want = [sum(int(a) * int(b) for a, b in zip(ca, r2)),
+            sum(int(c) ** 3 - int(c) for c in cnt),
+            int(ca.sum()), int(cnt.sum())]
+    assert got == want
+    assert want[1] > 2 ** 63                  # the wrap regime
+    flat = [v for r in rows for v in r]
+    assert max(flat) < 2 ** 63                # every cell Arrow-safe

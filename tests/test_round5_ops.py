@@ -509,3 +509,41 @@ def test_local_clustering_tier3_forced():
                           broadcast_edge_threshold=0) \
         .sort_values("node", ignore_index=True)
     pd.testing.assert_frame_equal(drv, t3)
+
+
+def test_km_survival_matches_bruteforce():
+    """Engine KM query logic vs a direct product-limit loop on a
+    planted censored sample (the convention the SQL oracle mirrors):
+    events and censors on shared days, terminal day fully eventful."""
+    # t: day, e: event(1)/censored(0)
+    t = np.array([1, 1, 1, 2, 2, 3, 3, 3, 5, 5], dtype=np.int64)
+    e = np.array([1, 0, 1, 0, 0, 1, 1, 0, 1, 1], dtype=np.int64)
+    # brute: iterate days ascending
+    n = len(t)
+    surv_ref = {}
+    s = 1.0
+    at_risk = n
+    for day in sorted(set(t.tolist())):
+        m = t == day
+        d = int(e[m].sum())
+        if d > 0:
+            s *= 1.0 - d / at_risk
+            surv_ref[day] = (d, at_risk, s)
+        at_risk -= int(m.sum())
+    # engine shape (the q_km_return_survival driver pass)
+    df = pd.DataFrame({"t": t, "e": e}).groupby("t").agg(
+        d=("e", "sum"), n_all=("e", "size")).reset_index()
+    total = int(df["n_all"].sum())
+    leave = df["n_all"].to_numpy(np.int64)
+    n_risk = total - (np.cumsum(leave) - leave)
+    d = df["d"].to_numpy(np.int64)
+    keep = d > 0
+    surv = np.cumprod(1.0 - d[keep].astype(np.float64)
+                      / n_risk[keep].astype(np.float64))
+    days = df["t"].to_numpy(np.int64)[keep]
+    for day, s_got, d_got, nr_got in zip(days, surv, d[keep],
+                                         n_risk[keep]):
+        d_ref, nr_ref, s_ref = surv_ref[int(day)]
+        assert (int(d_got), int(nr_got)) == (d_ref, nr_ref)
+        np.testing.assert_allclose(s_got, s_ref)
+    assert surv[-1] == 0.0 or surv[-1] > 0   # terminal day handled
