@@ -4653,20 +4653,24 @@ def q_user_similarity(sf_dir: str):
     """User-user Jaccard similarity over purchased-part sets, top-1
     most similar per user (§ set-similarity join — the collaborative-
     filtering neighbor step, the behavioral twin of the doc-level
-    n-gram Jaccard dedup). Scale shape: ONE orders⋈lineitem bucketed
-    join → distinct (user, part) preagg → ITEM-bucketed pair emission
-    (each part's user list self-merges in its own bucket — pair volume
-    is Σ|users(item)|², bounded by item fan-out, never all-pairs) →
-    ONE owner-user-bucket shuffle whose bucket final counts, scores
-    (jaccard from broadcast user set sizes) and picks top-1 in a
-    single pass. Hot items at 100 TB take the same df-ordered prefix
-    filter as `ngram_jaccard` (documented cutover); exact here, which
-    is what the SQL oracle checks. Jaccard is ONE double division of
+    n-gram Jaccard dedup). Scale shape (`ops/dedup.py::
+    set_similarity_top1`): ONE orders⋈lineitem bucketed join →
+    distinct (user, part) preagg → hot/cold item split. Cold items
+    (fan-out < NFS_USERSIM_HOT_T, default 8192) take the per-item
+    bucket pair emission (volume Σ|users(item)|², now BOUNDED by the
+    threshold × nnz); hot items never self-merge — their co-membership
+    rides as per-user bit signatures added exactly at scoring time,
+    and hot-only pairs come from a signature-reduction popcount scan
+    (the r04 'weak' docstring promise, now implemented + tier-equality
+    tested). One owner-bucket shuffle finishes: max-per-pair, then
+    top-1 (jaccard DESC, other ASC). Jaccard is ONE double division of
     exact int64s — bit-identical to the oracle's expression."""
+    import os
+
     import pandas as pd
-    import ray
-    from no_fasel_scrapers_ray.ops.relational import (
-        broadcast_get, bucketed_join, preagg_reduce)
+    from no_fasel_scrapers_ray.ops.dedup import set_similarity_top1
+    from no_fasel_scrapers_ray.ops.relational import (bucketed_join,
+                                                      preagg_reduce)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
                    rows_per_block=65536)
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
@@ -4681,66 +4685,11 @@ def q_user_similarity(sf_dir: str):
             "u": b["o_custkey"].to_numpy(np.int64),
             "item": b["item"].to_numpy(np.int64)}),
             batch_format="pandas"),
-        ["u", "item"], "__n", "count").materialize()
-    sizes = preagg_reduce(ui, ["u"], "n_items", "count").to_pandas()
-    sizes = sizes.sort_values("u")
-    uk = ray.put(sizes["u"].to_numpy(np.int64))
-    un = ray.put(sizes["n_items"].to_numpy(np.int64))
-
-    from no_fasel_scrapers_ray.ops.relational import _bucket_tagger
-    tagged = ui.map_batches(_bucket_tagger(["item"], 64),
-                            batch_format="pandas")
-
-    HALF = np.int64(1 << 31)
-    N_UB = 64
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # pairs PACKED into one int64 (owner·2^31 + other, ids < 2^31
-        # asserted) and emitted in BOTH directions keyed by the owner
-        # user — so ONE user-bucket shuffle co-locates every pair of a
-        # user and the bucket final can count, score AND pick top-1 in
-        # a single pass. (The first shape shuffled unordered pairs to
-        # a count preagg, then 2× rows again through topk: the pair
-        # space is ~unique [9.0M pairs, 8.6M distinct at sf0.1] so the
-        # preagg compressed nothing and the 3 shuffles cost 7.4 s;
-        # this fused shape measures ~4.5 s.)
-        it = g[["item", "u"]]
-        m = it.merge(it, on="item", suffixes=("_a", "_b"))
-        a = m["u_a"].to_numpy(np.int64)
-        b = m["u_b"].to_numpy(np.int64)
-        keep = a != b
-        a, b = a[keep], b[keep]
-        if len(a) and (int(a.max()) >= HALF or int(b.max()) >= HALF):
-            raise ValueError("user_similarity packing needs ids < 2^31")
-        return pd.DataFrame({"pk": a * HALF + b,
-                             "__ub": (a % N_UB).astype(np.int64)})
-
-    pair_ds = tagged.groupby("__bucket").map_groups(
-        pairs, batch_format="pandas")
-
-    def score_top1(g: pd.DataFrame) -> pd.DataFrame:
-        pk, iv = np.unique(g["pk"].to_numpy(np.int64),
-                           return_counts=True)
-        u = pk // HALF
-        other = pk % HALF
-        k = broadcast_get(uk)
-        n = broadcast_get(un)
-        n1 = n[np.searchsorted(k, u)]
-        n2 = n[np.searchsorted(k, other)]
-        jac = iv.astype(np.float64) / (n1 + n2 - iv)
-        # top-1 per owner, ties → smallest other (np.unique sorted pk
-        # ascending ⇒ per-u 'other' ascending; stable mergesort keeps
-        # that order within equal jac)
-        order = np.lexsort((np.arange(len(u)), -jac, u))
-        first = np.ones(len(u), dtype=bool)
-        first[1:] = u[order][1:] != u[order][:-1]
-        sel = order[first]
-        return pd.DataFrame({"o_custkey": u[sel],
-                             "similar_cust": other[sel],
-                             "jaccard": jac[sel]})
-
-    return pair_ds.groupby("__ub").map_groups(score_top1,
-                                              batch_format="pandas")
+        ["u", "item"], "__n", "count")
+    return set_similarity_top1(
+        ui, hot_threshold=int(os.environ.get("NFS_USERSIM_HOT_T",
+                                             "8192")),
+        out_names=("o_custkey", "similar_cust", "jaccard"))
 
 
 def q_snapshot_diff_orders(sf_dir: str):
