@@ -2114,13 +2114,18 @@ def q_doc_dup_spans(sf_dir: str):
     round-4 missing family per VERDICT r03): maximal token ranges
     whose 6-token windows also appear in at least one OTHER document —
     the duplicated-span finder that a span-removal pass would consume.
-    Three narrow shuffles over window hashes / (doc, off) rows; the
-    document text itself never shuffles (ops/dedup.py::dup_spans).
-    Oracle: UNNEST(range) windows + HAVING count(DISTINCT doc_id) > 1
-    + gaps-and-islands merge."""
+    Three narrow shuffles over window hashes / (doc, off) rows; below
+    the candidate-broadcast cap the document text never shuffles, and
+    above it the op degrades to the distributed candidate tier
+    (ops/dedup.py::dup_spans; NFS_DUPSPANS_CAP forces the tier for
+    oracle runs). Oracle: UNNEST(range) windows + HAVING
+    count(DISTINCT doc_id) > 1 + gaps-and-islands merge."""
+    import os
+
     from no_fasel_scrapers_ray.ops.dedup import dup_spans
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return dup_spans(docs, k=6)
+    cap = int(os.environ.get("NFS_DUPSPANS_CAP", str(50_000_000)))
+    return dup_spans(docs, k=6, max_candidates=cap)
 
 
 def q_doc_chunks(sf_dir: str):

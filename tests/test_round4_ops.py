@@ -49,10 +49,20 @@ def test_dup_spans_two_islands_per_doc():
     assert got == [(0, 0, 6), (0, 9, 15), (1, 0, 6), (1, 9, 15)]
 
 
-def test_dup_spans_candidate_cap_fails_loudly():
+def test_dup_spans_candidate_cap_degrades_to_distributed():
+    # above the broadcast cap the op no longer refuses to run — it
+    # takes the distributed candidate tier and must produce the same
+    # spans (full tier-equality suite: tests/test_round6_ops.py)
     shared = " ".join(f"w{i}" for i in range(30))
-    with pytest.raises(ValueError, match="max_candidates"):
-        dup_spans(_docs([shared, shared]), k=4, max_candidates=5)
+    capped = (dup_spans(_docs([shared, shared]), k=4, max_candidates=5)
+              .to_pandas().sort_values(["doc_id", "span_start"],
+                                       ignore_index=True))
+    broad = (dup_spans(_docs([shared, shared]), k=4)
+             .to_pandas().sort_values(["doc_id", "span_start"],
+                                      ignore_index=True))
+    pd.testing.assert_frame_equal(capped, broad)
+    assert list(broad.itertuples(index=False, name=None)) == \
+        [(0, 0, 30), (1, 0, 30)]
 
 
 # ---- skyline_2d -------------------------------------------------------

@@ -118,3 +118,67 @@ def test_set_similarity_twins_tie_break():
         assert got.loc[241, "jaccard"] == 1.0
         assert got.loc[241, "similar_u"] == 240
         assert got.loc[243, "similar_u"] == 242
+
+
+# ---- dup_spans distributed candidate tier -----------------------------
+
+from no_fasel_scrapers_ray.ops.dedup import dup_spans
+
+
+def _docs_ds(texts, parts=3):
+    return rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts})).repartition(parts)
+
+
+def _span_corpus(seed=11, n_docs=40):
+    """Synthetic corpus with planted cross-doc runs of varying length,
+    intra-doc repeats (must NOT count), and clean docs."""
+    rng = np.random.default_rng(seed)
+    shared_a = " ".join(f"sa{i}" for i in range(12))
+    shared_b = " ".join(f"sb{i}" for i in range(7))
+    texts = []
+    for d in range(n_docs):
+        toks = [f"u{d}x{i}" for i in range(int(rng.integers(5, 15)))]
+        t = " ".join(toks)
+        if d % 3 == 0:
+            t = t + " " + shared_a
+        if d % 4 == 0:
+            t = shared_b + " " + t
+        if d % 7 == 0:
+            t = t + " r1 r2 r3 r4 r5 " + t.split(" ", 1)[0]
+        texts.append(t)
+    return texts
+
+
+def test_dup_spans_tier_equality_forced_cap():
+    texts = _span_corpus()
+    broad = (dup_spans(_docs_ds(texts), k=4).to_pandas()
+             .sort_values(["doc_id", "span_start"], ignore_index=True))
+    for cap in (0, 1, 3):
+        dist = (dup_spans(_docs_ds(texts), k=4, max_candidates=cap)
+                .to_pandas()
+                .sort_values(["doc_id", "span_start"],
+                             ignore_index=True))
+        pd.testing.assert_frame_equal(dist, broad, check_dtype=True)
+    assert len(broad) > 10   # the corpus actually plants duplication
+
+
+def test_dup_spans_distributed_two_islands():
+    a = " ".join(f"p{i}" for i in range(6))
+    b = " ".join(f"q{i}" for i in range(6))
+    texts = [a + " gap1 gap2 gap3 " + b,
+             a + " zzz1 zzz2 zzz3 " + b]
+    out = (dup_spans(_docs_ds(texts, parts=2), k=4, max_candidates=0)
+           .to_pandas()
+           .sort_values(["doc_id", "span_start"], ignore_index=True))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == [(0, 0, 6), (0, 9, 15), (1, 0, 6), (1, 9, 15)]
+
+
+def test_dup_spans_distributed_intra_doc_repeat_not_counted():
+    texts = ["x1 x2 x3 x4 z x1 x2 x3 x4",
+             "other words entirely here now"]
+    out = dup_spans(_docs_ds(texts, parts=2), k=4,
+                    max_candidates=0).to_pandas()
+    assert len(out) == 0
