@@ -5026,18 +5026,23 @@ def q_grouping_sets_orders(sf_dir: str):
         "total_cents": out["total_cents"].to_numpy(np.int64)})
 
 
-def q_msf_fulfillment(sf_dir: str, force_distributed: bool = False):
+def q_msf_fulfillment(sf_dir: str, force_distributed: bool = False,
+                      tier3: bool = False):
     """Minimum spanning forest (§ graph operators — single-linkage
     clustering's backbone) over the bipartite customer–supplier
     fulfillment graph with deterministic integer weights
     w = (c·2654435761 + s·40503) mod 9973 + 1 (pseudo-unique, so the
     MSF is essentially unique and run-independent). Borůvka with the
-    standing two-tier cutover (`ops/graph.py::minimum_spanning_forest`
+    standing three-tier cutover (`ops/graph.py::minimum_spanning_forest`
     — driver Kruskal under it, distributed component-min rounds
-    beyond, edge set never leaves the cluster). Customers offset by
+    beyond, edge set never leaves the cluster; ``tier3=True`` — query
+    ``msf_tier3`` — forces the fully distributed `_msf_tier3` where
+    the union-find itself leaves the driver: bucketed label dataset +
+    per-round CC over the chosen component graph). Customers offset by
     2^40 into their own node space (the pagerank contract). No SQL
     oracle by design (MSF is not SQL-expressible) — Kruskal-reference
-    + tier-equality pinned in tests/test_round5_ops.py."""
+    + tier-equality pinned in tests/test_round5_ops.py and
+    tests/test_round6_ops.py."""
     import pandas as pd
     from no_fasel_scrapers_ray.ops.graph import minimum_spanning_forest
     cs = _fulfillment_edges(sf_dir)
@@ -5049,8 +5054,10 @@ def q_msf_fulfillment(sf_dir: str, force_distributed: bool = False):
         return pd.DataFrame({"u": c + (1 << 40), "v": s, "w": w})
 
     edges = cs.map_batches(weight, batch_format="pandas")
-    return minimum_spanning_forest(
-        edges, small_threshold=(0 if force_distributed else 1 << 18))
+    kw = ({"small_threshold": 0, "tier3_threshold": 0, "n_buckets": 8}
+          if tier3 else
+          {"small_threshold": (0 if force_distributed else 1 << 18)})
+    return minimum_spanning_forest(edges, **kw)
 
 
 def q_top_session_paths(sf_dir: str):
@@ -6579,6 +6586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets_orders": q_grouping_sets_orders,
         "sssp_nations": q_sssp_nations,
         "msf_fulfillment": q_msf_fulfillment,
+        "msf_tier3": partial(q_msf_fulfillment, tier3=True),
         "stock_balance_clamped": q_stock_balance_clamped,
         "interpolate_hourly": q_interpolate_hourly,
         "top_session_paths": q_top_session_paths,

@@ -117,7 +117,7 @@ BENCH_QUERIES = [
 # in the 100-TB tier (VERDICT r03 #6). Same oracles as their twins.
 TIER3_QUERIES = ["pagerank_tier3", "dedup_clusters_tier3",
                  "triangle_parts_tier3", "bfs_tier3", "lpa_tier3",
-                 "local_clustering_tier3"]
+                 "local_clustering_tier3", "msf_tier3"]
 
 
 def _corpus_cache_dir(scale: str) -> str:

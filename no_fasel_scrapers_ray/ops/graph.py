@@ -616,12 +616,15 @@ def _broadcast_pagerank(edges: rd.Dataset, node_ds: rd.Dataset,
     deg_ref = ray.put(deg)
     rank = p.copy() if p is not None else np.full(n, 1.0 / n)
 
+    # 'seeds' is OMITTED for the unseeded run (ADVICE r04): manifests
+    # written before personalization existed stay resumable; seeded
+    # runs add the key and correctly invalidate unseeded checkpoints
+    fp = {"op": "pagerank2", "n_nodes": n, "damping": damping,
+          "iters": iters}
+    if seeds is not None:
+        fp["seeds"] = np.sort(seeds).tolist()
     start_iter, ck_path = _ckpt_resume(
-        checkpoint_dir, "pagerank",
-        {"op": "pagerank2", "n_nodes": n, "damping": damping,
-         "iters": iters,
-         "seeds": (np.sort(seeds).tolist() if seeds is not None
-                   else None)}, max_iters=iters)
+        checkpoint_dir, "pagerank", fp, max_iters=iters)
     if ck_path and start_iter > 0:
         import pyarrow.parquet as pq
         t = pq.read_table(ck_path)
@@ -1847,10 +1850,123 @@ def _driver_kruskal(u: np.ndarray, v: np.ndarray, w: np.ndarray):
     return u[keep], v[keep], w[keep]
 
 
+def _msf_tier3(live: rd.Dataset, n_buckets: int,
+               max_rounds: int) -> rd.Dataset:
+    """Fully distributed Borůvka (VERDICT r04 #5: the union-find is
+    off the driver). Loop state is a bucketed ``(node, comp)`` label
+    dataset; per round the chosen per-component minimum edges form a
+    component graph whose connected components — computed by the CC
+    kernel, with its own driver/BSP cutover — become the label update,
+    applied through one bucketed left join (identity for untouched
+    components). The driver holds NO node- or component-sized arrays.
+
+    Correctness under weight ties: edges compare by the strict total
+    order (w, u, v) everywhere (``topk_per_group`` tie_cols), i.e.
+    perturbed-unique weights — the perturbed MSF is unique and both
+    Borůvka and Kruskal produce exactly it, so tier equality holds.
+    With a strict total order a component-min edge set can contain no
+    cycle except two components choosing the SAME edge, which the
+    distinct-row reduce collapses."""
+    from .relational import bucketed_join, preagg_reduce, topk_per_group
+
+    def init_labels(b: pd.DataFrame) -> pd.DataFrame:
+        n = np.unique(np.concatenate([b["u"].to_numpy(np.int64),
+                                      b["v"].to_numpy(np.int64)]))
+        return pd.DataFrame({"node": n, "comp": n})
+
+    labels = preagg_reduce(
+        live.map_batches(init_labels, batch_format="pandas"),
+        ["node"], "comp", "min", n_buckets=n_buckets).materialize()
+
+    forest_parts: list[rd.Dataset] = []
+    converged = False
+    for _ in range(max_rounds):
+        lu = labels.map_batches(
+            lambda b: pd.DataFrame({"u": b["node"].to_numpy(np.int64),
+                                    "cu": b["comp"].to_numpy(np.int64)}),
+            batch_format="pandas")
+        lv = labels.map_batches(
+            lambda b: pd.DataFrame({"v": b["node"].to_numpy(np.int64),
+                                    "cv": b["comp"].to_numpy(np.int64)}),
+            batch_format="pandas")
+        e = bucketed_join(live, lu, on="u", n_buckets=n_buckets)
+        e = bucketed_join(e, lv, on="v", n_buckets=n_buckets)
+        # intra-component edges leave the live set PERMANENTLY
+        e = e.map_batches(
+            lambda b: b[b["cu"].to_numpy(np.int64)
+                        != b["cv"].to_numpy(np.int64)],
+            batch_format="pandas").materialize()
+        if e.count() == 0:
+            converged = True
+            break
+
+        def emit(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "comp": np.concatenate([b["cu"].to_numpy(np.int64),
+                                        b["cv"].to_numpy(np.int64)]),
+                "u": np.tile(b["u"].to_numpy(np.int64), 2),
+                "v": np.tile(b["v"].to_numpy(np.int64), 2),
+                "w": np.tile(b["w"].to_numpy(np.int64), 2),
+                "cu": np.tile(b["cu"].to_numpy(np.int64), 2),
+                "cv": np.tile(b["cv"].to_numpy(np.int64), 2)})
+
+        chosen = topk_per_group(e.map_batches(emit,
+                                              batch_format="pandas"),
+                                ["comp"], "w", k=1, ascending=True,
+                                tie_cols=["u", "v"],
+                                n_buckets=n_buckets)
+        # distinct edge rows (a 2-cycle is both components choosing
+        # the same edge → identical (u,v,w,cu,cv) rows collapse)
+        chd = preagg_reduce(chosen, ["u", "v", "w", "cu", "cv"],
+                            "__c", "count",
+                            n_buckets=n_buckets).materialize()
+        forest_parts.append(chd.map_batches(
+            lambda b: b[["u", "v", "w"]], batch_format="pandas"))
+
+        ccm = connected_components(chd, "cu", "cv",
+                                   n_buckets=n_buckets).map_batches(
+            lambda b: pd.DataFrame({
+                "comp": b["doc_id"].to_numpy(np.int64),
+                "newc": b["cluster_id"].to_numpy(np.int64)}),
+            batch_format="pandas")
+        joined = bucketed_join(labels, ccm, on="comp", how="left",
+                               n_buckets=n_buckets)
+
+        def update(b: pd.DataFrame) -> pd.DataFrame:
+            comp = b["comp"].to_numpy(np.int64)
+            newc = b["newc"].to_numpy(np.float64)   # left-join contract
+            if len(newc) and np.nanmax(newc, initial=0.0) >= 2.0 ** 53:
+                raise ValueError("_msf_tier3: component ids must stay "
+                                 "< 2^53 (left-join float transit)")
+            upd = np.where(np.isnan(newc), comp,
+                           newc).astype(np.int64)
+            return pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                                 "comp": upd})
+
+        labels = joined.map_batches(update,
+                                    batch_format="pandas").materialize()
+        live = e.map_batches(lambda b: b[["u", "v", "w"]],
+                             batch_format="pandas")
+    if not converged:
+        raise RuntimeError(
+            f"_msf_tier3 did not converge in {max_rounds} Borůvka "
+            "rounds; raise max_rounds")
+    if not forest_parts:
+        return rd.from_arrow(pa.table({
+            "u": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+            "w": pa.array([], pa.int64())}))
+    f = forest_parts[0]
+    if len(forest_parts) > 1:
+        f = f.union(*forest_parts[1:])
+    return f.sort(["u", "v", "w"])
+
+
 def minimum_spanning_forest(edges: rd.Dataset,
                             n_buckets: int = 64,
                             small_threshold: int = 1 << 18,
-                            max_rounds: int = 40) -> rd.Dataset:
+                            max_rounds: int = 40,
+                            tier3_threshold: int = 1 << 26) -> rd.Dataset:
     """(u, v, w) forest edges of the minimum spanning forest over the
     UNDIRECTED weighted edge dataset (integer non-negative weights).
     Deterministic under weight ties via the lexicographic (w, u, v)
@@ -1858,19 +1974,23 @@ def minimum_spanning_forest(edges: rd.Dataset,
     both tiers provably agree (tier-equality + Kruskal-reference
     tests in tests/test_round5_ops.py).
 
-    Two tiers with the standing explicit cutover: ≤ small_threshold
-    edge rows pull to one driver Kruskal; beyond, Borůvka rounds —
-    each component picks its lightest outgoing edge, chosen edges
-    union, repeat (≤ log₂ n rounds). The EDGE SET stays distributed
+    THREE tiers with explicit cutovers: ≤ small_threshold edge rows
+    pull to one driver Kruskal; beyond, Borůvka rounds — each
+    component picks its lightest outgoing edge, chosen edges union,
+    repeat (≤ log₂ n rounds). The EDGE SET stays distributed
     throughout: per round each edge batch annotates its endpoints'
     components from the broadcast compacted union-find map,
     intra-component edges are filtered out PERMANENTLY (the edge set
     only shrinks), and the per-component lightest edge reduces through
-    `topk_per_group` (≤ 1 row per component per batch moves). Driver
-    state is the union-find over FOREST edges — node-bounded, the
-    same convention as the graph tiers' label pulls; a
-    billion-node-scale tier would move the union-find itself into the
-    CC BSP kernel (documented limit)."""
+    `topk_per_group` (≤ 1 row per component per batch moves). On the
+    middle tier driver state is the union-find over FOREST edges —
+    node-bounded, the same convention as the graph tiers' label
+    pulls. Past ``tier3_threshold`` edge rows (``_msf_tier3``,
+    tier-equality-tested at forced thresholds) the union-find leaves
+    the driver entirely: labels live in a bucketed (node, comp)
+    dataset, per-round components come from the CC kernel over the
+    chosen component graph, and the driver holds nothing
+    node-sized."""
     import ray
 
     from .relational import topk_per_group
@@ -1901,6 +2021,9 @@ def minimum_spanning_forest(edges: rd.Dataset,
                                      df["v"].to_numpy(np.int64),
                                      df["w"].to_numpy(np.int64))
         return rd.from_arrow(pa.table({"u": fu, "v": fv, "w": fw}))
+
+    if n_edges > tier3_threshold:
+        return _msf_tier3(live, n_buckets, max_rounds)
 
     uf = _UnionFind()
     forest: list[tuple[int, int, int]] = []

@@ -2489,8 +2489,17 @@ def spearman_corr(ds: rd.Dataset, xcol: str, ycol: str, alias: str,
             for c, ralias in ((xcol, "__rx2"), (ycol, "__ry2")):
                 if c in refs:
                     vals, r2 = broadcast_get(refs[c])
-                    b[ralias] = r2[np.searchsorted(
-                        vals, b[c].to_numpy(np.int64))]
+                    keys = b[c].to_numpy(np.int64)
+                    pos = np.searchsorted(vals, keys)
+                    # domain check (ADVICE r04): counts-derived maps
+                    # always cover, but a future pre-built rank map
+                    # must fail loudly, not borrow a neighbor's rank
+                    if np.any(pos >= len(vals)) or \
+                            not np.array_equal(vals[pos], keys):
+                        raise ValueError(
+                            f"spearman rank map does not cover "
+                            f"column {c!r}")
+                    b[ralias] = r2[pos]
             return b
 
         pairs = pairs.map_batches(attach, batch_format="pandas")

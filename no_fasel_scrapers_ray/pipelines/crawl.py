@@ -263,7 +263,8 @@ def _split_pop_table(refs: list, *locs):
 @ray.remote
 def _crawl_block(parts: list, refs: list, shards, n_shards: int,
                  challenge_every: int, out_path: str, pages_path: str,
-                 dead_path: str, max_attempts: int) -> tuple[int, int]:
+                 dead_path: str, max_attempts: int,
+                 presplit: bool = False) -> tuple[int, int]:
     """One (host, salt) block of a crawl round: fetch+extract every
     row, write this block's records parquet part, push discovered
     links once. ``parts`` is a list of (shard-slot, row-index array)
@@ -283,7 +284,10 @@ def _crawl_block(parts: list, refs: list, shards, n_shards: int,
     # refs wrapped in a list so Ray does NOT auto-dereference them —
     # the workers resolve them once via the per-process caches
     table_refs, corpus_ref, state_ref = refs
-    if parts and not isinstance(parts[0], tuple):
+    # mode is an EXPLICIT flag from the caller (ADVICE r04: the old
+    # isinstance(parts[0], tuple) sniff would misroute exotic part
+    # containers into the wrong gather branch)
+    if presplit and parts:
         # pre-split mode (multi-raylet): parts are refs to this
         # block's OWN slices, already cut on each shard's node —
         # gather moves exactly this block's bytes, once
@@ -578,7 +582,8 @@ class CrawlEngine:
                 os.path.join(out_dir, f"part-{k:05d}.parquet"),
                 os.path.join(pages_dir, f"part-{k:05d}.parquet"),
                 os.path.join(dead_dir, f"part-{k:05d}.parquet"),
-                self.max_attempts))
+                self.max_attempts,
+                presplit=block_parts is not None))
         self.metrics["driver_secs"].append(
             round(time.perf_counter() - t0, 3))
         results = ray.get(refs)

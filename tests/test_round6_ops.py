@@ -182,3 +182,56 @@ def test_dup_spans_distributed_intra_doc_repeat_not_counted():
     out = dup_spans(_docs_ds(texts, parts=2), k=4,
                     max_candidates=0).to_pandas()
     assert len(out) == 0
+
+
+# ---- MSF tier-3 (distributed union-find) ------------------------------
+
+from no_fasel_scrapers_ray.ops.graph import minimum_spanning_forest
+
+
+def _edge_graph(seed=3, n=70, m=260, wmax=6):
+    """Random multigraph with HEAVY weight ties (wmax small), self
+    loops, duplicate edges, and several disconnected components."""
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, n, m).astype(np.int64)
+    v = rng.integers(0, n, m).astype(np.int64)
+    w = rng.integers(1, wmax, m).astype(np.int64)
+    # second component block offset by 1000, plus an isolated self-loop
+    u2 = rng.integers(1000, 1000 + 25, 80).astype(np.int64)
+    v2 = rng.integers(1000, 1000 + 25, 80).astype(np.int64)
+    w2 = rng.integers(1, wmax, 80).astype(np.int64)
+    df = pd.DataFrame({"u": np.r_[u, u2, [5000]],
+                       "v": np.r_[v, v2, [5000]],
+                       "w": np.r_[w, w2, [1]]})
+    return rd.from_pandas(df).repartition(3)
+
+
+def _msf_sorted(ds, **kw):
+    out = minimum_spanning_forest(ds, **kw).to_pandas()
+    return out.sort_values(["u", "v", "w"], ignore_index=True)
+
+
+def test_msf_three_tier_equality_under_ties():
+    ds = _edge_graph()
+    kruskal = _msf_sorted(ds)                         # driver Kruskal
+    mid = _msf_sorted(ds, small_threshold=0)          # driver-UF Borůvka
+    t3 = _msf_sorted(ds, small_threshold=0, tier3_threshold=0,
+                     n_buckets=4)                     # no driver state
+    pd.testing.assert_frame_equal(mid, kruskal, check_dtype=True)
+    pd.testing.assert_frame_equal(t3, kruskal, check_dtype=True)
+    # forest spans every non-isolated node: |forest| = n - #components
+    nodes = set(pd.concat([kruskal["u"], kruskal["v"]]))
+    assert len(kruskal) > 0 and len(nodes) > len(kruskal)
+
+
+def test_msf_tier3_disconnected_and_self_loops():
+    df = pd.DataFrame({"u": [1, 2, 1, 7, 7, 9],
+                       "v": [2, 3, 1, 8, 8, 9],
+                       "w": [4, 1, 9, 2, 2, 5]})
+    ds = rd.from_pandas(df).repartition(2)
+    t3 = _msf_sorted(ds, small_threshold=0, tier3_threshold=0,
+                     n_buckets=2)
+    got = list(t3.itertuples(index=False, name=None))
+    # 1-2(4), 2-3(1), 7-8(2, the (w,u,v)-smallest duplicate);
+    # self-loops 1-1 and 9-9 never span
+    assert got == [(1, 2, 4), (2, 3, 1), (7, 8, 2)]
