@@ -249,6 +249,15 @@ def run_crawl(corpus, seeds, num_cpus: int, run_dir: str,
         # funneled each round's rows through driver RAM here.)
         "driver_peak_rss_mb": round(rss_after / 1024, 1),
         "driver_rss_growth_mb": round((rss_after - rss_before) / 1024, 1),
+        # measured cross-raylet gather traffic (pre-split mode only;
+        # -1 sentinel rounds never reach the ledger) — the byte-level
+        # number behind the fair-scaling decomposition
+        "gather_cross_mb": (round(sum(
+            metrics["gather_cross_bytes"]) / 1048576, 2)
+            if metrics.get("gather_cross_bytes") else None),
+        "gather_local_mb": (round(sum(
+            metrics["gather_local_bytes"]) / 1048576, 2)
+            if metrics.get("gather_local_bytes") else None),
     }
 
 
@@ -356,6 +365,8 @@ def main() -> None:
         "catalog_entries": crawl["catalog_entries"],
         "driver_peak_rss_mb": crawl.get("driver_peak_rss_mb"),
         "driver_rss_growth_mb": crawl.get("driver_rss_growth_mb"),
+        "gather_cross_mb": crawl.get("gather_cross_mb"),
+        "gather_local_mb": crawl.get("gather_local_mb"),
         "tier3_driver_rss_growth_mb": tier3_rss_growth,
     }
     ray.shutdown()
@@ -587,6 +598,8 @@ def scaling_fair() -> None:
                 round(thr_coord / max(s_pre, s_post), 3),
                 round(thr_coord / min(s_pre, s_post), 3)],
             "pages": coord["crawl_pages"],
+            "gather_cross_mb": coord.get("gather_cross_mb"),
+            "gather_local_mb": coord.get("gather_local_mb"),
         })
 
     report = {
