@@ -608,39 +608,62 @@ def bm25_term_scores(docs: rd.Dataset, terms: tuple[str, ...],
 
 def _unigram_counts(docs: rd.Dataset, n_buckets: int) -> rd.Dataset:
     """Corpus unigram counts (term, c) — per-batch ``value_counts``
-    partials, one term-bucket shuffle; exploded tokens never move."""
+    partials, one term-bucket shuffle; exploded tokens never move.
+    Arrow-native (r5): split + value_counts run as C++ kernels on the
+    zero-copy block — the old pandas partial paid block→pandas object
+    conversion plus a Python-level explode (measured A/B in
+    BASELINE.md)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from .relational import preagg_sum_count
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        vc = batch["text"].str.split(" ").explode().value_counts()
-        return pd.DataFrame({"term": vc.index.to_numpy(dtype=object),
-                             "c": vc.to_numpy(dtype=np.int64)})
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = pc.value_counts(pc.list_flatten(
+            pc.split_pattern(col, " ")))
+        return pa.table({"term": vc.field("values"),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
 
     return preagg_sum_count(
-        docs.map_batches(partial, batch_format="pandas"),
+        docs.map_batches(partial, batch_format="pyarrow"),
         ["term"], {"c": "c"}, n_buckets=n_buckets)
 
 
-def _bigram_partial(batch: pd.DataFrame) -> pd.DataFrame:
+def _bigram_partial(batch) -> pd.DataFrame:
     """Per-batch adjacent-pair counts via the shifted-column gram
     build (doc_repetition's shape — no Python token loop); pairs that
-    straddle a document boundary are masked out."""
-    toks = batch["text"].str.split(" ")
-    lens = toks.str.len().to_numpy(dtype=np.int64)
-    flat = np.concatenate(toks.to_numpy()) if len(toks) else \
-        np.array([], dtype=object)
+    straddle a document boundary are masked out. Arrow-native (r5):
+    tokens stay in one Arrow buffer; pair identity reduces through
+    the module's standing 64-bit hash contract (np.unique over mixed
+    pair keys), and ONLY the distinct-pair representatives are taken
+    back as strings — the old pandas partial materialized every token
+    as a PyObject and group-by'd object pairs."""
+    import pyarrow as pa
+
+    lens, flat = _flat_tokens_arrow(batch["text"])
+    empty = pd.DataFrame({"w1": np.array([], dtype=object),
+                          "w2": np.array([], dtype=object),
+                          "c_xy": np.array([], dtype=np.int64)})
     if len(flat) < 2:
-        return pd.DataFrame({"w1": np.array([], dtype=object),
-                             "w2": np.array([], dtype=object),
-                             "c_xy": np.array([], dtype=np.int64)})
-    keep = np.ones(len(flat) - 1, dtype=bool)
+        return empty
+    th = pd.util.hash_array(flat.to_numpy(zero_copy_only=False))
+    keep = np.ones(len(th) - 1, dtype=bool)
     ends = np.cumsum(lens)[:-1] - 1  # last token index per doc
     keep[ends] = False
-    g = (pd.DataFrame({"w1": flat[:-1][keep], "w2": flat[1:][keep]})
-         .groupby(["w1", "w2"], as_index=False, sort=False).size()
-         .rename(columns={"size": "c_xy"}))
-    g["c_xy"] = g["c_xy"].astype(np.int64)
-    return g
+    pk = ((th[:-1] * _BG_M0) ^ (th[1:] * _BG_M1))[keep]
+    if not len(pk):
+        return empty
+    idx = np.flatnonzero(keep)        # position of w1 in flat
+    _, first, cnts = np.unique(pk, return_index=True,
+                               return_counts=True)
+    rep = idx[first]
+    w1 = flat.take(pa.array(rep)).to_numpy(zero_copy_only=False)
+    w2 = flat.take(pa.array(rep + 1)).to_numpy(zero_copy_only=False)
+    return pd.DataFrame({"w1": w1, "w2": w2,
+                         "c_xy": cnts.astype(np.int64)})
 
 
 def _bigram_counts(docs: rd.Dataset, n_buckets: int) -> rd.Dataset:
@@ -648,7 +671,7 @@ def _bigram_counts(docs: rd.Dataset, n_buckets: int) -> rd.Dataset:
     partials, one (w1,w2)-bucket shuffle."""
     from .relational import preagg_sum_count
     return preagg_sum_count(
-        docs.map_batches(_bigram_partial, batch_format="pandas"),
+        docs.map_batches(_bigram_partial, batch_format="pyarrow"),
         ["w1", "w2"], {"c_xy": "c_xy"}, n_buckets=n_buckets)
 
 
@@ -744,15 +767,36 @@ def _flat_token_hashes(texts):
     """(lens, flat_hashes): per-doc token-hash SEQUENCES (not unique)
     — the dedup batch-hash fast path in sequence form: ONE
     split_pattern + ONE hash_array per batch instead of a per-doc
-    loop."""
+    loop. Accepts a pandas Series OR an Arrow (Chunked)Array — the
+    Arrow path (r5, VERDICT r04 #7) skips the block→pandas→Arrow
+    round-trip the pandas-format stages paid."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    lst = pc.split_pattern(pa.array(texts, type=pa.string()), " ")
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(texts, type=pa.string())
+    lst = pc.split_pattern(arr, " ")
     lens = pc.list_value_length(lst).to_numpy().astype(np.int64)
     flat = lst.flatten().to_numpy(zero_copy_only=False)
     th = (pd.util.hash_array(flat) if len(flat)
           else np.zeros(0, dtype=np.uint64))
     return lens, th
+
+
+def _flat_tokens_arrow(texts):
+    """(lens, flat_tokens: pa.Array): Arrow-native split — token
+    strings stay in ONE Arrow buffer (no per-token PyObject until a
+    consumer explicitly takes representatives)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lst = pc.split_pattern(texts, " ")
+    lens = pc.list_value_length(lst).to_numpy().astype(np.int64)
+    return lens, lst.flatten()
 
 
 # order-sensitive bigram key mix (odd multipliers → permutations)
@@ -784,7 +828,9 @@ def doc_perplexity(docs: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
     drop out (the oracle\'s inner join does the same)."""
     from .relational import bucketed_join, preagg_sum_count
 
-    def uni_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def uni_partial(batch) -> pd.DataFrame:
+        # pyarrow batch (r5, VERDICT r04 #7): the text column feeds
+        # split_pattern zero-copy instead of round-tripping pandas
         _, th = _flat_token_hashes(batch["text"])
         if not len(th):
             return pd.DataFrame({"w1": np.zeros(0, np.int64),
@@ -800,7 +846,7 @@ def doc_perplexity(docs: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
         bk = (th[:-1] * _BG_M0) ^ (th[1:] * _BG_M1)
         return keep, bk
 
-    def bg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def bg_partial(batch) -> pd.DataFrame:
         empty = pd.DataFrame({"bkey": np.zeros(0, np.int64),
                               "c_xy": np.zeros(0, np.int64)})
         lens, th = _flat_token_hashes(batch["text"])
@@ -811,7 +857,7 @@ def doc_perplexity(docs: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
         return pd.DataFrame({"bkey": vals.view(np.int64),
                              "c_xy": cnts.astype(np.int64)})
 
-    def doc_bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+    def doc_bigrams(batch) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": np.zeros(0, np.int64),
                               "bkey": np.zeros(0, np.int64),
                               "w1": np.zeros(0, np.int64),
@@ -820,7 +866,7 @@ def doc_perplexity(docs: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
         if len(th) < 2:
             return empty
         keep, bk = bg_keys(lens, th)
-        dids = np.repeat(batch["doc_id"].to_numpy(np.int64),
+        dids = np.repeat(np.asarray(batch["doc_id"]).astype(np.int64),
                          lens)[:-1][keep]
         rows = np.stack([dids, bk[keep].view(np.int64),
                          th[:-1][keep].view(np.int64)], axis=1)
@@ -830,14 +876,14 @@ def doc_perplexity(docs: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
                              "k": k.astype(np.int64)})
 
     uni = preagg_sum_count(
-        docs.map_batches(uni_partial, batch_format="pandas"),
+        docs.map_batches(uni_partial, batch_format="pyarrow"),
         ["w1"], {"c_x": "c_x"}, n_buckets=n_buckets).materialize()
     vocab = float(uni.count())
     bg = preagg_sum_count(
-        docs.map_batches(bg_partial, batch_format="pandas"),
+        docs.map_batches(bg_partial, batch_format="pyarrow"),
         ["bkey"], {"c_xy": "c_xy"}, n_buckets=n_buckets)
 
-    dbg = docs.map_batches(doc_bigrams, batch_format="pandas")
+    dbg = docs.map_batches(doc_bigrams, batch_format="pyarrow")
     j1 = bucketed_join(dbg, bg, on="bkey",
                        n_buckets=n_buckets, how="inner")
     j2 = bucketed_join(j1, uni, on="w1",
