@@ -36,6 +36,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 from .util import cached_instance, stable_bucket
@@ -486,7 +487,8 @@ def ngram_jaccard_pairs(docs: rd.Dataset, shingle: int = 3,
                         jaccard_threshold: float = 0.5,
                         n_buckets: int = 32,
                         hot_df_threshold: int | None = 1024,
-                        hot_k: int = 128) -> rd.Dataset:
+                        hot_k: int = 128,
+                        dup_group_cutover: int = 8) -> rd.Dataset:
     """EXACT n-gram Jaccard near-duplicate pairs via prefix filtering —
     no probabilistic recall gap (unlike MinHash banding), no all-pairs
     scan, and a full DuckDB SQL oracle (cross-join Jaccard) at test sf.
@@ -510,16 +512,89 @@ def ngram_jaccard_pairs(docs: rd.Dataset, shingle: int = 3,
     candidate groups by ~hot_df_threshold. Approximate detection only
     moves shingles between the two order classes — correctness never
     depends on it. ``hot_df_threshold=None`` skips the pass (plain
-    hash order, the r02 behavior)."""
+    hash order, the r02 behavior).
+
+    Exact-set collapse (r5 — found by the sf1 duplicated-corpus
+    smoke, where a 10×-replicated corpus made candidate volume and
+    per-pair hset shipping quadratic in duplicate-group size):
+    identical shingle SETS collapse to one representative (min
+    doc_id, keyed by the hash of the sorted hset bytes) BEFORE the
+    prefix/pair/verify machinery, which then runs over distinct sets
+    only. Members re-enter at output expansion: intra-group pairs
+    are jaccard 1.0 by identity (empty sets excluded — union 0 scores
+    0.0, the verify guard), and each qualifying representative pair
+    expands to its member cross product through two bucketed joins
+    (output-bounded, same rows as the SQL oracle's full cross join).
+    Jaccard depends only on the set, so the output is row-identical
+    to the uncollapsed plan — duplicated-corpus tier-equality is
+    pinned in tests/test_round6_ops.py."""
     import ray
 
-    from .relational import broadcast_get
+    from .relational import broadcast_get, bucketed_join, preagg_reduce
 
     def tokenset_batch(batch: pd.DataFrame) -> pd.DataFrame:
         return cached_instance(("tokenset", shingle),
                                lambda: TokenSetter(shingle))(batch)
 
-    hot_ref = ray.put(_hot_shingle_array(docs, shingle,
+    def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        d = tokenset_batch(batch)
+        hs = np.array(d["hset"], dtype=object)
+        key = (pd.util.hash_array(hs).view(np.int64) if len(hs)
+               else np.zeros(0, np.int64))
+        n_sh = np.fromiter((len(b) >> 3 for b in hs),
+                           count=len(hs), dtype=np.int64)
+        return pd.DataFrame({"doc_id": d["doc_id"].to_numpy(np.int64),
+                             "setkey": key, "n_sh": n_sh})
+
+    sig = docs.map_batches(sig_batch,
+                           batch_format="pandas").materialize()
+    counts = preagg_reduce(
+        sig.map_batches(lambda b: pd.DataFrame({
+            "setkey": b["setkey"].to_numpy(np.int64),
+            "rep": b["doc_id"].to_numpy(np.int64),
+            "gsz": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        ["setkey"], "gsz", "count", n_buckets=n_buckets)
+    # cutover on MAX duplicate-group size — the quantity that drives
+    # the quadratic (candidate emission and per-pair hset shipping
+    # both scale in group², so groups of 2-3 are harmless and the
+    # collapse machinery's three extra joins would cost more than
+    # they save; a 10×-replicated corpus crosses the cutover)
+    counts = counts.materialize()
+    max_group = int(counts.max("gsz") or 0)
+    collapse = max_group >= dup_group_cutover
+    if collapse:
+        reps = preagg_reduce(
+            sig.map_batches(lambda b: pd.DataFrame({
+                "setkey": b["setkey"].to_numpy(np.int64),
+                "rep": b["doc_id"].to_numpy(np.int64)}),
+                batch_format="pandas"),
+            ["setkey"], "rep", "min", n_buckets=n_buckets)
+        members = bucketed_join(sig, reps, on="setkey",
+                                n_buckets=n_buckets).materialize()
+        rep_rows = members.map_batches(
+            lambda b: b[b["doc_id"].to_numpy(np.int64)
+                        == b["rep"].to_numpy(np.int64)][["doc_id"]],
+            batch_format="pandas")
+        rdocs = bucketed_join(docs, rep_rows, on="doc_id",
+                              n_buckets=n_buckets).materialize()
+        # BLOCK HYGIENE: the per-bucket join leaves ragged blocks plus
+        # Ray's schema-less EMPTY blocks (empty sort partitions emit
+        # PandasBlockSchema(names=[]) without calling the group fn),
+        # and every DOWNSTREAM sort over such blocks takes Ray's
+        # no-schema slow path (measured 47 s → 0.5 s on the expansion
+        # joins at sf1). Rebuild as uniform Arrow blocks.
+        rdocs = rdocs.map_batches(
+            lambda b: pa.table({
+                "doc_id": pa.array(np.asarray(b["doc_id"], np.int64)),
+                "text": pa.array(b["text"].to_numpy(dtype=object),
+                                 type=pa.string())}),
+            batch_format="pandas").repartition(
+            max(4, rdocs.count() // 65536)).materialize()
+    else:
+        rdocs = docs
+
+    hot_ref = ray.put(_hot_shingle_array(rdocs, shingle,
                                          hot_df_threshold, hot_k))
 
     def prefix_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -557,13 +632,81 @@ def ngram_jaccard_pairs(docs: rd.Dataset, shingle: int = 3,
             "__bucket": (sh % np.uint64(64)).astype(np.int64),
         })
 
-    pref = docs.map_batches(prefix_batch, batch_format="pandas")
+    pref = rdocs.map_batches(prefix_batch, batch_format="pandas")
     pairs = _emit_dup_pairs_bucketed(pref, ["shingle"])
-
-    from .relational import preagg_reduce
     uniq = preagg_reduce(pairs, ["doc_a", "doc_b"], "n_shared", "count")
-    return _jaccard_verify(uniq, ["n_shared"], docs, tokenset_batch,
-                           jaccard_threshold, n_buckets)
+    rep_pairs = _jaccard_verify(uniq, ["n_shared"], rdocs,
+                                tokenset_batch, jaccard_threshold,
+                                n_buckets)
+    if not collapse:
+        return rep_pairs
+
+    # ---- expansion back to member pairs (output-bounded) ----
+    # same block hygiene on every join input (see rdocs above)
+    rep_pairs = rep_pairs.map_batches(
+        lambda b: pa.table({
+            "doc_a": pa.array(np.asarray(b["doc_a"], np.int64)),
+            "doc_b": pa.array(np.asarray(b["doc_b"], np.int64)),
+            "jaccard": pa.array(np.asarray(b["jaccard"], np.float64))}),
+        batch_format="pandas").repartition(4).materialize()
+    mem_a = members.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_a": b["rep"].to_numpy(np.int64),
+            "m_a": b["doc_id"].to_numpy(np.int64)}),
+        batch_format="pandas").repartition(8)
+    mem_b = members.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_b": b["rep"].to_numpy(np.int64),
+            "m_b": b["doc_id"].to_numpy(np.int64)}),
+        batch_format="pandas").repartition(8)
+    e1 = bucketed_join(rep_pairs, mem_a, on="doc_a",
+                       n_buckets=n_buckets)
+    e2 = bucketed_join(e1, mem_b, on="doc_b", n_buckets=n_buckets)
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["m_a"].to_numpy(np.int64)
+        c = b["m_b"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_a": np.minimum(a, c), "doc_b": np.maximum(a, c),
+            "jaccard": b["jaccard"].to_numpy(np.float64)})
+
+    cross = e2.map_batches(canon, batch_format="pandas")
+
+    from .relational import _bucket_tagger
+    tagged_m = members.map_batches(_bucket_tagger(["setkey"], 64),
+                                   batch_format="pandas")
+
+    def intra(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": np.zeros(0, np.int64),
+                              "doc_b": np.zeros(0, np.int64),
+                              "jaccard": np.zeros(0, np.float64)})
+        g = g[g["n_sh"].to_numpy(np.int64) > 0]
+        dup = g[g.duplicated(["setkey"], keep=False)]
+        if dup.empty:
+            return empty
+        dup = dup.sort_values(["setkey", "doc_id"])
+        sk = dup["setkey"].to_numpy(np.int64)
+        ids_all = dup["doc_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        bounds = np.append(starts, len(dup))
+        outs_a, outs_b = [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            ids = ids_all[lo:hi]
+            if len(ids) < 2:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            outs_a.append(ids[a])
+            outs_b.append(ids[b])
+        if not outs_a:
+            return empty
+        aa = np.concatenate(outs_a)
+        return pd.DataFrame({"doc_a": aa,
+                             "doc_b": np.concatenate(outs_b),
+                             "jaccard": np.full(len(aa), 1.0)})
+
+    intra_ds = tagged_m.groupby("__bucket").map_groups(
+        intra, batch_format="pandas")
+    return cross.union(intra_ds)
 
 
 def minhash_lsh_pairs(docs: rd.Dataset, shingle: int = 3,

@@ -235,3 +235,47 @@ def test_msf_tier3_disconnected_and_self_loops():
     # 1-2(4), 2-3(1), 7-8(2, the (w,u,v)-smallest duplicate);
     # self-loops 1-1 and 9-9 never span
     assert got == [(1, 2, 4), (2, 3, 1), (7, 8, 2)]
+
+
+# ---- ngram_jaccard exact-set collapse (sf1 smoke finding) -------------
+
+from no_fasel_scrapers_ray.ops.dedup import ngram_jaccard_pairs
+
+
+def test_ngram_jaccard_collapse_tier_equality():
+    """A 12x-replicated corpus (every doc has 11 identical twins plus
+    the base near-dup structure) must produce IDENTICAL pairs from the
+    collapsed plan (forced via dup_group_cutover=2) and the raw plan
+    (cutover=10**9) — and the raw plan at this tiny scale is the
+    ground truth the oracle checks at bench scale."""
+    base = ["alpha beta gamma delta epsilon zeta",
+            "alpha beta gamma delta epsilon eta",     # near-dup of 0
+            "totally different words here now ok",
+            "short text"]
+    texts, ids = [], []
+    for copy in range(12):
+        for i, t in enumerate(base):
+            ids.append(copy * 100 + i)
+            texts.append(t)
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array(ids, dtype=np.int64),
+        "text": texts})).repartition(3)
+
+    def run(cutover):
+        out = ngram_jaccard_pairs(
+            docs, shingle=3, jaccard_threshold=0.5,
+            dup_group_cutover=cutover).to_pandas()
+        return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+    raw = run(10 ** 9)
+    collapsed = run(2)
+    pd.testing.assert_frame_equal(collapsed, raw, check_dtype=True)
+    # every identical pair present with jaccard 1.0: C(12,2) per base
+    # doc = 66 * 4 = 264 identity pairs at minimum
+    assert (raw["jaccard"] == 1.0).sum() >= 264
+    # near-dup cross-group pairs expand to all 12x12 member pairs
+    # (canonical a<b interleaves the two groups' ids — count both
+    # orientations)
+    got = raw[((raw["doc_a"] % 100 == 0) & (raw["doc_b"] % 100 == 1))
+              | ((raw["doc_a"] % 100 == 1) & (raw["doc_b"] % 100 == 0))]
+    assert len(got) == 144
