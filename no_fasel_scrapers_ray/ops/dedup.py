@@ -483,6 +483,149 @@ def _hot_shingle_array(docs: rd.Dataset, shingle: int,
                    .index.to_numpy(dtype=np.int64).view(np.uint64))
 
 
+
+def _exact_set_collapse(docs, tokenset_batch, n_buckets: int,
+                        dup_group_cutover: int):
+    """Shared exact-set collapse front end for the set-based pair
+    families (see ngram_jaccard_pairs docstring): returns
+    ``(collapse, rdocs, members)``. When the max identical-set group
+    size crosses ``dup_group_cutover``, ``rdocs`` is one
+    representative doc per DISTINCT shingle set (uniform Arrow
+    blocks — join outputs carry Ray's schema-less empty-partition
+    blocks that send downstream sorts down the no-schema slow path)
+    and ``members`` maps (setkey, doc_id, rep, n_sh) for output
+    expansion; otherwise ``(False, docs, None)``."""
+    from .relational import bucketed_join, preagg_reduce
+
+    def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        d = tokenset_batch(batch)
+        hs = np.array(d["hset"], dtype=object)
+        key = (pd.util.hash_array(hs).view(np.int64) if len(hs)
+               else np.zeros(0, np.int64))
+        n_sh = np.fromiter((len(b) >> 3 for b in hs),
+                           count=len(hs), dtype=np.int64)
+        return pd.DataFrame({"doc_id": d["doc_id"].to_numpy(np.int64),
+                             "setkey": key, "n_sh": n_sh})
+
+    sig = docs.map_batches(sig_batch,
+                           batch_format="pandas").materialize()
+    counts = preagg_reduce(
+        sig.map_batches(lambda b: pd.DataFrame({
+            "setkey": b["setkey"].to_numpy(np.int64),
+            "gsz": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        ["setkey"], "gsz", "count", n_buckets=n_buckets).materialize()
+    max_group = int(counts.max("gsz") or 0)
+    if max_group < dup_group_cutover:
+        return False, docs, None
+
+    reps = preagg_reduce(
+        sig.map_batches(lambda b: pd.DataFrame({
+            "setkey": b["setkey"].to_numpy(np.int64),
+            "rep": b["doc_id"].to_numpy(np.int64)}),
+            batch_format="pandas"),
+        ["setkey"], "rep", "min", n_buckets=n_buckets)
+    members = bucketed_join(sig, reps, on="setkey",
+                            n_buckets=n_buckets).materialize()
+    rep_rows = members.map_batches(
+        lambda b: b[b["doc_id"].to_numpy(np.int64)
+                    == b["rep"].to_numpy(np.int64)][["doc_id"]],
+        batch_format="pandas")
+    rdocs = bucketed_join(docs, rep_rows, on="doc_id",
+                          n_buckets=n_buckets).materialize()
+    rdocs = rdocs.map_batches(
+        lambda b: pa.table({
+            "doc_id": pa.array(np.asarray(b["doc_id"], np.int64)),
+            "text": pa.array(b["text"].to_numpy(dtype=object),
+                             type=pa.string())}),
+        batch_format="pandas").repartition(
+        max(4, rdocs.count() // 65536)).materialize()
+    return True, rdocs, members
+
+
+def _member_expand(rep_pairs, members, score_col: str, n_buckets: int,
+                   directed: bool):
+    """Expansion back to member pairs (output-bounded): each
+    qualifying representative pair expands to its member cross
+    product through two bucketed joins; identical-set groups emit
+    their internal pairs at score 1.0 (empty sets excluded — they
+    score 0.0 under the verify guards). ``directed=False``
+    canonicalizes doc_a < doc_b; ``directed=True`` keeps orientation
+    and emits intra-group pairs in both directions."""
+    from .relational import _bucket_tagger, bucketed_join
+
+    rep_pairs = rep_pairs.map_batches(
+        lambda b: pa.table({
+            "doc_a": pa.array(np.asarray(b["doc_a"], np.int64)),
+            "doc_b": pa.array(np.asarray(b["doc_b"], np.int64)),
+            score_col: pa.array(np.asarray(b[score_col], np.float64))}),
+        batch_format="pandas").repartition(4).materialize()
+    mem_a = members.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_a": b["rep"].to_numpy(np.int64),
+            "m_a": b["doc_id"].to_numpy(np.int64)}),
+        batch_format="pandas").repartition(8)
+    mem_b = members.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_b": b["rep"].to_numpy(np.int64),
+            "m_b": b["doc_id"].to_numpy(np.int64)}),
+        batch_format="pandas").repartition(8)
+    e1 = bucketed_join(rep_pairs, mem_a, on="doc_a",
+                       n_buckets=n_buckets)
+    e2 = bucketed_join(e1, mem_b, on="doc_b", n_buckets=n_buckets)
+
+    def out_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["m_a"].to_numpy(np.int64)
+        c = b["m_b"].to_numpy(np.int64)
+        sc = b[score_col].to_numpy(np.float64)
+        if directed:
+            return pd.DataFrame({"doc_a": a, "doc_b": c,
+                                 score_col: sc})
+        return pd.DataFrame({"doc_a": np.minimum(a, c),
+                             "doc_b": np.maximum(a, c),
+                             score_col: sc})
+
+    cross = e2.map_batches(out_pairs, batch_format="pandas")
+
+    tagged_m = members.map_batches(_bucket_tagger(["setkey"], 64),
+                                   batch_format="pandas")
+
+    def intra(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": np.zeros(0, np.int64),
+                              "doc_b": np.zeros(0, np.int64),
+                              score_col: np.zeros(0, np.float64)})
+        g = g[g["n_sh"].to_numpy(np.int64) > 0]
+        dup = g[g.duplicated(["setkey"], keep=False)]
+        if dup.empty:
+            return empty
+        dup = dup.sort_values(["setkey", "doc_id"])
+        sk = dup["setkey"].to_numpy(np.int64)
+        ids_all = dup["doc_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        bounds = np.append(starts, len(dup))
+        outs_a, outs_b = [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            ids = ids_all[lo:hi]
+            if len(ids) < 2:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            outs_a.append(ids[a])
+            outs_b.append(ids[b])
+            if directed:
+                outs_a.append(ids[b])
+                outs_b.append(ids[a])
+        if not outs_a:
+            return empty
+        aa = np.concatenate(outs_a)
+        return pd.DataFrame({"doc_a": aa,
+                             "doc_b": np.concatenate(outs_b),
+                             score_col: np.full(len(aa), 1.0)})
+
+    intra_ds = tagged_m.groupby("__bucket").map_groups(
+        intra, batch_format="pandas")
+    return cross.union(intra_ds)
+
+
 def ngram_jaccard_pairs(docs: rd.Dataset, shingle: int = 3,
                         jaccard_threshold: float = 0.5,
                         n_buckets: int = 32,
@@ -536,63 +679,8 @@ def ngram_jaccard_pairs(docs: rd.Dataset, shingle: int = 3,
         return cached_instance(("tokenset", shingle),
                                lambda: TokenSetter(shingle))(batch)
 
-    def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        d = tokenset_batch(batch)
-        hs = np.array(d["hset"], dtype=object)
-        key = (pd.util.hash_array(hs).view(np.int64) if len(hs)
-               else np.zeros(0, np.int64))
-        n_sh = np.fromiter((len(b) >> 3 for b in hs),
-                           count=len(hs), dtype=np.int64)
-        return pd.DataFrame({"doc_id": d["doc_id"].to_numpy(np.int64),
-                             "setkey": key, "n_sh": n_sh})
-
-    sig = docs.map_batches(sig_batch,
-                           batch_format="pandas").materialize()
-    counts = preagg_reduce(
-        sig.map_batches(lambda b: pd.DataFrame({
-            "setkey": b["setkey"].to_numpy(np.int64),
-            "rep": b["doc_id"].to_numpy(np.int64),
-            "gsz": np.ones(len(b), np.int64)}),
-            batch_format="pandas"),
-        ["setkey"], "gsz", "count", n_buckets=n_buckets)
-    # cutover on MAX duplicate-group size — the quantity that drives
-    # the quadratic (candidate emission and per-pair hset shipping
-    # both scale in group², so groups of 2-3 are harmless and the
-    # collapse machinery's three extra joins would cost more than
-    # they save; a 10×-replicated corpus crosses the cutover)
-    counts = counts.materialize()
-    max_group = int(counts.max("gsz") or 0)
-    collapse = max_group >= dup_group_cutover
-    if collapse:
-        reps = preagg_reduce(
-            sig.map_batches(lambda b: pd.DataFrame({
-                "setkey": b["setkey"].to_numpy(np.int64),
-                "rep": b["doc_id"].to_numpy(np.int64)}),
-                batch_format="pandas"),
-            ["setkey"], "rep", "min", n_buckets=n_buckets)
-        members = bucketed_join(sig, reps, on="setkey",
-                                n_buckets=n_buckets).materialize()
-        rep_rows = members.map_batches(
-            lambda b: b[b["doc_id"].to_numpy(np.int64)
-                        == b["rep"].to_numpy(np.int64)][["doc_id"]],
-            batch_format="pandas")
-        rdocs = bucketed_join(docs, rep_rows, on="doc_id",
-                              n_buckets=n_buckets).materialize()
-        # BLOCK HYGIENE: the per-bucket join leaves ragged blocks plus
-        # Ray's schema-less EMPTY blocks (empty sort partitions emit
-        # PandasBlockSchema(names=[]) without calling the group fn),
-        # and every DOWNSTREAM sort over such blocks takes Ray's
-        # no-schema slow path (measured 47 s → 0.5 s on the expansion
-        # joins at sf1). Rebuild as uniform Arrow blocks.
-        rdocs = rdocs.map_batches(
-            lambda b: pa.table({
-                "doc_id": pa.array(np.asarray(b["doc_id"], np.int64)),
-                "text": pa.array(b["text"].to_numpy(dtype=object),
-                                 type=pa.string())}),
-            batch_format="pandas").repartition(
-            max(4, rdocs.count() // 65536)).materialize()
-    else:
-        rdocs = docs
+    collapse, rdocs, members = _exact_set_collapse(
+        docs, tokenset_batch, n_buckets, dup_group_cutover)
 
     hot_ref = ray.put(_hot_shingle_array(rdocs, shingle,
                                          hot_df_threshold, hot_k))
@@ -640,73 +728,8 @@ def ngram_jaccard_pairs(docs: rd.Dataset, shingle: int = 3,
                                 n_buckets)
     if not collapse:
         return rep_pairs
-
-    # ---- expansion back to member pairs (output-bounded) ----
-    # same block hygiene on every join input (see rdocs above)
-    rep_pairs = rep_pairs.map_batches(
-        lambda b: pa.table({
-            "doc_a": pa.array(np.asarray(b["doc_a"], np.int64)),
-            "doc_b": pa.array(np.asarray(b["doc_b"], np.int64)),
-            "jaccard": pa.array(np.asarray(b["jaccard"], np.float64))}),
-        batch_format="pandas").repartition(4).materialize()
-    mem_a = members.map_batches(
-        lambda b: pd.DataFrame({
-            "doc_a": b["rep"].to_numpy(np.int64),
-            "m_a": b["doc_id"].to_numpy(np.int64)}),
-        batch_format="pandas").repartition(8)
-    mem_b = members.map_batches(
-        lambda b: pd.DataFrame({
-            "doc_b": b["rep"].to_numpy(np.int64),
-            "m_b": b["doc_id"].to_numpy(np.int64)}),
-        batch_format="pandas").repartition(8)
-    e1 = bucketed_join(rep_pairs, mem_a, on="doc_a",
-                       n_buckets=n_buckets)
-    e2 = bucketed_join(e1, mem_b, on="doc_b", n_buckets=n_buckets)
-
-    def canon(b: pd.DataFrame) -> pd.DataFrame:
-        a = b["m_a"].to_numpy(np.int64)
-        c = b["m_b"].to_numpy(np.int64)
-        return pd.DataFrame({
-            "doc_a": np.minimum(a, c), "doc_b": np.maximum(a, c),
-            "jaccard": b["jaccard"].to_numpy(np.float64)})
-
-    cross = e2.map_batches(canon, batch_format="pandas")
-
-    from .relational import _bucket_tagger
-    tagged_m = members.map_batches(_bucket_tagger(["setkey"], 64),
-                                   batch_format="pandas")
-
-    def intra(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": np.zeros(0, np.int64),
-                              "doc_b": np.zeros(0, np.int64),
-                              "jaccard": np.zeros(0, np.float64)})
-        g = g[g["n_sh"].to_numpy(np.int64) > 0]
-        dup = g[g.duplicated(["setkey"], keep=False)]
-        if dup.empty:
-            return empty
-        dup = dup.sort_values(["setkey", "doc_id"])
-        sk = dup["setkey"].to_numpy(np.int64)
-        ids_all = dup["doc_id"].to_numpy(np.int64)
-        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
-        bounds = np.append(starts, len(dup))
-        outs_a, outs_b = [], []
-        for lo, hi in zip(bounds[:-1], bounds[1:]):
-            ids = ids_all[lo:hi]
-            if len(ids) < 2:
-                continue
-            a, b = np.triu_indices(len(ids), k=1)
-            outs_a.append(ids[a])
-            outs_b.append(ids[b])
-        if not outs_a:
-            return empty
-        aa = np.concatenate(outs_a)
-        return pd.DataFrame({"doc_a": aa,
-                             "doc_b": np.concatenate(outs_b),
-                             "jaccard": np.full(len(aa), 1.0)})
-
-    intra_ds = tagged_m.groupby("__bucket").map_groups(
-        intra, batch_format="pandas")
-    return cross.union(intra_ds)
+    return _member_expand(rep_pairs, members, "jaccard", n_buckets,
+                          directed=False)
 
 
 def minhash_lsh_pairs(docs: rd.Dataset, shingle: int = 3,
@@ -1619,7 +1642,8 @@ def ngram_containment_pairs(docs: rd.Dataset, shingle: int = 3,
                             threshold: float = 0.8,
                             n_buckets: int = 32,
                             hot_df_threshold: int | None = 1024,
-                            hot_k: int = 128) -> rd.Dataset:
+                            hot_k: int = 128,
+                            dup_group_cutover: int = 8) -> rd.Dataset:
     """EXACT directed n-gram containment pairs: every ordered (doc_a,
     doc_b) with C(A,B) = |S(A)∩S(B)| / |S(A)| ≥ t — the asymmetric
     near-dup family (doc-inside-doc: quotes, mirrors with boilerplate,
@@ -1641,7 +1665,15 @@ def ngram_containment_pairs(docs: rd.Dataset, shingle: int = 3,
     (preagg) → exact verification with both full sets attached via the
     standing bucketed joins; containment is rounded to 6 decimals
     BEFORE the threshold (the SQL oracle mirrors this). Wide steps
-    move shingle rows and pair keys, never documents."""
+    move shingle rows and pair keys, never documents.
+
+    Containment depends only on the two SETS, so the same exact-set
+    collapse as ngram_jaccard_pairs applies (``_exact_set_collapse``,
+    found by the sf1 duplicated-corpus smoke): past
+    ``dup_group_cutover`` identical-set group size the machinery runs
+    over distinct sets only and ``_member_expand(directed=True)``
+    restores every ordered member pair (intra-group pairs score 1.0
+    both directions — identical nonempty sets contain each other)."""
     import ray
 
     from .relational import broadcast_get, preagg_reduce
@@ -1650,7 +1682,10 @@ def ngram_containment_pairs(docs: rd.Dataset, shingle: int = 3,
         return cached_instance(("tokenset", shingle),
                                lambda: TokenSetter(shingle))(batch)
 
-    hot_ref = ray.put(_hot_shingle_array(docs, shingle,
+    collapse, rdocs, members = _exact_set_collapse(
+        docs, tokenset_batch, n_buckets, dup_group_cutover)
+
+    hot_ref = ray.put(_hot_shingle_array(rdocs, shingle,
                                          hot_df_threshold, hot_k))
 
     def emit_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1691,11 +1726,11 @@ def ngram_containment_pairs(docs: rd.Dataset, shingle: int = 3,
             "__bucket": (sh % np.uint64(64)).astype(np.int64),
         })
 
-    rows = docs.map_batches(emit_batch, batch_format="pandas")
+    rows = rdocs.map_batches(emit_batch, batch_format="pandas")
     pairs = _emit_directed_pairs_bucketed(rows)
     uniq = preagg_reduce(pairs, ["doc_a", "doc_b"], "n_shared", "count")
     base = ["doc_a", "doc_b", "n_shared"]
-    doc_sets = docs.map_batches(tokenset_batch, batch_format="pandas")
+    doc_sets = rdocs.map_batches(tokenset_batch, batch_format="pandas")
     with_a = _attach_sets(uniq, base, doc_sets, "doc_a", n_buckets)
     with_ab = _attach_sets(with_a, base + ["hset_doc_a"],
                            doc_sets, "doc_b", n_buckets)
@@ -1712,7 +1747,11 @@ def ngram_containment_pairs(docs: rd.Dataset, shingle: int = 3,
         out["containment"] = c
         return out[out["containment"] >= threshold]
 
-    return with_ab.map_batches(verify, batch_format="pandas")
+    rep_pairs = with_ab.map_batches(verify, batch_format="pandas")
+    if not collapse:
+        return rep_pairs
+    return _member_expand(rep_pairs, members, "containment", n_buckets,
+                          directed=True)
 
 
 # ---------------------------------------------------------------------------

@@ -279,3 +279,41 @@ def test_ngram_jaccard_collapse_tier_equality():
     got = raw[((raw["doc_a"] % 100 == 0) & (raw["doc_b"] % 100 == 1))
               | ((raw["doc_a"] % 100 == 1) & (raw["doc_b"] % 100 == 0))]
     assert len(got) == 144
+
+
+def test_containment_collapse_tier_equality():
+    """Directed containment on a 10x-replicated corpus: the collapsed
+    plan must match the raw plan row-for-row, with intra-group pairs
+    at 1.0 in BOTH directions."""
+    from no_fasel_scrapers_ray.ops.dedup import ngram_containment_pairs
+    base = ["alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta",                 # contained in 0
+            "totally different words here now ok yes"]
+    texts, ids = [], []
+    for copy in range(10):
+        for i, t in enumerate(base):
+            ids.append(copy * 100 + i)
+            texts.append(t)
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array(ids, dtype=np.int64),
+        "text": texts})).repartition(3)
+
+    def run(cutover):
+        out = ngram_containment_pairs(
+            docs, shingle=3, threshold=0.8,
+            dup_group_cutover=cutover).to_pandas()
+        return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+    raw = run(10 ** 9)
+    collapsed = run(2)
+    pd.testing.assert_frame_equal(collapsed, raw, check_dtype=True)
+    got = raw.set_index(["doc_a", "doc_b"])["containment"]
+    # identical twins contain each other in both directions
+    assert got.loc[(0, 100)] == 1.0 and got.loc[(100, 0)] == 1.0
+    # doc 1 (short) is contained in doc 0 across ALL copies (10x10
+    # ordered pairs), but 0 is not contained in 1
+    short_in_long = raw[(raw["doc_a"] % 100 == 1)
+                        & (raw["doc_b"] % 100 == 0)]
+    assert len(short_in_long) == 100
+    assert ((raw["doc_a"] % 100 == 0)
+            & (raw["doc_b"] % 100 == 1)).sum() == 0
