@@ -704,7 +704,16 @@ def _pr_split_arrays(arrs: list[np.ndarray], key: np.ndarray,
             for k in range(n_buckets)]
 
 
-def _pr_split_block(tbl: pa.Table, cols: list[str], n_buckets: int):
+def _pr_split_block(tbl, cols: list[str], n_buckets: int):
+    # to_arrow_refs hands back a block AS STORED — datasets built from
+    # pandas-format map_batches ship pandas blocks (hit at sf1, where
+    # block sizes differ from the bench scale); normalize first
+    # (empty pandas blocks can lack columns entirely — route them to
+    # the typed-empty branch below instead of a KeyError)
+    if isinstance(tbl, pd.DataFrame):
+        tbl = (pa.Table.from_pandas(tbl[list(cols)],
+                                    preserve_index=False)
+               if len(tbl) else pa.table({}))
     if tbl.num_rows == 0:
         # empty blocks (e.g. out of a join) can arrive with NO schema
         # (the documented empty-pandas→Arrow pitfall) — emit typed
@@ -1850,6 +1859,13 @@ def _driver_kruskal(u: np.ndarray, v: np.ndarray, w: np.ndarray):
     return u[keep], v[keep], w[keep]
 
 
+def _msf_edge_table(b: pd.DataFrame) -> pa.Table:
+    """Uniform int64 Arrow edge block (u, v, w, cu, cv) — the per-round
+    block-hygiene rebuild of the annotated live set."""
+    return pa.table({c: b[c].to_numpy(np.int64)
+                     for c in ("u", "v", "w", "cu", "cv")})
+
+
 def _msf_tier3(live: rd.Dataset, n_buckets: int,
                max_rounds: int) -> rd.Dataset:
     """Fully distributed Borůvka (VERDICT r04 #5: the union-find is
@@ -1876,7 +1892,13 @@ def _msf_tier3(live: rd.Dataset, n_buckets: int,
 
     labels = preagg_reduce(
         live.map_batches(init_labels, batch_format="pandas"),
-        ["node"], "comp", "min", n_buckets=n_buckets).materialize()
+        ["node"], "comp", "min", n_buckets=n_buckets)
+    labels = labels.map_batches(
+        lambda b: pa.table({"node": b["node"].to_numpy(np.int64),
+                            "comp": b["comp"].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+    labels = labels.repartition(
+        max(2, labels.count() // 262144)).materialize()
 
     forest_parts: list[rd.Dataset] = []
     converged = False
@@ -1891,14 +1913,21 @@ def _msf_tier3(live: rd.Dataset, n_buckets: int,
             batch_format="pandas")
         e = bucketed_join(live, lu, on="u", n_buckets=n_buckets)
         e = bucketed_join(e, lv, on="v", n_buckets=n_buckets)
-        # intra-component edges leave the live set PERMANENTLY
+        # intra-component edges leave the live set PERMANENTLY.
+        # BLOCK HYGIENE (the dedup-collapse lesson, found by the sf1
+        # smoke): join outputs carry Ray's schema-less empty-partition
+        # blocks, and the NEXT round's sorts crawl on them — rebuild
+        # as uniform Arrow blocks each round
         e = e.map_batches(
-            lambda b: b[b["cu"].to_numpy(np.int64)
-                        != b["cv"].to_numpy(np.int64)],
+            lambda b: _msf_edge_table(
+                b[b["cu"].to_numpy(np.int64)
+                  != b["cv"].to_numpy(np.int64)]),
             batch_format="pandas").materialize()
-        if e.count() == 0:
+        n_live = e.count()
+        if n_live == 0:
             converged = True
             break
+        e = e.repartition(max(2, n_live // 262144)).materialize()
 
         def emit(b: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({
@@ -1940,13 +1969,17 @@ def _msf_tier3(live: rd.Dataset, n_buckets: int,
                                  "< 2^53 (left-join float transit)")
             upd = np.where(np.isnan(newc), comp,
                            newc).astype(np.int64)
-            return pd.DataFrame({"node": b["node"].to_numpy(np.int64),
-                                 "comp": upd})
+            return pa.table({"node": b["node"].to_numpy(np.int64),
+                             "comp": upd})
 
-        labels = joined.map_batches(update,
-                                    batch_format="pandas").materialize()
-        live = e.map_batches(lambda b: b[["u", "v", "w"]],
-                             batch_format="pandas")
+        labels = joined.map_batches(
+            update, batch_format="pandas").materialize()
+        labels = labels.repartition(
+            max(2, labels.count() // 262144)).materialize()
+        live = e.map_batches(
+            lambda b: pa.table({c: np.asarray(b[c]).astype(np.int64)
+                                for c in ("u", "v", "w")}),
+            batch_format="pyarrow")
     if not converged:
         raise RuntimeError(
             f"_msf_tier3 did not converge in {max_rounds} Borůvka "
