@@ -5026,6 +5026,44 @@ def q_grouping_sets_orders(sf_dir: str):
         "total_cents": out["total_cents"].to_numpy(np.int64)})
 
 
+def q_ingest_incremental(sf_dir: str):
+    """Continuous-ingest story (§ incremental processing — the
+    micro-batch twin of the reference's daily cron batch,
+    ScrapeAll.py:5-39): three deterministic arrival batches sliced
+    from the documents table (batch 2 replays half of batch 1, batch
+    3 replays half of batch 2 plus fresh rows) stream through
+    `pipelines/ingest.py::MicroBatchIngest` — hash-partitioned
+    persistent seen store, partition-pruned anti-joins, exactly-once
+    manifest watermark, crash-replay idempotence (pinned in
+    tests/test_ingest.py). Returns the per-batch
+    (batch_id, arrived, new, dupes) ledger. Rows-only by design
+    (stateful streaming is not SQL-expressible; the brief's carve-out
+    class)."""
+    import shutil
+    import tempfile
+
+    from no_fasel_scrapers_ray.pipelines.ingest import MicroBatchIngest
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id", ignore_index=True)
+    n = len(docs)
+    a, b = n // 3, 2 * n // 3
+    batches = [
+        ("b1", docs.iloc[:b]),                      # rows [0, b)
+        ("b2", docs.iloc[a:b]),                     # full replay slice
+        ("b3", docs.iloc[b - (b - a) // 2:]),       # half-old + fresh
+    ]
+    state = tempfile.mkdtemp(prefix="ingest_state_")
+    try:
+        import ray.data as rd
+        ing = MicroBatchIngest(state, n_partitions=8)
+        for bid, frame in batches:
+            ing.process(bid, rd.from_pandas(
+                frame.reset_index(drop=True)).repartition(2))
+        return ing.stats_frame()
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def q_msf_fulfillment(sf_dir: str, force_distributed: bool = False,
                       tier3: bool = False):
     """Minimum spanning forest (§ graph operators — single-linkage
@@ -6587,6 +6625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_nations": q_sssp_nations,
         "msf_fulfillment": q_msf_fulfillment,
         "msf_tier3": partial(q_msf_fulfillment, tier3=True),
+        "ingest_incremental": q_ingest_incremental,
         "stock_balance_clamped": q_stock_balance_clamped,
         "interpolate_hourly": q_interpolate_hourly,
         "top_session_paths": q_top_session_paths,
