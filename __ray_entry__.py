@@ -5871,6 +5871,321 @@ def q_mad_nation_price(sf_dir: str):
     return mad2[["c_nationkey", "mad"]]
 
 
+def q_ks_urgent_price(sf_dir: str):
+    """Kolmogorov–Smirnov two-sample statistic (§ statistical
+    aggregates — the distribution-shift screen next to PSI/KL):
+    D = sup|F_urgent − F_other| over order totalprice cents. Fully
+    distributed EXACT shape: distinct-cents counts (grouped_multi_agg)
+    → the range-partitioned ordered scan (`ordered_prefix_sum`, the
+    Mann–Whitney machinery) attaches cumulative counts → per-block
+    integer max of |s1·n0 − s0·n1| → driver max over block partials
+    (block-count-bounded). ks_d is that integer over n1·n0 — both
+    < 2^53 (loud guard), so ONE double division is bit-exact vs the
+    oracle's mirrored window-cumsum expression."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        grouped_multi_agg, ordered_prefix_sum)
+    orders = _read(sf_dir, "orders",
+                   ["o_totalprice", "o_orderpriority"],
+                   rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": np.round(b["o_totalprice"].to_numpy(np.float64)
+                          * 100).astype(np.int64),
+            "f": (b["o_orderpriority"].to_numpy(dtype=object)
+                  == "1-URGENT").astype(np.int64),
+            "one": np.ones(len(b), dtype=np.int64)})
+
+    counts = grouped_multi_agg(
+        orders.map_batches(prep, batch_format="pandas"), ["v"],
+        {"cnt": ("one", "sum"), "ca": ("f", "sum")},
+        n_buckets=16).materialize()
+    n = int(counts.sum("cnt") or 0)
+    n1 = int(counts.sum("ca") or 0)
+    n0 = n - n1
+    if n1 * n0 >= 1 << 53:
+        raise ValueError("ks_urgent_price: n1*n0 exceeds 2^53 — the "
+                         "exact double division needs a wider type")
+    ranked = ordered_prefix_sum(counts, "v", "cnt", "__cum",
+                                n_buckets=16)
+    ranked = ordered_prefix_sum(ranked, "v", "ca", "__cuma",
+                                n_buckets=16)
+
+    def block_max(b: pd.DataFrame) -> pd.DataFrame:
+        s1 = b["__cuma"].to_numpy(np.int64) + b["ca"].to_numpy(np.int64)
+        s0 = (b["__cum"].to_numpy(np.int64)
+              + b["cnt"].to_numpy(np.int64)) - s1
+        d = np.abs(s1 * n0 - s0 * n1)
+        return pd.DataFrame({"m": [int(d.max()) if len(d) else 0]})
+
+    parts = ranked.map_batches(block_max,
+                               batch_format="pandas").to_pandas()
+    num = int(parts["m"].max()) if len(parts) else 0
+    return pd.DataFrame({
+        "ks_d": [float(num) / (float(n1) * float(n0))],
+        "n_urgent": np.array([n1], dtype=np.int64),
+        "n_other": np.array([n0], dtype=np.int64)})
+
+
+def q_kruskal_wallis_price(sf_dir: str):
+    """Kruskal–Wallis H (tie-corrected) across the five order
+    priorities over totalprice cents (§ statistical aggregates — the
+    k-group generalization of the Mann–Whitney screen). Same
+    distributed rank machinery: distinct-cents per-group counts, ONE
+    range-partitioned ordered scan for doubled tied ranks
+    (r2 = 2·cum + cnt + 1), per-block int64 partials (per-group
+    Σ c_j·r2, tie mass Σ t³−t) combined in PYTHON-int space (the
+    _weighted_moment_rows discipline), then ONE mirrored float
+    expression (round-6: the five-term group sum reassociates)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        grouped_multi_agg, ordered_prefix_sum)
+    orders = _read(sf_dir, "orders",
+                   ["o_totalprice", "o_orderpriority"],
+                   rows_per_block=65536)
+    K = 5
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        g = np.fromiter((int(x[0]) for x in
+                         b["o_orderpriority"].to_numpy(dtype=object)),
+                        count=len(b), dtype=np.int64)
+        out = {"v": np.round(b["o_totalprice"].to_numpy(np.float64)
+                             * 100).astype(np.int64),
+               "one": np.ones(len(b), dtype=np.int64)}
+        for j in range(1, K + 1):
+            out[f"g{j}"] = (g == j).astype(np.int64)
+        return pd.DataFrame(out)
+
+    counts = grouped_multi_agg(
+        orders.map_batches(prep, batch_format="pandas"), ["v"],
+        dict({"cnt": ("one", "sum")},
+             **{f"c{j}": (f"g{j}", "sum") for j in range(1, K + 1)}),
+        n_buckets=16)
+    ranked = ordered_prefix_sum(counts, "v", "cnt", "__cum",
+                                n_buckets=16)
+    cols = [f"s{j}" for j in range(1, K + 1)] +            [f"n{j}" for j in range(1, K + 1)] + ["tie", "n"]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cnt = b["cnt"].to_numpy(np.int64)
+        r2 = 2 * b["__cum"].to_numpy(np.int64) + cnt + 1
+        row = []
+        for j in range(1, K + 1):
+            cj = b[f"c{j}"].to_numpy(np.int64)
+            row.append(int((cj * r2).sum()))
+        for j in range(1, K + 1):
+            row.append(int(b[f"c{j}"].to_numpy(np.int64).sum()))
+        row.append(int((cnt ** 3 - cnt).sum()))
+        row.append(int(cnt.sum()))
+        return pd.DataFrame([row], columns=cols)
+
+    p = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    tot = {c: int(sum(int(v) for v in p[c])) for c in cols}
+    n = tot["n"]
+    # S_j are DOUBLED rank sums: H = 3/(N(N+1))·Σ S_j²/n_j − 3(N+1)
+    acc = 0.0
+    for j in range(1, K + 1):
+        if tot[f"n{j}"]:
+            sj = float(tot[f"s{j}"])
+            acc += sj * sj / float(tot[f"n{j}"])
+    h = 3.0 / (float(n) * (n + 1)) * acc - 3.0 * (n + 1)
+    corr = 1.0 - float(tot["tie"]) / (float(n) ** 3 - float(n))
+    return pd.DataFrame({
+        "kw_h": [np.round(h / corr, 6)],
+        "n": np.array([n], dtype=np.int64)})
+
+
+def q_cramers_v_nation_priority(sf_dir: str):
+    """Cramér's V association strength for the nation × priority
+    contingency table (§ statistical aggregates — the normalized
+    effect size on top of the χ² audit): same broadcast-dim bucketed
+    contingency counts as `chisq_nation_priority`, then ONE mirrored
+    float expression √(χ²/(n·min(r−1, c−1))) over the ≤125-cell
+    driver frame (round-6: √ is transcendental and the cell sum
+    reassociates)."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (broadcast_get,
+                                                      preagg_reduce)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.sort_values("c_custkey")
+    ck = ray.put(cust["c_custkey"].to_numpy(np.int64))
+    cn = ray.put(cust["c_nationkey"].to_numpy(np.int32))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"],
+                   rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["o_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "c_nationkey": broadcast_get(cn)[
+                np.searchsorted(broadcast_get(ck), c)],
+            "o_orderpriority": b["o_orderpriority"].to_numpy()})
+
+    a = preagg_reduce(orders.map_batches(prep, batch_format="pandas"),
+                      ["c_nationkey", "o_orderpriority"], "n",
+                      "count", n_buckets=8).to_pandas()
+    rn = a.groupby("c_nationkey")["n"].transform("sum")         .to_numpy(np.int64).astype(np.float64)
+    cnn = a.groupby("o_orderpriority")["n"].transform("sum")         .to_numpy(np.int64).astype(np.float64)
+    tot = float(int(a["n"].sum()))
+    obs = a["n"].to_numpy(np.int64).astype(np.float64)
+    e = rn * cnn / tot
+    chi2 = float(np.sum((obs - e) * (obs - e) / e))
+    r = int(a["c_nationkey"].nunique())
+    c = int(a["o_orderpriority"].nunique())
+    v = float(np.sqrt(chi2 / (tot * min(r - 1, c - 1))))
+    return pd.DataFrame({
+        "cramers_v": [np.round(v, 6)],
+        "n_rows": np.array([r], dtype=np.int64),
+        "n_cols": np.array([c], dtype=np.int64)})
+
+
+def q_jsd_region_priority(sf_dir: str):
+    """Jensen–Shannon divergence between the order-priority
+    distributions of EUROPE and ASIA customers (§ statistical
+    aggregates — the symmetric, bounded drift distance next to the
+    KL monitor): broadcast region→nation→customer dims, ONE bucketed
+    (region, priority) count, then the mirrored closed form
+    ½Σp·ln(p/m) + ½Σq·ln(q/m) over the ≤5-cell support (round-6 ln
+    contract; zero-count terms dropped on BOTH engines)."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (broadcast_get,
+                                                      preagg_reduce)
+    region = _read(sf_dir, "region",
+                   ["r_regionkey", "r_name"]).to_pandas()
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_regionkey"]).to_pandas()
+    nation = nation.merge(region, left_on="n_regionkey",
+                          right_on="r_regionkey")
+    nk = {int(k): str(v) for k, v in
+          zip(nation["n_nationkey"], nation["r_name"])}
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.sort_values("c_custkey")
+    ck = ray.put(cust["c_custkey"].to_numpy(np.int64))
+    cr = ray.put(np.array([nk[int(x)] for x in cust["c_nationkey"]],
+                          dtype=object))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"],
+                   rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["o_custkey"].to_numpy(np.int64)
+        reg = broadcast_get(cr)[np.searchsorted(broadcast_get(ck), c)]
+        keep = (reg == "EUROPE") | (reg == "ASIA")
+        return pd.DataFrame({
+            "reg": reg[keep],
+            "o_orderpriority":
+                b["o_orderpriority"].to_numpy()[keep]})
+
+    a = preagg_reduce(orders.map_batches(prep, batch_format="pandas"),
+                      ["reg", "o_orderpriority"], "n", "count",
+                      n_buckets=8).to_pandas()
+    piv = a.pivot_table(index="o_orderpriority", columns="reg",
+                        values="n", aggfunc="sum",
+                        fill_value=0)
+    c1 = piv.get("EUROPE", pd.Series(0, index=piv.index))         .to_numpy(np.int64).astype(np.float64)
+    c2 = piv.get("ASIA", pd.Series(0, index=piv.index))         .to_numpy(np.int64).astype(np.float64)
+    n1, n2 = float(c1.sum()), float(c2.sum())
+    pp = c1 / n1
+    qq = c2 / n2
+    m = (pp + qq) / 2.0
+    t1 = np.where(pp > 0, pp * np.log(np.where(pp > 0, pp, 1.0) / m),
+                  0.0)
+    t2 = np.where(qq > 0, qq * np.log(np.where(qq > 0, qq, 1.0) / m),
+                  0.0)
+    jsd = 0.5 * float(t1.sum()) + 0.5 * float(t2.sum())
+    return pd.DataFrame({
+        "jsd": [np.round(jsd, 6)],
+        "n_europe": np.array([int(n1)], dtype=np.int64),
+        "n_asia": np.array([int(n2)], dtype=np.int64)})
+
+
+def q_brown_forsythe_price(sf_dir: str):
+    """Brown–Forsythe test (Levene with group medians) for equal
+    totalprice spread across the five order priorities (§ statistical
+    aggregates — the robust variance-homogeneity screen). Distributed
+    shape: per-group EXACT interpolated medians
+    (`grouped_quantile_cont` — bit-identical to DuckDB's median),
+    doubled so |2x − med2| stays INTEGER; per-block int64-safe moment
+    partials (chunked before a block sum can overflow, the
+    _weighted_moment_rows discipline) combined in python-int space;
+    then ONE mirrored float expression
+    F = (SSB/(k−1))/(SSW/(N−k)) from the exact sums (round-6)."""
+    import pandas as pd
+    import ray
+    from no_fasel_scrapers_ray.ops.relational import (
+        broadcast_get, grouped_quantile_cont)
+    orders = _read(sf_dir, "orders",
+                   ["o_totalprice", "o_orderpriority"],
+                   rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        g = np.fromiter((int(x[0]) for x in
+                         b["o_orderpriority"].to_numpy(dtype=object)),
+                        count=len(b), dtype=np.int64)
+        return pd.DataFrame({
+            "g": g,
+            "v": np.round(b["o_totalprice"].to_numpy(np.float64)
+                          * 100).astype(np.int64)})
+
+    gv = orders.map_batches(prep, batch_format="pandas").materialize()
+    med = grouped_quantile_cont(gv, ["g"], "v", 0.5,
+                                "med").to_pandas().sort_values("g")
+    gk = ray.put(med["g"].to_numpy(np.int64))
+    m2 = ray.put(np.round(med["med"].to_numpy(np.float64)
+                          * 2).astype(np.int64))
+
+    LIM = np.int64(1) << 62
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b["g"].to_numpy(np.int64)
+        v = b["v"].to_numpy(np.int64)
+        med2 = broadcast_get(m2)[
+            np.searchsorted(broadcast_get(gk), g)]
+        z = np.abs(2 * v - med2)
+        rows = []
+        for j in np.unique(g):
+            zz = z[g == j]
+            sq_f = zz.astype(np.float64) ** 2
+            cum = np.cumsum(sq_f)
+            if cum[-1] < float(LIM) / 2:    # common case: one row
+                rows.append((int(j), int(len(zz)), int(zz.sum()),
+                             int((zz ** 2).sum())))
+                continue
+            # chunk so each int64 squared-sum partial stays < 2^61
+            n_chunks = int(cum[-1] // (float(LIM) / 4)) + 1
+            cut = np.searchsorted(
+                cum, np.arange(1, n_chunks) * (float(LIM) / 4))
+            bounds = np.unique(np.r_[0, cut, len(zz)]).astype(int)
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                part = zz[lo:hi]
+                if not len(part):
+                    continue
+                rows.append((int(j), int(len(part)), int(part.sum()),
+                             int((part ** 2).sum())))
+        return pd.DataFrame(rows, columns=["g", "cnt", "s1", "s2"])
+
+    p = gv.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = {}
+    for j, cnt, s1, s2 in p.itertuples(index=False, name=None):
+        a = agg.setdefault(int(j), [0, 0, 0])
+        a[0] += int(cnt)
+        a[1] += int(s1)
+        a[2] += int(s2)
+    ks = sorted(agg)
+    k = len(ks)
+    n = sum(agg[j][0] for j in ks)
+    ssum = sum(agg[j][1] for j in ks)
+    ssb = sum(float(agg[j][1]) ** 2 / agg[j][0] for j in ks)         - float(ssum) ** 2 / n
+    ssw = sum(float(agg[j][2]) for j in ks)         - sum(float(agg[j][1]) ** 2 / agg[j][0] for j in ks)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    return pd.DataFrame({
+        "bf_f": [np.round(f, 6)],
+        "n": np.array([n], dtype=np.int64),
+        "k_groups": np.array([k], dtype=np.int64)})
+
+
 def q_chisq_nation_priority(sf_dir: str):
     """χ² contingency audit of nation × order priority (§ statistical
     aggregates — the independence screen generalizing the two-sample
@@ -6656,6 +6971,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_top_customers": q_ppr_top_customers,
         "welch_ttest_discount": q_welch_ttest_discount,
         "chisq_nation_priority": q_chisq_nation_priority,
+        "ks_urgent_price": q_ks_urgent_price,
+        "kruskal_wallis_price": q_kruskal_wallis_price,
+        "cramers_v_nation_priority": q_cramers_v_nation_priority,
+        "jsd_region_priority": q_jsd_region_priority,
+        "brown_forsythe_price": q_brown_forsythe_price,
         "mutual_info_priority_status": q_mutual_info_priority_status,
         "vocab_coverage": q_vocab_coverage,
         "crawl_catalogs": q_crawl_catalogs,
@@ -7436,6 +7756,140 @@ def _oracle_sql_literal() -> dict[str, str]:
                   FROM b JOIN m USING (c_nationkey))
             SELECT c_nationkey, quantile_cont(d2, 0.5) / 2.0 AS mad
             FROM d GROUP BY c_nationkey
+        """,
+        "ks_urgent_price": """
+            WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           AS x,
+                       CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END AS f
+                       FROM orders),
+            c AS (SELECT x, SUM(f) AS ca, COUNT(*) AS cnt
+                  FROM v GROUP BY x),
+            n AS (SELECT SUM(ca) AS n1, SUM(cnt) - SUM(ca) AS n0
+                  FROM c),
+            cum AS (SELECT x,
+                        SUM(ca) OVER (ORDER BY x) AS s1,
+                        SUM(cnt - ca) OVER (ORDER BY x) AS s0
+                    FROM c)
+            SELECT CAST(MAX(ABS(s1 * n.n0 - s0 * n.n1)) AS DOUBLE)
+                       / (CAST(n.n1 AS DOUBLE) * n.n0) AS ks_d,
+                   CAST(n.n1 AS BIGINT) AS n_urgent,
+                   CAST(n.n0 AS BIGINT) AS n_other
+            FROM cum, n GROUP BY n.n1, n.n0
+        """,
+        "kruskal_wallis_price": """
+            WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           AS x,
+                       CAST(substr(o_orderpriority, 1, 1) AS INT) AS g
+                       FROM orders),
+            c AS (SELECT x, g, COUNT(*) AS c FROM v GROUP BY x, g),
+            t AS (SELECT x, SUM(c) AS cnt FROM c GROUP BY x),
+            r AS (SELECT x,
+                      2 * (SUM(cnt) OVER (ORDER BY x) - cnt)
+                          + cnt + 1 AS r2
+                  FROM t),
+            s AS (SELECT g, SUM(c.c * r.r2) AS s2, SUM(c.c) AS nj
+                  FROM c JOIN r ON c.x = r.x GROUP BY g),
+            nn AS (SELECT SUM(cnt) AS n,
+                          SUM(cnt * cnt * cnt - cnt) AS ties
+                   FROM t),
+            acc AS (SELECT SUM(CAST(s2 AS DOUBLE) * s2 / nj) AS a
+                    FROM s)
+            SELECT ROUND(
+                (3.0 / (CAST(n AS DOUBLE) * (n + 1)) * acc.a
+                 - 3.0 * (n + 1))
+                / (1.0 - CAST(ties AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * n * n - n)), 6) AS kw_h,
+                CAST(n AS BIGINT) AS n
+            FROM nn, acc
+        """,
+        "cramers_v_nation_priority": """
+            WITH j AS (SELECT c_nationkey, o_orderpriority
+                       FROM orders JOIN customer
+                       ON o_custkey = c_custkey),
+            a AS (SELECT c_nationkey, o_orderpriority, COUNT(*) AS n
+                  FROM j GROUP BY 1, 2),
+            tot AS (SELECT SUM(n) AS t,
+                           COUNT(DISTINCT c_nationkey) AS r,
+                           COUNT(DISTINCT o_orderpriority) AS c
+                    FROM a),
+            m AS (SELECT a.c_nationkey, a.o_orderpriority, a.n,
+                         rs.rn, cs.cn
+                  FROM a
+                  JOIN (SELECT c_nationkey, SUM(n) AS rn FROM a
+                        GROUP BY 1) rs USING (c_nationkey)
+                  JOIN (SELECT o_orderpriority, SUM(n) AS cn FROM a
+                        GROUP BY 1) cs USING (o_orderpriority)),
+            chi AS (SELECT SUM(
+                        (n - CAST(rn AS DOUBLE) * cn / tot.t)
+                        * (n - CAST(rn AS DOUBLE) * cn / tot.t)
+                        / (CAST(rn AS DOUBLE) * cn / tot.t)) AS x2
+                    FROM m, tot GROUP BY tot.t)
+            SELECT ROUND(SQRT(chi.x2 / (CAST(tot.t AS DOUBLE)
+                       * LEAST(tot.r - 1, tot.c - 1))), 6)
+                       AS cramers_v,
+                   tot.r AS n_rows, tot.c AS n_cols
+            FROM chi, tot
+        """,
+        "jsd_region_priority": """
+            WITH cr AS (SELECT c_custkey, r_name
+                        FROM customer
+                        JOIN nation ON c_nationkey = n_nationkey
+                        JOIN region ON n_regionkey = r_regionkey
+                        WHERE r_name IN ('EUROPE', 'ASIA')),
+            a AS (SELECT r_name, o_orderpriority, COUNT(*) AS n
+                  FROM orders JOIN cr ON o_custkey = c_custkey
+                  GROUP BY 1, 2),
+            pv AS (SELECT o_orderpriority,
+                       SUM(CASE WHEN r_name = 'EUROPE' THEN n
+                                ELSE 0 END) AS c1,
+                       SUM(CASE WHEN r_name = 'ASIA' THEN n
+                                ELSE 0 END) AS c2
+                   FROM a GROUP BY 1),
+            nn AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM pv),
+            terms AS (SELECT
+                CASE WHEN c1 > 0 THEN
+                    (CAST(c1 AS DOUBLE) / nn.n1)
+                    * LN((CAST(c1 AS DOUBLE) / nn.n1)
+                         / ((CAST(c1 AS DOUBLE) / nn.n1
+                             + CAST(c2 AS DOUBLE) / nn.n2) / 2.0))
+                ELSE 0.0 END AS t1,
+                CASE WHEN c2 > 0 THEN
+                    (CAST(c2 AS DOUBLE) / nn.n2)
+                    * LN((CAST(c2 AS DOUBLE) / nn.n2)
+                         / ((CAST(c1 AS DOUBLE) / nn.n1
+                             + CAST(c2 AS DOUBLE) / nn.n2) / 2.0))
+                ELSE 0.0 END AS t2
+                FROM pv, nn)
+            SELECT ROUND(0.5 * SUM(t1) + 0.5 * SUM(t2), 6) AS jsd,
+                   CAST(nn.n1 AS BIGINT) AS n_europe,
+                   CAST(nn.n2 AS BIGINT) AS n_asia
+            FROM terms, nn GROUP BY nn.n1, nn.n2
+        """,
+        "brown_forsythe_price": """
+            WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           AS x,
+                       CAST(substr(o_orderpriority, 1, 1) AS INT) AS g
+                       FROM orders),
+            med AS (SELECT g,
+                        CAST(ROUND(2 * quantile_cont(x, 0.5))
+                             AS BIGINT) AS m2
+                    FROM v GROUP BY g),
+            z AS (SELECT v.g, ABS(2 * v.x - med.m2) AS z2
+                  FROM v JOIN med ON v.g = med.g),
+            s AS (SELECT g, COUNT(*) AS nj, SUM(z2) AS s1,
+                         SUM(z2 * z2) AS s2
+                  FROM z GROUP BY g),
+            nn AS (SELECT SUM(nj) AS n, COUNT(*) AS k,
+                          SUM(s1) AS stot,
+                          SUM(CAST(s1 AS DOUBLE) * s1 / nj) AS sb,
+                          SUM(CAST(s2 AS DOUBLE)) AS sw
+                   FROM s)
+            SELECT ROUND(
+                ((sb - CAST(stot AS DOUBLE) * stot / n) / (k - 1))
+                / ((sw - sb) / (n - k)), 6) AS bf_f,
+                CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups
+            FROM nn
         """,
         "chisq_nation_priority": """
             WITH a AS (SELECT c_nationkey, o_orderpriority,
