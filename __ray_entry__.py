@@ -5043,22 +5043,28 @@ def q_ingest_incremental(sf_dir: str):
     import tempfile
 
     from no_fasel_scrapers_ray.pipelines.ingest import MicroBatchIngest
-    docs = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
-    docs = docs.sort_values("doc_id", ignore_index=True)
-    n = len(docs)
-    a, b = n // 3, 2 * n // 3
-    batches = [
-        ("b1", docs.iloc[:b]),                      # rows [0, b)
-        ("b2", docs.iloc[a:b]),                     # full replay slice
-        ("b3", docs.iloc[b - (b - a) // 2:]),       # half-old + fresh
-    ]
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # batch boundaries from the doc_id RANGE — no driver
+    # materialization (review-caught posture): the synthetic table's
+    # ids are dense, and approximate thirds are all the ledger needs
+    lo = int(docs.min("doc_id"))
+    hi = int(docs.max("doc_id"))
+    n = hi - lo + 1
+    a, b = lo + n // 3, lo + 2 * n // 3
+    c = b - (b - a) // 2
+
+    def sl(lo_id, hi_id):
+        return docs.filter(
+            expr=f"doc_id >= {lo_id} and doc_id < {hi_id}")
+
+    batches = [("b1", sl(lo, b)),          # ids [lo, b)
+               ("b2", sl(a, b)),           # full replay slice
+               ("b3", sl(c, hi + 1))]      # half-old + fresh
     state = tempfile.mkdtemp(prefix="ingest_state_")
     try:
-        import ray.data as rd
         ing = MicroBatchIngest(state, n_partitions=8)
-        for bid, frame in batches:
-            ing.process(bid, rd.from_pandas(
-                frame.reset_index(drop=True)).repartition(2))
+        for bid, bds in batches:
+            ing.process(bid, bds)
         return ing.stats_frame()
     finally:
         shutil.rmtree(state, ignore_errors=True)
@@ -5972,10 +5978,23 @@ def q_kruskal_wallis_price(sf_dir: str):
         row = []
         for j in range(1, K + 1):
             cj = b[f"c{j}"].to_numpy(np.int64)
-            row.append(int((cj * r2).sum()))
+            est = float((cj.astype(np.float64)
+                         * r2.astype(np.float64)).sum())
+            if est >= 2.0 ** 62:   # same overflow discipline as ties
+                row.append(sum(int(a) * int(r)
+                               for a, r in zip(cj, r2) if a))
+            else:
+                row.append(int((cj * r2).sum()))
         for j in range(1, K + 1):
             row.append(int(b[f"c{j}"].to_numpy(np.int64).sum()))
-        row.append(int((cnt ** 3 - cnt).sum()))
+        # tie mass Σ t³−t: int64 wraps past t ≈ 2^21 or block sums
+        # past 2^63 — take the python-int path when the float
+        # estimate says the vectorized sum could overflow
+        # (review-caught; the _weighted_moment_rows discipline)
+        if len(cnt) and (float(cnt.max()) ** 3 * len(cnt)) >= 2.0 ** 62:
+            row.append(sum(int(t) ** 3 - int(t) for t in cnt))
+        else:
+            row.append(int((cnt ** 3 - cnt).sum()))
         row.append(int(cnt.sum()))
         return pd.DataFrame([row], columns=cols)
 

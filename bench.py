@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "welch_ttest_discount", "ppr_top_customers",
     "auc_price_discount", "lift_table_urgent", "km_return_survival",
     "logrank_discount_survival", "km_by_discount_group",
+    "ks_urgent_price", "kruskal_wallis_price",
+    "cramers_v_nation_priority", "jsd_region_priority",
+    "brown_forsythe_price", "ingest_incremental",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the

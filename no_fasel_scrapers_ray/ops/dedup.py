@@ -507,18 +507,29 @@ def _exact_set_collapse(docs, tokenset_batch, n_buckets: int,
         return pd.DataFrame({"doc_id": d["doc_id"].to_numpy(np.int64),
                              "setkey": key, "n_sh": n_sh})
 
-    sig = docs.map_batches(sig_batch,
-                           batch_format="pandas").materialize()
-    counts = preagg_reduce(
-        sig.map_batches(lambda b: pd.DataFrame({
-            "setkey": b["setkey"].to_numpy(np.int64),
-            "gsz": np.ones(len(b), np.int64)}),
-            batch_format="pandas"),
-        ["setkey"], "gsz", "count", n_buckets=n_buckets).materialize()
-    max_group = int(counts.max("gsz") or 0)
+    # DETECTION is one vectorized text-hash count pass with NO
+    # tokenization (review-caught: the set-signature pass paid a full
+    # extra tokenize even when nothing collapsed): identical text ⇒
+    # identical set, so text-dup group sizes lower-bound set-dup
+    # group sizes; a corpus whose set duplicates never share exact
+    # text stays on the uncollapsed path — BOTH paths are exact, the
+    # cutover only picks the faster plan.
+    def text_counts(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(
+            b["text"].to_numpy(dtype=object)).view(np.int64)
+        vals, cnts = np.unique(h, return_counts=True)
+        return pd.DataFrame({"tk": vals,
+                             "gsz": cnts.astype(np.int64)})
+
+    tc = preagg_reduce(
+        docs.map_batches(text_counts, batch_format="pandas"),
+        ["tk"], "gsz", "sum", n_buckets=n_buckets).materialize()
+    max_group = int(tc.max("gsz") or 0)
     if max_group < dup_group_cutover:
         return False, docs, None
 
+    sig = docs.map_batches(sig_batch,
+                           batch_format="pandas").materialize()
     reps = preagg_reduce(
         sig.map_batches(lambda b: pd.DataFrame({
             "setkey": b["setkey"].to_numpy(np.int64),
@@ -673,7 +684,7 @@ def ngram_jaccard_pairs(docs: rd.Dataset, shingle: int = 3,
     pinned in tests/test_round6_ops.py."""
     import ray
 
-    from .relational import broadcast_get, bucketed_join, preagg_reduce
+    from .relational import broadcast_get, preagg_reduce
 
     def tokenset_batch(batch: pd.DataFrame) -> pd.DataFrame:
         return cached_instance(("tokenset", shingle),

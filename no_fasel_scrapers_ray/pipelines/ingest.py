@@ -7,13 +7,17 @@ ingested, exactly once, resumable mid-stream).
 
 Shape (Ray-Data-first, every step partition-pruned):
 - the persistent seen-set is a HASH-PARTITIONED parquet store
-  (``state_dir/seen/part=K/<batch>.parquet`` holding int64 content
-  fingerprints): an arrival batch is fingerprinted per-batch
-  (vectorized ``pd.util.hash_array`` over the text column), tagged
-  with ``fp % n_partitions``, and each partition group anti-joins
-  ONLY its own partition's seen files — at 10^10 ingested docs a
-  batch touches |batch|/partition-fraction of the store, never all
-  of it, and the wide step moves 16 B/row fingerprints, never text.
+  (``state_dir/seen/part=K/<batch>.parquet`` holding 128-BIT content
+  fingerprints as two int64 columns — two independently-keyed
+  vectorized siphashes, the collision budget the repo's exact-dedup
+  convention demands at 10^10 docs where a single 64-bit hash would
+  near-certainly collide): an arrival batch is fingerprinted
+  per-batch, tagged with ``fp1 % n_partitions``, and each partition
+  group anti-joins ONLY its own partition's COMMITTED seen files —
+  files from crashed (un-manifested) batches are ignored, so a
+  phantom attempt can never mask live rows — touching
+  |batch|/partition-fraction of the store, never all of it; the wide
+  step moves 24 B/row fingerprints, never text.
 - accepted (first-seen) rows append to the corpus under
   ``state_dir/corpus/batch=<id>/part-K.parquet`` and their
   fingerprints to the seen partition — both files are NAMED by
@@ -75,53 +79,63 @@ class MicroBatchIngest:
 
         P = self.n_partitions
         seen_dir, corpus_dir = self.seen_dir, self.corpus_dir
+        # only manifest-COMMITTED batches count as seen: a crashed
+        # attempt's files (this batch's own, or any other phantom)
+        # must never mask live rows (review-caught data-loss path)
+        committed = frozenset(self.manifest["batches"])
 
         def fingerprint(b: pd.DataFrame) -> pd.DataFrame:
-            fp = pd.util.hash_array(
-                b["text"].to_numpy(dtype=object)).view(np.int64)
+            txt = b["text"].to_numpy(dtype=object)
+            fp1 = pd.util.hash_array(txt).view(np.int64)
+            fp2 = pd.util.hash_array(
+                txt, hash_key="ingest_fp_2nd_ky").view(np.int64)
             return pd.DataFrame({
                 "doc_id": b["doc_id"].to_numpy(np.int64),
-                "text": b["text"].to_numpy(dtype=object),
-                "fp": fp,
-                "__part": (fp % P).astype(np.int64)})
+                "text": txt,
+                "fp1": fp1, "fp2": fp2,
+                "__part": (fp1 % P).astype(np.int64)})
 
         def dedup_partition(g: pd.DataFrame) -> pd.DataFrame:
             # in-batch first-wins (min doc_id per fingerprint), then
             # the partition-pruned anti-join against the store
-            g = g.sort_values(["fp", "doc_id"]).drop_duplicates(
-                "fp", keep="first")
+            g = g.sort_values(["fp1", "fp2", "doc_id"]).drop_duplicates(
+                ["fp1", "fp2"], keep="first")
             part = int(g["__part"].iloc[0])
             pdir = os.path.join(seen_dir, f"part={part}")
             if os.path.isdir(pdir):
-                # exclude THIS batch's own seen file: a crashed prior
-                # attempt of the same batch must not mask its rows on
-                # replay (the file is rewritten below either way)
                 files = [os.path.join(pdir, f)
                          for f in sorted(os.listdir(pdir))
                          if f.endswith(".parquet")
-                         and f != f"{batch_id}.parquet"]
-                old = (pq.read_table(files, columns=["fp"])
+                         and f[:-len(".parquet")] in committed]
+                old = (pq.read_table(files, columns=["fp1", "fp2"])
                        if files else None)
                 if old is not None and old.num_rows:
-                    known = np.unique(np.asarray(old["fp"]))
-                    f = g["fp"].to_numpy(np.int64)
-                    pos = np.searchsorted(known, f)
-                    np.clip(pos, 0, len(known) - 1, out=pos)
-                    g = g[known[pos] != f]
+                    seen = pd.DataFrame({
+                        "fp1": np.asarray(old["fp1"]),
+                        "fp2": np.asarray(old["fp2"])})
+                    m = g.merge(seen.drop_duplicates(),
+                                on=["fp1", "fp2"], how="left",
+                                indicator=True)
+                    g = g[(m["_merge"] == "left_only").to_numpy()]
             # deterministic per-(batch, partition) file names: replay
-            # after a crash OVERWRITES, never duplicates
+            # after a crash OVERWRITES, never duplicates; writes go
+            # through tmp+rename so a torn file can never surface
             os.makedirs(pdir, exist_ok=True)
             cdir = os.path.join(corpus_dir, f"batch={batch_id}")
             os.makedirs(cdir, exist_ok=True)
-            pq.write_table(
-                pa.table({"fp": g["fp"].to_numpy(np.int64)}),
-                os.path.join(pdir, f"{batch_id}.parquet"))
-            pq.write_table(
-                pa.table({
+            for table, path in (
+                (pa.table({"fp1": g["fp1"].to_numpy(np.int64),
+                           "fp2": g["fp2"].to_numpy(np.int64)}),
+                 os.path.join(pdir, f"{batch_id}.parquet")),
+                (pa.table({
                     "doc_id": g["doc_id"].to_numpy(np.int64),
                     "text": pa.array(g["text"].to_numpy(dtype=object),
                                      type=pa.string())}),
-                os.path.join(cdir, f"part-{part:04d}.parquet"))
+                 os.path.join(cdir, f"part-{part:04d}.parquet")),
+            ):
+                tmp = path + ".tmp"
+                pq.write_table(table, tmp)
+                os.replace(tmp, path)
             return pd.DataFrame({"part": [part],
                                  "new": [int(len(g))]})
 
@@ -138,8 +152,21 @@ class MicroBatchIngest:
         return dict(rec, replayed=False)
 
     def corpus_dataset(self) -> rd.Dataset:
-        """Everything ingested so far, as a streaming Dataset."""
-        return rd.read_parquet(self.corpus_dir)
+        """Everything COMMITTED so far, as a streaming Dataset —
+        crashed batches' partial directories are not surfaced (the
+        manifest is the watermark, review-caught)."""
+        dirs = []
+        for b in sorted(self.manifest["batches"]):
+            d = os.path.join(self.corpus_dir, f"batch={b}")
+            if os.path.isdir(d):
+                dirs.extend(os.path.join(d, f)
+                            for f in sorted(os.listdir(d))
+                            if f.endswith(".parquet"))
+        if not dirs:
+            return rd.from_pandas(pd.DataFrame({
+                "doc_id": np.array([], dtype=np.int64),
+                "text": np.array([], dtype=object)}))
+        return rd.read_parquet(dirs)
 
     def stats_frame(self) -> pd.DataFrame:
         rows = [dict(batch_id=k, **v)
