@@ -249,7 +249,21 @@ def _attach_sets(pairs: rd.Dataset, pair_cols: list[str],
     hcol = f"hset_{side}"
     all_cols = pair_cols + [hcol]
 
+    def _typed_empty() -> pd.DataFrame:
+        # Ray hands schema-less EMPTY blocks (empty sort partitions)
+        # to map_batches fns — emit the typed empty so downstream
+        # sorts keep one uniform schema
+        out = pd.DataFrame({
+            c: (np.array([], dtype=object) if c.startswith("hset")
+                else np.array([], dtype=np.int64))
+            for c in all_cols})
+        out["__bucket"] = np.array([], dtype=np.int64)
+        out["__side"] = np.array([], dtype=object)
+        return out
+
     def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or side not in df.columns:
+            return _typed_empty()
         out = df[pair_cols].copy()
         out[hcol] = b""
         out["__bucket"] = (out[side] % n_buckets).astype(np.int64)
@@ -257,6 +271,8 @@ def _attach_sets(pairs: rd.Dataset, pair_cols: list[str],
         return out
 
     def tag_sets(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "doc_id" not in df.columns:
+            return _typed_empty()
         out = pd.DataFrame({side: df["doc_id"], hcol: df["hset"]})
         for c in pair_cols:
             if c not in out.columns:
@@ -565,22 +581,34 @@ def _member_expand(rep_pairs, members, score_col: str, n_buckets: int,
     and emits intra-group pairs in both directions."""
     from .relational import _bucket_tagger, bucketed_join
 
-    rep_pairs = rep_pairs.map_batches(
-        lambda b: pa.table({
+    def _norm_pairs(b: pd.DataFrame) -> pa.Table:
+        # schema-less EMPTY blocks (Ray's empty sort partitions) DO
+        # reach map_batches fns — emit the typed empty
+        if not len(b) or "doc_a" not in b.columns:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             score_col: pa.array([], pa.float64())})
+        return pa.table({
             "doc_a": pa.array(np.asarray(b["doc_a"], np.int64)),
             "doc_b": pa.array(np.asarray(b["doc_b"], np.int64)),
-            score_col: pa.array(np.asarray(b[score_col], np.float64))}),
-        batch_format="pandas").repartition(4).materialize()
-    mem_a = members.map_batches(
-        lambda b: pd.DataFrame({
-            "doc_a": b["rep"].to_numpy(np.int64),
-            "m_a": b["doc_id"].to_numpy(np.int64)}),
-        batch_format="pandas").repartition(8)
-    mem_b = members.map_batches(
-        lambda b: pd.DataFrame({
-            "doc_b": b["rep"].to_numpy(np.int64),
-            "m_b": b["doc_id"].to_numpy(np.int64)}),
-        batch_format="pandas").repartition(8)
+            score_col: pa.array(np.asarray(b[score_col], np.float64))})
+
+    def _mem_side(a_col: str, m_col: str):
+        def _m(b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b) or "rep" not in b.columns:
+                return pd.DataFrame({a_col: np.zeros(0, np.int64),
+                                     m_col: np.zeros(0, np.int64)})
+            return pd.DataFrame({
+                a_col: b["rep"].to_numpy(np.int64),
+                m_col: b["doc_id"].to_numpy(np.int64)})
+        return _m
+
+    rep_pairs = rep_pairs.map_batches(
+        _norm_pairs, batch_format="pandas").repartition(4).materialize()
+    mem_a = members.map_batches(_mem_side("doc_a", "m_a"),
+                                batch_format="pandas").repartition(8)
+    mem_b = members.map_batches(_mem_side("doc_b", "m_b"),
+                                batch_format="pandas").repartition(8)
     e1 = bucketed_join(rep_pairs, mem_a, on="doc_a",
                        n_buckets=n_buckets)
     e2 = bucketed_join(e1, mem_b, on="doc_b", n_buckets=n_buckets)

@@ -317,3 +317,39 @@ def test_containment_collapse_tier_equality():
     assert len(short_in_long) == 100
     assert ((raw["doc_a"] % 100 == 0)
             & (raw["doc_b"] % 100 == 1)).sum() == 0
+
+
+def test_ngram_jaccard_permuted_sets_no_text_dups():
+    """Token-permuted twins share the SET but not the TEXT: the
+    text-hash detection must NOT fire (uncollapsed exact path), and
+    the permuted pair still scores jaccard 1.0 through the normal
+    machinery."""
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": ["alpha beta gamma delta epsilon zeta",
+                 "zeta epsilon delta gamma beta alpha",  # permuted twin
+                 "entirely different words over here"]})).repartition(2)
+    out = ngram_jaccard_pairs(docs, shingle=1, jaccard_threshold=0.9,
+                              dup_group_cutover=2).to_pandas()
+    got = out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    assert list(got.itertuples(index=False, name=None)) == \
+        [(1, 2, 1.0)]
+
+
+def test_ngram_jaccard_forced_collapse_on_dupfree_corpus():
+    """dup_group_cutover=1 forces the collapse machinery on a corpus
+    with NO duplicates — all groups are singletons and the expansion
+    must be the identity."""
+    texts = [f"w{i} x{i} y{i} z{i} common tail words" for i in range(8)]
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": texts})).repartition(3)
+    raw = (ngram_jaccard_pairs(docs, shingle=3, jaccard_threshold=0.1,
+                               dup_group_cutover=10 ** 9).to_pandas()
+           .sort_values(["doc_a", "doc_b"], ignore_index=True))
+    forced = (ngram_jaccard_pairs(docs, shingle=3,
+                                  jaccard_threshold=0.1,
+                                  dup_group_cutover=1).to_pandas()
+              .sort_values(["doc_a", "doc_b"], ignore_index=True))
+    assert len(raw) == 28          # all C(8,2) pairs share the tail
+    pd.testing.assert_frame_equal(forced, raw, check_dtype=True)
