@@ -199,10 +199,15 @@ def run_crawl(corpus, seeds, num_cpus: int, run_dir: str,
     t_setup0 = time.perf_counter()
     # fetch_concurrency sets SALT granularity (blocks per round ≈ 2×
     # this); 2×CPUs measured 30% faster than CPUs-2 at 16 CPUs purely
-    # from shorter round-barrier tails (more, smaller blocks)
+    # from shorter round-barrier tails (more, smaller blocks).
+    # BENCH_FETCH_CONC overrides for the multi-raylet granularity
+    # experiment (fewer, bigger blocks trade tail balance for less
+    # per-round cross-raylet dispatch latency).
+    fc = int(os.environ.get("BENCH_FETCH_CONC", "0")) or \
+        max(4, 2 * num_cpus)
     eng = CrawlEngine(corpus, seeds.to_pylist(), run_dir,
                       n_shards=max(4, num_cpus // 4),
-                      fetch_concurrency=max(4, 2 * num_cpus))
+                      fetch_concurrency=fc)
     n_warm = eng.warmup()
     setup_sec = time.perf_counter() - t_setup0
     import resource
