@@ -4230,6 +4230,88 @@ def q_event_transitions(sf_dir: str):
                          ["event_type", "next_type"], "n", "count")
 
 
+def q_transition_entropy(sf_dir: str):
+    """Shannon entropy of the event-type transition distribution (§
+    sequence analytics — how predictable the clickstream's next step
+    is; the Markov-chain summary on top of `event_transitions`): the
+    same ONE user-bucket LEAD + tiny transition-count aggregate, then
+    H = −Σ p·ln p over the ≤ |types|² support in ONE mirrored float
+    expression (round-6 ln contract; sum order reassociates)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import (
+        preagg_reduce, windowed_lead)
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"],
+               rows_per_block=65536)
+    led = windowed_lead(ev, ["user_id"], "ts", "event_type",
+                        "next_type", tie_cols=["event_id"])
+
+    def steps(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["next_type"].notna()]
+        return b[["event_type", "next_type"]]
+
+    a = preagg_reduce(led.map_batches(steps, batch_format="pandas"),
+                      ["event_type", "next_type"], "n",
+                      "count").to_pandas()
+    n = a["n"].to_numpy(np.int64).astype(np.float64)
+    tot = float(int(a["n"].sum()))
+    p_ = n / tot
+    h = -float(np.sum(p_ * np.log(p_)))
+    return pd.DataFrame({
+        "entropy": [np.round(h, 6)],
+        "n_steps": np.array([int(tot)], dtype=np.int64),
+        "n_cells": np.array([len(a)], dtype=np.int64)})
+
+
+def q_theil_customer_spend(sf_dir: str):
+    """Theil inequality index of per-customer total spend (§
+    statistical aggregates — the decomposable inequality measure next
+    to Gini): T = (1/(N·μ))·Σ x·ln x − ln μ. Fully distributed exact
+    shape: ONE customer-bucket spend preagg (exact cents), then
+    per-block INTEGER partials x·micro(ln x) (the doc_perplexity
+    micro-nat discipline — ln rounded to 6, scaled 1e6, int64
+    products with a python-int fallback when a float estimate says
+    the block sum would wrap) combined in python-int space; the final
+    expression is ONE mirrored float chain (round-6)."""
+    import pandas as pd
+    from no_fasel_scrapers_ray.ops.relational import preagg_reduce
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                   rows_per_block=65536)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "u": b["o_custkey"].to_numpy(np.int64),
+            "x": np.round(b["o_totalprice"].to_numpy(np.float64)
+                          * 100).astype(np.int64)})
+
+    spend = preagg_reduce(orders.map_batches(prep,
+                                             batch_format="pandas"),
+                          ["u"], "x", "sum", n_buckets=16)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["x"].to_numpy(np.int64)
+        mi = np.round(np.round(np.log(x.astype(np.float64)), 6)
+                      * 1e6).astype(np.int64)
+        est = float((x.astype(np.float64)
+                     * mi.astype(np.float64)).sum())
+        if est >= 2.0 ** 62:
+            xs = sum(int(a) * int(m) for a, m in zip(x, mi))
+        else:
+            xs = int((x * mi).sum())
+        return pd.DataFrame({"s": [int(x.sum())], "xs": [xs],
+                             "cnt": [len(x)]})
+
+    p = spend.map_batches(partial, batch_format="pandas").to_pandas()
+    S = int(sum(int(v) for v in p["s"]))
+    XS = int(sum(int(v) for v in p["xs"]))
+    N = int(sum(int(v) for v in p["cnt"]))
+    mu = float(S) / N
+    t = (float(XS) / 1e6) / (float(N) * mu) - float(np.log(mu))
+    return pd.DataFrame({
+        "theil": [np.round(t, 6)],
+        "n_customers": np.array([N], dtype=np.int64)})
+
+
 def q_monthly_revenue_growth(sf_dir: str):
     """Time-bucketed trend with month-over-month growth (§ composed
     window-over-aggregate): total order revenue per calendar month in
@@ -6908,6 +6990,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_supplier": q_top_revenue_supplier,
         "dominant_part_suppliers": q_dominant_part_suppliers,
         "event_transitions": q_event_transitions,
+        "transition_entropy": q_transition_entropy,
+        "theil_customer_spend": q_theil_customer_spend,
         "monthly_revenue_growth": q_monthly_revenue_growth,
         "bigram_pmi": q_bigram_pmi,
         "zipf_slope": q_zipf_slope,
@@ -9242,6 +9326,41 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE 2 * qty * ns > 3 * part_total
         """,
         # Markov transition matrix: LEAD over each user's stream
+        "transition_entropy": """
+            WITH s AS (
+                SELECT event_type,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS next_type
+                FROM events),
+            c AS (SELECT event_type, next_type, COUNT(*) AS n
+                  FROM s WHERE next_type IS NOT NULL
+                  GROUP BY event_type, next_type),
+            t AS (SELECT SUM(n) AS tot, COUNT(*) AS cells FROM c)
+            SELECT ROUND(-SUM((CAST(n AS DOUBLE) / t.tot)
+                              * LN(CAST(n AS DOUBLE) / t.tot)), 6)
+                       AS entropy,
+                   CAST(t.tot AS BIGINT) AS n_steps,
+                   CAST(t.cells AS BIGINT) AS n_cells
+            FROM c, t GROUP BY t.tot, t.cells
+        """,
+        "theil_customer_spend": """
+            WITH sp AS (SELECT o_custkey,
+                            CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                          AS BIGINT)) AS BIGINT) AS x
+                        FROM orders GROUP BY 1),
+            agg AS (SELECT SUM(x) AS s, COUNT(*) AS n,
+                        SUM(x * CAST(ROUND(ROUND(LN(
+                            CAST(x AS DOUBLE)), 6) * 1000000)
+                            AS BIGINT)) AS xs
+                    FROM sp)
+            SELECT ROUND(
+                (CAST(xs AS DOUBLE) / 1000000.0)
+                / (CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / n))
+                - LN(CAST(s AS DOUBLE) / n), 6) AS theil,
+                CAST(n AS BIGINT) AS n_customers
+            FROM agg
+        """,
         "event_transitions": """
             WITH s AS (
                 SELECT event_type,

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "ks_urgent_price", "kruskal_wallis_price",
     "cramers_v_nation_priority", "jsd_region_priority",
     "brown_forsythe_price", "ingest_incremental",
+    "transition_entropy", "theil_customer_spend",
 ]
 
 # The forced fully-distributed (tier-3) graph paths — run LAST so the
