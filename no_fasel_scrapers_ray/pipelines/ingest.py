@@ -106,7 +106,8 @@ class MicroBatchIngest:
                 files = [os.path.join(pdir, f)
                          for f in sorted(os.listdir(pdir))
                          if f.endswith(".parquet")
-                         and f[:-len(".parquet")] in committed]
+                         and (f.startswith("_compact-")
+                              or f[:-len(".parquet")] in committed)]
                 old = (pq.read_table(files, columns=["fp1", "fp2"])
                        if files else None)
                 if old is not None and old.num_rows:
@@ -173,3 +174,57 @@ class MicroBatchIngest:
                 for k, v in sorted(self.manifest["batches"].items())]
         return pd.DataFrame(
             rows, columns=["batch_id", "arrived", "new", "dupes"])
+
+    def compact(self, max_files_per_partition: int = 64) -> int:
+        """Merge each seen partition's COMMITTED per-batch fingerprint
+        files into one ``_compact-<n>.parquet`` when the partition
+        holds more than ``max_files_per_partition`` files — without
+        this, a 10^5-batch stream makes every later batch open 10^5
+        tiny files per partition. Crash-safe by construction: the
+        seen store is a SET, so the window between writing the
+        compact file and deleting its sources only duplicates
+        fingerprints (the anti-join is unaffected); compact files are
+        built exclusively from committed batches, so the
+        committed-only filter in ``dedup_partition`` accepts any
+        ``_compact-*`` file unconditionally. Runs as one Ray task per
+        partition. Returns the number of partitions compacted."""
+        import ray
+
+        committed = frozenset(self.manifest["batches"])
+
+        @ray.remote
+        def _compact_one(pdir: str) -> bool:
+            files = [f for f in sorted(os.listdir(pdir))
+                     if f.endswith(".parquet")]
+            eligible = [f for f in files
+                        if f.startswith("_compact-")
+                        or f[:-len(".parquet")] in committed]
+            if len(eligible) <= max_files_per_partition:
+                return False
+            seq = 1 + max(
+                (int(f[len("_compact-"):-len(".parquet")])
+                 for f in eligible if f.startswith("_compact-")),
+                default=0)
+            t = pq.read_table([os.path.join(pdir, f)
+                               for f in eligible],
+                              columns=["fp1", "fp2"])
+            keys = pd.DataFrame({"fp1": np.asarray(t["fp1"]),
+                                 "fp2": np.asarray(t["fp2"])
+                                 }).drop_duplicates()
+            out = os.path.join(pdir, f"_compact-{seq}.parquet")
+            pq.write_table(
+                pa.table({"fp1": keys["fp1"].to_numpy(np.int64),
+                          "fp2": keys["fp2"].to_numpy(np.int64)}),
+                out + ".tmp")
+            os.replace(out + ".tmp", out)
+            for f in eligible:
+                if not f.startswith(f"_compact-{seq}"):
+                    os.remove(os.path.join(pdir, f))
+            return True
+
+        refs = []
+        for part in sorted(os.listdir(self.seen_dir)):
+            pdir = os.path.join(self.seen_dir, part)
+            if os.path.isdir(pdir):
+                refs.append(_compact_one.remote(pdir))
+        return int(sum(bool(r) for r in ray.get(refs)))

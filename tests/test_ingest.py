@@ -84,3 +84,36 @@ def test_driver_query_ledger_sf0001():
     assert st.loc["b2", "new"] == 0
     assert st.loc["b2", "dupes"] == st.loc["b2", "arrived"]
     assert st.loc["b3", "new"] > 0 and st.loc["b3", "dupes"] > 0
+
+
+def test_ingest_compaction(tmp_path):
+    """Many tiny batches → compact() merges committed seen files; the
+    dedup result is unchanged, and an uncommitted phantom file is
+    neither compacted nor consulted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sd = str(tmp_path / "state")
+    ing = MicroBatchIngest(sd, n_partitions=2)
+    for i in range(6):
+        ing.process(f"b{i}", _batch([(10 * i + j, f"t{i} u{j} v")
+                                     for j in range(3)]))
+    # plant an UNCOMMITTED phantom seen file
+    pdir = os.path.join(sd, "seen", "part=0")
+    pq.write_table(pa.table({"fp1": [123], "fp2": [456]}),
+                   os.path.join(pdir, "phantom.parquet"))
+    n = ing.compact(max_files_per_partition=2)
+    assert n >= 1
+    # phantom survived (not compacted away), per-batch files merged
+    left = sorted(os.listdir(pdir))
+    assert "phantom.parquet" in left
+    assert any(f.startswith("_compact-") for f in left)
+    # dedup semantics intact after compaction: replaying old content
+    # in a NEW batch counts as dupes
+    r = ing.process("again", _batch([(900, "t0 u0 v"), (901, "fresh x")]))
+    assert (r["arrived"], r["new"], r["dupes"]) == (2, 1, 1)
+    # and a second compact() over already-compacted partitions is
+    # stable (idempotent under the file-count threshold)
+    ing.compact(max_files_per_partition=2)
+    corpus = ing.corpus_dataset().to_pandas()
+    assert len(corpus) == 19   # 18 distinct + "fresh x"
