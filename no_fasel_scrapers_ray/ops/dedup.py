@@ -408,7 +408,8 @@ def _emit_cross_pairs_bucketed(ds: rd.Dataset,
 def ngram_jaccard_cross(docs: rd.Dataset, side_col: str,
                         shingle: int = 3,
                         jaccard_threshold: float = 0.5,
-                        n_buckets: int = 32) -> rd.Dataset:
+                        n_buckets: int = 32,
+                        dup_group_cutover: int = 8) -> rd.Dataset:
     """EXACT cross-set n-gram Jaccard near-dup join (R-S, not self):
     pairs (doc_a from side 0, doc_b from side 1) with J ≥ t — NEAR-DUP
     decontamination, generalizing the exact-shingle `decontaminate`
@@ -424,11 +425,86 @@ def ngram_jaccard_cross(docs: rd.Dataset, side_col: str,
     keys at all. Exactness: every qualifying cross pair shares a
     prefix shingle, so candidates are a superset and the exact-Jaccard
     verify (`_jaccard_verify`) makes the result precise — full SQL
-    oracle at test sf."""
+    oracle at test sf.
+
+    Exact-set collapse, cross flavor (r5 — the sf1 smoke's 10×-dup
+    train side): identical (set, SIDE) groups collapse to one
+    representative past ``dup_group_cutover`` text-dup group size;
+    cross pairs between the two sides' representatives expand to the
+    member products with orientation fixed (doc_a side 0, doc_b side
+    1) and NO intra emission (same-side docs never pair). An eval doc
+    identical to a train doc lives in two DIFFERENT groups (side in
+    the key), so their J=1 pair survives as a rep pair. Tier-equality
+    tested on a replicated corpus (tests/test_round6_ops.py)."""
+    import pyarrow as pa
+
+    from .relational import bucketed_join, preagg_reduce
 
     def tokenset_batch(batch: pd.DataFrame) -> pd.DataFrame:
         return cached_instance(("tokenset", shingle),
                                lambda: TokenSetter(shingle))(batch)
+
+    def text_counts(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(
+            b["text"].to_numpy(dtype=object)).view(np.int64)
+        gk = (h << 1) ^ b[side_col].to_numpy(np.int64)
+        vals, cnts = np.unique(gk, return_counts=True)
+        return pd.DataFrame({"tk": vals,
+                             "gsz": cnts.astype(np.int64)})
+
+    tc = preagg_reduce(
+        docs.map_batches(text_counts, batch_format="pandas"),
+        ["tk"], "gsz", "sum", n_buckets=n_buckets).materialize()
+    collapse = int(tc.max("gsz") or 0) >= dup_group_cutover
+
+    if collapse:
+        def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
+            d = tokenset_batch(batch)
+            hs = np.array(d["hset"], dtype=object)
+            key = (pd.util.hash_array(hs).view(np.int64) if len(hs)
+                   else np.zeros(0, np.int64))
+            sd = batch[side_col].to_numpy(np.int64)
+            return pd.DataFrame({
+                "doc_id": d["doc_id"].to_numpy(np.int64),
+                "setkey": key, "side": sd,
+                "gkey": (key << 1) ^ sd})
+
+        sig = docs.map_batches(sig_batch,
+                               batch_format="pandas").materialize()
+        reps = preagg_reduce(
+            sig.map_batches(lambda b: pd.DataFrame({
+                "gkey": b["gkey"].to_numpy(np.int64),
+                "rep": b["doc_id"].to_numpy(np.int64)}),
+                batch_format="pandas"),
+            ["gkey"], "rep", "min", n_buckets=n_buckets)
+        members = bucketed_join(sig, reps, on="gkey",
+                                n_buckets=n_buckets).materialize()
+        rep_rows = members.map_batches(
+            lambda b: b[b["doc_id"].to_numpy(np.int64)
+                        == b["rep"].to_numpy(np.int64)][["doc_id"]],
+            batch_format="pandas")
+        rdocs = bucketed_join(docs, rep_rows, on="doc_id",
+                              n_buckets=n_buckets).materialize()
+
+        def _norm_docs(b: pd.DataFrame) -> pa.Table:
+            if not len(b) or "doc_id" not in b.columns:
+                return pa.table({
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    side_col: pa.array([], pa.int64())})
+            return pa.table({
+                "doc_id": pa.array(np.asarray(b["doc_id"], np.int64)),
+                "text": pa.array(b["text"].to_numpy(dtype=object),
+                                 type=pa.string()),
+                side_col: pa.array(
+                    np.asarray(b[side_col], np.int64))})
+
+        rdocs = rdocs.map_batches(
+            _norm_docs, batch_format="pandas").repartition(
+            max(4, rdocs.count() // 65536)).materialize()
+    else:
+        rdocs = docs
+        members = None
 
     def prefix_batch(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):   # empty block (upstream filter/repartition)
@@ -456,13 +532,17 @@ def ngram_jaccard_cross(docs: rd.Dataset, side_col: str,
             "__bucket": (sh % np.uint64(64)).astype(np.int64),
         })
 
-    pref = docs.map_batches(prefix_batch, batch_format="pandas")
+    pref = rdocs.map_batches(prefix_batch, batch_format="pandas")
     pairs = _emit_cross_pairs_bucketed(pref, ["shingle"])
-
-    from .relational import preagg_reduce
     uniq = preagg_reduce(pairs, ["doc_a", "doc_b"], "n_shared", "count")
-    return _jaccard_verify(uniq, ["n_shared"], docs, tokenset_batch,
-                           jaccard_threshold, n_buckets)
+    rep_pairs = _jaccard_verify(uniq, ["n_shared"], rdocs,
+                                tokenset_batch, jaccard_threshold,
+                                n_buckets)
+    if not collapse:
+        return rep_pairs
+    return _member_expand(rep_pairs, members, "jaccard", n_buckets,
+                          directed=True, a_side=0, b_side=1,
+                          emit_intra=False)
 
 
 def _hot_shingle_array(docs: rd.Dataset, shingle: int,
@@ -571,7 +651,8 @@ def _exact_set_collapse(docs, tokenset_batch, n_buckets: int,
 
 
 def _member_expand(rep_pairs, members, score_col: str, n_buckets: int,
-                   directed: bool):
+                   directed: bool, a_side: int | None = None,
+                   b_side: int | None = None, emit_intra: bool = True):
     """Expansion back to member pairs (output-bounded): each
     qualifying representative pair expands to its member cross
     product through two bucketed joins; identical-set groups emit
@@ -593,11 +674,13 @@ def _member_expand(rep_pairs, members, score_col: str, n_buckets: int,
             "doc_b": pa.array(np.asarray(b["doc_b"], np.int64)),
             score_col: pa.array(np.asarray(b[score_col], np.float64))})
 
-    def _mem_side(a_col: str, m_col: str):
+    def _mem_side(a_col: str, m_col: str, side_val: int | None):
         def _m(b: pd.DataFrame) -> pd.DataFrame:
             if not len(b) or "rep" not in b.columns:
                 return pd.DataFrame({a_col: np.zeros(0, np.int64),
                                      m_col: np.zeros(0, np.int64)})
+            if side_val is not None:
+                b = b[b["side"].to_numpy(np.int64) == side_val]
             return pd.DataFrame({
                 a_col: b["rep"].to_numpy(np.int64),
                 m_col: b["doc_id"].to_numpy(np.int64)})
@@ -605,9 +688,9 @@ def _member_expand(rep_pairs, members, score_col: str, n_buckets: int,
 
     rep_pairs = rep_pairs.map_batches(
         _norm_pairs, batch_format="pandas").repartition(4).materialize()
-    mem_a = members.map_batches(_mem_side("doc_a", "m_a"),
+    mem_a = members.map_batches(_mem_side("doc_a", "m_a", a_side),
                                 batch_format="pandas").repartition(8)
-    mem_b = members.map_batches(_mem_side("doc_b", "m_b"),
+    mem_b = members.map_batches(_mem_side("doc_b", "m_b", b_side),
                                 batch_format="pandas").repartition(8)
     e1 = bucketed_join(rep_pairs, mem_a, on="doc_a",
                        n_buckets=n_buckets)
@@ -625,6 +708,9 @@ def _member_expand(rep_pairs, members, score_col: str, n_buckets: int,
                              score_col: sc})
 
     cross = e2.map_batches(out_pairs, batch_format="pandas")
+    if not emit_intra:
+        # cross-corpus semantics: same-side identical docs never pair
+        return cross
 
     tagged_m = members.map_batches(_bucket_tagger(["setkey"], 64),
                                    batch_format="pandas")

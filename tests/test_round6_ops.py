@@ -353,3 +353,45 @@ def test_ngram_jaccard_forced_collapse_on_dupfree_corpus():
               .sort_values(["doc_a", "doc_b"], ignore_index=True))
     assert len(raw) == 28          # all C(8,2) pairs share the tail
     pd.testing.assert_frame_equal(forced, raw, check_dtype=True)
+
+
+def test_cross_decontaminate_collapse_tier_equality():
+    """Cross-corpus near-dup with a 10x-duplicated train side: the
+    collapsed plan must equal the raw plan; an eval doc identical to
+    train docs pairs at jaccard 1.0 with EVERY train copy."""
+    from no_fasel_scrapers_ray.ops.dedup import ngram_jaccard_cross
+    rows = []
+    # eval docs (side 0): ids 0..2
+    evals = ["alpha beta gamma delta epsilon zeta",
+             "unique eval content right here now",
+             "shared train text body words here"]
+    for i, t in enumerate(evals):
+        rows.append((i, t, 0))
+    # train docs (side 1): 10 copies of two texts + unique ones
+    did = 100
+    for copy in range(10):
+        rows.append((did, "alpha beta gamma delta epsilon eta", 1))
+        did += 1
+        rows.append((did, "shared train text body words here", 1))
+        did += 1
+    rows.append((did, "totally unrelated training sample", 1))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "side"])
+    docs = rd.from_pandas(df).repartition(3)
+
+    def run(cutover):
+        out = ngram_jaccard_cross(docs, "side", shingle=3,
+                                  jaccard_threshold=0.5,
+                                  dup_group_cutover=cutover).to_pandas()
+        return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+    raw = run(10 ** 9)
+    collapsed = run(2)
+    pd.testing.assert_frame_equal(collapsed, raw, check_dtype=True)
+    # eval 2 is identical to the 10 "shared train text" copies
+    hits = raw[(raw["doc_a"] == 2) & (raw["jaccard"] == 1.0)]
+    assert len(hits) == 10
+    # near-dup eval 0 matches all 10 near-copies
+    near = raw[raw["doc_a"] == 0]
+    assert len(near) == 10 and (near["jaccard"] < 1.0).all()
+    # train-train pairs never appear
+    assert (raw["doc_a"] < 100).all() and (raw["doc_b"] >= 100).all()
