@@ -153,3 +153,62 @@ def test_msf_tiers_agree_on_random_tie_graphs(df):
         assert len(t3) == 0
         return
     pd.testing.assert_frame_equal(t3, kruskal, check_dtype=True)
+
+
+@st.composite
+def batch_streams(draw):
+    """A stream of 2-5 micro-batches over a small text universe with
+    heavy overlap, plus one crash point (a batch whose commit is
+    forgotten and replayed)."""
+    universe = [f"doc text {i}" for i in range(draw(st.integers(2, 8)))]
+    n_batches = draw(st.integers(2, 5))
+    batches = []
+    next_id = 0
+    for _ in range(n_batches):
+        n = draw(st.integers(1, 6))
+        rows = []
+        for _ in range(n):
+            rows.append((next_id, universe[
+                draw(st.integers(0, len(universe) - 1))]))
+            next_id += 1
+        batches.append(rows)
+    crash_at = draw(st.integers(0, n_batches - 1))
+    return batches, crash_at
+
+
+@RAY_SETTINGS
+@given(batch_streams())
+def test_ingest_stream_matches_sequential_set(tmp_path_factory, stream):
+    from no_fasel_scrapers_ray.pipelines.ingest import MicroBatchIngest
+    batches, crash_at = stream
+    sd = str(tmp_path_factory.mktemp("ing_prop"))
+    ing = MicroBatchIngest(sd, n_partitions=4)
+
+    seen: set = set()
+    expect_rows = []
+    for i, rows in enumerate(batches):
+        bid = f"b{i}"
+        ds = rd.from_pandas(pd.DataFrame({
+            "doc_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "text": [r[1] for r in rows]})).repartition(2)
+        if i == crash_at:
+            # crashed attempt: data plane runs, commit is lost
+            ing.process(bid, ds)
+            del ing.manifest["batches"][bid]
+            ing._commit()
+            ing = MicroBatchIngest(sd, n_partitions=4)   # restart
+        r = ing.process(bid, ds)
+        # sequential reference: first-wins within and across batches
+        batch_new = 0
+        batch_seen_local: set = set()
+        for doc_id, text in sorted(rows):
+            if text in seen or text in batch_seen_local:
+                continue
+            batch_seen_local.add(text)
+            batch_new += 1
+            expect_rows.append(text)
+        seen |= batch_seen_local
+        assert r["arrived"] == len(rows)
+        assert r["new"] == batch_new, (i, rows)
+    corpus = ing.corpus_dataset().to_pandas()
+    assert sorted(corpus["text"]) == sorted(expect_rows)
